@@ -1,0 +1,296 @@
+"""Core relational operators — the reference's query surface (SURVEY §2.3,
+reference pipeline/queries.go) as reusable, composable DataFrame functions.
+
+Every function is ``DataFrame -> DataFrame`` (lazy — no collect in the hot
+path), so Catalyst sees the whole plan and can push filters/prune columns.
+
+Scale notes are inline per operator. The common theme: everything here is
+either (a) a single scan with map-side-combinable aggregation (one shuffle
+of tiny partial-agg state), (b) a TakeOrderedAndProject (top-k without a
+global sort), or (c) a pushed-down filter scan. None of these degrade with
+input size beyond the scan itself.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Q1 — top-k by measure (reference pipeline/queries.go:10-18:
+#   SELECT * FROM vehicles ORDER BY speed DESC LIMIT 10)
+# ---------------------------------------------------------------------------
+def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
+    """Top-k without a total sort.
+
+    Catalyst plans ``orderBy().limit(k)`` as TakeOrderedAndProject: each
+    partition keeps a size-k heap, the driver merges P heaps — O(n) scan +
+    O(P*k) merge, no shuffle of the full data. This is exactly the plan
+    you want at 100 TB (the reference's SQLite does a full sort).
+    We add deterministic tie-break columns (the reference leaves tie order
+    unspecified, SURVEY §2.3 Q1) so results are hash-stable.
+    """
+    return df.orderBy(*order_by).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Q2 — ordered prefix CASE classification (reference pipeline/queries.go:26-34).
+# CASE arms are ORDER-SENSITIVE: the reference's 'ynk%' arm is dead because
+# 'y%' matches first; we preserve first-match-wins semantics exactly.
+# ---------------------------------------------------------------------------
+def prefix_classify(
+    col: Column, arms: Sequence[tuple[str, str]], default: str
+) -> Column:
+    """Build a first-match-wins prefix classifier column.
+
+    ``arms`` is an ordered list of (prefix, class_label). Evaluated
+    entirely in whole-stage codegen (chained ``when``) — no UDF.
+    """
+    expr: Column | None = None
+    for prefix, label in arms:
+        cond = col.startswith(prefix)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    assert expr is not None, "prefix_classify needs at least one arm"
+    return expr.otherwise(F.lit(default))
+
+
+# ---------------------------------------------------------------------------
+# Q3 — group-by breakdown over a derived key (reference pipeline/queries.go:22-69:
+#   GROUP BY route_type, COUNT/AVG/MAX, ORDER BY count DESC)
+# ---------------------------------------------------------------------------
+def class_breakdown(df: DataFrame, class_col: Column, measure: Column) -> DataFrame:
+    """count/avg/max per derived class.
+
+    One shuffle of partial-agg state keyed by class (map-side combine means
+    bytes shuffled ~ #classes * #partitions, independent of row count).
+    avg is rounded to 6dp for cross-engine float stability.
+    """
+    return (
+        df.select(class_col.alias("event_class"), measure.alias("_m"))
+        .groupBy("event_class")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("_m"), 6).alias("avg_value"),
+            F.max("_m").alias("max_value"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("event_class"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4–Q8 — the reference's GetSummaryStats (pipeline/queries.go:74-160) issues
+# TEN separate scans; we fuse the whole report into ONE conditional-
+# aggregation pass (SURVEY §4: "fuse at authoring time").
+# ---------------------------------------------------------------------------
+def global_stats(df: DataFrame, measure: Column) -> DataFrame:
+    """Q4: COUNT/AVG/MAX/MIN in one scan (reference queries.go:79-82)."""
+    return df.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.round(F.avg(measure), 6).alias("avg_value"),
+        F.max(measure).alias("max_value"),
+        F.min(measure).alias("min_value"),
+    )
+
+
+def conditional_counts(
+    df: DataFrame, key: Column, values: Sequence[str], prefix: str = "n_"
+) -> DataFrame:
+    """Q5/Q7: COUNT(*) per listed key value, one scan, wide one-row result.
+
+    The reference runs one scan per status (queries.go:94-97); conditional
+    aggregation makes it a single pass regardless of how many statuses.
+    """
+    aggs = [
+        F.count(F.when(key == v, 1)).alias(f"{prefix}{v.lower()}") for v in values
+    ]
+    return df.agg(*aggs)
+
+
+def share_percentages(
+    df: DataFrame, key: Column, values: Sequence[str], prefix: str = "pct_"
+) -> DataFrame:
+    """Q6: 100 * SUM(CASE WHEN key=v)/COUNT(*) per value, one scan
+    (reference queries.go:104-111)."""
+    total = F.count(F.lit(1))
+    aggs = [
+        F.round(
+            F.sum(F.when(key == v, 1).otherwise(0)) * 100.0 / total, 6
+        ).alias(f"{prefix}{v.lower()}")
+        for v in values
+    ]
+    return df.agg(*aggs)
+
+
+def threshold_split(df: DataFrame, measure: Column, threshold: float) -> DataFrame:
+    """Q8: moving/stationary split + ratio (reference queries.go:126-135).
+
+    The reference computes the ratio client-side in Go; we keep it in the
+    engine as one more aggregate column in the same pass.
+    """
+    n_above = F.count(F.when(measure > threshold, 1))
+    n_below = F.count(F.when(measure <= threshold, 1))
+    total = F.count(F.lit(1))
+    return df.agg(
+        n_above.alias("n_above"),
+        n_below.alias("n_below"),
+        F.round(n_above * 100.0 / total, 6).alias("pct_above"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — discrete lower-bound percentiles, SQLite OFFSET arithmetic
+# (reference pipeline/queries.go:138-156): element at 0-index ⌊n*k/d⌋ of the
+# ascending sort of the filtered measure.
+# ---------------------------------------------------------------------------
+def discrete_percentiles(
+    df: DataFrame,
+    measure: Column,
+    fractions: Sequence[tuple[str, int, int]] = (("p50", 1, 2), ("p90", 9, 10), ("p95", 95, 100)),
+) -> DataFrame:
+    """Exact discrete percentiles with the reference's integer-division
+    offsets (p50 → OFFSET n/2, p90 → n*9/10, p95 → n*95/100).
+
+    Implementation: one count action, then per-fraction
+    ``sort(asc).offset(⌊n*k/d⌋).limit(1)`` — Catalyst executes
+    offset+limit over a global sort boundary; for the bounded offsets used
+    here it remains a single-pass skip-scan. For 100 TB you'd switch to
+    ``approx_percentile`` (see :func:`approx_percentiles`); this operator
+    exists for bit-exact parity with the reference semantics.
+    Empty input → empty result (reference emits nothing when
+    movingVehicles == 0, queries.go:152-156).
+    """
+    vals = df.select(measure.alias("value"))
+    n = vals.count()  # one intentional action; the reference also runs COUNT first
+    if n == 0:
+        return vals.select(F.lit("").alias("pct"), F.col("value")).limit(0)
+    out = None
+    for label, num, den in fractions:
+        off = (n * num) // den
+        one = (
+            vals.orderBy(F.asc("value"))
+            .offset(off)
+            .limit(1)
+            .select(F.lit(label).alias("pct"), F.col("value"))
+        )
+        out = one if out is None else out.unionAll(one)
+    return out
+
+
+def approx_percentiles(
+    df: DataFrame, measure: Column, fractions: Sequence[float] = (0.5, 0.9, 0.95)
+) -> DataFrame:
+    """Scale-path percentiles: single-pass mergeable t-digest-style sketch
+    (``percentile_approx``), no global sort. This is what runs at 100 TB."""
+    labels = [f"p{int(f*100)}" for f in fractions]
+    agg = df.agg(
+        F.percentile_approx(measure, list(fractions), 10000).alias("qs")
+    )
+    cols = [F.col("qs")[i].alias(lbl) for i, lbl in enumerate(labels)]
+    return agg.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Q10 — BETWEEN range filter, deliberately NON-wrapping (reference
+# pipeline/queries.go:190-220: bearing BETWEEN target-delta AND target+delta,
+# no 0/360 wraparound — replicated literally per SURVEY §2.3 Q10).
+# ---------------------------------------------------------------------------
+def between_filter(df: DataFrame, col: Column, target: float, delta: float) -> DataFrame:
+    """Plain interval filter; pushed down to the parquet scan (row-group
+    min/max pruning), so at scale this reads only matching row groups."""
+    return df.filter(col.between(target - delta, target + delta))
+
+
+# ---------------------------------------------------------------------------
+# Q11 — 8-bucket cardinal-direction histogram with zero-filled buckets
+# (reference pipeline/queries.go:224-276). The reference fetches the whole
+# bearing column and buckets in a Go loop; we push the bucketing into the
+# engine (when-chain + groupBy) and materialize empty buckets by
+# right-joining a literal 8-row bucket table.
+# ---------------------------------------------------------------------------
+CARDINAL_DIRS = ("North", "Northeast", "East", "Southeast", "South", "Southwest", "West", "Northwest")
+
+
+def cardinal_direction(bearing: Column) -> Column:
+    """Bucket a [0,360] bearing into 8 cardinal directions.
+
+    Half-open 45° ranges centered on each direction; North wraps
+    (>=337.5 OR <22.5, reference queries.go:260); bearing==360 falls
+    through to the North fallback (reference queries.go:270-272).
+    """
+    b = bearing
+    expr = F.when((b >= 337.5) | (b < 22.5), "North")
+    lo = 22.5
+    for name in ("Northeast", "East", "Southeast", "South", "Southwest", "West", "Northwest"):
+        expr = expr.when((b >= lo) & (b < lo + 45.0), name)
+        lo += 45.0
+    return expr.otherwise("North")  # 360 fallback bucket
+
+
+def cardinal_histogram(df: DataFrame, bearing: Column) -> DataFrame:
+    """groupBy-count over the derived direction, then outer-join the
+    literal 8-row direction table so zero-count buckets still appear
+    (reference pre-initializes all buckets to 0, queries.go:240-242).
+
+    Join direction matters: for a LEFT outer join Spark can only broadcast
+    the RIGHT side, so we put the literal table on the left and broadcast
+    the aggregated counts (≤8 rows after the scan-side agg) — the scan
+    stays fully distributed, the join is a hash probe over 8 rows."""
+    spark = df.sparkSession
+    counted = (
+        df.select(cardinal_direction(bearing).alias("direction"))
+        .groupBy("direction")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # Literal table built JVM-side (explode of an array literal):
+    # createDataFrame(py_list) would become a Python-RDD scan and pay
+    # Python-worker startup on every execution.
+    dirs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(d) for d in CARDINAL_DIRS])).alias("direction")
+    )
+    return (
+        dirs.join(F.broadcast(counted), "direction", "left")
+        .select("direction", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+        .orderBy("direction")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — COUNT(*) (reference pipeline/queries.go:281-285)
+# ---------------------------------------------------------------------------
+def count_rows(df: DataFrame) -> DataFrame:
+    """Parquet footer row-count metadata makes this a metadata-only scan."""
+    return df.agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Q13 — point lookup by key (reference pipeline/queries.go:290-294)
+# ---------------------------------------------------------------------------
+def point_lookup(df: DataFrame, key: Column, value, projection: Sequence[str]) -> DataFrame:
+    """Equality filter pushed to the scan; with dictionary/min-max parquet
+    stats this prunes to the row groups containing the key."""
+    return df.filter(key == F.lit(value)).select(*projection)
+
+
+# ---------------------------------------------------------------------------
+# S3 — upsert / last-write-wins merge by key (reference pipeline/load.go:6-39:
+# INSERT OR REPLACE keyed on id PRIMARY KEY)
+# ---------------------------------------------------------------------------
+def latest_by_key(
+    df: DataFrame, key_cols: Sequence[str], order_by: Sequence[Column]
+) -> DataFrame:
+    """Keep the winning row per key under ``order_by`` (desc = wins).
+
+    This is the idiomatic plain-parquet upsert: window row_number per key.
+    One shuffle keyed by ``key_cols``; with the target table bucketed by
+    key this becomes shuffle-free. With a table format (Delta/Iceberg)
+    you'd use MERGE INTO instead — semantics identical.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,393 @@
+"""Query registry: every implemented operator bound to the driver's
+testdata tables, plus the DuckDB oracle SQL for the correctness gate.
+
+Column-name discipline: every computed column is aliased identically in the
+Spark plan and the oracle SQL (the driver sorts columns by name before
+hashing). Float-valued computed columns are rounded to 6dp on BOTH sides;
+raw pass-through columns are left exact.
+
+Operator → testdata binding follows FIXTURES.md §B:
+  vehicle.speed → events.value, vehicle.id → event keys,
+  route-prefix CASE → event_type prefixes, bearing → pmod(value, 360),
+  point lookup → customer.c_custkey.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mbta_etl_spark.operators import core
+from mbta_etl_spark.sources.tables import load_table
+
+# Ordered CASE arms for the Q2 classifier analog. Mirrors the reference's
+# order-sensitive CASE incl. a dead arm ('v%' shadows 'vi%', like 'y%'
+# shadows 'ynk%' at reference pipeline/queries.go:31-32).
+CLASS_ARMS = [
+    ("s", "Signup"),
+    ("c", "Click"),
+    ("e", "Error"),
+    ("v", "View"),
+    ("vi", "ViewDead"),  # dead arm, preserved deliberately
+]
+CLASS_DEFAULT = "Other"
+
+_CLASS_CASE_SQL = (
+    "CASE WHEN event_type LIKE 's%' THEN 'Signup' "
+    "WHEN event_type LIKE 'c%' THEN 'Click' "
+    "WHEN event_type LIKE 'e%' THEN 'Error' "
+    "WHEN event_type LIKE 'v%' THEN 'View' "
+    "WHEN event_type LIKE 'vi%' THEN 'ViewDead' "
+    "ELSE 'Other' END"
+)
+
+STATUS_VALUES = ("click", "view", "purchase")
+ORDERSTATUS_VALUES = ("O", "F", "P")
+SPLIT_THRESHOLD = 100.0
+BETWEEN_TARGET, BETWEEN_DELTA = 5.0, 10.0
+LOOKUP_KEY = 42
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# --- Spark-side query functions (each: (spark, sf_dir) -> DataFrame) -------
+
+
+def q01_top10_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 analog (reference pipeline/queries.go:10-18), deterministic
+    tie-break on event_id."""
+    df = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    return core.top_k(df, [F.desc("value"), F.asc("event_id")], 10)
+
+
+def q02_prefix_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 analog (reference pipeline/queries.go:26-34)."""
+    df = _events(spark, sf_dir)
+    cls = core.prefix_classify(F.col("event_type"), CLASS_ARMS, CLASS_DEFAULT)
+    return df.select("event_id", "event_type", cls.alias("event_class"))
+
+
+def q03_class_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 analog (reference pipeline/queries.go:22-69)."""
+    df = _events(spark, sf_dir)
+    cls = core.prefix_classify(F.col("event_type"), CLASS_ARMS, CLASS_DEFAULT)
+    return core.class_breakdown(df, cls, F.col("value"))
+
+
+def q04_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 analog (reference pipeline/queries.go:79-82)."""
+    return core.global_stats(_events(spark, sf_dir), F.col("value"))
+
+
+def q05_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 analog (reference pipeline/queries.go:94-97), fused to one scan."""
+    return core.conditional_counts(
+        _events(spark, sf_dir), F.col("event_type"), STATUS_VALUES
+    )
+
+
+def q06_share_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 analog (reference pipeline/queries.go:104-111)."""
+    return core.share_percentages(
+        _events(spark, sf_dir), F.col("event_type"), STATUS_VALUES
+    )
+
+
+def q07_orderstatus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 analog (reference pipeline/queries.go:118-123) on orders."""
+    df = load_table(spark, sf_dir, "orders")
+    return core.conditional_counts(df, F.col("o_orderstatus"), ORDERSTATUS_VALUES)
+
+
+def q08_threshold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 analog (reference pipeline/queries.go:126-135)."""
+    return core.threshold_split(
+        _events(spark, sf_dir), F.col("value"), SPLIT_THRESHOLD
+    )
+
+
+def q09_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 analog (reference pipeline/queries.go:138-156): discrete
+    lower-bound percentiles with SQLite integer-division OFFSETs over the
+    value>0 subset."""
+    df = _events(spark, sf_dir).filter(F.col("value") > 0)
+    return core.discrete_percentiles(df, F.col("value"))
+
+
+def q10_between_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 analog (reference pipeline/queries.go:190-220): non-wrapping
+    BETWEEN on part.p_size, target 5 delta 10 → [-5, 15]."""
+    df = load_table(spark, sf_dir, "part")
+    return core.between_filter(
+        df, F.col("p_size"), BETWEEN_TARGET, BETWEEN_DELTA
+    ).select("p_partkey", "p_name", "p_size")
+
+
+def q11_cardinal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 analog (reference pipeline/queries.go:224-276): 8-bucket
+    cardinal histogram with zero-filled buckets, bearing := pmod(value,360)."""
+    df = _events(spark, sf_dir)
+    return core.cardinal_histogram(df, F.pmod(F.col("value"), F.lit(360.0)))
+
+
+def q12_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 analog (reference pipeline/queries.go:281-285) on lineitem."""
+    return core.count_rows(load_table(spark, sf_dir, "lineitem"))
+
+
+def q13_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 analog (reference pipeline/queries.go:290-294)."""
+    df = load_table(spark, sf_dir, "customer")
+    return core.point_lookup(
+        df, F.col("c_custkey"), LOOKUP_KEY, ["c_custkey", "c_acctbal"]
+    )
+
+
+def q14_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 analog (reference pipeline/load.go:6-39): last-write-wins per
+    user_id ordered by (ts, event_id) desc."""
+    df = _events(spark, sf_dir)
+    out = core.latest_by_key(
+        df, ["user_id"], [F.desc("ts"), F.desc("event_id")]
+    )
+    return out.select("user_id", "event_id", "event_type", "value")
+
+
+def q15_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (batch form of the streaming demo): per-hour
+    count + sum(value). One map-side-combinable aggregation."""
+    df = _events(spark, sf_dir)
+    # date_trunc returns session-tz TIMESTAMP; cast back to NTZ so the
+    # result is timezone-independent (the driver harness may collect under
+    # any session/driver timezone). Hour truncation commutes with the
+    # interpret/render round-trip, so this is the naive truncation.
+    hour = F.expr("CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ)")
+    return (
+        df.groupBy(hour.alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("hour")
+    )
+
+
+def q16_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary on lineitem — the bench headline.
+    Beyond the reference surface (it has no joins/multi-measure groupings,
+    SURVEY §2.6) but core to an analytics engine. Single scan,
+    map-side-combined aggregation on a 6-group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
+            F.round(F.sum(charge), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q17_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue top-10 customers: lineitem ⋈ orders ⋈ customer ⋈ nation.
+    Scale shape: the lineitem⋈orders join shuffles on orderkey (AQE
+    handles skew); customer and nation are dimension-sized → broadcast
+    (nation always; customer is broadcast at small SF and would be a
+    shuffle join at 100 TB — AQE picks based on actual size)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    df = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(revenue, 6).alias("revenue"))
+    )
+    return core.top_k(df, [F.desc("revenue"), F.asc("c_custkey")], 10)
+
+
+# --- DuckDB oracle SQL -----------------------------------------------------
+
+_ORACLES: dict[str, str] = {
+    "q01_top10_by_value": """
+        SELECT event_id, event_type, value
+        FROM events ORDER BY value DESC, event_id ASC LIMIT 10
+    """,
+    "q02_prefix_classify": f"""
+        SELECT event_id, event_type, {_CLASS_CASE_SQL} AS event_class
+        FROM events
+    """,
+    "q03_class_breakdown": f"""
+        SELECT {_CLASS_CASE_SQL} AS event_class,
+               COUNT(*) AS cnt,
+               ROUND(AVG(value), 6) AS avg_value,
+               MAX(value) AS max_value
+        FROM events GROUP BY 1 ORDER BY cnt DESC, event_class ASC
+    """,
+    "q04_global_stats": """
+        SELECT COUNT(*) AS total_rows,
+               ROUND(AVG(value), 6) AS avg_value,
+               MAX(value) AS max_value,
+               MIN(value) AS min_value
+        FROM events
+    """,
+    "q05_status_counts": """
+        SELECT COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+               COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+        FROM events
+    """,
+    "q06_share_pct": """
+        SELECT ROUND(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 6) AS pct_click,
+               ROUND(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 6) AS pct_view,
+               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 6) AS pct_purchase
+        FROM events
+    """,
+    "q07_orderstatus_counts": """
+        SELECT COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        FROM orders
+    """,
+    "q08_threshold_split": f"""
+        SELECT COUNT(*) FILTER (WHERE value > {SPLIT_THRESHOLD}) AS n_above,
+               COUNT(*) FILTER (WHERE value <= {SPLIT_THRESHOLD}) AS n_below,
+               ROUND(COUNT(*) FILTER (WHERE value > {SPLIT_THRESHOLD}) * 100.0 / COUNT(*), 6) AS pct_above
+        FROM events
+    """,
+    # Q9: same integer-division OFFSET arithmetic as reference
+    # pipeline/queries.go:141-149, DuckDB // is integer division on BIGINT.
+    "q09_percentiles_exact": """
+        WITH m AS (SELECT value FROM events WHERE value > 0),
+             n AS (SELECT COUNT(*) AS n FROM m)
+        (SELECT 'p50' AS pct, value FROM m ORDER BY value LIMIT 1 OFFSET (SELECT n // 2 FROM n))
+        UNION ALL
+        (SELECT 'p90' AS pct, value FROM m ORDER BY value LIMIT 1 OFFSET (SELECT (n * 9) // 10 FROM n))
+        UNION ALL
+        (SELECT 'p95' AS pct, value FROM m ORDER BY value LIMIT 1 OFFSET (SELECT (n * 95) // 100 FROM n))
+    """,
+    "q10_between_filter": f"""
+        SELECT p_partkey, p_name, p_size
+        FROM part
+        WHERE p_size BETWEEN {BETWEEN_TARGET - BETWEEN_DELTA} AND {BETWEEN_TARGET + BETWEEN_DELTA}
+    """,
+    # Q11: fmod(value,360) ∈ (0,360); bucket arms mirror reference
+    # queries.go:250-273 incl. North wrap + 360 fallback.
+    "q11_cardinal_histogram": """
+        WITH b AS (SELECT fmod(value, 360.0) AS bearing FROM events),
+        d AS (
+          SELECT CASE
+            WHEN bearing >= 337.5 OR bearing < 22.5 THEN 'North'
+            WHEN bearing >= 22.5  AND bearing < 67.5  THEN 'Northeast'
+            WHEN bearing >= 67.5  AND bearing < 112.5 THEN 'East'
+            WHEN bearing >= 112.5 AND bearing < 157.5 THEN 'Southeast'
+            WHEN bearing >= 157.5 AND bearing < 202.5 THEN 'South'
+            WHEN bearing >= 202.5 AND bearing < 247.5 THEN 'Southwest'
+            WHEN bearing >= 247.5 AND bearing < 292.5 THEN 'West'
+            WHEN bearing >= 292.5 AND bearing < 337.5 THEN 'Northwest'
+            ELSE 'North' END AS direction
+          FROM b
+        ),
+        dirs AS (
+          SELECT * FROM (VALUES ('North'),('Northeast'),('East'),('Southeast'),
+                                ('South'),('Southwest'),('West'),('Northwest')) t(direction)
+        )
+        SELECT dirs.direction AS direction, COALESCE(c.cnt, 0) AS cnt
+        FROM dirs LEFT JOIN (SELECT direction, COUNT(*) AS cnt FROM d GROUP BY 1) c
+          USING (direction)
+        ORDER BY direction
+    """,
+    "q12_count": "SELECT COUNT(*) AS n FROM lineitem",
+    "q13_point_lookup": f"""
+        SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey = {LOOKUP_KEY}
+    """,
+    "q14_upsert_latest": """
+        SELECT user_id, event_id, event_type, value
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1
+    """,
+    "q15_hourly_rollup": """
+        SELECT date_trunc('hour', ts) AS hour,
+               COUNT(*) AS cnt,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events GROUP BY 1 ORDER BY hour
+    """,
+    "q16_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 6) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+               ROUND(AVG(l_quantity), 6) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 6) AS avg_price,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q17_top_customers": """
+        SELECT c_custkey, c_name, n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 10
+    """,
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from mbta_etl_spark.plans import llm_registry
+
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "q01_top10_by_value": q01_top10_by_value,
+        "q02_prefix_classify": q02_prefix_classify,
+        "q03_class_breakdown": q03_class_breakdown,
+        "q04_global_stats": q04_global_stats,
+        "q05_status_counts": q05_status_counts,
+        "q06_share_pct": q06_share_pct,
+        "q07_orderstatus_counts": q07_orderstatus_counts,
+        "q08_threshold_split": q08_threshold_split,
+        "q09_percentiles_exact": q09_percentiles_exact,
+        "q10_between_filter": q10_between_filter,
+        "q11_cardinal_histogram": q11_cardinal_histogram,
+        "q12_count": q12_count,
+        "q13_point_lookup": q13_point_lookup,
+        "q14_upsert_latest": q14_upsert_latest,
+        "q15_hourly_rollup": q15_hourly_rollup,
+        "q16_pricing_summary": q16_pricing_summary,
+        "q17_top_customers": q17_top_customers,
+    }
+    out.update(llm_registry.queries())
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    from mbta_etl_spark.plans import llm_registry
+
+    out = dict(_ORACLES)
+    out.update(llm_registry.oracle_sql())
+    return out
