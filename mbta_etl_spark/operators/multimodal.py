@@ -1,0 +1,142 @@
+"""Multimodal column plumbing: treat image/audio/video payloads as opaque
+``binary`` columns with typed metadata, processed via Arrow-batched
+``mapInPandas`` — the shape a 100 TB multimodal pipeline uses (decode /
+resize / frame-sample run as vectorized Python over columnar batches,
+never row-at-a-time).
+
+The heavy codecs (PIL/ffmpeg/librosa) are NOT in this environment, so the
+decode kernels are explicitly stubbed: ``decode_image``/``decode_audio``/
+``sample_frames`` raise NotImplementedError with the dependency named,
+while the Spark-side plumbing — schemas, binary payload handling, batch
+iteration, deterministic metadata extraction — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Metadata schema produced by binary_meta — fixed and engine-checkable.
+BINARY_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", StringType()),
+        StructField("first_byte", LongType()),
+        StructField("last_byte", LongType()),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("meta", StringType()),  # JSON sidecar metadata
+    ]
+)
+
+
+def to_binary_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Text → opaque binary payload table (utf-8 bytes). Stands in for an
+    image/audio payload column; everything downstream treats it as bytes."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+    )
+
+
+def binary_meta(df: DataFrame) -> DataFrame:
+    """Arrow-batched metadata extraction over a binary column via
+    mapInPandas: byte length, md5 checksum, first/last byte.
+
+    This is the template for real decode kernels — same signature, same
+    batch shape; swap the body for PIL/ffmpeg calls."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "checksum": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "first_byte": payloads.map(lambda b: b[0] if len(b) else None),
+                    "last_byte": payloads.map(lambda b: b[-1] if len(b) else None),
+                }
+            )
+
+    return df.mapInPandas(_extract, schema=BINARY_META_SCHEMA)
+
+
+# --- stubbed decode kernels (codec libraries absent in this container) ----
+
+IMAGE_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_channels", LongType()),
+    ]
+)
+
+
+def decode_image(df: DataFrame) -> DataFrame:
+    """STUB — requires Pillow (not installed here). The real kernel is a
+    mapInPandas with IMAGE_FEATURE_SCHEMA, decoding each payload with
+    ``PIL.Image.open(io.BytesIO(b))`` per Arrow batch."""
+    raise NotImplementedError(
+        "decode_image needs Pillow; this environment has no image codecs. "
+        "Plumbing contract: mapInPandas(payload->IMAGE_FEATURE_SCHEMA)."
+    )
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """STUB — requires an audio codec (soundfile/librosa)."""
+    raise NotImplementedError(
+        "decode_audio needs an audio codec library (e.g. soundfile)."
+    )
+
+
+def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """STUB — requires ffmpeg/av for video frame sampling."""
+    raise NotImplementedError("sample_frames needs ffmpeg/PyAV.")
+
+
+def fake_image_features(df: DataFrame) -> DataFrame:
+    """Deterministic fake decode for pipeline testing: derives a plausible
+    (width, height, channels) from the payload hash — exercises the full
+    mapInPandas path with a stable, assertable output."""
+
+    def _fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def dims(b: Any) -> tuple[int, int, int]:
+            h = hashlib.md5(bytes(b)).digest()
+            return (64 + h[0] % 192, 64 + h[1] % 192, 1 + h[2] % 4)
+
+        for pdf in batches:
+            d = pdf["payload"].map(dims)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "width": d.map(lambda t: t[0]).astype("int64"),
+                    "height": d.map(lambda t: t[1]).astype("int64"),
+                    "n_channels": d.map(lambda t: t[2]).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(_fake, schema=IMAGE_FEATURE_SCHEMA)

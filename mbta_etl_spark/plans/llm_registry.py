@@ -1,17 +1,402 @@
-"""LLM-data-pipeline query registry (dedup, similarity, text analysis,
-multimodal) — filled in as operators land. Kept separate from the core
-relational registry for clarity."""
+"""LLM-data-pipeline query registry: dedup, similarity search, text
+analysis, multimodal — bound to the ``documents`` / ``embeddings``
+testdata tables, each with a bit-equivalent DuckDB oracle (generated
+programmatically where the SQL is repetitive, e.g. SimHash bit sums).
+
+Portability contract with the oracles: tokenize with split-on-space, hash
+with md5/sha256 (identical hex in both engines), divide longs to get
+doubles, round floats to 6dp before comparison/thresholding.
+"""
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mbta_etl_spark.operators import dedup, multimodal, similarity, text
+from mbta_etl_spark.operators.dedup import SIMHASH_BITS
+from mbta_etl_spark.operators.text import EN_STOPWORDS, LANG_PROFILES
+from mbta_etl_spark.sources.tables import load_table
+
+EMB_DIM = 64
+JACCARD_K = 3
+JACCARD_THRESHOLD = 0.5
+FP_K = 5
+QUERY_VEC_ID = 0
+TOPK = 10
+LABEL_TOPK = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .collect()
+    )
+    return [float(x) for x in row[0]["embedding"]]
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(_docs(spark, sf_dir), F.col("text"), F.col("doc_id"))
+
+
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(_docs(spark, sf_dir), F.col("text"), F.col("doc_id"))
+
+
+def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(
+        _docs(spark, sf_dir), F.col("text"), F.col("doc_id"), F.col("lang")
+    )
+
+
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(
+        _docs(spark, sf_dir), F.col("text"), F.col("doc_id"), k=FP_K
+    )
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(
+        _docs(spark, sf_dir), F.col("text"), F.col("doc_id")
+    )
+
+
+def d02_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.fingerprint_dedup_groups(
+        _docs(spark, sf_dir), F.col("text"), F.col("doc_id")
+    )
+
+
+def d03_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        F.col("text"),
+        F.col("doc_id"),
+        k=JACCARD_K,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        F.col("text"),
+        F.col("doc_id"),
+        k=JACCARD_K,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir), F.col("text"), F.col("doc_id"))
+
+
+# --- similarity search -----------------------------------------------------
+
+
+def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _query_vector(spark, sf_dir)
+    return similarity.cosine_topk(
+        _emb(spark, sf_dir), "embedding", "vec_id", q, k=TOPK, exclude_id=QUERY_VEC_ID
+    )
+
+
+def s02_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _query_vector(spark, sf_dir)
+    return similarity.lsh_topk(
+        _emb(spark, sf_dir), "embedding", "vec_id", q, k=TOPK, exclude_id=QUERY_VEC_ID
+    )
+
+
+def s03_label_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pairwise_topk_per_label(
+        _emb(spark, sf_dir), "embedding", "vec_id", k=LABEL_TOPK
+    )
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+def m01_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    binary = multimodal.to_binary_table(_docs(spark, sf_dir), "text", "doc_id")
+    return multimodal.binary_meta(binary)
+
+
+def m02_fake_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (the fake decode is hashlib-digest-derived, not
+    reasonably SQL-expressible) — exercises the mapInPandas decode path."""
+    binary = multimodal.to_binary_table(_docs(spark, sf_dir), "text", "doc_id")
+    return multimodal.fake_image_features(binary)
+
+
+# --- oracle SQL generation -------------------------------------------------
+
+_SHINGLE_CTE = f"""
+    toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) >= {JACCARD_K}
+             THEN list_distinct(list_transform(range(1, len(t) - {JACCARD_K - 2}),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE [text] END) AS shingle
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id)
+"""
+
+
+def _simhash_oracle() -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents
+        ),
+        h AS (
+          SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) AS h
+          FROM t
+        ),
+        b AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM b
+    """
+
+
+def _lang_id_oracle() -> str:
+    count_cols = ", ".join(
+        "len(list_filter(t, x -> x IN ({}))) AS c_{}".format(
+            ", ".join(f"'{w}'" for w in words), lang
+        )
+        for lang, words in LANG_PROFILES
+    )
+    langs = [lang for lang, _ in LANG_PROFILES]
+    best = "GREATEST({})".format(", ".join(f"c_{lg}" for lg in langs))
+    arms = " ".join(f"WHEN c_{lg} = {best} THEN '{lg}'" for lg in langs)
+    return f"""
+        WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        c AS (SELECT doc_id, lang, {count_cols} FROM t)
+        SELECT doc_id, lang,
+               CASE WHEN {best} = 0 THEN 'unknown' {arms} ELSE 'unknown' END
+                 AS predicted_lang
+        FROM c
+    """
+
+
+def _dot(a: str, b: str) -> str:
+    return f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> {a}[i] * {b}[i]))"
+
+
+def _cosine_topk_oracle() -> str:
+    return f"""
+        WITH q AS (
+          SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT vec_id, label,
+               ROUND({_dot('v', 'qv')} /
+                     (sqrt({_dot('v', 'v')}) * sqrt({_dot('qv', 'qv')})), 6) AS cosine
+        FROM e, q
+        WHERE vec_id <> {QUERY_VEC_ID}
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT {TOPK}
+    """
+
+
+def _lsh_topk_oracle() -> str:
+    planes = similarity.hyperplanes(EMB_DIM, similarity.N_PLANES)
+    planes_sql = "[" + ", ".join(
+        "[" + ", ".join(str(x) for x in row) + "]" for row in planes
+    ) + "]"
+    sig_terms = " + ".join(
+        f"CASE WHEN {_dot('v', f'p[{p + 1}]')} > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(similarity.N_PLANES)
+    )
+    qsig_terms = " + ".join(
+        f"CASE WHEN {_dot('qv', f'p[{p + 1}]')} > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(similarity.N_PLANES)
+    )
+    # multi-probe: query bucket plus every Hamming-1 neighbor bucket
+    probes = ", ".join(
+        ["qsig"] + [f"xor(qsig, {1 << p})" for p in range(similarity.N_PLANES)]
+    )
+    return f"""
+        WITH planes AS (SELECT {planes_sql}::DOUBLE[][] AS p),
+        q AS (
+          SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        qs AS (SELECT ({qsig_terms}) AS qsig FROM q, planes),
+        e AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                 ({sig_terms}) AS sig
+          FROM embeddings, planes
+        )
+        SELECT vec_id, label,
+               ROUND({_dot('v', 'qv')} /
+                     (sqrt({_dot('v', 'v')}) * sqrt({_dot('qv', 'qv')})), 6) AS cosine
+        FROM e, q, qs
+        WHERE sig IN ({probes}) AND vec_id <> {QUERY_VEC_ID}
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT {TOPK}
+    """
+
+
+_ORACLES: dict[str, str] = {
+    "t01_token_stats": """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+               ROUND(length(replace(text, ' ', '')) /
+                     len(string_split(text, ' ')), 6) AS avg_token_len
+        FROM documents
+    """,
+    "t02_quality_score": f"""
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               ROUND(len(list_filter(toks, x -> x IN ({', '.join(f"'{w}'" for w in EN_STOPWORDS)}))) / len(toks), 6) AS stopword_ratio,
+               ROUND((length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g'))) / length(text), 6) AS punct_ratio,
+               ROUND(0.5 * LEAST(1.0, len(toks) / 100.0)
+                   + 0.3 * (1 - len(list_filter(toks, x -> x IN ({', '.join(f"'{w}'" for w in EN_STOPWORDS)}))) / len(toks))
+                   + 0.2 * (1 - (length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g'))) / length(text)), 6) AS quality
+        FROM t
+    """,
+    "t03_lang_id": _lang_id_oracle(),
+    "t04_fingerprint": f"""
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+        SELECT doc_id,
+               CASE WHEN len(t) >= {FP_K}
+                    THEN list_min(list_transform(range(1, len(t) - {FP_K - 2}),
+                         i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])))
+                    ELSE md5(text) END AS fp,
+               CASE WHEN len(t) >= {FP_K} THEN len(t) - {FP_K - 1} ELSE 0 END AS n_shingles
+        FROM t
+    """,
+    "d01_exact_dedup": """
+        SELECT sha256(text) AS text_sha, COUNT(*) AS n_copies,
+               MIN(doc_id) AS keep_doc_id
+        FROM documents GROUP BY 1
+    """,
+    "d02_fingerprint_dedup": """
+        SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp,
+               COUNT(*) AS n_copies, MIN(doc_id) AS keep_doc_id
+        FROM documents GROUP BY 1
+    """,
+    "d03_ngram_jaccard_pairs": f"""
+        WITH {_SHINGLE_CTE},
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= {JACCARD_THRESHOLD}
+    """,
+    "d04_minhash_lsh_pairs": f"""
+        WITH {_SHINGLE_CTE},
+        seeds AS (SELECT unnest(range(0, {dedup.NUM_HASHES})) AS seed),
+        mh AS (
+          SELECT doc_id, seed, MIN(md5(seed || ':' || shingle)) AS mh
+          FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+        ),
+        bands AS (
+          SELECT doc_id, seed // {dedup.BAND_SIZE} AS band,
+                 md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+          FROM mh GROUP BY doc_id, seed // {dedup.BAND_SIZE}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b USING (band, band_key)
+          WHERE a.doc_id < b.doc_id
+        ),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= {JACCARD_THRESHOLD}
+    """,
+    "d05_simhash": _simhash_oracle(),
+    "s01_cosine_topk": _cosine_topk_oracle(),
+    "s02_lsh_topk": _lsh_topk_oracle(),
+    "s03_label_topk_pairs": f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (
+          SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                 ROUND({_dot('a.v', 'b.v')} /
+                       (sqrt({_dot('a.v', 'a.v')}) * sqrt({_dot('b.v', 'b.v')})), 6) AS cosine
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+        )
+        SELECT vec_id, neighbor_id, cosine
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+          FROM p
+        ) WHERE rn <= {LABEL_TOPK}
+    """,
+    "m01_binary_meta": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS checksum,
+               ascii(text[1]) AS first_byte,
+               ascii(text[-1]) AS last_byte
+        FROM documents
+    """,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {}
+    return {
+        "t01_token_stats": t01_token_stats,
+        "t02_quality_score": t02_quality_score,
+        "t03_lang_id": t03_lang_id,
+        "t04_fingerprint": t04_fingerprint,
+        "d01_exact_dedup": d01_exact_dedup,
+        "d02_fingerprint_dedup": d02_fingerprint_dedup,
+        "d03_ngram_jaccard_pairs": d03_ngram_jaccard_pairs,
+        "d04_minhash_lsh_pairs": d04_minhash_lsh_pairs,
+        "d05_simhash": d05_simhash,
+        "s01_cosine_topk": s01_cosine_topk,
+        "s02_lsh_topk": s02_lsh_topk,
+        "s03_label_topk_pairs": s03_label_topk_pairs,
+        "m01_binary_meta": m01_binary_meta,
+        "m02_fake_image_features": m02_fake_image_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {}
+    return dict(_ORACLES)
