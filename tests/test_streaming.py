@@ -1,0 +1,136 @@
+"""Streaming-path tests: snapshot file-stream → transform → upsert merge
+(availableNow drain), and watermarked windowed aggregation semantics."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from mbta_etl_spark.streaming.ingest import run_upsert_stream, windowed_event_counts
+
+
+def _snapshot(vid, speed, updated_at="2024-01-15T10:30:00-05:00"):
+    return {
+        "id": vid,
+        "type": "vehicle",
+        "attributes": {
+            "updated_at": updated_at,
+            "speed": speed,
+            "occupancy_status": "MANY_SEATS_AVAILABLE",
+            "longitude": -71.0,
+            "latitude": 42.0,
+            "label": f"lbl-{vid}",
+            "direction_id": 0,
+            "current_status": "IN_TRANSIT_TO",
+            "bearing": 90,
+        },
+    }
+
+
+def test_streaming_upsert_end_to_end(spark, tmp_path):
+    snap_dir = tmp_path / "snapshots"
+    snap_dir.mkdir()
+    table = str(tmp_path / "vehicles")
+    ckpt = str(tmp_path / "ckpt")
+
+    with open(snap_dir / "s1.jsonl", "w") as f:
+        f.write(json.dumps(_snapshot("veh-A", 10.0)) + "\n")
+        f.write(json.dumps(_snapshot("veh-B", 20.0)) + "\n")
+
+    q = run_upsert_stream(spark, str(snap_dir), table, ckpt, available_now=True)
+    q.awaitTermination(120)
+    out = {r["id"]: r["speed"] for r in spark.read.parquet(table).collect()}
+    assert out == {"veh-A": 10.0, "veh-B": 20.0}
+
+    # second snapshot: update A, add C; resume from the checkpoint
+    time.sleep(1.1)  # later ingested_at so the new batch wins
+    with open(snap_dir / "s2.jsonl", "w") as f:
+        f.write(json.dumps(_snapshot("veh-A", 55.0)) + "\n")
+        f.write(json.dumps(_snapshot("veh-C", 30.0)) + "\n")
+
+    q = run_upsert_stream(spark, str(snap_dir), table, ckpt, available_now=True)
+    q.awaitTermination(120)
+    out = {r["id"]: r["speed"] for r in spark.read.parquet(table).collect()}
+    assert out == {"veh-A": 55.0, "veh-B": 20.0, "veh-C": 30.0}
+
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def test_windowed_counts_batch_semantics(spark):
+    """The windowed rollup is a plain DataFrame function — verify window
+    boundary assignment on a batch frame."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 5), 1.0),
+        (2, dt.datetime(2024, 1, 1, 10, 59), 2.0),
+        (3, dt.datetime(2024, 1, 1, 11, 0), 4.0),  # next window edge
+    ]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    out = {
+        r["window_start"]: (r["cnt"], r["sum_value"])
+        for r in windowed_event_counts(df).collect()
+    }
+    assert out[dt.datetime(2024, 1, 1, 10, 0)] == (2, 3.0)
+    assert out[dt.datetime(2024, 1, 1, 11, 0)] == (1, 4.0)
+
+
+def test_windowed_counts_streaming_with_late_data(spark, tmp_path):
+    """File-stream the events through the watermarked agg in append mode:
+    a late-but-within-watermark row lands in its original window."""
+    import datetime as dt
+
+    src = tmp_path / "events"
+    src.mkdir()
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt2")
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for eid, ts, v in rows:
+                f.write(json.dumps({"event_id": eid, "ts": ts, "value": v}) + "\n")
+
+    write_batch(
+        "b1.jsonl",
+        [
+            (1, "2024-01-01T10:05:00", 1.0),
+            (2, "2024-01-01T13:00:00", 8.0),  # advances watermark past 10:xx
+            (3, "2024-01-01T10:30:00", 2.0),  # late but within 2h watermark
+        ],
+    )
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA).json(str(src))
+    )
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only windows sealed by the watermark; with max ts
+    # 13:00 and 2h delay, watermark=11:00 seals the 10:00 window
+    out = {
+        r["window_start"]: (r["cnt"], r["sum_value"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert out[dt.datetime(2024, 1, 1, 10, 0)] == (2, 3.0)
