@@ -82,7 +82,11 @@ def ngram_jaccard_pairs(
     ``max_shingle_df`` drops shingles present in more than N docs before
     the join (cap the quadratic term; None = exact all-pairs).
     """
-    sh = _shingle_table(df, text, id_col, k)
+    # the shingle table feeds three plan branches (sizes, join-left,
+    # join-right); persist AND materialize eagerly — lazily-persisted
+    # branches within one action each recompute before the cache fills
+    sh = _shingle_table(df, text, id_col, k).persist()
+    sh.count()
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("shingle")
@@ -118,13 +122,7 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(
-    df: DataFrame, text: Column, id_col: Column, k: int = 3, n_hashes: int = NUM_HASHES
-) -> DataFrame:
-    """(doc_id, seed, mh): per-seed MinHash where permutation i is
-    "lexicographic order of md5(i:shingle)" — engine-portable and
-    deterministic. One explode + one (doc, seed)-keyed min aggregation."""
-    sh = _shingle_table(df, text, id_col, k)
+def _minhash_from_shingles(sh: DataFrame, n_hashes: int = NUM_HASHES) -> DataFrame:
     seeded = sh.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
@@ -132,6 +130,15 @@ def minhash_signatures(
     )
     mh = F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
     return seeded.groupBy("doc_id", "seed").agg(F.min(mh).alias("mh"))
+
+
+def minhash_signatures(
+    df: DataFrame, text: Column, id_col: Column, k: int = 3, n_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """(doc_id, seed, mh): per-seed MinHash where permutation i is
+    "lexicographic order of md5(i:shingle)" — engine-portable and
+    deterministic. One explode + one (doc, seed)-keyed min aggregation."""
+    return _minhash_from_shingles(_shingle_table(df, text, id_col, k), n_hashes)
 
 
 def minhash_lsh_pairs(
@@ -150,7 +157,12 @@ def minhash_lsh_pairs(
     Jaccard verification of candidates only. This is the sub-quadratic
     path for 100 TB near-dedup; the verification join only touches
     candidate pairs."""
-    sig = minhash_signatures(df, text, id_col, k, n_hashes)
+    # shingle generation feeds 4 plan branches (signatures, sizes, and
+    # both sides of the verification join) — persist + eager materialize
+    # so it is computed once
+    sh = _shingle_table(df, text, id_col, k).persist()
+    sh.count()
+    sig = _minhash_from_shingles(sh, n_hashes)
     bands = (
         sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
         .groupBy("doc_id", "band")
@@ -179,7 +191,6 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = _shingle_table(df, text, id_col, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

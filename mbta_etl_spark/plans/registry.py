@@ -118,6 +118,15 @@ def q09_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core.discrete_percentiles(df, F.col("value"))
 
 
+def q09a_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path variant of Q9: single-pass mergeable sketch
+    (percentile_approx) instead of global sort+offset. Rows-only check —
+    approximation differs from DuckDB's quantile algorithm by design; the
+    exact variant (q09) carries the oracle."""
+    df = _events(spark, sf_dir).filter(F.col("value") > 0)
+    return core.approx_percentiles(df, F.col("value"))
+
+
 def q10_between_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 analog (reference pipeline/queries.go:190-220): non-wrapping
     BETWEEN on part.p_size, target 5 delta 10 → [-5, 15]."""
@@ -372,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q07_orderstatus_counts": q07_orderstatus_counts,
         "q08_threshold_split": q08_threshold_split,
         "q09_percentiles_exact": q09_percentiles_exact,
+        "q09a_percentiles_approx": q09a_percentiles_approx,
         "q10_between_filter": q10_between_filter,
         "q11_cardinal_histogram": q11_cardinal_histogram,
         "q12_count": q12_count,
