@@ -231,6 +231,72 @@ def q17_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core.top_k(df, [F.desc("revenue"), F.asc("c_custkey")], 10)
 
 
+def q18_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min) of the event stream per user —
+    window lag + running sum, then per-session rollup. Beyond-reference
+    (SURVEY §2.6: no window functions there)."""
+    from mbta_etl_spark.operators.windows import session_summary
+
+    df = _events(spark, sf_dir)
+    return session_summary(df, "user_id", "ts", "event_id", "value", 30)
+
+
+def q19_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running value sum + lag — one shuffle on user_id."""
+    from mbta_etl_spark.operators.windows import running_totals
+
+    return running_totals(_events(spark, sf_dir), "user_id", "ts", "event_id", "value")
+
+
+def q20_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(o_orderpriority, o_orderstatus): hierarchical subtotals +
+    grand total in one pass (Spark expands grouping sets map-side)."""
+    df = load_table(spark, sf_dir, "orders")
+    return (
+        df.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+        )
+    )
+
+
+def q21_status_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers with both open AND filled orders, minus
+    customers with any pending order (INTERSECT + EXCEPT, distinct
+    semantics in both engines)."""
+    df = load_table(spark, sf_dir, "orders")
+    o = df.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = df.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p = df.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    # subtract == EXCEPT DISTINCT (matching the SQL oracle); intersect is
+    # already distinct, so the whole chain has set semantics
+    return o.intersect(f).subtract(p).select(F.col("o_custkey").alias("custkey"))
+
+
+def q22_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: top-10 open orders by revenue for one market
+    segment. lineitem⋈orders shuffles on orderkey; customer side is
+    dimension-pruned before the join (filter pushdown) then broadcast at
+    this SF (AQE decides from runtime sizes)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            cust.filter(F.col("c_mktsegment") == "BUILDING"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue, 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -354,6 +420,63 @@ _ORACLES: dict[str, str] = {
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
+    "q18_sessionization": """
+        WITH flagged AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessioned AS (
+          SELECT *, SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end
+        FROM sessioned GROUP BY user_id, session_id
+    """,
+    "q19_running_totals": """
+        SELECT event_id, user_id, value,
+               ROUND(SUM(value) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                 AS running_value,
+               lag(value) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        FROM events
+    """,
+    "q20_priority_rollup": """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 6) AS sum_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    "q21_status_set_ops": """
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    "q22_segment_revenue": """
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
     "q17_top_customers": """
         SELECT c_custkey, c_name, n_name,
                ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
@@ -390,6 +513,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_hourly_rollup": q15_hourly_rollup,
         "q16_pricing_summary": q16_pricing_summary,
         "q17_top_customers": q17_top_customers,
+        "q18_sessionization": q18_sessionization,
+        "q19_running_totals": q19_running_totals,
+        "q20_priority_rollup": q20_priority_rollup,
+        "q21_status_set_ops": q21_status_set_ops,
+        "q22_segment_revenue": q22_segment_revenue,
     }
     out.update(llm_registry.queries())
     return out
