@@ -135,6 +135,14 @@ def s03_label_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- multimodal ------------------------------------------------------------
 
 
+def c01_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition: quality filter → exact dedup → MinHash-LSH
+    near-dedup → surviving docs with token stats. One Catalyst plan."""
+    from mbta_etl_spark.pipeline.corpus import clean_corpus
+
+    return clean_corpus(_docs(spark, sf_dir))
+
+
 def m01_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary = multimodal.to_binary_table(_docs(spark, sf_dir), "text", "doc_id")
     return multimodal.binary_meta(binary)
@@ -149,8 +157,9 @@ def m02_fake_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- oracle SQL generation -------------------------------------------------
 
-_SHINGLE_CTE = f"""
-    toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+def _shingle_cte(source: str = "documents") -> str:
+    return f"""
+    toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM {source}),
     sh AS (
       SELECT doc_id, unnest(
         CASE WHEN len(t) >= {JACCARD_K}
@@ -161,6 +170,58 @@ _SHINGLE_CTE = f"""
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id)
 """
+
+
+_SHINGLE_CTE = _shingle_cte("documents")
+
+
+def _minhash_pair_ctes() -> str:
+    """CTE chain from sh/sizes to verified near-dup `pairs` (shared by the
+    d04 oracle and the corpus-pipeline oracle)."""
+    return f"""
+        seeds AS (SELECT unnest(range(0, {dedup.NUM_HASHES})) AS seed),
+        mh AS (
+          SELECT doc_id, seed, MIN(md5(seed || ':' || shingle)) AS mh
+          FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+        ),
+        bands AS (
+          SELECT doc_id, seed // {dedup.BAND_SIZE} AS band,
+                 md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+          FROM mh GROUP BY doc_id, seed // {dedup.BAND_SIZE}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b USING (band, band_key)
+          WHERE a.doc_id < b.doc_id
+        ),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT doc_a, doc_b
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6)
+                  >= {JACCARD_THRESHOLD}
+        )
+"""
+
+
+_STOPS = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+# quality expression over a relation exposing (text, toks) — must mirror
+# text.quality_score exactly
+_QUALITY_EXPR = (
+    "ROUND(0.5 * LEAST(1.0, len(toks) / 100.0)"
+    f" + 0.3 * (1 - len(list_filter(toks, x -> x IN ({_STOPS}))) / len(toks))"
+    " + 0.2 * (1 - (length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')))"
+    " / length(text)), 6)"
+)
 
 
 def _simhash_oracle() -> str:
@@ -351,6 +412,29 @@ _ORACLES: dict[str, str] = {
         WHERE ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= {JACCARD_THRESHOLD}
     """,
     "d05_simhash": _simhash_oracle(),
+    "c01_corpus_clean": f"""
+        WITH docq AS (
+          SELECT d.*, {_QUALITY_EXPR} AS quality
+          FROM (SELECT *, string_split(text, ' ') AS toks FROM documents) d
+        ),
+        qualified AS (SELECT * FROM docq WHERE quality >= 0.5),
+        keepers AS (
+          SELECT MIN(doc_id) AS doc_id FROM qualified GROUP BY sha256(text)
+        ),
+        exact_kept AS (SELECT q.* FROM qualified q JOIN keepers USING (doc_id)),
+        {_shingle_cte('exact_kept')},
+        {_minhash_pair_ctes()},
+        dropb AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+        survivors AS (
+          SELECT * FROM exact_kept
+          WHERE doc_id NOT IN (SELECT doc_id FROM dropb)
+        )
+        SELECT doc_id, lang, source,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_uniq_tokens,
+               quality
+        FROM survivors
+    """,
     "s01_cosine_topk": _cosine_topk_oracle(),
     "s02_lsh_topk": _lsh_topk_oracle(),
     "s03_label_topk_pairs": f"""
@@ -390,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d03_ngram_jaccard_pairs": d03_ngram_jaccard_pairs,
         "d04_minhash_lsh_pairs": d04_minhash_lsh_pairs,
         "d05_simhash": d05_simhash,
+        "c01_corpus_clean": c01_corpus_clean,
         "s01_cosine_topk": s01_cosine_topk,
         "s02_lsh_topk": s02_lsh_topk,
         "s03_label_topk_pairs": s03_label_topk_pairs,
