@@ -297,6 +297,24 @@ def q22_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q23_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: extract props.k from the JSON sidecar and
+    aggregate it per event_type. get_json_object evaluates in codegen —
+    JSON parsing stays JVM-side, no UDF."""
+    df = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        df.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -477,6 +495,13 @@ _ORACLES: dict[str, str] = {
         ORDER BY revenue DESC, o_orderkey ASC
         LIMIT 10
     """,
+    "q23_json_extract": """
+        SELECT event_type,
+               COUNT(*) AS cnt,
+               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "q17_top_customers": """
         SELECT c_custkey, c_name, n_name,
                ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
@@ -518,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_priority_rollup": q20_priority_rollup,
         "q21_status_set_ops": q21_status_set_ops,
         "q22_segment_revenue": q22_segment_revenue,
+        "q23_json_extract": q23_json_extract,
     }
     out.update(llm_registry.queries())
     return out

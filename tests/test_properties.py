@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis): operator semantics checked against
+straight-line Python reference implementations on generated inputs —
+the edge-case coverage hand-picked fixtures miss (SURVEY §5 strategy,
+strengthened)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from mbta_etl_spark.operators import core
+
+_settings = settings(
+    max_examples=12,  # each example runs Spark jobs — keep the budget sane
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_cardinal(b: float) -> str:
+    """Reference implementation of the cardinal bucketing (mirrors
+    reference pipeline/queries.go:250-273 incl. wrap + 360 fallback)."""
+    if b >= 337.5 or b < 22.5:
+        return "North"
+    for lo, name in [
+        (22.5, "Northeast"), (67.5, "East"), (112.5, "Southeast"),
+        (157.5, "South"), (202.5, "Southwest"), (247.5, "West"),
+        (292.5, "Northwest"),
+    ]:
+        if lo <= b < lo + 45.0:
+            return name
+    return "North"  # 360 fallback
+
+
+@given(st.lists(st.floats(min_value=0.0, max_value=360.0, allow_nan=False), min_size=1, max_size=40))
+@_settings
+def test_cardinal_histogram_matches_python(spark, bearings):
+    df = spark.createDataFrame([(float(b),) for b in bearings], ["bearing"])
+    out = {
+        r["direction"]: r["cnt"]
+        for r in core.cardinal_histogram(df, F.col("bearing")).collect()
+    }
+    expected: dict[str, int] = {d: 0 for d in core.CARDINAL_DIRS}
+    for b in bearings:
+        expected[_py_cardinal(b)] += 1
+    assert out == expected
+
+
+@given(st.lists(st.floats(min_value=0.01, max_value=1e6, allow_nan=False), min_size=1, max_size=60))
+@_settings
+def test_discrete_percentiles_match_offset_arithmetic(spark, values):
+    df = spark.createDataFrame([(float(v),) for v in values], ["v"])
+    out = {r["pct"]: r["value"] for r in core.discrete_percentiles(df, F.col("v")).collect()}
+    s = sorted(values)
+    n = len(s)
+    assert out["p50"] == s[n // 2]
+    assert out["p90"] == s[(n * 9) // 10]
+    assert out["p95"] == s[(n * 95) // 100]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.floats(0, 1e5, allow_nan=False)),
+        min_size=1,
+        max_size=50,
+    )
+)
+@_settings
+def test_latest_by_key_is_last_write_wins(spark, rows):
+    data = [(k, float(v), i) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["k", "v", "seq"])
+    out = {
+        r["k"]: r["seq"]
+        for r in core.latest_by_key(df, ["k"], [F.desc("seq")]).collect()
+    }
+    expected: dict[int, int] = {}
+    for k, _, seq in data:
+        expected[k] = max(expected.get(k, -1), seq)
+    assert out == expected
+
+
+@given(st.lists(st.floats(-1e3, 1e3, allow_nan=False), min_size=1, max_size=50))
+@_settings
+def test_threshold_split_partition_is_exhaustive(spark, values):
+    df = spark.createDataFrame([(float(v),) for v in values], ["v"])
+    row = core.threshold_split(df, F.col("v"), 0.0).collect()[0]
+    assert row["n_above"] + row["n_below"] == len(values)
+    assert row["n_above"] == sum(1 for v in values if v > 0.0)
+    assert math.isclose(
+        row["pct_above"], round(row["n_above"] * 100.0 / len(values), 6), abs_tol=1e-9
+    )
