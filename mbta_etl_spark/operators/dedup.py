@@ -122,14 +122,25 @@ def ngram_jaccard_pairs(
     )
 
 
+def _minhash_wide(sh: DataFrame, n_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, mh0..mh{n-1}): all minhashes in ONE map-side-combinable
+    aggregation over the shingle table — n_hashes min-columns instead of
+    exploding n_hashes× rows through the shuffle."""
+    mins = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))
+        ).alias(f"mh{s}")
+        for s in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
 def _minhash_from_shingles(sh: DataFrame, n_hashes: int = NUM_HASHES) -> DataFrame:
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
-        "shingle",
+    wide = _minhash_wide(sh, n_hashes)
+    pairs = ", ".join(f"{s}, mh{s}" for s in range(n_hashes))
+    return wide.select(
+        "doc_id", F.expr(f"stack({n_hashes}, {pairs}) AS (seed, mh)")
     )
-    mh = F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
-    return seeded.groupBy("doc_id", "seed").agg(F.min(mh).alias("mh"))
 
 
 def minhash_signatures(
@@ -162,23 +173,22 @@ def minhash_lsh_pairs(
     # so it is computed once
     sh = _shingle_table(df, text, id_col, k).persist()
     sh.count()
-    sig = _minhash_from_shingles(sh, n_hashes)
-    bands = (
-        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("seed", "mh"))
-                        ),
-                        lambda s: s["mh"],
-                    ),
-                )
-            ).alias("band_key")
-        )
+    # band keys straight from the wide signature: one aggregation, then a
+    # stack to (doc_id, band, band_key) rows for the collision join — no
+    # per-(doc,seed) shuffle, no collect_list
+    wide = _minhash_wide(sh, n_hashes)
+    n_bands = n_hashes // band_size
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * band_size + r}") for r in range(band_size)]
+            )
+        ).alias(f"bk{b}")
+        for b in range(n_bands)
+    ]
+    stack_args = ", ".join(f"{b}, bk{b}" for b in range(n_bands))
+    bands = wide.select("doc_id", *band_keys).select(
+        "doc_id", F.expr(f"stack({n_bands}, {stack_args}) AS (band, band_key)")
     )
     ba = bands.alias("ba")
     bb = bands.alias("bb")

@@ -127,6 +127,55 @@ def lsh_topk(
     return cosine_topk(cand.drop("_sig"), vec_col, id_col, query, k, exclude_id)
 
 
+def norm_zscore_per_label(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Per-label z-score of embedding L2 norms via applyInPandas — the
+    grouped-map Pandas UDF surface: each label group arrives as one
+    Arrow-backed pandas DataFrame, numpy does the vector math batch-wise.
+
+    Shuffle shape: one exchange keyed by label (same as a groupBy); the
+    Python boundary transfers each group once, columnar. At 100 TB you'd
+    salt pathological labels; the kernel itself is size-oblivious.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("label", LongType()),
+            StructField("norm", DoubleType()),
+            StructField("z", DoubleType()),
+        ]
+    )
+
+    def _z(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        mu = norms.mean()
+        sd = norms.std()  # population std, ddof=0 — oracle uses stddev_pop
+        z = np.zeros_like(norms) if sd == 0 else (norms - mu) / sd
+        # no np.round here: numpy rounds half-to-even, SQL rounds
+        # half-away-from-zero — rounding happens engine-side below
+        return pd.DataFrame(
+            {
+                "vec_id": pdf[id_col].astype("int64"),
+                "label": pdf["label"].astype("int64"),
+                "norm": norms,
+                "z": z,
+            }
+        )
+
+    out = df.groupBy("label").applyInPandas(_z, schema=out_schema)
+    return out.select(
+        "vec_id",
+        "label",
+        F.round("norm", 6).alias("norm"),
+        F.round("z", 4).alias("z"),
+    )
+
+
 def pairwise_topk_per_label(
     df: DataFrame, vec_col: str, id_col: str, k: int = 3
 ) -> DataFrame:

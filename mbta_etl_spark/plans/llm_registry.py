@@ -135,6 +135,12 @@ def s03_label_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- multimodal ------------------------------------------------------------
 
 
+def s04_norm_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas UDF surface (applyInPandas + numpy), oracle-
+    checked: per-label z-score of embedding norms."""
+    return similarity.norm_zscore_per_label(_emb(spark, sf_dir), "embedding", "vec_id")
+
+
 def c01_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship composition: quality filter → exact dedup → MinHash-LSH
     near-dedup → surviving docs with token stats. One Catalyst plan."""
@@ -452,6 +458,18 @@ _ORACLES: dict[str, str] = {
           FROM p
         ) WHERE rn <= {LABEL_TOPK}
     """,
+    "s04_norm_zscore": f"""
+        WITH e AS (
+          SELECT vec_id, CAST(label AS BIGINT) AS label,
+                 sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+          FROM embeddings
+        ),
+        s AS (SELECT label, AVG(norm) AS mu, stddev_pop(norm) AS sd
+              FROM e GROUP BY label)
+        SELECT vec_id, e.label, ROUND(norm, 6) AS norm,
+               ROUND(CASE WHEN sd = 0 THEN 0 ELSE (norm - mu) / sd END, 4) AS z
+        FROM e JOIN s USING (label)
+    """,
     "m01_binary_meta": """
         SELECT doc_id,
                octet_length(encode(text)) AS n_bytes,
@@ -478,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s01_cosine_topk": s01_cosine_topk,
         "s02_lsh_topk": s02_lsh_topk,
         "s03_label_topk_pairs": s03_label_topk_pairs,
+        "s04_norm_zscore": s04_norm_zscore,
         "m01_binary_meta": m01_binary_meta,
         "m02_fake_image_features": m02_fake_image_features,
     }

@@ -1,0 +1,83 @@
+"""applyInPandasWithState: per-user running profile across micro-batches —
+state must persist between batches via the checkpoint."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from mbta_etl_spark.streaming.stateful import user_profile_stream
+
+IN_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampNTZType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _write(src, name, rows):
+    with open(src / name, "w") as f:
+        for uid, ts, v in rows:
+            f.write(json.dumps({"user_id": uid, "ts": ts, "value": v}) + "\n")
+
+
+def _drain(spark, src, sink, ckpt):
+    stream = spark.readStream.schema(IN_SCHEMA).json(str(src))
+
+    # parquet sink can't do update mode — append each micro-batch's
+    # emissions via foreachBatch instead
+    def _append(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(sink)
+
+    q = (
+        user_profile_stream(stream)
+        .writeStream.foreachBatch(_append)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stateful_profile_accumulates_across_batches(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write(src, "b1.jsonl", [
+        (1, "2024-01-01T10:00:00", 5.0),
+        (1, "2024-01-01T10:05:00", 7.0),
+        (2, "2024-01-01T09:00:00", 1.0),
+    ])
+    _drain(spark, src, sink, ckpt)
+
+    _write(src, "b2.jsonl", [
+        (1, "2024-01-01T11:00:00", 3.0),
+        (3, "2024-01-01T12:00:00", 9.0),
+    ])
+    _drain(spark, src, sink, ckpt)
+
+    import datetime as dt
+
+    # latest emission per user wins (update-per-batch appends)
+    rows = sorted(
+        spark.read.parquet(sink).collect(),
+        key=lambda r: (r["user_id"], r["n_events"]),
+    )
+    latest = {r["user_id"]: r for r in rows}
+    assert latest[1]["n_events"] == 3
+    assert latest[1]["sum_value"] == 15.0
+    assert latest[1]["last_ts"] == dt.datetime(2024, 1, 1, 11, 0)
+    assert latest[2]["n_events"] == 1
+    assert latest[3]["sum_value"] == 9.0
