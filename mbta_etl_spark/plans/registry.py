@@ -315,6 +315,75 @@ def q23_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j01_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (beyond-reference): each click picks up the most recent
+    prior-or-simultaneous purchase by the same user. Union-tag + running
+    window — ONE shuffle on user_id, merge-join shape (operators/temporal).
+    Oracle is DuckDB's native ASOF LEFT JOIN."""
+    from pyspark.sql import Window
+
+    from mbta_etl_spark.operators import temporal
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    # deterministic winner on (user, ts) ties: max purchase_id
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("purchase_id").desc())
+    purchases = (
+        purchases.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    out = temporal.asof_join(
+        clicks, purchases, on="user_id", ts="ts",
+        payload=["purchase_id", "purchase_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("r_ts").alias("purchase_ts"),
+        F.col("r_purchase_id").alias("purchase_id"),
+        F.col("r_purchase_value").alias("purchase_value"),
+    )
+
+
+def j02_range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed time-range join (beyond-reference): per error event, count and
+    sum the same user's clicks in the preceding 10 minutes. Equi-key keeps
+    the plan a shuffled join + filter, never a nested loop."""
+    from mbta_etl_spark.operators import temporal
+
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return temporal.range_join_agg(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        window_expr="INTERVAL 10 MINUTES",
+        aggs=[
+            F.count(F.col("r.value")).alias("n_clicks"),
+            F.round(F.coalesce(F.sum(F.col("r.value")), F.lit(0.0)), 6).alias(
+                "click_value"
+            ),
+        ],
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -502,6 +571,37 @@ _ORACLES: dict[str, str] = {
                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    "j01_asof_attribution": """
+        WITH c AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+          SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+          FROM events WHERE event_type = 'purchase'
+          QUALIFY row_number()
+            OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+        )
+        SELECT c.event_id, c.user_id, c.ts,
+               p.ts AS purchase_ts, p.purchase_id, p.purchase_value
+        FROM c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    "j02_range_attribution": """
+        WITH e AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+        ),
+        c AS (
+          SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               count(c.value) AS n_clicks,
+               ROUND(COALESCE(SUM(c.value), 0), 6) AS click_value
+        FROM e LEFT JOIN c
+          ON e.user_id = c.user_id
+         AND c.ts > e.ts - INTERVAL 10 MINUTE
+         AND c.ts <= e.ts
+        GROUP BY e.event_id, e.user_id, e.ts
+    """,
     "q17_top_customers": """
         SELECT c_custkey, c_name, n_name,
                ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
@@ -544,6 +644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_status_set_ops": q21_status_set_ops,
         "q22_segment_revenue": q22_segment_revenue,
         "q23_json_extract": q23_json_extract,
+        "j01_asof_attribution": j01_asof_attribution,
+        "j02_range_attribution": j02_range_attribution,
     }
     out.update(llm_registry.queries())
     return out

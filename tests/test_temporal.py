@@ -1,0 +1,121 @@
+"""As-of join and keyed range join semantics on hand-built frames."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from mbta_etl_spark.operators.temporal import asof_join, range_join_agg
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+LEFT_SCHEMA = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("ts", TimestampNTZType()),
+        StructField("lid", LongType()),
+    ]
+)
+RIGHT_SCHEMA = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("ts", TimestampNTZType()),
+        StructField("rid", LongType()),
+        StructField("v", DoubleType()),
+    ]
+)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100),
+            (1, _ts("2024-01-01T10:05:00"), 101),
+            (1, _ts("2024-01-01T09:00:00"), 102),  # before any right row
+            (2, _ts("2024-01-01T10:00:00"), 200),  # key with no right rows
+        ],
+        LEFT_SCHEMA,
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:30:00"), 1, 1.0),
+            (1, _ts("2024-01-01T10:00:00"), 2, 2.0),  # equal-ts: inclusive
+            (1, _ts("2024-01-01T10:04:00"), 3, 3.0),
+        ],
+        RIGHT_SCHEMA,
+    )
+    return left, right
+
+
+def test_asof_backward(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="k", ts="ts", payload=["rid", "v"])
+    got = {r["lid"]: (r["r_rid"], r["r_v"]) for r in out.collect()}
+    assert got == {
+        100: (2, 2.0),  # equal ts matches (inclusive)
+        101: (3, 3.0),  # latest prior
+        102: (None, None),  # left row earlier than all right rows
+        200: (None, None),  # no right rows for key
+    }
+    assert out.count() == left.count()  # LEFT semantics: no row explosion
+
+
+def test_asof_forward(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on="k", ts="ts", payload=["rid"], direction="forward"
+    )
+    got = {r["lid"]: r["r_rid"] for r in out.collect()}
+    assert got == {100: 2, 101: None, 102: 1, 200: None}
+
+
+def test_asof_carries_right_ts(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="k", ts="ts", payload=["rid"])
+    row = {r["lid"]: r for r in out.collect()}[101]
+    assert row["r_ts"] == _ts("2024-01-01T10:04:00")
+
+
+def test_range_join_agg(spark):
+    left, right = _frames(spark)
+    out = range_join_agg(
+        left,
+        right,
+        on="k",
+        left_ts="ts",
+        right_ts="ts",
+        window_expr="INTERVAL 10 MINUTES",
+        aggs=[
+            F.count(F.col("r.rid")).alias("n"),
+            F.coalesce(F.sum(F.col("r.v")), F.lit(0.0)).alias("sv"),
+        ],
+    )
+    got = {r["lid"]: (r["n"], r["sv"]) for r in out.collect()}
+    assert got == {
+        100: (1, 2.0),  # only the equal-ts 10:00 row in (09:50, 10:00]
+        101: (2, 5.0),  # 10:00 and 10:04 in (09:55, 10:05]
+        102: (0, 0.0),
+        200: (0, 0.0),
+    }
+
+
+def test_asof_single_shuffle_plan(spark):
+    """The as-of plan must contain exactly one Exchange (the key shuffle) —
+    the merge-join shape that scales; a nested-loop or per-row join would
+    show more."""
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="k", ts="ts", payload=["rid"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # createDataFrame parallelizes locally: exchanges come only from the window
+    assert plan.count("Exchange hashpartitioning") == 1
