@@ -249,3 +249,152 @@ def simhash(df: DataFrame, text: Column, id_col: Column) -> DataFrame:
         term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return agg.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    n_planes: int = 0,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for
+    every pair with cosine(a, b) >= threshold, id_a < id_b.
+
+    ``n_planes=0`` is the EXACT path: block-partitioned matrix multiply.
+    Vectors are unit-normalized once, assigned to ``id % n_blocks``
+    blocks, and each of the B(B+1)/2 block-pairs becomes one
+    ``applyInPandas`` group whose kernel is a single numpy matmul
+    (Arrow-batched, BLAS-backed). All-pairs work is inherently O(n²/2)
+    dots, but it is spread over block-pair tasks with an n·(B+1) row
+    shuffle — the distributed-exact shape; tune n_blocks ≈ #executors at
+    scale. Scores are returned raw and thresholded engine-side on the
+    6dp-rounded value, keeping parity with SQL ROUND semantics.
+
+    ``n_planes>0`` is the APPROXIMATE scale path: both sides get a
+    deterministic random-hyperplane signature (similarity.hyperplanes)
+    and the pair join becomes an EQUI-join on the signature —
+    shuffle-partitionable, linear in Σ bucket², with the cosine check
+    applied inside buckets only. Recall < 1 by design (near-dups that
+    straddle a hyperplane are missed); raise recall with fewer planes or
+    multi-probe unioning.
+    """
+    from mbta_etl_spark.operators import similarity
+
+    # norm materialized as its own column so the O(d) fold runs once per
+    # vector, then a cheap per-element divide — not a fold per element
+    e = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        similarity._norm(F.col(vec_col)).alias("_n"),
+    ).select(
+        "_id",
+        F.transform(F.col("_v"), lambda x: x.cast("double") / F.col("_n")).alias(
+            "_unit"
+        ),
+    )
+    if n_planes == 0:
+        return _exact_cosine_pairs_blocked(e, threshold, n_blocks)
+
+    dim = df.select(F.size(vec_col)).first()[0]
+    planes = similarity.hyperplanes(dim, n_planes)
+    e = e.withColumn("_sig", similarity.lsh_signature(F.col("_unit"), planes))
+    a, b = e.alias("a"), e.alias("b")
+    cond = (F.col("a._sig") == F.col("b._sig")) & (
+        F.col("a._id") < F.col("b._id")
+    )
+    cos = F.aggregate(
+        F.zip_with(F.col("a._unit"), F.col("b._unit"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _exact_cosine_pairs_blocked(
+    e: DataFrame, threshold: float, n_blocks: int
+) -> DataFrame:
+    """All-pairs cosine over unit vectors via block-pair matmul groups.
+
+    Row with block b is shipped to block-pairs (b, j>=b) as the A side and
+    (i<=b, b) as the B side; group (gi, gj) then holds exactly the rows
+    its matmul needs. Each unordered id pair lands in exactly one group
+    (twice, mirrored, for diagonal groups — the id_a < id_b mask dedupes).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    blk = F.pmod(F.col("_id"), F.lit(n_blocks)).cast("int")
+    a_side = e.select(
+        "_id",
+        "_unit",
+        blk.alias("gi"),
+        F.explode(F.sequence(blk, F.lit(n_blocks - 1))).alias("gj"),
+        F.lit(0).alias("side"),
+    )
+    b_side = e.select(
+        "_id",
+        "_unit",
+        F.explode(F.sequence(F.lit(0), blk)).alias("gi"),
+        blk.alias("gj"),
+        F.lit(1).alias("side"),
+    )
+    u = a_side.unionByName(b_side)
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("_rawcos", DoubleType()),
+        ]
+    )
+    # kernel prefilters with a margin; the authoritative threshold check
+    # happens engine-side on the 6dp-rounded score (SQL ROUND semantics)
+    margin = threshold - 1e-6
+
+    def _block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = int(key[0]), int(key[1])
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "_rawcos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "_rawcos": "float64"}
+            )
+        ma = np.array(a["_unit"].tolist(), dtype=np.float64)
+        mb = np.array(b["_unit"].tolist(), dtype=np.float64)
+        ids_a = a["_id"].to_numpy()
+        ids_b = b["_id"].to_numpy()
+        cos = ma @ mb.T
+        ii, jj = np.nonzero(cos >= margin)
+        id_a, id_b, c = ids_a[ii], ids_b[jj], cos[ii, jj]
+        if gi == gj:
+            keep = id_a < id_b  # mirrored pairs: keep one orientation
+        else:
+            keep = id_a != id_b
+            lo = np.minimum(id_a, id_b)
+            hi = np.maximum(id_a, id_b)
+            id_a, id_b = lo, hi
+        return pd.DataFrame(
+            {"id_a": id_a[keep], "id_b": id_b[keep], "_rawcos": c[keep]}
+        )
+
+    pairs = u.groupBy("gi", "gj").applyInPandas(_block, schema=out_schema)
+    return pairs.select(
+        "id_a", "id_b", F.round("_rawcos", 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

@@ -218,3 +218,107 @@ def pairwise_topk_per_label(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+# --- IVF (inverted-file) approximate nearest neighbor ----------------------
+
+IVF_STRIDE = 61  # deterministic coarse-quantizer sample: vec_id % stride == 0
+
+
+def _pair_cos(vec: Column, lit_vec: list[float]) -> Column:
+    """cosine(vec, literal) rounded to 6dp — the engine-portable score used
+    for every IVF comparison (rounding first makes argmax/top-k ordering
+    identical across engines; ties break on id)."""
+    qn = math.sqrt(math.fsum(x * x for x in lit_vec))
+    return F.round(_dot_lit(vec, lit_vec) / (_norm(vec) * qn), 6)
+
+
+def ivf_centroids(df: DataFrame, vec_col: str, id_col: str, stride: int = IVF_STRIDE):
+    """The coarse quantizer: a deterministic stride-sample standing in for
+    offline k-means centroids (real systems train centroids out-of-band;
+    the engine only ever sees them as a small constant table). Collected
+    driver-side — O(n/stride) rows — and inlined, so assignment needs no
+    join and no shuffle."""
+    rows = (
+        df.filter(F.col(id_col) % stride == 0)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy("cid")  # ascending cid = the argmax tie-break order
+        .collect()
+    )
+    return [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows]
+
+
+def ivf_assign(df: DataFrame, vec_col: str, id_col: str, centroids) -> DataFrame:
+    """Cell assignment via mapInPandas: each Arrow batch is one numpy
+    matmul against the unit-normalized centroid matrix (BLAS-backed,
+    n·C·d flops), argmax on the 6dp-rounded scores with lowest-cid
+    tie-break (centroids arrive cid-ascending; np.argmax takes the first
+    max). No join and no shuffle — the plan stays scan → mapInPandas —
+    and per-batch cost is independent of total data size, so the stage
+    scales linearly with partitions. Dense linear algebra is the one hot
+    path where the Arrow/numpy boundary beats codegen'd per-element
+    expressions by an order of magnitude."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    cmat = np.array([cvec for _, cvec in centroids], dtype=np.float64)
+    cunit = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    schema = StructType(list(df.schema.fields) + [StructField("cell", LongType())])
+
+    def _assign(batches):
+        for pdf in batches:
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vunit = v / np.linalg.norm(v, axis=1, keepdims=True)
+            scores = np.round(vunit @ cunit.T, 6)
+            out = pdf.copy()
+            out["cell"] = cids[np.argmax(scores, axis=1)]
+            yield out
+
+    return df.mapInPandas(_assign, schema=schema)
+
+
+def ivf_probe_cells(centroids, query: list[float], nprobe: int) -> list[int]:
+    """The nprobe cells nearest the query, by the same rounded-cosine +
+    cid ordering the assignment uses."""
+    qn = math.sqrt(math.fsum(x * x for x in query))
+    scored = []
+    for cid, cvec in centroids:
+        cn = math.sqrt(math.fsum(x * x for x in cvec))
+        cos = round(math.fsum(a * b for a, b in zip(query, cvec)) / (cn * qn), 6)
+        scored.append((-cos, cid))
+    return [cid for _, cid in sorted(scored)[:nprobe]]
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    stride: int = IVF_STRIDE,
+    nprobe: int = 2,
+    exclude_id=None,
+) -> DataFrame:
+    """IVF approximate top-k: assign every vector to its nearest coarse
+    centroid, scan ONLY the nprobe cells nearest the query, exact-re-rank
+    inside them. The cell filter is an integer predicate — at scale the
+    table is written partitioned by cell (sources/layout.py), so probing
+    prunes to nprobe partition directories and the scan cost drops from
+    O(n) to O(n·nprobe/C). Recall < 1 by design (the standard IVF trade);
+    raise nprobe for recall, raise C for speed."""
+    centroids = ivf_centroids(df, vec_col, id_col, stride)
+    cells = ivf_probe_cells(centroids, query, nprobe)
+    cand = ivf_assign(df, vec_col, id_col, centroids).filter(
+        F.col("cell").isin(cells)
+    )
+    out = cand.select(
+        F.col(id_col),
+        F.col("label"),
+        F.col("cell"),
+        _pair_cos(F.col(vec_col), query).alias("cosine"),
+    )
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return out.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)

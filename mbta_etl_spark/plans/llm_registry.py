@@ -109,6 +109,17 @@ def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir), F.col("text"), F.col("doc_id"))
 
 
+COSINE_DUP_THRESHOLD = 0.4  # synthetic embeddings: max pairwise cosine ~0.51
+
+
+def d06_embed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, exact all-pairs baseline (oracle-checked);
+    the LSH-bucketed scale path of the same operator is covered by tests."""
+    return dedup.embedding_cosine_pairs(
+        _emb(spark, sf_dir), "embedding", "vec_id", threshold=COSINE_DUP_THRESHOLD
+    )
+
+
 # --- similarity search -----------------------------------------------------
 
 
@@ -133,6 +144,25 @@ def s03_label_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- multimodal ------------------------------------------------------------
+
+
+IVF_NPROBE = 2
+
+
+def s05_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: stride-sampled coarse quantizer inlined as literals (zero
+    extra shuffle for assignment), nprobe-cell pruned scan, exact re-rank.
+    Fully deterministic, so the DuckDB oracle replays the identical IVF."""
+    q = _query_vector(spark, sf_dir)
+    return similarity.ivf_topk(
+        _emb(spark, sf_dir),
+        "embedding",
+        "vec_id",
+        q,
+        k=TOPK,
+        nprobe=IVF_NPROBE,
+        exclude_id=QUERY_VEC_ID,
+    )
 
 
 def s04_norm_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,6 +322,45 @@ def _cosine_topk_oracle() -> str:
     """
 
 
+def _rcos(a: str, b: str) -> str:
+    return f"ROUND({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})), 6)"
+
+
+def _ivf_topk_oracle() -> str:
+    return f"""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id % {similarity.IVF_STRIDE} = 0
+        ),
+        e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        assign AS (
+          SELECT vec_id, label, v, cid AS cell FROM (
+            SELECT e.vec_id, e.label, e.v, cent.cid,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {_rcos('e.v', 'cent.cv')} DESC, cent.cid ASC
+                   ) AS rn
+            FROM e CROSS JOIN cent
+          ) WHERE rn = 1
+        ),
+        q AS (
+          SELECT embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        probe AS (
+          SELECT cid FROM cent, q
+          ORDER BY {_rcos('cent.cv', 'q.qv')} DESC, cid ASC
+          LIMIT {IVF_NPROBE}
+        )
+        SELECT a.vec_id, a.label, a.cell, {_rcos('a.v', 'q.qv')} AS cosine
+        FROM assign a, q
+        WHERE a.cell IN (SELECT cid FROM probe)
+          AND a.vec_id <> {QUERY_VEC_ID}
+        ORDER BY cosine DESC, a.vec_id ASC
+        LIMIT {TOPK}
+    """
+
+
 def _lsh_topk_oracle() -> str:
     planes = similarity.hyperplanes(EMB_DIM, similarity.N_PLANES)
     planes_sql = "[" + ", ".join(
@@ -418,6 +487,15 @@ _ORACLES: dict[str, str] = {
         WHERE ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= {JACCARD_THRESHOLD}
     """,
     "d05_simhash": _simhash_oracle(),
+    "d06_embed_cosine_pairs": f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(
+                 a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(
+                a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+              >= {COSINE_DUP_THRESHOLD}
+    """,
     "c01_corpus_clean": f"""
         WITH docq AS (
           SELECT d.*, {_QUALITY_EXPR} AS quality
@@ -443,6 +521,7 @@ _ORACLES: dict[str, str] = {
     """,
     "s01_cosine_topk": _cosine_topk_oracle(),
     "s02_lsh_topk": _lsh_topk_oracle(),
+    "s05_ivf_topk": _ivf_topk_oracle(),
     "s03_label_topk_pairs": f"""
         WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         p AS (
@@ -492,11 +571,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d03_ngram_jaccard_pairs": d03_ngram_jaccard_pairs,
         "d04_minhash_lsh_pairs": d04_minhash_lsh_pairs,
         "d05_simhash": d05_simhash,
+        "d06_embed_cosine_pairs": d06_embed_cosine_pairs,
         "c01_corpus_clean": c01_corpus_clean,
         "s01_cosine_topk": s01_cosine_topk,
         "s02_lsh_topk": s02_lsh_topk,
         "s03_label_topk_pairs": s03_label_topk_pairs,
         "s04_norm_zscore": s04_norm_zscore,
+        "s05_ivf_topk": s05_ivf_topk,
         "m01_binary_meta": m01_binary_meta,
         "m02_fake_image_features": m02_fake_image_features,
     }

@@ -143,3 +143,47 @@ def test_fake_image_features_deterministic(spark, docs):
     assert a == b
     for row in a:
         assert 64 <= row[1] < 256 and 64 <= row[2] < 256 and 1 <= row[3] <= 4
+
+
+def test_embedding_cosine_pairs_exact_and_lsh(spark):
+    """Planted near-dup vectors must surface on the exact path; the LSH
+    path must return a subset of the exact pairs with identical scores
+    and must catch the planted (nearly colinear) pair."""
+    base = [1.0] + [0.0] * 7
+    near = [0.999] + [0.02] * 7  # cosine ~0.999 with base
+    ortho = [0.0] * 7 + [1.0]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, ortho)], ["vec_id", "embedding"]
+    )
+    exact = dedup.embedding_cosine_pairs(df, "embedding", "vec_id", 0.9)
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in exact.collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] > 0.99
+
+    lsh = dedup.embedding_cosine_pairs(df, "embedding", "vec_id", 0.9, n_planes=4)
+    lsh_pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in lsh.collect()}
+    assert set(lsh_pairs) <= set(pairs)
+    assert lsh_pairs.get((1, 2)) == pairs[(1, 2)]  # colinear pair collides
+
+
+def test_ivf_topk_structure_and_plan(spark):
+    """IVF scores must equal the exact scorer's on every returned id, the
+    probed-cell candidate set must respect the assignment, and cell
+    assignment must add NO shuffle (scan -> project -> filter -> top-k)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    brute = {
+        r["vec_id"]: r["cosine"]
+        for r in similarity.cosine_topk(emb, "embedding", "vec_id", q, 500, 0).collect()
+    }
+    out = similarity.ivf_topk(emb, "embedding", "vec_id", q, k=10, exclude_id=0)
+    rows = out.collect()
+    assert 0 < len(rows) <= 10
+    scores = [r["cosine"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert brute[r["vec_id"]] == r["cosine"]
+    cells = {r["cell"] for r in rows}
+    assert len(cells) <= 2  # nprobe=2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # assignment + probe never shuffle
