@@ -122,13 +122,31 @@ def ngram_jaccard_pairs(
     )
 
 
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def _mh_a(seed: int) -> int:
+    return 1000003 * seed + 12345
+
+
+def _mh_b(seed: int) -> int:
+    return 7919 * seed + 17
+
+
 def _minhash_wide(sh: DataFrame, n_hashes: int = NUM_HASHES) -> DataFrame:
     """(doc_id, mh0..mh{n-1}): all minhashes in ONE map-side-combinable
     aggregation over the shingle table — n_hashes min-columns instead of
-    exploding n_hashes× rows through the shuffle."""
+    exploding n_hashes× rows through the shuffle.
+
+    Permutation family is Carter-Wegman universal hashing over ONE md5:
+    x = first 8 hex chars of md5(shingle) as uint32, h_s = (a_s·x + b_s)
+    mod p with p = 4294967311. One digest + n_hashes multiply-adds per
+    shingle instead of n_hashes digests — pure 64-bit integer arithmetic
+    (a_s < 2^24, x < 2^32, no overflow), identical in any engine."""
+    x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
     mins = [
         F.min(
-            F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))
+            (F.lit(_mh_a(s)) * x + F.lit(_mh_b(s))) % F.lit(MINHASH_PRIME)
         ).alias(f"mh{s}")
         for s in range(n_hashes)
     ]
@@ -146,9 +164,9 @@ def _minhash_from_shingles(sh: DataFrame, n_hashes: int = NUM_HASHES) -> DataFra
 def minhash_signatures(
     df: DataFrame, text: Column, id_col: Column, k: int = 3, n_hashes: int = NUM_HASHES
 ) -> DataFrame:
-    """(doc_id, seed, mh): per-seed MinHash where permutation i is
-    "lexicographic order of md5(i:shingle)" — engine-portable and
-    deterministic. One explode + one (doc, seed)-keyed min aggregation."""
+    """(doc_id, seed, mh): per-seed MinHash where permutation s is the
+    universal hash (a_s·md5_32(shingle) + b_s) mod p — engine-portable and
+    deterministic. One explode + one doc-keyed min aggregation."""
     return _minhash_from_shingles(_shingle_table(df, text, id_col, k), n_hashes)
 
 

@@ -182,41 +182,62 @@ def pairwise_topk_per_label(
     """For each vector: its top-k cosine neighbors within the same label
     group (a blocked all-pairs — the blocking key bounds the quadratic
     term, the standard trick for within-class near-dup detection).
-    Returns (vec_id, neighbor_id, cosine) rows."""
-    from pyspark.sql import Window
+    Returns (vec_id, neighbor_id, cosine) rows.
 
-    # Compute each vector's norm ONCE before the pair join (O(n·d));
-    # norms inside the join projection would be redone per PAIR (O(n²·d)).
-    # The join boundary keeps the pre-join projection from being inlined
-    # into the per-pair expression.
-    a = df.select(
-        F.col(id_col).alias("vec_id"),
-        F.col("label"),
-        _as_double(F.col(vec_col)).alias("va"),
-        _norm(F.col(vec_col)).alias("na"),
+    One shuffle keyed by label; each group is one applyInPandas kernel:
+    a single numpy gram matmul plus per-row lexsort on the 6dp-rounded
+    score with neighbor-id tie-break — exactly the ordering ROUND +
+    row_number() produces in SQL, so the DuckDB oracle hash-matches.
+    A pathologically hot label should be sub-blocked (as in
+    dedup._exact_cosine_pairs_blocked) before this kernel."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
-    b = df.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("label"),
-        _as_double(F.col(vec_col)).alias("vb"),
-        _norm(F.col(vec_col)).alias("nb"),
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
     )
-    prods = F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y)
-    dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-    joined = (
-        a.join(b, "label")
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select(
-            "vec_id",
-            "neighbor_id",
-            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+
+    def _topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "neighbor_id": [], "cosine": []}
+            ).astype(
+                {"vec_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+            )
+        m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        unit = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = np.round(unit @ unit.T, 6)
+        np.fill_diagonal(cos, -np.inf)  # exclude self-pairs
+        kk = min(k, len(ids) - 1)
+        out_v, out_n, out_c = [], [], []
+        for r in range(len(ids)):
+            # ascending lexsort: primary -cos (= cos desc), tie neighbor asc
+            order = np.lexsort((ids, -cos[r]))[:kk]
+            out_v.append(np.full(kk, ids[r]))
+            out_n.append(ids[order])
+            out_c.append(cos[r][order])
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_v),
+                "neighbor_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_c),
+            }
         )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
+
+    return df.groupBy("label").applyInPandas(_topk, schema=out_schema).select(
+        "vec_id", "neighbor_id", "cosine"
     )
 
 

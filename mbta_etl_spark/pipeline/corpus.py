@@ -40,17 +40,39 @@ def clean_corpus(
     3. near duplicates: the larger doc_id of every LSH-confirmed pair with
        Jaccard ≥ threshold (computed among quality survivors)
     """
+    from pyspark.sql import Window
+
     t, i = F.col(text_col), F.col(id_col)
 
     assert id_col == "doc_id", "clean_corpus expects the id column named doc_id"
-    q = text.quality_score(docs, t, i).select("doc_id", "quality")
-    qualified = docs.join(q.filter(F.col("quality") >= min_quality), "doc_id")
-
-    # exact dedup: keep the min doc_id of each content group
-    keep = dedup.exact_dedup_groups(qualified, t, i).select(
-        F.col("keep_doc_id").alias("doc_id")
+    # quality as an inline column — a projection, not a compute-then-join-
+    # back (the join would shuffle the whole corpus twice for no reason)
+    toks = F.split(t, " ")
+    n = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*text.EN_STOPWORDS))) / n
+    punct_ratio = (
+        F.length(t) - F.length(F.regexp_replace(t, "[^a-z ]", ""))
+    ) / F.length(t)
+    len_score = F.least(F.lit(1.0), n / F.lit(100.0))
+    qual = F.round(
+        0.5 * len_score + 0.3 * (1 - stop_ratio) + 0.2 * (1 - punct_ratio), 6
     )
-    exact_kept = qualified.join(keep, "doc_id")
+    qualified = docs.withColumn("quality", qual).filter(
+        F.col("quality") >= min_quality
+    )
+
+    # exact dedup: keep the min doc_id per content group — ONE shuffle
+    # (window over the content hash) instead of aggregate + join-back
+    w = Window.partitionBy(F.sha2(t, 256))
+    exact_kept = (
+        qualified.withColumn("_keep", F.min(i).over(w))
+        .filter(i == F.col("_keep"))
+        .drop("_keep")
+    )
+    # exact_kept feeds four branches (shingles, anti-join probe, survivor
+    # rows, final stats); cache it — minhash's eager shingle
+    # materialization populates the cache for the later branches
+    exact_kept = exact_kept.persist()
 
     # near-dedup among the exact-kept set: drop doc_b of each pair
     pairs = dedup.minhash_lsh_pairs(
@@ -59,9 +81,12 @@ def clean_corpus(
     drop_b = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     survivors = exact_kept.join(drop_b, "doc_id", "left_anti")
 
-    stats = text.token_stats(survivors, t, i)
-    return (
-        survivors.join(stats, "doc_id")
-        .select("doc_id", "lang", "source", "n_tokens", "n_uniq_tokens",
-                F.col("quality"))
+    # token stats inline for the same reason as quality
+    return survivors.select(
+        "doc_id",
+        "lang",
+        "source",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
+        F.col("quality"),
     )

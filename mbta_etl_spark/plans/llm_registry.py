@@ -217,7 +217,10 @@ def _minhash_pair_ctes() -> str:
     return f"""
         seeds AS (SELECT unnest(range(0, {dedup.NUM_HASHES})) AS seed),
         mh AS (
-          SELECT doc_id, seed, MIN(md5(seed || ':' || shingle)) AS mh
+          SELECT doc_id, seed,
+                 MIN(((1000003 * seed + 12345) *
+                      CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT)
+                      + 7919 * seed + 17) % 4294967311) AS mh
           FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
         ),
         bands AS (
@@ -459,7 +462,10 @@ _ORACLES: dict[str, str] = {
         WITH {_SHINGLE_CTE},
         seeds AS (SELECT unnest(range(0, {dedup.NUM_HASHES})) AS seed),
         mh AS (
-          SELECT doc_id, seed, MIN(md5(seed || ':' || shingle)) AS mh
+          SELECT doc_id, seed,
+                 MIN(((1000003 * seed + 12345) *
+                      CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT)
+                      + 7919 * seed + 17) % 4294967311) AS mh
           FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
         ),
         bands AS (
