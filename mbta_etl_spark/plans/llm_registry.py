@@ -70,6 +70,18 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t05_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer count next to the whitespace count — the two
+    token budgets a training-data pipeline tracks. Pure JVM regex."""
+    from mbta_etl_spark.functions import token_count_bpe
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
+    )
+
+
 # --- dedup -----------------------------------------------------------------
 
 
@@ -169,6 +181,17 @@ def s04_norm_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map Pandas UDF surface (applyInPandas + numpy), oracle-
     checked: per-label z-score of embedding norms."""
     return similarity.norm_zscore_per_label(_emb(spark, sf_dir), "embedding", "vec_id")
+
+
+def s06_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Arrow-batched Pandas UDF surface (@pandas_udf + numpy),
+    oracle-checked: per-vector L2 norm."""
+    from mbta_etl_spark.functions import norm_pandas_udf
+
+    l2 = norm_pandas_udf()
+    return _emb(spark, sf_dir).select(
+        "vec_id", F.round(l2(F.col("embedding")), 6).alias("norm")
+    )
 
 
 def c01_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -543,6 +566,19 @@ _ORACLES: dict[str, str] = {
           FROM p
         ) WHERE rn <= {LABEL_TOPK}
     """,
+    "t05_bpe_tokens": """
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+                 AS n_bpe_tokens,
+               len(string_split(text, ' ')) AS n_ws_tokens
+        FROM documents
+    """,
+    "s06_vector_norms": """
+        SELECT vec_id,
+               ROUND(sqrt(list_sum(list_transform(
+                 embedding::DOUBLE[], x -> x * x))), 6) AS norm
+        FROM embeddings
+    """,
     "s04_norm_zscore": f"""
         WITH e AS (
           SELECT vec_id, CAST(label AS BIGINT) AS label,
@@ -584,6 +620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s03_label_topk_pairs": s03_label_topk_pairs,
         "s04_norm_zscore": s04_norm_zscore,
         "s05_ivf_topk": s05_ivf_topk,
+        "s06_vector_norms": s06_vector_norms,
+        "t05_bpe_tokens": t05_bpe_tokens,
         "m01_binary_meta": m01_binary_meta,
         "m02_fake_image_features": m02_fake_image_features,
     }

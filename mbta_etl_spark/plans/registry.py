@@ -315,6 +315,34 @@ def q23_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q24_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count aggregation. Spark expands COUNT(DISTINCT)
+    into a two-stage partial/final aggregate — map-side dedup first, so
+    shuffled bytes scale with #distinct keys, not #rows."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q24a_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB path where an exact
+    distinct would shuffle every key. Sketches merge associatively, so
+    the combine is one fixed-size buffer per group per partition.
+    Rows-only check by design: HLL estimates are engine-specific."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
+        .orderBy("event_type")
+    )
+
+
 def j01_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (beyond-reference): each click picks up the most recent
     prior-or-simultaneous purchase by the same user. Union-tag + running
@@ -571,6 +599,12 @@ _ORACLES: dict[str, str] = {
                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    "q24_distinct_counts": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "j01_asof_attribution": """
         WITH c AS (
           SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
@@ -644,6 +678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_status_set_ops": q21_status_set_ops,
         "q22_segment_revenue": q22_segment_revenue,
         "q23_json_extract": q23_json_extract,
+        "q24_distinct_counts": q24_distinct_counts,
+        "q24a_distinct_approx": q24a_distinct_approx,
         "j01_asof_attribution": j01_asof_attribution,
         "j02_range_attribution": j02_range_attribution,
     }
