@@ -416,3 +416,63 @@ def _exact_cosine_pairs_blocked(
     return pairs.select(
         "id_a", "id_b", F.round("_rawcos", 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: (node, component)
+    where component is the MIN node id reachable — the cluster
+    representative a dedup pipeline keeps while dropping the rest.
+
+    Iterative min-label propagation: every node starts labeled with
+    itself; each round pulls the minimum label across its neighbors;
+    stop at fixpoint. Each round is two keyed shuffles (join + groupBy)
+    over the EDGE set only, so cost is O(iterations · |E|), iterations ≈
+    cluster diameter — near-dup clusters are shallow (dupes of a common
+    original), so this converges in a handful of rounds. Lineage is
+    truncated per round with localCheckpoint, the standard guard against
+    plan blowup in iterative DataFrame algorithms; at much larger
+    diameters you'd switch to pointer-doubling (large-star/small-star).
+
+    Only nodes that appear in ``pairs`` are returned; singletons are
+    their own component by definition and need no graph pass.
+    """
+    # materialize the pair list ONCE before branching — the symmetric
+    # union reads it twice, and without this the whole upstream pair
+    # pipeline (e.g. MinHash LSH) would execute once per branch
+    p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
+    edges = p.union(
+        p.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels, edges["a"] == labels["node"]
+        ).select(F.col("b").alias("node"), F.col("label"))
+        new_labels = (
+            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )

@@ -121,6 +121,21 @@ def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir), F.col("text"), F.col("doc_id"))
 
 
+def d07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the MinHash-LSH pair
+    graph (iterative min-label propagation; oracle replays it with a
+    recursive CTE). The component id is the cluster representative a
+    dedup pipeline keeps."""
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        F.col("text"),
+        F.col("doc_id"),
+        k=JACCARD_K,
+        threshold=JACCARD_THRESHOLD,
+    )
+    return dedup.connected_components(pairs)
+
+
 COSINE_DUP_THRESHOLD = 0.4  # synthetic embeddings: max pairwise cosine ~0.51
 
 
@@ -516,6 +531,22 @@ _ORACLES: dict[str, str] = {
         WHERE ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= {JACCARD_THRESHOLD}
     """,
     "d05_simhash": _simhash_oracle(),
+    "d07_dup_clusters": f"""
+        WITH RECURSIVE {_SHINGLE_CTE},
+        {_minhash_pair_ctes()},
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        cc AS (
+          SELECT a AS node, a AS label FROM edges
+          UNION
+          SELECT e.b AS node, cc.label FROM cc JOIN edges e ON cc.node = e.a
+        )
+        SELECT node AS doc_id, MIN(label) AS component
+        FROM cc GROUP BY node
+    """,
     "d06_embed_cosine_pairs": f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                ROUND(list_cosine_similarity(
@@ -614,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d04_minhash_lsh_pairs": d04_minhash_lsh_pairs,
         "d05_simhash": d05_simhash,
         "d06_embed_cosine_pairs": d06_embed_cosine_pairs,
+        "d07_dup_clusters": d07_dup_clusters,
         "c01_corpus_clean": c01_corpus_clean,
         "s01_cosine_topk": s01_cosine_topk,
         "s02_lsh_topk": s02_lsh_topk,

@@ -92,3 +92,27 @@ def windowed_event_counts(
             F.col("sum_value"),
         )
     )
+
+
+def dedup_stream_by_key(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: emit the FIRST arrival of each key, drop
+    re-deliveries within the watermark horizon
+    (``dropDuplicatesWithinWatermark``).
+
+    This is the streaming arm of the dedup suite (batch arm:
+    operators/dedup.exact_dedup_groups). State is one entry per key in
+    the state store, partitioned by key like any keyed operator, and the
+    watermark is what makes it 100 TB-safe: per-key state older than the
+    horizon is evicted, so the store holds only the horizon's keys
+    instead of growing without bound. The trade is at-least-once beyond
+    the horizon — a key re-delivered later than ``watermark_delay`` is
+    emitted again; size the horizon to the source's re-delivery window.
+    """
+    return events.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )

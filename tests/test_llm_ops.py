@@ -187,3 +187,16 @@ def test_ivf_topk_structure_and_plan(spark):
     assert len(cells) <= 2  # nprobe=2
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # assignment + probe never shuffle
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Chain 1-2-3-4 collapses to component 1, island 7-8 to component 7;
+    propagation crosses the full diameter, not just one hop."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], ["doc_a", "doc_b"]
+    )
+    out = {
+        r["doc_id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}

@@ -134,3 +134,61 @@ def test_windowed_counts_streaming_with_late_data(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     }
     assert out[dt.datetime(2024, 1, 1, 10, 0)] == (2, 3.0)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """First arrival of each event_id is emitted; a later re-delivery in a
+    later micro-batch is dropped while its key is inside the watermark
+    horizon."""
+    from mbta_etl_spark.streaming.ingest import dedup_stream_by_key
+
+    src = tmp_path / "events"
+    src.mkdir()
+    rows1 = [
+        {"event_id": 1, "ts": "2024-01-15T10:00:00", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-15T10:01:00", "value": 2.0},
+    ]
+    rows2 = [
+        {"event_id": 1, "ts": "2024-01-15T10:02:00", "value": 99.0},  # dup key
+        {"event_id": 3, "ts": "2024-01-15T10:03:00", "value": 3.0},
+    ]
+    with open(src / "a.jsonl", "w") as f:
+        for r in rows1:
+            f.write(json.dumps(r) + "\n")
+    with open(src / "b.jsonl", "w") as f:
+        for r in rows2:
+            f.write(json.dumps(r) + "\n")
+    # FileStreamSource orders by modification time; pin distinct mtimes so
+    # "a then b" is deterministic instead of a same-millisecond tie
+    import os
+
+    now = time.time()
+    os.utime(src / "a.jsonl", (now - 100, now - 100))
+    os.utime(src / "b.jsonl", (now, now))
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force >1 micro-batch
+        .json(str(src))
+    )
+    deduped = dedup_stream_by_key(stream, ["event_id"], "ts", "2 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: r["value"]
+        for r in spark.sql("SELECT * FROM dedup_sink").collect()
+    }
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0}  # first arrival wins, dup dropped
