@@ -140,3 +140,44 @@ def fake_image_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_fake, schema=IMAGE_FEATURE_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("byte_offset", LongType()),
+        StructField("frame_checksum", StringType()),
+    ]
+)
+
+
+def fake_frame_samples(df: DataFrame, every_n: int = 64) -> DataFrame:
+    """Deterministic fake frame sampler: every ``every_n`` bytes of the
+    payload becomes one "frame" row (media_id, frame_idx, byte_offset,
+    md5-of-slice). Exercises the ONE-TO-MANY mapInPandas shape a real
+    video sampler has — each input row expands to a variable number of
+    output rows inside the Arrow batch, with no explode/shuffle; output
+    partitioning inherits the input's, so a downstream per-frame stage
+    chains without a repartition."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, sums = [], [], [], []
+            for mid, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for fi, off in enumerate(range(0, max(len(b), 1), every_n)):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    offs.append(off)
+                    sums.append(hashlib.md5(b[off : off + every_n]).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "byte_offset": pd.Series(offs, dtype="int64"),
+                    "frame_checksum": pd.Series(sums, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(_sample, schema=FRAME_SAMPLE_SCHEMA)

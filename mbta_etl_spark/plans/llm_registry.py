@@ -229,6 +229,14 @@ def m02_fake_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.fake_image_features(binary)
 
 
+def m03_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: one-to-many mapInPandas expansion (video-frame
+    sampling shape) — byte-slice checksums aren't SQL-expressible over
+    blobs, so the driver validates row count + schema stability."""
+    binary = multimodal.to_binary_table(_docs(spark, sf_dir), "text", "doc_id")
+    return multimodal.fake_frame_samples(binary)
+
+
 # --- oracle SQL generation -------------------------------------------------
 
 def _shingle_cte(source: str = "documents") -> str:
@@ -656,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t05_bpe_tokens": t05_bpe_tokens,
         "m01_binary_meta": m01_binary_meta,
         "m02_fake_image_features": m02_fake_image_features,
+        "m03_frame_samples": m03_frame_samples,
     }
 
 

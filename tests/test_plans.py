@@ -1,0 +1,71 @@
+"""Physical-plan regression tests: the plan SHAPES the engine promises.
+
+These assert what `.explain("formatted")` shows — pushdown, broadcast,
+partial aggregation, shuffle counts — so a refactor that silently
+degrades a plan (drops a broadcast, adds an exchange, loses a pushed
+filter) fails CI even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from mbta_etl_spark.operators import multimodal
+from mbta_etl_spark.plans import registry
+from tests.conftest import SF_DIR_SMALL
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q10_filter_pushed_to_scan(spark):
+    """The BETWEEN predicate must reach the parquet scan as PushedFilters,
+    and the scan must prune to the referenced columns only."""
+    plan = _plan(registry.q10_between_filter(spark, SF_DIR_SMALL))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(p_size" in plan and "LessThanOrEqual(p_size" in plan
+    # column pruning: unreferenced part columns must not be read
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "p_retailprice" not in read_schema and "p_brand" not in read_schema
+
+
+def test_q16_single_shuffle_partial_agg(spark):
+    """TPC-H-Q1 shape: ONE exchange, with a partial (map-side) aggregate
+    before it — shuffled bytes ~ #groups, not #rows."""
+    plan = _plan(registry.q16_pricing_summary(spark, SF_DIR_SMALL))
+    # exactly one hash exchange (the group-by); the only other exchange
+    # allowed is the range partitioning for the final ORDER BY
+    assert plan.count("hashpartitioning(") == 1
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_q17_dimensions_broadcast(spark):
+    """Multi-way join: the small dimension tables (customer, nation) must
+    broadcast — lineitem/orders never shuffle to meet them."""
+    plan = _plan(registry.q17_top_customers(spark, SF_DIR_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_q01_topk_take_ordered(spark):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    top-k then merge), never a global sort."""
+    plan = _plan(registry.q01_top10_by_value(spark, SF_DIR_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no full sort node
+
+
+def test_mapinpandas_no_extra_shuffle(spark):
+    """mapInPandas stages (multimodal decode shape) must not introduce an
+    exchange: scan -> project -> python runner."""
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    binary = multimodal.to_binary_table(docs, "text", "doc_id")
+    plan = _plan(multimodal.fake_frame_samples(binary))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
