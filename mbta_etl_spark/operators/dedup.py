@@ -26,8 +26,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mbta_etl_spark.operators.text import shingles
-
 NUM_HASHES = 16
 BAND_SIZE = 4  # 4 bands × 4 rows
 
@@ -61,9 +59,63 @@ def fingerprint_dedup_groups(df: DataFrame, text: Column, id_col: Column) -> Dat
 
 
 def _shingle_table(df: DataFrame, text: Column, id_col: Column, k: int) -> DataFrame:
-    """(doc_id, shingle) exploded distinct-shingle table."""
-    return df.select(
-        id_col.alias("doc_id"), F.explode(shingles(text, k)).alias("shingle")
+    """(doc_id, sh64) exploded distinct-shingle table, keyed by the first
+    60 bits of md5(shingle) as a long.
+
+    Every downstream consumer needs only shingle EQUALITY (set
+    intersection, document frequency) or the md5-derived minhash input —
+    never the text — so the cached/shuffled table carries an 8-byte key
+    instead of the shingle string. Expected spurious-equality count over
+    S distinct shingles is C(S,2)/2^60 (~3e-8 at S=260k): far below any
+    practical corpus's noise floor, though formally the Jaccard counts
+    are exact only w.h.p. The 32-bit minhash input is the TOP 8 hex
+    digits, recoverable as sh64 div 16^7 — bit-identical to what the
+    DuckDB oracle computes from the raw shingle.
+
+    Runs as an Arrow-batched mapInPandas kernel: tokenize, k-gram,
+    per-doc distinct, and md5 all happen in one Python pass (hashlib's C
+    md5 + C-level string slicing), which measures ~2x faster than the
+    equivalent interpreted higher-order-function expression chain and
+    ships only (long, long) rows back across the Arrow boundary. Same
+    semantics as operators.text.shingles: split on single space, docs
+    shorter than k tokens contribute one whole-text shingle, null text
+    contributes nothing."""
+    import hashlib
+
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("sh64", LongType())]
+    )
+
+    def _shingle(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            keys: list[int] = []
+            for did, txt in zip(pdf["doc_id"], pdf["_text"]):
+                if txt is None:
+                    continue
+                toks = txt.split(" ")
+                if len(toks) >= k:
+                    ss = {
+                        " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+                    }
+                else:
+                    ss = {txt}
+                for s in ss:
+                    ids.append(did)
+                    keys.append(int(hashlib.md5(s.encode()).hexdigest()[:15], 16))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sh64": pd.Series(keys, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col.alias("doc_id"), text.alias("_text")).mapInPandas(
+        _shingle, schema=schema
     )
 
 
@@ -89,18 +141,18 @@ def ngram_jaccard_pairs(
     sh.count()
     if max_shingle_df is not None:
         rare = (
-            sh.groupBy("shingle")
+            sh.groupBy("sh64")
             .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") <= max_shingle_df)
-            .select("shingle")
+            .select("sh64")
         )
-        sh = sh.join(rare, "shingle")
+        sh = sh.join(rare, "sh64")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
 
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "sh64")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -143,7 +195,8 @@ def _minhash_wide(sh: DataFrame, n_hashes: int = NUM_HASHES) -> DataFrame:
     mod p with p = 4294967311. One digest + n_hashes multiply-adds per
     shingle instead of n_hashes digests — pure 64-bit integer arithmetic
     (a_s < 2^24, x < 2^32, no overflow), identical in any engine."""
-    x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    # top 32 bits of the 60-bit key == first 8 hex digits of md5(shingle)
+    x = F.expr("sh64 DIV 268435456")  # 16^7
     mins = [
         F.min(
             (F.lit(_mh_a(s)) * x + F.lit(_mh_b(s))) % F.lit(MINHASH_PRIME)
@@ -220,11 +273,11 @@ def minhash_lsh_pairs(
     )
 
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "sh64")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "sh64")
     inter = (
         cand.join(sha, "doc_a")
-        .join(shb, ["doc_b", "shingle"])
+        .join(shb, ["doc_b", "sh64"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
