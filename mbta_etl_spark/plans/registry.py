@@ -315,6 +315,63 @@ def q23_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+SAMPLE_RATES = {"click": 0.5, "purchase": 1.0, "view": 0.1}
+SESSION_GAP = "30 minutes"
+
+
+def q18a_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization (dynamic-gap windows merged by
+    the engine; batch and streaming share the operator). Same single
+    user-keyed shuffle as the hand-built island version (q18)."""
+    ev = _events(spark, sf_dir)
+    w = F.session_window(F.col("ts"), SESSION_GAP)
+    return (
+        ev.groupBy("user_id", w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q25_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: cohort x event_type count matrix. Pivot values are DECLARED
+    (no extra distinct-scan job to discover them) — at scale an
+    undeclared pivot is two jobs and an unbounded column count."""
+    ev = _events(spark, sf_dir)
+    piv = (
+        ev.withColumn("cohort", F.col("user_id") % 10)
+        .groupBy("cohort")
+        .pivot("event_type", PIVOT_TYPES)
+        .count()
+    )
+    return piv.select(
+        "cohort",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in PIVOT_TYPES],
+    )
+
+
+def q26_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by content hash (reproducible on
+    any cluster/partitioning, replayable by the oracle; plain
+    sample()/sampleBy() RNG streams are partitioning-dependent). One
+    codegen'd filter, no shuffle."""
+    from mbta_etl_spark.operators import sampling
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    return sampling.stratified_hash_sample(
+        ev, F.col("event_id"), F.col("event_type"), SAMPLE_RATES
+    )
+
+
 def q24_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-count aggregation. Spark expands COUNT(DISTINCT)
     into a two-stage partial/final aggregate — map-side dedup first, so
@@ -599,6 +656,48 @@ _ORACLES: dict[str, str] = {
                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    "q18a_session_windows": """
+        WITH s AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        g AS (
+          SELECT *, SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+          ) AS sid
+          FROM s
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM g GROUP BY user_id, sid
+    """,
+    "q25_pivot_counts": """
+        SELECT user_id % 10 AS cohort,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        FROM events GROUP BY user_id % 10
+    """,
+    "q26_stratified_sample": """
+        SELECT event_id, event_type, user_id
+        FROM events
+        WHERE CAST(('0x' || substr(md5('s0' || CAST(event_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT) % 10000
+              < CASE event_type
+                  WHEN 'click' THEN 5000
+                  WHEN 'purchase' THEN 10000
+                  WHEN 'view' THEN 1000
+                  ELSE 0 END
+    """,
     "q24_distinct_counts": """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_users,
@@ -678,6 +777,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_status_set_ops": q21_status_set_ops,
         "q22_segment_revenue": q22_segment_revenue,
         "q23_json_extract": q23_json_extract,
+        "q18a_session_windows": q18a_session_windows,
+        "q25_pivot_counts": q25_pivot_counts,
+        "q26_stratified_sample": q26_stratified_sample,
         "q24_distinct_counts": q24_distinct_counts,
         "q24a_distinct_approx": q24a_distinct_approx,
         "j01_asof_attribution": j01_asof_attribution,
