@@ -32,11 +32,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
 
-    # warmup: prime codegen + parquet footer caches
+    # warmup: prime codegen + parquet footer caches, and spin up the Arrow
+    # Python worker pool (first mapInPandas otherwise pays worker fork +
+    # import cost inside whichever timed query happens to run first)
     try:
         registry.q16_pricing_summary(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+        import pandas as pd  # noqa: F401
+
+        spark.range(32).repartition(32).mapInPandas(
+            lambda it: it, schema="id long"
+        ).write.format("noop").mode("overwrite").save()
     except Exception as e:
         print(f"# bench warmup failed: {e}", file=sys.stderr)
 

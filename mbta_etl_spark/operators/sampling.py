@@ -53,3 +53,57 @@ def stratified_hash_sample(
         )
     thresh = thresh.otherwise(F.lit(0))
     return df.filter(_bucket(key, salt) < thresh)
+
+
+def split_assign(
+    df: DataFrame,
+    key: Column,
+    splits: tuple[tuple[str, float], ...] = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the hash bucket of ``key``
+    picks the split, so membership is exhaustive, disjoint, reproducible
+    on any partitioning, and stable as the corpus grows (a doc never
+    migrates between splits on re-runs). The last split absorbs hash
+    rounding. Pure projection — no shuffle."""
+    b = _bucket(key, salt)
+    expr = None
+    acc = 0
+    for name, frac in splits[:-1]:
+        acc += int(frac * DENOM)
+        expr = F.when(b < acc, name) if expr is None else expr.when(b < acc, name)
+    last = F.lit(splits[-1][0])
+    return df.withColumn("split", last if expr is None else expr.otherwise(last))
+
+
+def weighted_mix(
+    df: DataFrame,
+    key: Column,
+    stratum: Column,
+    weights: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted corpus mixture: stratum weight w replicates each row
+    floor(w) times plus one extra copy with probability frac(w), decided
+    by content hash (same determinism argument as hash_sample). Strata
+    absent from ``weights`` get 0 and drop out. Emits a ``copy`` ordinal
+    (1..n) so downstream shuffles can tell replicas apart. The expansion
+    is explode-after-filter: rows with zero copies never enter the
+    explode, and no shuffle is introduced."""
+    w_int = None
+    w_frac = None
+    for value, w in sorted(weights.items()):
+        iw, fw = int(w), int(round((w - int(w)) * DENOM))
+        w_int = (
+            F.when(stratum == value, iw)
+            if w_int is None
+            else w_int.when(stratum == value, iw)
+        )
+        w_frac = (
+            F.when(stratum == value, fw)
+            if w_frac is None
+            else w_frac.when(stratum == value, fw)
+        )
+    n = w_int.otherwise(0) + (_bucket(key, salt) < w_frac.otherwise(0)).cast("int")
+    copies = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(F.array())
+    return df.withColumn("copy", F.explode(copies))

@@ -237,6 +237,61 @@ def m03_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.fake_frame_samples(binary)
 
 
+MIX_WEIGHTS = {
+    # high-quality sources upsampled 2.5x, mid kept, low downsampled, the
+    # rest dropped — the canonical pretraining-mixture shape
+    **{f"src{i}": 2.5 for i in range(5)},
+    **{f"src{i}": 1.0 for i in range(5, 10)},
+    **{f"src{i}": 0.5 for i in range(10, 15)},
+}
+
+
+def t06_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction cascade (email → IPv4 → phone). The testdata corpus
+    is digit-free word soup, so deterministic PII is injected inline per
+    doc — the oracle replays the injection and the scrub, making the
+    regex semantics (Java vs RE2) part of what's verified."""
+    docs = _docs(spark, sf_dir)
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-010"),
+        F.col("doc_id").cast("string"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    return text.pii_scrub(
+        docs.select("doc_id", injected.alias("text")),
+        F.col("text"),
+        F.col("doc_id"),
+    )
+
+
+def c02_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted pretraining mixture over sources: upsample (integer +
+    hash-fractional replication), keep, downsample, drop — all one
+    explode-expansion, no shuffle."""
+    from mbta_etl_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "lang")
+    return sampling.weighted_mix(
+        docs, F.col("doc_id"), F.col("source"), MIX_WEIGHTS
+    )
+
+
+def c03_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash of doc_id
+    (exhaustive + disjoint + stable under corpus growth)."""
+    from mbta_etl_spark.operators import sampling
+
+    return sampling.split_assign(
+        _docs(spark, sf_dir).select("doc_id"), F.col("doc_id")
+    )
+
+
 # --- oracle SQL generation -------------------------------------------------
 
 def _shingle_cte(source: str = "documents") -> str:
@@ -641,6 +696,80 @@ _ORACLES: dict[str, str] = {
 }
 
 
+def _bucket_sql(key_expr: str, salt: str) -> str:
+    """DuckDB replica of sampling._bucket: first 8 hex digits of the
+    salted md5 as uint32, mod 10000."""
+    return (
+        f"CAST(('0x' || substr(md5('{salt}' || CAST({key_expr} AS VARCHAR)), "
+        f"1, 8)) AS UBIGINT) % 10000"
+    )
+
+
+def _mix_oracle() -> str:
+    int_arms = " ".join(
+        f"WHEN '{s}' THEN {int(w)}" for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    frac_arms = " ".join(
+        f"WHEN '{s}' THEN {int(round((w - int(w)) * 10000))}"
+        for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"""
+        WITH w AS (
+          SELECT doc_id, source, lang,
+                 (CASE source {int_arms} ELSE 0 END)
+                 + (CASE WHEN {_bucket_sql('doc_id', 'mix')}
+                          < (CASE source {frac_arms} ELSE 0 END)
+                         THEN 1 ELSE 0 END) AS n_copies
+          FROM documents
+        )
+        SELECT doc_id, source, lang,
+               unnest(generate_series(1, CAST(n_copies AS BIGINT))) AS copy
+        FROM w WHERE n_copies > 0
+    """
+
+
+def _pii_oracle() -> str:
+    from mbta_etl_spark.operators.text import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+    )
+
+    return f"""
+        WITH inj AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or call 555-010' || CAST(doc_id AS VARCHAR)
+                      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST(doc_id % 100 AS VARCHAR) AS t
+          FROM documents
+        ),
+        s1 AS (SELECT doc_id, t,
+                      regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS c1
+               FROM inj),
+        s2 AS (SELECT doc_id, t, c1,
+                      regexp_replace(c1, '{PII_IP_RE}', '<IP>', 'g') AS c2
+               FROM s1)
+        SELECT doc_id,
+               regexp_replace(c2, '{PII_PHONE_RE}', '<PHONE>', 'g') AS clean,
+               len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(c1, '{PII_IP_RE}')) AS n_ips,
+               len(regexp_extract_all(c2, '{PII_PHONE_RE}')) AS n_phones
+        FROM s2
+    """
+
+
+_ORACLES["t06_pii_scrub"] = _pii_oracle()
+_ORACLES["c02_corpus_mix"] = _mix_oracle()
+_ORACLES["c03_split_assign"] = f"""
+    SELECT doc_id,
+           CASE WHEN {_bucket_sql('doc_id', 'split')} < 8000 THEN 'train'
+                WHEN {_bucket_sql('doc_id', 'split')} < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "t01_token_stats": t01_token_stats,
@@ -662,6 +791,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s05_ivf_topk": s05_ivf_topk,
         "s06_vector_norms": s06_vector_norms,
         "t05_bpe_tokens": t05_bpe_tokens,
+        "t06_pii_scrub": t06_pii_scrub,
+        "c02_corpus_mix": c02_corpus_mix,
+        "c03_split_assign": c03_split_assign,
         "m01_binary_meta": m01_binary_meta,
         "m02_fake_image_features": m02_fake_image_features,
         "m03_frame_samples": m03_frame_samples,

@@ -372,6 +372,16 @@ def q26_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q27_cube_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(o_orderstatus, o_orderpriority): all four grouping sets in one
+    pass (Spark expands the cube map-side; one shuffle, not four scans)."""
+    df = load_table(spark, sf_dir, "orders")
+    return df.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+    )
+
+
 def q24_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-count aggregation. Spark expands COUNT(DISTINCT)
     into a two-stage partial/final aggregate — map-side dedup first, so
@@ -698,6 +708,13 @@ _ORACLES: dict[str, str] = {
                   WHEN 'view' THEN 1000
                   ELSE 0 END
     """,
+    "q27_cube_breakdown": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 6) AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
     "q24_distinct_counts": """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_users,
@@ -780,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18a_session_windows": q18a_session_windows,
         "q25_pivot_counts": q25_pivot_counts,
         "q26_stratified_sample": q26_stratified_sample,
+        "q27_cube_breakdown": q27_cube_breakdown,
         "q24_distinct_counts": q24_distinct_counts,
         "q24a_distinct_approx": q24a_distinct_approx,
         "j01_asof_attribution": j01_asof_attribution,

@@ -200,3 +200,29 @@ def test_connected_components_chain_and_islands(spark):
         for r in dedup.connected_components(pairs).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_pii_scrub_cascade(spark):
+    from mbta_etl_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and b@c.org ip 10.1.2.3 tel (617) 555-0199 end"),
+            (2, "no pii here at all"),
+            (3, "ip-like 999.1.2.3 still redacts; 12-34 too short for phone"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pii_scrub(df, F.col("text"), F.col("doc_id")).collect()
+    }
+    assert out[1]["n_emails"] == 2 and out[1]["n_ips"] == 1 and out[1]["n_phones"] == 1
+    assert (
+        out[1]["clean"]
+        == "mail <EMAIL> and <EMAIL> ip <IP> tel <PHONE> end"
+    )
+    assert out[2]["clean"] == "no pii here at all"
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_phones"]) == (0, 0, 0)
+    # the scrub is syntactic: 999.x octets still match the shape
+    assert out[3]["n_ips"] == 1 and out[3]["n_phones"] == 0
