@@ -292,6 +292,29 @@ def c03_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_TOPN = 50
+
+
+def t07_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: term frequency + document frequency
+    per token, top-N by frequency. explode → two-stage aggregate (partial
+    map-side counts, then the distinct-doc expansion) — the standard
+    vocabulary-build job of a tokenizer-training pipeline."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df_docs"),
+        )
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(VOCAB_TOPN)
+    )
+
+
 # --- oracle SQL generation -------------------------------------------------
 
 def _shingle_cte(source: str = "documents") -> str:
@@ -760,6 +783,11 @@ def _pii_oracle() -> str:
 
 
 _ORACLES["t06_pii_scrub"] = _pii_oracle()
+_ORACLES["t07_vocab_df"] = f"""
+    SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df_docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token ORDER BY tf DESC, token LIMIT {VOCAB_TOPN}
+"""
 _ORACLES["c02_corpus_mix"] = _mix_oracle()
 _ORACLES["c03_split_assign"] = f"""
     SELECT doc_id,
@@ -792,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s06_vector_norms": s06_vector_norms,
         "t05_bpe_tokens": t05_bpe_tokens,
         "t06_pii_scrub": t06_pii_scrub,
+        "t07_vocab_df": t07_vocab_df,
         "c02_corpus_mix": c02_corpus_mix,
         "c03_split_assign": c03_split_assign,
         "m01_binary_meta": m01_binary_meta,

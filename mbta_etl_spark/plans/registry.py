@@ -382,6 +382,57 @@ def q27_cube_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BIN_WIDTH = 50.0
+
+
+def q28_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics over lineitem in one scan: Pearson correlation,
+    sample covariance, sample stddevs. All JVM-side merge-formula
+    aggregates (numerically stable partial/final combine — no second
+    pass for the means)."""
+    df = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return df.agg(
+        F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp(q, p), 2).alias("covar_qty_price"),
+        F.round(F.stddev_samp(q), 4).alias("sd_qty"),
+        F.round(F.stddev_samp(p), 2).alias("sd_price"),
+    )
+
+
+def q29_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: bin = floor(value / width). Single partial
+    aggregation — the engine-side replacement for the reference's
+    client-side bucketing loop (queries.go:244-273) at unbounded
+    cardinality."""
+    ev = _events(spark, sf_dir)
+    bin_ = F.floor(F.col("value") / HIST_BIN_WIDTH).alias("bin")
+    return (
+        ev.groupBy(bin_)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+def j03_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no in-progress ('P') order. LeftAnti
+    prunes the build side to just the key column (see PushedFilters +
+    ReadSchema in the plan) and short-circuits on first match — cheaper
+    than the EXCEPT formulation, which dedups the probe side too."""
+    cust = load_table(spark, sf_dir, "customer")
+    p_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.join(p_orders, "c_custkey", "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
 def q24_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-count aggregation. Spark expands COUNT(DISTINCT)
     into a two-stage partial/final aggregate — map-side dedup first, so
@@ -715,6 +766,26 @@ _ORACLES: dict[str, str] = {
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
+    "q28_corr_stats": """
+        SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+               ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+               ROUND(stddev_samp(l_extendedprice), 2) AS sd_price
+        FROM lineitem
+    """,
+    "q29_value_histogram": """
+        SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+               COUNT(*) AS n,
+               ROUND(MIN(value), 6) AS lo,
+               ROUND(MAX(value), 6) AS hi
+        FROM events GROUP BY 1
+    """,
+    "j03_customers_no_orders": """
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'P')
+    """,
     "q24_distinct_counts": """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_users,
@@ -800,8 +871,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_cube_breakdown": q27_cube_breakdown,
         "q24_distinct_counts": q24_distinct_counts,
         "q24a_distinct_approx": q24a_distinct_approx,
+        "q28_corr_stats": q28_corr_stats,
+        "q29_value_histogram": q29_value_histogram,
         "j01_asof_attribution": j01_asof_attribution,
         "j02_range_attribution": j02_range_attribution,
+        "j03_customers_no_orders": j03_customers_no_orders,
     }
     out.update(llm_registry.queries())
     return out
