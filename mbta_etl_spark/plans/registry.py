@@ -433,6 +433,54 @@ def j03_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q30_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by region/nation where the supplying
+    nation is the customer's nation. Fact-fact joins shuffle on their
+    keys; nation and region are broadcast unconditionally (dimension
+    tables stay dimension-sized at any SF); supplier/customer Catalyst
+    sizes at runtime via AQE. Join order is the optimizer's call — the
+    plan is declared, not scheduled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(revenue, 6).alias("revenue"))
+    )
+
+
+def q31_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per event_type via row_number. One shuffle
+    on the group key; with few, heavy groups (the case here) the scale
+    path is a two-phase top-k — per-partition heap then merge — which
+    pairwise_topk_per_label (s03) demonstrates; this is the plain window
+    formulation."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "rn", "event_id", "value")
+    )
+
+
 def q24_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-count aggregation. Spark expands COUNT(DISTINCT)
     into a two-stage partial/final aggregate — map-side dedup first, so
@@ -786,6 +834,25 @@ _ORACLES: dict[str, str] = {
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderstatus = 'P')
     """,
+    "q30_regional_revenue": """
+        SELECT r_name, n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "q31_topn_per_group": """
+        SELECT event_type, rn, event_id, value
+        FROM (SELECT event_type, event_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id) AS rn
+              FROM events)
+        WHERE rn <= 3
+    """,
     "q24_distinct_counts": """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_users,
@@ -873,6 +940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24a_distinct_approx": q24a_distinct_approx,
         "q28_corr_stats": q28_corr_stats,
         "q29_value_histogram": q29_value_histogram,
+        "q30_regional_revenue": q30_regional_revenue,
+        "q31_topn_per_group": q31_topn_per_group,
         "j01_asof_attribution": j01_asof_attribution,
         "j02_range_attribution": j02_range_attribution,
         "j03_customers_no_orders": j03_customers_no_orders,

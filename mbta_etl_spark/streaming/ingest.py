@@ -116,3 +116,40 @@ def dedup_stream_by_key(
     return events.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def sliding_window_rates(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window rollup: each row lands in duration/slide overlapping
+    windows (here 4), so the state store carries that factor — the cost
+    of smooth rates vs tumbling windows. Emitted per window: count, mean.
+    Works on any DataFrame with (ts, value) — batch or streaming."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.window(F.col("ts"), window_duration, slide).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            F.col("cnt"),
+            F.col("avg_value"),
+        )
+    )
+
+
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: the static side is re-resolved per
+    micro-batch (a dimension refresh is picked up without restarting the
+    query) and joined stateless — no watermark, no state store. Spark
+    broadcasts the static side when it's small; this is the streaming
+    analog of the dimension joins in q17/q30."""
+    return events.join(F.broadcast(dim), on, how)

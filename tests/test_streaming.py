@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -192,3 +193,66 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         for r in spark.sql("SELECT * FROM dedup_sink").collect()
     }
     assert got == {1: 1.0, 2: 2.0, 3: 3.0}  # first arrival wins, dup dropped
+
+
+def test_sliding_windows_overlap(spark):
+    """Batch-semantics check: a row falls into duration/slide windows."""
+    import datetime as dt
+
+    from mbta_etl_spark.streaming.ingest import sliding_window_rates
+
+    rows = [(1, dt.datetime(2024, 1, 1, 10, 20), 6.0)]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    out = sliding_window_rates(df).collect()
+    starts = sorted(r["window_start"] for r in out)
+    # 1h window sliding by 15m: the 10:20 row is in 4 windows
+    assert starts == [
+        dt.datetime(2024, 1, 1, 9, 30),
+        dt.datetime(2024, 1, 1, 9, 45),
+        dt.datetime(2024, 1, 1, 10, 0),
+        dt.datetime(2024, 1, 1, 10, 15),
+    ]
+    assert all(r["cnt"] == 1 and r["avg_value"] == 6.0 for r in out)
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Streaming events joined to a static dimension inside a micro-batch."""
+    from mbta_etl_spark.streaming.ingest import enrich_stream
+
+    src = tmp_path / "events"
+    src.mkdir()
+    with open(src / "a.jsonl", "w") as f:
+        for eid, et in [(1, "click"), (2, "view"), (3, "signup")]:
+            f.write(
+                json.dumps(
+                    {"event_id": eid, "ts": "2024-01-15T10:00:00", "value": 1.0,
+                     "event_type": et}
+                )
+                + "\n"
+            )
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1)], "event_type string, weight double"
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        enrich_stream(stream, dim, "event_type")
+        .writeStream.format("memory")
+        .queryName("enriched_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: r["weight"]
+        for r in spark.sql("SELECT * FROM enriched_sink").collect()
+    }
+    assert got == {1: 1.0, 2: 0.1, 3: None}  # left join keeps unmatched
