@@ -315,6 +315,42 @@ def t07_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t08_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document by
+    (tf / doc_len) · ln(N / df). Built from one doc-term aggregation plus
+    two windows (doc-length over doc_id, document-frequency over term) —
+    each a single keyed shuffle of the compact doc-term table, never the
+    raw text. N arrives via a broadcast one-row cross join, not a
+    driver-side collect, so the whole thing is one lazy plan. Tie-break
+    on (rounded score desc, term asc) keeps top-3 deterministic."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dlen = F.sum("tf").over(Window.partitionBy("doc_id"))
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    scored = tc.withColumn("_dlen", dlen).withColumn("_df", dfreq).crossJoin(
+        F.broadcast(n)
+    )
+    tfidf = F.round(
+        (F.col("tf").cast("double") / F.col("_dlen"))
+        * F.log(F.col("n_docs").cast("double") / F.col("_df")),
+        6,
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.select("doc_id", "term", tfidf.alias("tfidf"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", "rn")
+    )
+
+
 # --- oracle SQL generation -------------------------------------------------
 
 def _shingle_cte(source: str = "documents") -> str:
@@ -788,6 +824,24 @@ _ORACLES["t07_vocab_df"] = f"""
     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
     GROUP BY token ORDER BY tf DESC, token LIMIT {VOCAB_TOPN}
 """
+_ORACLES["t08_tfidf"] = """
+    WITH tc AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY doc_id, term),
+    sc AS (
+        SELECT doc_id, term,
+               ROUND((CAST(tf AS DOUBLE) / SUM(tf) OVER (PARTITION BY doc_id))
+                     * LN(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                          / COUNT(*) OVER (PARTITION BY term)), 6) AS tfidf
+        FROM tc)
+    SELECT doc_id, term, tfidf, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rn
+          FROM sc)
+    WHERE rn <= 3
+"""
 _ORACLES["c02_corpus_mix"] = _mix_oracle()
 _ORACLES["c03_split_assign"] = f"""
     SELECT doc_id,
@@ -821,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t05_bpe_tokens": t05_bpe_tokens,
         "t06_pii_scrub": t06_pii_scrub,
         "t07_vocab_df": t07_vocab_df,
+        "t08_tfidf": t08_tfidf,
         "c02_corpus_mix": c02_corpus_mix,
         "c03_split_assign": c03_split_assign,
         "m01_binary_meta": m01_binary_meta,

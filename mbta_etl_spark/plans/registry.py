@@ -481,6 +481,153 @@ def q31_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j04_big_spenders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS shape): customers with at least one order above
+    a price threshold. LeftSemi ships only o_custkey through the shuffle
+    (the filter and the one-column projection both push into the orders
+    scan) and short-circuits per probe row on first match — the dual of
+    j03's anti join."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000.0)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.join(big, "c_custkey", "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q32_order_max_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery shape: line items priced at their
+    order's maximum. Declared as a window max over l_orderkey + equality
+    filter — ONE shuffle on the (already join-keyed) order key, versus
+    the naive aggregate-then-self-join which shuffles lineitem twice.
+    Ties all qualify, exactly like the correlated SQL."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    return (
+        li.withColumn("_omax", F.max("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("_omax"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+def q33_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: daily order volume with a trailing 7-day
+    moving average. The frame is a value range over days-since-epoch
+    (unix_date), so calendar gaps shrink the frame — ROWS BETWEEN 6
+    PRECEDING would silently average over 7 *observed* days instead.
+    Single-partition window over the ~|days| daily aggregate, which is
+    tiny at any SF (the heavy groupBy below it is fully parallel)."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+        )
+    )
+    w = Window.orderBy(F.unix_date(F.col("day"))).rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        "n_orders",
+        "revenue",
+        F.avg("n_orders").over(w).alias("ma7_orders"),
+    )
+
+
+def q34_gap_fill_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap fill: per-day counts of 'P' orders with missing days
+    materialized as zero rows via sequence(min, max, 1 day) + explode.
+    The calendar side is one row aggregated from the daily rollup and
+    exploded — broadcast-join territory at any scale; the fact-side
+    groupBy stays the only real shuffle."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    cal = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("day")
+        )
+    )
+    return cal.join(daily, "day", "left").select(
+        "day", F.coalesce("n_orders", F.lit(0)).alias("n_orders")
+    )
+
+
+def q35_order_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: each order's part basket as a sorted list.
+    collect_list is shuffle-order-dependent, so array_sort canonicalizes
+    — the same discipline any engine needs for deterministic nested
+    results. One map-side-combinable aggregation on the order key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(F.collect_list("l_partkey")).alias("parts"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q36_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form of q20's ROLLUP / q27's
+    CUBE: (flag, status), (flag), and grand total, skipping the
+    (status)-only set a CUBE would compute. Spark expands the sets into
+    one Expand + single aggregation pass, not one scan per set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+    )
+
+
+def q37_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family windows: ntile(4) quartile assignment and percent_rank
+    within each event_type, ordered by (value, event_id) — the unique
+    tie-break is what makes both functions deterministic across engines;
+    bare ORDER BY value would leave tied rows' quartiles unspecified."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+def q38_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase aggregation (sources/layout.salted_count):
+    counts by (key, salt) spread a pathologically hot key over n_salts
+    reducers before the tiny partial-table re-aggregation. Result is
+    identical to the plain GROUP BY — the oracle checks exactly that —
+    only the shuffle distribution changes. The manual fallback for skew
+    beyond what AQE's skew-join splitting handles."""
+    from mbta_etl_spark.sources.layout import salted_count
+
+    ev = _events(spark, sf_dir)
+    return salted_count(ev, F.col("event_type"), 8, out_key="event_type")
+
+
 def q24_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-count aggregation. Spark expands COUNT(DISTINCT)
     into a two-stage partial/final aggregate — map-side dedup first, so
@@ -853,6 +1000,68 @@ _ORACLES: dict[str, str] = {
               FROM events)
         WHERE rn <= 3
     """,
+    "j04_big_spenders_semi": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000.0)
+    """,
+    "q32_order_max_item": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem l
+        WHERE l_extendedprice = (SELECT MAX(l2.l_extendedprice)
+                                 FROM lineitem l2
+                                 WHERE l2.l_orderkey = l.l_orderkey)
+    """,
+    "q33_moving_avg": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 6) AS revenue
+            FROM orders GROUP BY day)
+        SELECT day, n_orders, revenue,
+               AVG(n_orders) OVER (
+                   ORDER BY day
+                   RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+               ) AS ma7_orders
+        FROM daily
+    """,
+    "q34_gap_fill_days": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+            FROM orders WHERE o_orderstatus = 'P' GROUP BY day),
+        cal AS (
+            SELECT CAST(UNNEST(GENERATE_SERIES(
+                       (SELECT MIN(day) FROM daily),
+                       (SELECT MAX(day) FROM daily),
+                       INTERVAL 1 DAY)) AS DATE) AS day)
+        SELECT cal.day, COALESCE(daily.n_orders, 0) AS n_orders
+        FROM cal LEFT JOIN daily ON cal.day = daily.day
+    """,
+    "q35_order_basket": """
+        SELECT l_orderkey,
+               LIST(l_partkey ORDER BY l_partkey) AS parts,
+               COUNT(*) AS n_items
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "q36_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS cnt, ROUND(SUM(l_quantity), 6) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+    """,
+    "q37_value_quartiles": """
+        SELECT event_id, event_type, value,
+               NTILE(4) OVER w AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    "q38_salted_agg": """
+        SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+    """,
     "q24_distinct_counts": """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_users,
@@ -942,9 +1151,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_value_histogram": q29_value_histogram,
         "q30_regional_revenue": q30_regional_revenue,
         "q31_topn_per_group": q31_topn_per_group,
+        "q32_order_max_item": q32_order_max_item,
+        "q33_moving_avg": q33_moving_avg,
+        "q34_gap_fill_days": q34_gap_fill_days,
+        "q35_order_basket": q35_order_basket,
+        "q36_grouping_sets": q36_grouping_sets,
+        "q37_value_quartiles": q37_value_quartiles,
+        "q38_salted_agg": q38_salted_agg,
         "j01_asof_attribution": j01_asof_attribution,
         "j02_range_attribution": j02_range_attribution,
         "j03_customers_no_orders": j03_customers_no_orders,
+        "j04_big_spenders_semi": j04_big_spenders_semi,
     }
     out.update(llm_registry.queries())
     return out
