@@ -292,6 +292,49 @@ def minhash_lsh_pairs(
     )
 
 
+def decontaminate_ngrams(
+    train: DataFrame,
+    test: DataFrame,
+    text: Column,
+    id_col: Column,
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction of
+    its distinct token k-grams that also occur anywhere in the held-out
+    ``test`` set. A pipeline drops (or flags) train docs above a
+    contamination threshold before pretraining so eval numbers stay
+    honest.
+
+    Shape: both sides reduce to 8-byte shingle keys (the Arrow-batched
+    kernel from ``_shingle_table``); the test side collapses to a
+    DISTINCT key set — orders of magnitude smaller than the corpus, and
+    independent of train size — which broadcasts into a left-semi probe
+    of the train shingle table. The only corpus-sized shuffle is the
+    per-doc groupBy counts. At 100 TB train / GB-scale test this is the
+    standard shape: the benchmark-gram set rides along as a broadcast
+    (or a bloom filter of it, trading exactness for memory)."""
+    test_keys = _shingle_table(test, text, id_col, k).select("sh64").distinct()
+    train_sh = _shingle_table(train, text, id_col, k).persist()
+    train_sh.count()
+    sizes = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train_sh.join(F.broadcast(test_keys), "sh64", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / F.col("n_grams"), 6).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
 SIMHASH_BITS = 32
 
 

@@ -76,6 +76,98 @@ def split_assign(
     return df.withColumn("split", last if expr is None else expr.otherwise(last))
 
 
+def chunk_pack(df: DataFrame, id_col: Column, n_tokens: Column, capacity: int) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are conceptually
+    concatenated in ``id_col`` order and sliced into fixed ``capacity``
+    token windows (docs may straddle window boundaries — the standard
+    pretraining packing that wastes zero tokens). Returns each doc's
+    byte-offset view of that layout: start offset, first/last chunk
+    index, and how many chunks it spans.
+
+    The global prefix sum runs as a single-partition window — but over a
+    two-column (id, count) projection, never the text, so even a 100 TB
+    corpus reduces to ~#docs × 16 bytes first. Beyond that, the standard
+    two-phase scale-out applies (per-partition subtotals + broadcast
+    prefix offsets); the single-window form is kept here because its
+    plan is fully declarative and oracle-checkable."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = df.select(id_col.alias("doc_id"), n_tokens.cast("long").alias("n_tokens"))
+    end_off = F.sum("n_tokens").over(w)
+    start_off = (end_off - F.col("n_tokens")).alias("start_off")
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        start_off,
+        F.floor(start_off / capacity).alias("chunk_first"),
+        F.floor((end_off - 1) / capacity).alias("chunk_last"),
+        (
+            F.floor((end_off - 1) / capacity) - F.floor(start_off / capacity) + 1
+        ).alias("n_chunks"),
+    )
+
+
+def greedy_pack(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n_tokens: Column,
+    capacity: int,
+) -> DataFrame:
+    """Greedy sequential bin packing WITHOUT splitting documents: within
+    each ``group_col`` shard, walk docs in ``id_col`` order and open a
+    new bin whenever the next doc would overflow ``capacity`` (a doc
+    larger than capacity gets its own bin). The no-straddle dual of
+    ``chunk_pack`` — used when examples must stay contiguous (SFT /
+    instruction data).
+
+    Packing is sequential by nature, so it runs as a per-group
+    ``applyInPandas`` kernel — embarrassingly parallel across shards,
+    which is exactly how a 100 TB corpus is packed in practice (order
+    only needs to be stable within a shard, not globally). State per
+    task is O(1); input arrives Arrow-batched."""
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("source", StringType()),
+            StructField("doc_id", LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("bin", LongType()),
+        ]
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins: list[int] = []
+        fill, b = 0, 0
+        for i, n in enumerate(pdf["n_tokens"]):
+            n = int(n)
+            if i == 0:
+                fill = n
+            elif fill + n <= capacity:
+                fill += n
+            else:
+                b += 1
+                fill = n
+            bins.append(b)
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        return pdf[["source", "doc_id", "n_tokens", "bin"]]
+
+    d = df.select(
+        F.col(group_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        n_tokens.cast("long").alias("n_tokens"),
+    )
+    return d.groupBy("source").applyInPandas(_pack, schema=schema)
+
+
 def weighted_mix(
     df: DataFrame,
     key: Column,

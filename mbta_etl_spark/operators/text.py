@@ -136,6 +136,32 @@ def fingerprint(df: DataFrame, text: Column, id_col: Column, k: int = 5) -> Data
     )
 
 
+def repetition_ratio(df: DataFrame, text: Column, id_col: Column, k: int = 3) -> DataFrame:
+    """Within-document repetition: fraction of token k-grams that are
+    duplicates of an earlier k-gram in the same document — the
+    Gopher-style repetition filter that catches boilerplate/looping text
+    exact and near dedup both miss (the repeats are *inside* one doc).
+
+    dup_ratio = (n_grams - n_distinct_grams) / n_grams. Docs shorter than
+    k tokens have one whole-text gram (ratio 0), mirroring the shingle
+    contract. Pure HOF projection — runs inside the scan stage."""
+    toks = _tokens(text)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    grams = F.when(n >= k, grams).otherwise(F.array(text))
+    total = F.size(grams)
+    n_dup = total - F.size(F.array_distinct(grams))
+    return df.select(
+        id_col.alias("doc_id"),
+        total.cast("long").alias("n_grams"),
+        n_dup.cast("long").alias("n_dup"),
+        F.round(n_dup / total, 6).alias("dup_ratio"),
+    )
+
+
 # PII patterns shared verbatim with the DuckDB oracle: no lookarounds or
 # backreferences, so they mean the same thing under Java regex (Spark,
 # executors) and RE2 (DuckDB). Redaction CASCADES email -> IP -> phone:

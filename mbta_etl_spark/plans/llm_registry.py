@@ -351,6 +351,55 @@ def t08_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REPETITION_K = 3
+DECON_K = 8
+DECON_TEST_SOURCE = "src19"
+CHUNK_CAP = 512
+PACK_CAP = 256
+
+
+def t09_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_ratio(
+        _docs(spark, sf_dir), F.col("text"), F.col("doc_id"), k=REPETITION_K
+    )
+
+
+def d08_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs from one source act as the held-out
+    eval set; every other doc reports what fraction of its distinct
+    8-grams leak from that set (broadcast semi-probe of the train shingle
+    table — see operators.dedup.decontaminate_ngrams)."""
+    docs = _docs(spark, sf_dir)
+    return dedup.decontaminate_ngrams(
+        docs.filter(F.col("source") != DECON_TEST_SOURCE),
+        docs.filter(F.col("source") == DECON_TEST_SOURCE),
+        F.col("text"),
+        F.col("doc_id"),
+        k=DECON_K,
+    )
+
+
+def c04_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mbta_etl_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    return sampling.chunk_pack(
+        docs, F.col("doc_id"), F.size(F.split("text", " ")), capacity=CHUNK_CAP
+    )
+
+
+def c05_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-straddle greedy packing, parallel per source shard (kernel in
+    operators.sampling.greedy_pack; oracle replays the sequential walk
+    with a recursive CTE stepping one doc per round per shard)."""
+    from mbta_etl_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    return sampling.greedy_pack(
+        docs, "source", "doc_id", F.size(F.split("text", " ")), capacity=PACK_CAP
+    )
+
+
 # --- oracle SQL generation -------------------------------------------------
 
 def _shingle_cte(source: str = "documents") -> str:
@@ -842,6 +891,82 @@ _ORACLES["t08_tfidf"] = """
           FROM sc)
     WHERE rn <= 3
 """
+def _kgram_concat(k: int) -> str:
+    return " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(k))
+
+
+_ORACLES["t09_repetition"] = f"""
+    WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t
+                  FROM documents),
+    g AS (SELECT doc_id,
+            CASE WHEN len(t) >= {REPETITION_K}
+                 THEN list_transform(range(1, len(t) - {REPETITION_K - 2}),
+                      i -> {_kgram_concat(REPETITION_K)})
+                 ELSE [text] END AS grams
+          FROM toks)
+    SELECT doc_id, len(grams) AS n_grams,
+           len(grams) - len(list_distinct(grams)) AS n_dup,
+           ROUND((len(grams) - len(list_distinct(grams))) / len(grams), 6)
+             AS dup_ratio
+    FROM g
+"""
+_ORACLES["d08_decontaminate"] = f"""
+    WITH toks AS (SELECT doc_id, source, text, string_split(text, ' ') AS t
+                  FROM documents),
+    sh8 AS (
+      SELECT doc_id, source, unnest(
+        CASE WHEN len(t) >= {DECON_K}
+             THEN list_distinct(list_transform(range(1, len(t) - {DECON_K - 2}),
+                  i -> {_kgram_concat(DECON_K)}))
+             ELSE [text] END) AS shingle
+      FROM toks),
+    test_g AS (SELECT DISTINCT shingle FROM sh8
+               WHERE source = '{DECON_TEST_SOURCE}'),
+    train AS (SELECT doc_id, shingle FROM sh8
+              WHERE source <> '{DECON_TEST_SOURCE}'),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id),
+    hits AS (SELECT tr.doc_id, COUNT(*) AS n_hit
+             FROM train tr JOIN test_g tg ON tr.shingle = tg.shingle
+             GROUP BY tr.doc_id)
+    SELECT s.doc_id, s.n_grams, COALESCE(h.n_hit, 0) AS n_hit,
+           ROUND(COALESCE(h.n_hit, 0) / s.n_grams, 6) AS contamination
+    FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+"""
+_ORACLES["c04_chunk_pack"] = f"""
+    WITH d AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+    o AS (SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS end_off
+          FROM d)
+    SELECT doc_id, n_tokens,
+           end_off - n_tokens AS start_off,
+           (end_off - n_tokens) // {CHUNK_CAP} AS chunk_first,
+           (end_off - 1) // {CHUNK_CAP} AS chunk_last,
+           (end_off - 1) // {CHUNK_CAP} - (end_off - n_tokens) // {CHUNK_CAP} + 1
+             AS n_chunks
+    FROM o
+"""
+_ORACLES["c05_greedy_pack"] = f"""
+    WITH RECURSIVE base AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents),
+    packed AS (
+      SELECT source, doc_id, n_tokens, rn, n_tokens AS fill,
+             CAST(0 AS BIGINT) AS bin
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.source, b.doc_id, b.n_tokens, b.rn,
+             CASE WHEN p.fill + b.n_tokens <= {PACK_CAP}
+                  THEN p.fill + b.n_tokens ELSE b.n_tokens END,
+             CASE WHEN p.fill + b.n_tokens <= {PACK_CAP}
+                  THEN p.bin ELSE p.bin + 1 END
+      FROM packed p JOIN base b ON b.source = p.source AND b.rn = p.rn + 1)
+    SELECT source, doc_id, n_tokens, bin FROM packed
+"""
 _ORACLES["c02_corpus_mix"] = _mix_oracle()
 _ORACLES["c03_split_assign"] = f"""
     SELECT doc_id,
@@ -876,8 +1001,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t06_pii_scrub": t06_pii_scrub,
         "t07_vocab_df": t07_vocab_df,
         "t08_tfidf": t08_tfidf,
+        "t09_repetition": t09_repetition,
+        "d08_decontaminate": d08_decontaminate,
         "c02_corpus_mix": c02_corpus_mix,
         "c03_split_assign": c03_split_assign,
+        "c04_chunk_pack": c04_chunk_pack,
+        "c05_greedy_pack": c05_greedy_pack,
         "m01_binary_meta": m01_binary_meta,
         "m02_fake_image_features": m02_fake_image_features,
         "m03_frame_samples": m03_frame_samples,

@@ -628,6 +628,116 @@ def q38_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count(ev, F.col("event_type"), 8, out_key="event_type")
 
 
+def q39_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count, with
+    the priority filter living in the LEFT join condition so zero-order
+    customers still appear (filter-then-left-join is equivalent and lets
+    the predicate push into the orders scan). Two aggregations: the first
+    shuffles on c_custkey, the second on the tiny c_count domain."""
+    cust = load_table(spark, sf_dir, "customer")
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(ords, cust["c_custkey"] == ords["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q40_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity clears a HAVING
+    threshold, enriched with the customer. The aggregate-filter runs
+    first (shuffle on l_orderkey — already the lineitem cluster key), the
+    orders join reuses that key, and the customer dim joins broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200.0)
+    )
+    ords = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(ords, big["l_orderkey"] == ords["o_orderkey"])
+        .join(F.broadcast(cust), ords["o_custkey"] == cust["c_custkey"])
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+def q41_union_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL with provenance tags: two filtered projections of the
+    same scan stacked bag-semantics (a purchase above the threshold
+    appears twice, once per tag) — the multiplexing shape behind
+    build-several-cohorts-in-one-pass pipelines."""
+    ev = _events(spark, sf_dir)
+    hi = ev.filter(F.col("value") > 400.0).select(
+        "event_id", F.lit("high_value").alias("tag"), "value"
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.lit("purchase").alias("tag"), "value"
+    )
+    return hi.unionByName(pur)
+
+
+def q42_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/first_value/last_value per user: time to next event plus the
+    journey's first and last event types. One shuffle on user_id; the
+    full-extent frame for first/last shares the same sort. Tie-break on
+    event_id makes every window function here deterministic.
+
+    Both operands are truncated to whole seconds before the diff:
+    SQL date_diff counts second-BOUNDARY crossings while Spark's
+    timestampdiff floors elapsed time — on whole-second values the two
+    definitions coincide, so the gap is engine-portable."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        ev.withColumn("_next", F.lead("ts").over(w))
+        .select(
+            "event_id",
+            "user_id",
+            F.expr(
+                "timestampdiff(SECOND, date_trunc('second', ts),"
+                " date_trunc('second', _next))"
+            ).alias("gap_s"),
+            F.first("event_type").over(wfull).alias("first_type"),
+            F.last("event_type").over(wfull).alias("last_type"),
+        )
+    )
+
+
+def j05_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: reconcile daily order counts against daily ship
+    counts — days present on either side survive with zero-filled gaps,
+    the audit/reconciliation shape inner joins silently get wrong. The
+    USING-style join coalesces the day key in both engines."""
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    ships = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_ships"))
+    )
+    return ords.join(ships, "day", "full_outer").select(
+        "day",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_ships", F.lit(0)).alias("n_ships"),
+        (F.coalesce("n_ships", F.lit(0)) - F.coalesce("n_orders", F.lit(0))).alias(
+            "ship_minus_order"
+        ),
+    )
+
+
 def q24_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-count aggregation. Spark expands COUNT(DISTINCT)
     into a two-stage partial/final aggregate — map-side dedup first, so
@@ -1062,6 +1172,50 @@ _ORACLES: dict[str, str] = {
     "q38_salted_agg": """
         SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
     """,
+    "q39_custdist": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+        GROUP BY c_count
+    """,
+    "q40_large_orders": """
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+        FROM (SELECT l_orderkey, ROUND(SUM(l_quantity), 6) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING ROUND(SUM(l_quantity), 6) > 200.0) big
+        JOIN orders ON big.l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "q41_union_tag": """
+        SELECT event_id, 'high_value' AS tag, value FROM events WHERE value > 400.0
+        UNION ALL
+        SELECT event_id, 'purchase' AS tag, value FROM events
+        WHERE event_type = 'purchase'
+    """,
+    "q42_user_journey": """
+        SELECT event_id, user_id,
+               date_diff('second', ts, LEAD(ts) OVER w) AS gap_s,
+               FIRST_VALUE(event_type) OVER wf AS first_type,
+               LAST_VALUE(event_type) OVER wf AS last_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)
+    """,
+    "j05_full_outer_reconcile": """
+        WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+                   FROM orders GROUP BY 1),
+             s AS (SELECT CAST(l_shipdate AS DATE) AS day, COUNT(*) AS n_ships
+                   FROM lineitem GROUP BY 1)
+        SELECT COALESCE(o.day, s.day) AS day,
+               COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(n_ships, 0) AS n_ships,
+               COALESCE(n_ships, 0) - COALESCE(n_orders, 0) AS ship_minus_order
+        FROM o FULL OUTER JOIN s ON o.day = s.day
+    """,
     "q24_distinct_counts": """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_users,
@@ -1158,10 +1312,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_grouping_sets": q36_grouping_sets,
         "q37_value_quartiles": q37_value_quartiles,
         "q38_salted_agg": q38_salted_agg,
+        "q39_custdist": q39_custdist,
+        "q40_large_orders": q40_large_orders,
+        "q41_union_tag": q41_union_tag,
+        "q42_user_journey": q42_user_journey,
         "j01_asof_attribution": j01_asof_attribution,
         "j02_range_attribution": j02_range_attribution,
         "j03_customers_no_orders": j03_customers_no_orders,
         "j04_big_spenders_semi": j04_big_spenders_semi,
+        "j05_full_outer_reconcile": j05_full_outer_reconcile,
     }
     out.update(llm_registry.queries())
     return out

@@ -106,3 +106,90 @@ def test_weighted_mix_copy_counts(spark):
     )
     bad = mx.filter((F.col("n") != 2) | (F.col("mx") != 2) | (F.col("mn") != 1))
     assert bad.count() == 0
+
+
+def test_chunk_pack_layout(spark):
+    """Offsets tile the concatenated token stream with no gaps; chunk
+    spans are consistent with the capacity."""
+    from mbta_etl_spark.operators.sampling import chunk_pack
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 400), (3, 50), (4, 600)], "doc_id long, n long"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in chunk_pack(docs, F.col("doc_id"), F.col("n"), 512).collect()
+    }
+    assert rows[1]["start_off"] == 0 and rows[1]["chunk_first"] == 0
+    assert rows[2]["start_off"] == 100
+    # doc 2 spans 100..499 -> entirely chunk 0
+    assert (rows[2]["chunk_first"], rows[2]["chunk_last"]) == (0, 0)
+    # doc 3 spans 500..549 -> straddles the 512 boundary
+    assert (rows[3]["chunk_first"], rows[3]["chunk_last"]) == (0, 1)
+    assert rows[3]["n_chunks"] == 2
+    # doc 4 spans 550..1149 -> chunks 1..2
+    assert (rows[4]["chunk_first"], rows[4]["chunk_last"]) == (1, 2)
+
+
+def test_greedy_pack_no_straddle(spark):
+    """Greedy packing resets bins on overflow; oversized docs get their
+    own bin; bins never exceed capacity (except single oversized docs)."""
+    from mbta_etl_spark.operators.sampling import greedy_pack
+
+    docs = spark.createDataFrame(
+        [("a", 1, 100), ("a", 2, 100), ("a", 3, 100), ("a", 4, 400), ("a", 5, 50),
+         ("b", 6, 300), ("b", 7, 10)],
+        "src string, doc_id long, n long",
+    )
+    out = greedy_pack(docs, "src", "doc_id", F.col("n"), 256)
+    rows = {r["doc_id"]: r["bin"] for r in out.collect()}
+    # group a: 100+100 fits bin0; 100 overflows -> bin1; 400 oversized -> bin2
+    # (alone); 50 -> bin3 (400+50 > 256)
+    assert [rows[i] for i in (1, 2, 3, 4, 5)] == [0, 0, 1, 2, 3]
+    # group b independent: 300 oversized alone in bin0, 10 -> bin1
+    assert [rows[i] for i in (6, 7)] == [0, 1]
+
+
+def test_repetition_ratio_semantics(spark):
+    from mbta_etl_spark.operators.text import repetition_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # 3-grams: aba,bab,aba,bab -> 2 dups
+            (2, "x y"),           # shorter than k: whole-text gram, ratio 0
+            (3, "p q r s"),       # 2 distinct 3-grams, no dups
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in repetition_ratio(docs, F.col("text"), F.col("doc_id"), 3).collect()
+    }
+    assert (rows[1]["n_grams"], rows[1]["n_dup"]) == (4, 2)
+    assert rows[1]["dup_ratio"] == 0.5
+    assert (rows[2]["n_grams"], rows[2]["n_dup"], rows[2]["dup_ratio"]) == (1, 0, 0.0)
+    assert (rows[3]["n_grams"], rows[3]["n_dup"]) == (2, 0)
+
+
+def test_decontaminate_flags_leaked_docs(spark):
+    from mbta_etl_spark.operators.dedup import decontaminate_ngrams
+
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),   # shares 8-grams with test doc
+            (2, "z y x w v u t s r q"),   # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in decontaminate_ngrams(
+            train, test, F.col("text"), F.col("doc_id"), k=8
+        ).collect()
+    }
+    assert rows[1]["contamination"] == 1.0  # all 3 of its 8-grams leak
+    assert rows[1]["n_grams"] == 3
+    assert rows[2]["contamination"] == 0.0
