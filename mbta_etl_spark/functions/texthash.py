@@ -35,3 +35,31 @@ def token_count_bpe(text: Column, pattern: str = BPE_SPLIT_PATTERN) -> Column:
     """Number of BPE-ish pre-tokens (the "token count" a training-data
     pipeline budgets by, minus merges). Pure JVM regex — no UDF."""
     return F.size(regex_tokens(text, pattern)).cast("long")
+
+
+def position_tokenizer_udtf():
+    """A Python UDTF (user-defined TABLE function): one input row ->
+    (pos, term) output rows, the lateral-join expansion surface for
+    logic that genuinely needs per-row Python control flow.
+
+    For plain tokenization the declarative form (posexplode(split(...)))
+    is strictly better — fully JVM-side — and is what the rest of the
+    engine uses; the UDTF exists to cover the API tier, with
+    arrow-enabled execution so batches cross the boundary columnar.
+    Register and use laterally:
+
+        spark.udtf.register("tokenize", position_tokenizer_udtf())
+        SELECT d.doc_id, t.pos, t.term
+        FROM docs d, LATERAL tokenize(d.text) t
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, term string")
+    class PositionTokenizer:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, term in enumerate(text.split(" ")):
+                yield i + 1, term
+
+    return PositionTokenizer

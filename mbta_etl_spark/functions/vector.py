@@ -49,6 +49,29 @@ def unit(vec: Column, precomputed_norm: Column | None = None) -> Column:
     return F.transform(_dbl(vec), lambda x: x / n)
 
 
+def median_agg_pandas_udf():
+    """A GROUPED-AGGREGATE Arrow Pandas UDF (the UDAF tier): exact median
+    of a double column per group. Each group's values arrive as one
+    pandas Series over Arrow; the reduction is a single numpy call.
+
+    This is the escape hatch for aggregations Catalyst lacks a built-in
+    for (exact median IS built in as ``median``, but serves here as the
+    verifiable reference point for the UDAF surface — swap the numpy
+    body for any custom reduction). Grouped-agg UDFs don't do partial
+    aggregation: every group's full value set crosses the shuffle, so
+    at 100 TB prefer a built-in/algebraic form when one exists."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _median(v):
+        return float(np.median(v.to_numpy(dtype=np.float64)))
+
+    _median.__annotations__ = {"v": pd.Series, "return": float}
+    return pandas_udf(_median, "double")
+
+
 def norm_pandas_udf():
     """A scalar Arrow-batched Pandas UDF computing L2 norms: one numpy
     reduction per batch, no per-row Python. Returned as a callable UDF

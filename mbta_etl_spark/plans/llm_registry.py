@@ -351,6 +351,35 @@ def t08_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s07_label_median_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDAF tier: per-label exact median of embedding norms through a
+    grouped-aggregate Arrow Pandas UDF (functions.vector.
+    median_agg_pandas_udf). The norm itself stays a JVM HOF projection;
+    only the final reduction crosses to Python, one Arrow batch per
+    group."""
+    from mbta_etl_spark.functions import norm
+    from mbta_etl_spark.functions.vector import median_agg_pandas_udf
+
+    med = median_agg_pandas_udf()
+    e = _emb(spark, sf_dir).select("label", norm(F.col("embedding")).alias("_n"))
+    return e.groupBy("label").agg(F.round(med("_n"), 6).alias("median_norm"))
+
+
+def t10_tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python UDTF surface: LATERAL row expansion through
+    functions.texthash.position_tokenizer_udtf (arrow-batched). The
+    declarative posexplode form is the production path; this entry keeps
+    the UDTF tier exercised end-to-end against the same oracle."""
+    from mbta_etl_spark.functions.texthash import position_tokenizer_udtf
+
+    spark.udtf.register("tokenize_pos", position_tokenizer_udtf())
+    _docs(spark, sf_dir).createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.term "
+        "FROM _docs_udtf d, LATERAL tokenize_pos(d.text) t"
+    )
+
+
 REPETITION_K = 3
 DECON_K = 8
 DECON_TEST_SOURCE = "src19"
@@ -891,6 +920,19 @@ _ORACLES["t08_tfidf"] = """
           FROM sc)
     WHERE rn <= 3
 """
+_ORACLES["s07_label_median_norm"] = """
+    WITH n AS (SELECT label,
+                 sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+                   AS norm
+               FROM embeddings)
+    SELECT label, ROUND(MEDIAN(norm), 6) AS median_norm FROM n GROUP BY label
+"""
+_ORACLES["t10_tokenize_udtf"] = """
+    SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, unnest(t) AS term
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+"""
+
+
 def _kgram_concat(k: int) -> str:
     return " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(k))
 
@@ -1002,6 +1044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t07_vocab_df": t07_vocab_df,
         "t08_tfidf": t08_tfidf,
         "t09_repetition": t09_repetition,
+        "t10_tokenize_udtf": t10_tokenize_udtf,
+        "s07_label_median_norm": s07_label_median_norm,
         "d08_decontaminate": d08_decontaminate,
         "c02_corpus_mix": c02_corpus_mix,
         "c03_split_assign": c03_split_assign,

@@ -69,3 +69,34 @@ def test_mapinpandas_no_extra_shuffle(spark):
     plan = _plan(multimodal.fake_frame_samples(binary))
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_q40_dimension_broadcast_and_having_first(spark):
+    """Q18 shape: customer joins as a broadcast; the quantity aggregate
+    (the HAVING side) keeps a partial aggregate before its shuffle."""
+    plan = _plan(registry.q40_large_orders(spark, SF_DIR_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+
+
+def test_j04_semi_join_prunes_probe_columns(spark):
+    """Semi join: the orders side must scan only the join key and the
+    filter column — nothing else crosses the shuffle."""
+    plan = _plan(registry.j04_big_spenders_semi(spark, SF_DIR_SMALL))
+    assert "LeftSemi" in plan
+    orders_schemas = [
+        l for l in plan.splitlines()
+        if "ReadSchema" in l and "o_custkey" in l
+    ]
+    assert orders_schemas and all(
+        "o_orderdate" not in l and "o_orderpriority" not in l
+        for l in orders_schemas
+    )
+    assert "PushedFilters" in plan and "o_totalprice" in plan
+
+
+def test_q34_calendar_side_broadcasts(spark):
+    """Gap fill: the exploded one-row calendar must broadcast back onto
+    the daily aggregate, never shuffle it."""
+    plan = _plan(registry.q34_gap_fill_days(spark, SF_DIR_SMALL))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
