@@ -19,6 +19,7 @@ object storage. Rules all readers here follow:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructType
 
 CORRUPT_COL = "_corrupt_record"
@@ -71,3 +72,37 @@ def write_parquet_partitioned(
     predicates into directory pruning (see sources/layout.py for the
     pruning assertions)."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_jsonl_shards(
+    df: DataFrame, path: str, key, n_shards: int, mode: str = "overwrite"
+):
+    """Sharded JSONL corpus export — the delivery format downstream
+    training jobs consume. Shard assignment is the portable content hash
+    (md5_32(key) mod n_shards), NOT round-robin: a doc lands in the same
+    shard on any cluster/partitioning/rerun, so incremental re-exports
+    only touch changed shards. One repartition co-locates each shard
+    into one task before the partitioned write (otherwise every task
+    writes a sliver of every shard — tiny-file explosion at scale).
+
+    Returns the post-write manifest (shard -> row count) read back from
+    disk, so it certifies what actually landed rather than what the
+    plan intended.
+    """
+    from mbta_etl_spark.functions import md5_32
+
+    sharded = df.withColumn(
+        "shard", F.pmod(md5_32(key.cast("string")), F.lit(n_shards))
+    )
+    (
+        sharded.repartition(n_shards, "shard")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .json(path)
+    )
+    spark = SparkSession.getActiveSession()
+    return (
+        spark.read.json(path)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -256,3 +256,55 @@ def test_stream_static_enrichment(spark, tmp_path):
         for r in spark.sql("SELECT * FROM enriched_sink").collect()
     }
     assert got == {1: 1.0, 2: 0.1, 3: None}  # left join keeps unmatched
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Clicks attribute to impressions with the same user within 10
+    minutes; a later click stays unmatched (state stays bounded by the
+    interval + watermark, checked implicitly by the join completing)."""
+    from mbta_etl_spark.streaming.ingest import interval_join_streams
+
+    imp_dir = tmp_path / "impressions"
+    clk_dir = tmp_path / "clicks"
+    imp_dir.mkdir()
+    clk_dir.mkdir()
+    with open(imp_dir / "i.jsonl", "w") as f:
+        f.write(json.dumps({"imp_id": 1, "imp_user": 7,
+                            "imp_ts": "2024-01-15T10:00:00"}) + "\n")
+        f.write(json.dumps({"imp_id": 2, "imp_user": 8,
+                            "imp_ts": "2024-01-15T10:00:00"}) + "\n")
+    with open(clk_dir / "c.jsonl", "w") as f:
+        # in-window click for user 7; out-of-window click for user 8
+        f.write(json.dumps({"click_id": 10, "click_user": 7,
+                            "click_ts": "2024-01-15T10:05:00"}) + "\n")
+        f.write(json.dumps({"click_id": 11, "click_user": 8,
+                            "click_ts": "2024-01-15T10:30:00"}) + "\n")
+    imp_schema = StructType(
+        [
+            StructField("imp_id", LongType()),
+            StructField("imp_user", LongType()),
+            StructField("imp_ts", TimestampType()),
+        ]
+    )
+    clk_schema = StructType(
+        [
+            StructField("click_id", LongType()),
+            StructField("click_user", LongType()),
+            StructField("click_ts", TimestampType()),
+        ]
+    )
+    imps = spark.readStream.schema(imp_schema).json(str(imp_dir))
+    clks = spark.readStream.schema(clk_schema).json(str(clk_dir))
+    joined = interval_join_streams(
+        imps, clks, "imp_user", "click_user", "imp_ts", "click_ts"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT imp_id, click_id FROM attrib_sink").collect()
+    assert {(r["imp_id"], r["click_id"]) for r in rows} == {(1, 10)}
