@@ -738,6 +738,74 @@ def j05_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q43_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue as a percentage of total revenue —
+    a conditional-aggregate ratio over a fact-dim join. part broadcasts
+    (only p_partkey/p_type are read), so lineitem never shuffles; the
+    two sums fuse into one aggregation pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc), 6).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q44_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per return-flag counts of high- vs low-priority
+    line items among late shipments (shipped after the order date's
+    month... here simply after the order date). The join keys on
+    l_orderkey — lineitem's natural key — and the priority CASE folds
+    into conditional counts in one aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_count"),
+        )
+    )
+
+
+def q45_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and no
+    orders, summarized per market segment. The scalar AVG subquery stays
+    in-plan as a broadcast one-row cross join (no driver collect); the
+    no-orders predicate is a left-anti join on the pruned o_custkey
+    column."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("_avg_bal"))
+    )
+    ords = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(ords, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 6).alias("total_bal"),
+        )
+    )
+
+
 def q24_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-count aggregation. Spark expands COUNT(DISTINCT)
     into a two-stage partial/final aggregate — map-side dedup first, so
@@ -1216,6 +1284,35 @@ _ORACLES: dict[str, str] = {
                COALESCE(n_ships, 0) - COALESCE(n_orders, 0) AS ship_minus_order
         FROM o FULL OUTER JOIN s ON o.day = s.day
     """,
+    "q43_promo_share": """
+        SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    "q44_late_ship_priority": """
+        SELECT l_returnflag,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_count,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate
+        GROUP BY l_returnflag
+    """,
+    "q45_idle_rich_customers": """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_cust,
+               ROUND(SUM(c_acctbal), 6) AS total_bal
+        FROM customer c
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment
+    """,
     "q24_distinct_counts": """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_users,
@@ -1316,6 +1413,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_large_orders": q40_large_orders,
         "q41_union_tag": q41_union_tag,
         "q42_user_journey": q42_user_journey,
+        "q43_promo_share": q43_promo_share,
+        "q44_late_ship_priority": q44_late_ship_priority,
+        "q45_idle_rich_customers": q45_idle_rich_customers,
         "j01_asof_attribution": j01_asof_attribution,
         "j02_range_attribution": j02_range_attribution,
         "j03_customers_no_orders": j03_customers_no_orders,
