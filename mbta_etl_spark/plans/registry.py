@@ -806,6 +806,32 @@ def q45_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q46_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary in long format: one scan computes row
+    count, null count, min/max, and distinct cardinality, then unpivot
+    (Spark's melt) turns the single wide row into (stat, value) rows —
+    the shape a profiling UI or drift monitor ingests. Everything is one
+    aggregation job; the unpivot is a zero-shuffle Expand."""
+    ev = _events(spark, sf_dir)
+    wide = ev.agg(
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).cast("double").alias(
+            "value_nulls"
+        ),
+        F.round(F.min("value"), 6).alias("value_min"),
+        F.round(F.max("value"), 6).alias("value_max"),
+        F.count_distinct(F.col("event_type")).cast("double").alias(
+            "event_type_distinct"
+        ),
+        F.count_distinct(F.col("user_id")).cast("double").alias(
+            "user_id_distinct"
+        ),
+    )
+    return wide.unpivot(
+        [], wide.columns, variableColumnName="stat", valueColumnName="value"
+    )
+
+
 def q24_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-count aggregation. Spark expands COUNT(DISTINCT)
     into a two-stage partial/final aggregate — map-side dedup first, so
@@ -1313,6 +1339,24 @@ _ORACLES: dict[str, str] = {
                           WHERE o.o_custkey = c.c_custkey)
         GROUP BY c_mktsegment
     """,
+    "q46_column_profile": """
+        WITH w AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_rows,
+                   CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS value_nulls,
+                   ROUND(MIN(value), 6) AS value_min,
+                   ROUND(MAX(value), 6) AS value_max,
+                   CAST(COUNT(DISTINCT event_type) AS DOUBLE)
+                     AS event_type_distinct,
+                   CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS user_id_distinct
+            FROM events)
+        SELECT 'n_rows' AS stat, n_rows AS value FROM w
+        UNION ALL SELECT 'value_nulls', value_nulls FROM w
+        UNION ALL SELECT 'value_min', value_min FROM w
+        UNION ALL SELECT 'value_max', value_max FROM w
+        UNION ALL SELECT 'event_type_distinct', event_type_distinct FROM w
+        UNION ALL SELECT 'user_id_distinct', user_id_distinct FROM w
+    """,
     "q24_distinct_counts": """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_users,
@@ -1416,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_promo_share": q43_promo_share,
         "q44_late_ship_priority": q44_late_ship_priority,
         "q45_idle_rich_customers": q45_idle_rich_customers,
+        "q46_column_profile": q46_column_profile,
         "j01_asof_attribution": j01_asof_attribution,
         "j02_range_attribution": j02_range_attribution,
         "j03_customers_no_orders": j03_customers_no_orders,

@@ -76,3 +76,60 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+COUNTER_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+
+def running_extrema_stream(events: DataFrame) -> DataFrame:
+    """The transformWithStateInPandas tier (Spark 4's successor to
+    applyInPandasWithState): per-user running count + max value held in a
+    named ValueState. Differences that matter at scale: state is
+    schema'd and composable (multiple named ValueState/ListState/MapState
+    per key instead of one tuple), timers replace the single timeout
+    conf, and the state store backend is RocksDB — state spills to disk,
+    so hot keys aren't bounded by executor heap.
+
+    Requires the RocksDB state store provider (set by the caller/test
+    via spark.sql.streaming.stateStore.providerClass) and a working
+    protobuf runtime (PySpark serializes this API's state over proto;
+    the test suite import-skips where protobuf is unavailable).
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    state_schema = StructType(
+        [StructField("cnt", LongType()), StructField("mx", DoubleType())]
+    )
+
+    class _Extrema(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt, mx = 0, float("-inf")
+            if self._agg.exists():
+                prev = self._agg.get()
+                cnt, mx = int(prev[0]), float(prev[1])
+            for pdf in rows:
+                cnt += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+            self._agg.update((cnt, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [cnt], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Extrema(),
+        outputStructType=COUNTER_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -81,3 +81,65 @@ def test_stateful_profile_accumulates_across_batches(spark, tmp_path):
     assert latest[1]["last_ts"] == dt.datetime(2024, 1, 1, 11, 0)
     assert latest[2]["n_events"] == 1
     assert latest[3]["sum_value"] == 9.0
+
+
+def test_transform_with_state_accumulates(spark, tmp_path):
+    """transformWithStateInPandas: running count/max survives across
+    micro-batches in RocksDB-backed ValueState. The API serializes state
+    over protobuf; skip where the protobuf runtime is unavailable (the
+    operator itself is pure PySpark API surface)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from mbta_etl_spark.streaming.stateful import running_extrema_stream
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        sink = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def drain():
+            stream = spark.readStream.schema(IN_SCHEMA).json(str(src))
+
+            def _append(batch_df, batch_id):
+                batch_df.write.mode("append").parquet(sink)
+
+            q = (
+                running_extrema_stream(stream)
+                .writeStream.foreachBatch(_append)
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        _write(src, "b1.jsonl", [
+            (1, "2024-01-01T10:00:00", 5.0),
+            (1, "2024-01-01T10:05:00", 7.0),
+            (2, "2024-01-01T09:00:00", 1.0),
+        ])
+        drain()
+        _write(src, "b2.jsonl", [(1, "2024-01-01T11:00:00", 3.0)])
+        drain()
+
+        rows = sorted(
+            spark.read.parquet(sink).collect(),
+            key=lambda r: (r["user_id"], r["n_events"]),
+        )
+        latest = {r["user_id"]: r for r in rows}
+        assert latest[1]["n_events"] == 3
+        assert latest[1]["max_value"] == 7.0
+        assert latest[2]["n_events"] == 1
+        assert latest[2]["max_value"] == 1.0
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
