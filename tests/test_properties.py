@@ -93,3 +93,72 @@ def test_threshold_split_partition_is_exhaustive(spark, values):
     assert math.isclose(
         row["pct_above"], round(row["n_above"] * 100.0 / len(values), 6), abs_tol=1e-9
     )
+
+
+def _py_greedy_pack(tokens: list[int], cap: int) -> list[int]:
+    bins, fill, b = [], 0, 0
+    for i, n in enumerate(tokens):
+        if i == 0:
+            fill = n
+        elif fill + n <= cap:
+            fill += n
+        else:
+            b += 1
+            fill = n
+        bins.append(b)
+    return bins
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=30),
+    st.integers(min_value=50, max_value=400),
+)
+@_settings
+def test_greedy_pack_matches_python_and_invariants(spark, tokens, cap):
+    from mbta_etl_spark.operators.sampling import greedy_pack
+
+    df = spark.createDataFrame(
+        [("g", i, int(n)) for i, n in enumerate(tokens)],
+        "src string, doc_id long, n long",
+    )
+    rows = sorted(
+        greedy_pack(df, "src", "doc_id", F.col("n"), cap).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    got = [r["bin"] for r in rows]
+    assert got == _py_greedy_pack(tokens, cap)
+    # invariants: bins are contiguous starting at 0; no bin over capacity
+    # unless it holds a single oversized doc
+    assert got[0] == 0 and all(b2 - b1 in (0, 1) for b1, b2 in zip(got, got[1:]))
+    from collections import defaultdict
+
+    per_bin = defaultdict(list)
+    for n, b in zip(tokens, got):
+        per_bin[b].append(n)
+    for members in per_bin.values():
+        assert sum(members) <= cap or len(members) == 1
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=30),
+    st.integers(min_value=64, max_value=1024),
+)
+@_settings
+def test_chunk_pack_tiles_stream_exactly(spark, tokens, cap):
+    from mbta_etl_spark.operators.sampling import chunk_pack
+
+    df = spark.createDataFrame(
+        [(i, int(n)) for i, n in enumerate(tokens)], "doc_id long, n long"
+    )
+    rows = sorted(
+        chunk_pack(df, F.col("doc_id"), F.col("n"), cap).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    # offsets tile the concatenated stream with no gaps or overlaps
+    expect_start = 0
+    for r, n in zip(rows, tokens):
+        assert r["start_off"] == expect_start
+        assert r["chunk_first"] == expect_start // cap
+        assert r["chunk_last"] == (expect_start + n - 1) // cap
+        assert r["n_chunks"] == r["chunk_last"] - r["chunk_first"] + 1
+        expect_start += n
