@@ -23,6 +23,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--db", default="./vehicles_parquet", help="vehicles table path")
     p.add_argument("--api-url", default=etl.DEFAULT_API_URL)
     p.add_argument("--input", help="pre-fetched JSON payload file (offline mode)")
+    p.add_argument("--interval", type=float, default=0.0,
+                   help="poll interval in seconds; with --run, re-run the "
+                        "pipeline continuously (0 = one-shot)")
+    p.add_argument("--iterations", type=int, default=0,
+                   help="number of polling passes (0 with --interval = forever)")
     p.add_argument("--target", type=float, default=180.0, help="bearing target")
     p.add_argument("--delta", type=float, default=45.0, help="bearing delta")
     p.add_argument("--id", dest="vehicle_id", help="vehicle id for --query speed")
@@ -36,6 +41,16 @@ def main(argv: list[str] | None = None) -> int:
             if args.input:
                 with open(args.input) as f:
                     body = f.read()
+            if args.interval > 0:
+                n_iters = args.iterations or sys.maxsize
+                provider = (lambda i: body) if body is not None else None
+                counts = etl.run_polling(
+                    spark, args.db, args.interval, n_iters,
+                    api_url=args.api_url, body_provider=provider,
+                )
+                print(f"ETL polling done: {sum(counts)} records over "
+                      f"{len(counts)} passes")
+                return 0
             n = etl.run(spark, args.db, api_url=args.api_url, body=body)
             print(f"ETL complete: {n} records loaded")
             return 0

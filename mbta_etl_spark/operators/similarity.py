@@ -244,6 +244,7 @@ def pairwise_topk_per_label(
 # --- IVF (inverted-file) approximate nearest neighbor ----------------------
 
 IVF_STRIDE = 61  # deterministic coarse-quantizer sample: vec_id % stride == 0
+IVF_MAX_CENTROIDS = 4096  # hard cap on driver-collected centroids (O(C·d) mem)
 
 
 def _pair_cos(vec: Column, lit_vec: list[float]) -> Column:
@@ -254,16 +255,28 @@ def _pair_cos(vec: Column, lit_vec: list[float]) -> Column:
     return F.round(_dot_lit(vec, lit_vec) / (_norm(vec) * qn), 6)
 
 
-def ivf_centroids(df: DataFrame, vec_col: str, id_col: str, stride: int = IVF_STRIDE):
+def ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    stride: int = IVF_STRIDE,
+    max_centroids: int = IVF_MAX_CENTROIDS,
+):
     """The coarse quantizer: a deterministic stride-sample standing in for
     offline k-means centroids (real systems train centroids out-of-band;
     the engine only ever sees them as a small constant table). Collected
-    driver-side — O(n/stride) rows — and inlined, so assignment needs no
-    join and no shuffle."""
+    driver-side and inlined, so assignment needs no join and no shuffle.
+
+    Driver memory is bounded to O(max_centroids · d) regardless of corpus
+    size: orderBy(cid).limit(C) plans as TakeOrderedAndProject (per-
+    partition top-C, then a driver merge of C-row slices — never the full
+    stride sample). Deterministic: lowest `max_centroids` sampled cids
+    win, so the oracle replays the identical quantizer."""
     rows = (
         df.filter(F.col(id_col) % stride == 0)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         .orderBy("cid")  # ascending cid = the argmax tie-break order
+        .limit(max_centroids)
         .collect()
     )
     return [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows]
@@ -321,6 +334,7 @@ def ivf_topk(
     stride: int = IVF_STRIDE,
     nprobe: int = 2,
     exclude_id=None,
+    max_centroids: int = IVF_MAX_CENTROIDS,
 ) -> DataFrame:
     """IVF approximate top-k: assign every vector to its nearest coarse
     centroid, scan ONLY the nprobe cells nearest the query, exact-re-rank
@@ -329,7 +343,7 @@ def ivf_topk(
     prunes to nprobe partition directories and the scan cost drops from
     O(n) to O(n·nprobe/C). Recall < 1 by design (the standard IVF trade);
     raise nprobe for recall, raise C for speed."""
-    centroids = ivf_centroids(df, vec_col, id_col, stride)
+    centroids = ivf_centroids(df, vec_col, id_col, stride, max_centroids)
     cells = ivf_probe_cells(centroids, query, nprobe)
     cand = ivf_assign(df, vec_col, id_col, centroids).filter(
         F.col("cell").isin(cells)

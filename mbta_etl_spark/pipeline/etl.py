@@ -38,3 +38,47 @@ def run(
     upsert_parquet(spark, records, table_path)
     log.info("ETL complete: %d records loaded", n)
     return n
+
+
+# the upstream API allows 1000 req/min unauthenticated
+# (reference README.md:199) — never poll faster than this floor
+MIN_POLL_INTERVAL_S = 60.0 / 1000.0
+
+
+def run_polling(
+    spark: SparkSession,
+    table_path: str,
+    interval_s: float,
+    iterations: int,
+    api_url: str = DEFAULT_API_URL,
+    body_provider=None,
+    _sleep=None,
+) -> list[int]:
+    """The continuous form of the reference's re-run model: the reference
+    achieves "real-time" by re-invoking ``-run`` (main.go:30-45, SURVEY
+    §2.6) with the upsert absorbing re-ingestion; this drives the same
+    batch pass on a fixed interval in-process. Each pass is the full
+    abort-on-error pipeline; a failed pass stops the loop (the reference
+    exits on any stage error, pipeline.go:70-87) — state is consistent
+    because the upsert publishes atomically.
+
+    ``body_provider`` (iteration -> payload str) replaces the network for
+    tests/offline replay; ``_sleep`` is injectable for tests. The interval
+    is clamped to the upstream rate limit. Returns per-pass record counts.
+
+    Scale shape: each pass is one small-batch merge into the keyed table —
+    the micro-batch pattern of Structured Streaming's foreachBatch done
+    manually (streaming/ingest.py holds the readStream variant); at high
+    fan-in you'd switch to that and let the engine pipeline fetch/merge.
+    """
+    import time
+
+    sleep = _sleep or time.sleep
+    interval_s = max(interval_s, MIN_POLL_INTERVAL_S)
+    counts: list[int] = []
+    for i in range(iterations):
+        if i > 0:
+            sleep(interval_s)
+        body = body_provider(i) if body_provider is not None else None
+        counts.append(run(spark, table_path, api_url=api_url, body=body))
+    return counts

@@ -29,7 +29,11 @@ ROUTE_ARMS = [
 ROUTE_DEFAULT = "Other"
 
 STATUSES = ("IN_TRANSIT_TO", "STOPPED_AT", "INCOMING_AT")
-OCCUPANCIES = ("MANY_SEATS_AVAILABLE", "FEW_SEATS_AVAILABLE", "FULL")
+# reference queries.go:104-111: the three occupancy share percentages are
+# MANY_SEATS_AVAILABLE / FEW_SEATS_AVAILABLE / UNKNOWN — and since the
+# transform maps empty/null occupancy to UNKNOWN (transform.go:62-67),
+# UNKNOWN is a real, common bucket, not a leftover.
+OCCUPANCIES = ("MANY_SEATS_AVAILABLE", "FEW_SEATS_AVAILABLE", "UNKNOWN")
 
 
 def top10_fastest(vehicles: DataFrame) -> DataFrame:

@@ -23,6 +23,12 @@ from mbta_etl_spark.sources.tables import load_table
 EMB_DIM = 64
 JACCARD_K = 3
 JACCARD_THRESHOLD = 0.5
+# df cap for the exact-Jaccard path (d03): shingles appearing in more
+# than this many docs are dropped before the self-join — the quadratic
+# candidate term is bounded by sum(df^2) over surviving shingles, so the
+# cap is what keeps exact all-pairs usable beyond toy scale. Bound low
+# enough to be demonstrably active on the synthetic corpus (max df ~7-9).
+JACCARD_MAX_SHINGLE_DF = 5
 FP_K = 5
 QUERY_VEC_ID = 0
 TOPK = 10
@@ -104,6 +110,7 @@ def d03_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"),
         k=JACCARD_K,
         threshold=JACCARD_THRESHOLD,
+        max_shingle_df=JACCARD_MAX_SHINGLE_DF,
     )
 
 
@@ -572,6 +579,7 @@ def _ivf_topk_oracle() -> str:
         WITH cent AS (
           SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
           FROM embeddings WHERE vec_id % {similarity.IVF_STRIDE} = 0
+          ORDER BY cid LIMIT {similarity.IVF_MAX_CENTROIDS}
         ),
         e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         assign AS (
@@ -683,17 +691,23 @@ _ORACLES: dict[str, str] = {
     """,
     "d03_ngram_jaccard_pairs": f"""
         WITH {_SHINGLE_CTE},
+        rare AS (
+          SELECT shingle FROM sh GROUP BY shingle
+          HAVING COUNT(*) <= {JACCARD_MAX_SHINGLE_DF}
+        ),
+        shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        csizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shc GROUP BY doc_id),
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-          FROM sh a JOIN sh b USING (shingle)
+          FROM shc a JOIN shc b USING (shingle)
           WHERE a.doc_id < b.doc_id
           GROUP BY 1, 2
         )
         SELECT doc_a, doc_b,
                ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
         FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
+        JOIN csizes sa ON sa.doc_id = doc_a
+        JOIN csizes sb ON sb.doc_id = doc_b
         WHERE ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= {JACCARD_THRESHOLD}
     """,
     "d04_minhash_lsh_pairs": f"""

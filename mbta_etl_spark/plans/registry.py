@@ -570,12 +570,20 @@ def q35_order_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: each order's part basket as a sorted list.
     collect_list is shuffle-order-dependent, so array_sort canonicalizes
     — the same discipline any engine needs for deterministic nested
-    results. One map-side-combinable aggregation on the order key."""
+    results. One map-side-combinable aggregation on the order key. The
+    basket is emitted comma-joined (not as array<bigint>) so the result
+    is hashable by any downstream row-canonicalizer."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_orderkey")
         .agg(
-            F.array_sort(F.collect_list("l_partkey")).alias("parts"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("l_partkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("parts"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -1140,11 +1148,11 @@ _ORACLES: dict[str, str] = {
     """,
     "q25_pivot_counts": """
         SELECT user_id % 10 AS cohort,
-               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         FROM events GROUP BY user_id % 10
     """,
     "q26_stratified_sample": """
@@ -1245,7 +1253,7 @@ _ORACLES: dict[str, str] = {
     """,
     "q35_order_basket": """
         SELECT l_orderkey,
-               LIST(l_partkey ORDER BY l_partkey) AS parts,
+               array_to_string(LIST(l_partkey ORDER BY l_partkey), ',') AS parts,
                COUNT(*) AS n_items
         FROM lineitem GROUP BY l_orderkey
     """,
@@ -1320,10 +1328,10 @@ _ORACLES: dict[str, str] = {
     """,
     "q44_late_ship_priority": """
         SELECT l_returnflag,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_count,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_count
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate > o_orderdate
         GROUP BY l_returnflag
@@ -1411,63 +1419,76 @@ _ORACLES: dict[str, str] = {
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from mbta_etl_spark.plans import llm_registry
 
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        "q01_top10_by_value": q01_top10_by_value,
-        "q02_prefix_classify": q02_prefix_classify,
-        "q03_class_breakdown": q03_class_breakdown,
-        "q04_global_stats": q04_global_stats,
-        "q05_status_counts": q05_status_counts,
-        "q06_share_pct": q06_share_pct,
-        "q07_orderstatus_counts": q07_orderstatus_counts,
-        "q08_threshold_split": q08_threshold_split,
-        "q09_percentiles_exact": q09_percentiles_exact,
-        "q09a_percentiles_approx": q09a_percentiles_approx,
-        "q10_between_filter": q10_between_filter,
-        "q11_cardinal_histogram": q11_cardinal_histogram,
-        "q12_count": q12_count,
-        "q13_point_lookup": q13_point_lookup,
-        "q14_upsert_latest": q14_upsert_latest,
-        "q15_hourly_rollup": q15_hourly_rollup,
-        "q16_pricing_summary": q16_pricing_summary,
-        "q17_top_customers": q17_top_customers,
-        "q18_sessionization": q18_sessionization,
-        "q19_running_totals": q19_running_totals,
-        "q20_priority_rollup": q20_priority_rollup,
-        "q21_status_set_ops": q21_status_set_ops,
-        "q22_segment_revenue": q22_segment_revenue,
-        "q23_json_extract": q23_json_extract,
-        "q18a_session_windows": q18a_session_windows,
-        "q25_pivot_counts": q25_pivot_counts,
-        "q26_stratified_sample": q26_stratified_sample,
-        "q27_cube_breakdown": q27_cube_breakdown,
-        "q24_distinct_counts": q24_distinct_counts,
-        "q24a_distinct_approx": q24a_distinct_approx,
-        "q28_corr_stats": q28_corr_stats,
-        "q29_value_histogram": q29_value_histogram,
-        "q30_regional_revenue": q30_regional_revenue,
-        "q31_topn_per_group": q31_topn_per_group,
-        "q32_order_max_item": q32_order_max_item,
-        "q33_moving_avg": q33_moving_avg,
-        "q34_gap_fill_days": q34_gap_fill_days,
-        "q35_order_basket": q35_order_basket,
-        "q36_grouping_sets": q36_grouping_sets,
-        "q37_value_quartiles": q37_value_quartiles,
-        "q38_salted_agg": q38_salted_agg,
-        "q39_custdist": q39_custdist,
-        "q40_large_orders": q40_large_orders,
-        "q41_union_tag": q41_union_tag,
-        "q42_user_journey": q42_user_journey,
-        "q43_promo_share": q43_promo_share,
-        "q44_late_ship_priority": q44_late_ship_priority,
-        "q45_idle_rich_customers": q45_idle_rich_customers,
-        "q46_column_profile": q46_column_profile,
-        "j01_asof_attribution": j01_asof_attribution,
-        "j02_range_attribution": j02_range_attribution,
-        "j03_customers_no_orders": j03_customers_no_orders,
-        "j04_big_spenders_semi": j04_big_spenders_semi,
-        "j05_full_outer_reconcile": j05_full_outer_reconcile,
-    }
+    # ORDER MATTERS: the driver's differential-correctness harness checks
+    # the first N entries in dict iteration order, so entries without a
+    # prior green CORRECTNESS row come first. Round-2 front-load: the 33
+    # LLM-pipeline entries + j02–j05 (driver-unverified in r1), then the
+    # three entries whose oracle canonicalization was fixed this round
+    # (q25/q35/q44), then a representative core slice. The r1-proven tail
+    # keeps its local DuckDB parity coverage via tests/test_parity.py.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(llm_registry.queries())
+    out.update(
+        {
+            "j02_range_attribution": j02_range_attribution,
+            "j03_customers_no_orders": j03_customers_no_orders,
+            "j04_big_spenders_semi": j04_big_spenders_semi,
+            "j05_full_outer_reconcile": j05_full_outer_reconcile,
+            # oracle-canonicalization fixes this round
+            "q25_pivot_counts": q25_pivot_counts,
+            "q35_order_basket": q35_order_basket,
+            "q44_late_ship_priority": q44_late_ship_priority,
+            # representative r1-proven core slice
+            "q09_percentiles_exact": q09_percentiles_exact,
+            "q11_cardinal_histogram": q11_cardinal_histogram,
+            "q14_upsert_latest": q14_upsert_latest,
+            "q16_pricing_summary": q16_pricing_summary,
+            "q17_top_customers": q17_top_customers,
+            "q30_regional_revenue": q30_regional_revenue,
+            "q33_moving_avg": q33_moving_avg,
+            "q38_salted_agg": q38_salted_agg,
+            "q46_column_profile": q46_column_profile,
+            "j01_asof_attribution": j01_asof_attribution,
+            # r1-proven tail (all green in CORRECTNESS_r01.json)
+            "q01_top10_by_value": q01_top10_by_value,
+            "q02_prefix_classify": q02_prefix_classify,
+            "q03_class_breakdown": q03_class_breakdown,
+            "q04_global_stats": q04_global_stats,
+            "q05_status_counts": q05_status_counts,
+            "q06_share_pct": q06_share_pct,
+            "q07_orderstatus_counts": q07_orderstatus_counts,
+            "q08_threshold_split": q08_threshold_split,
+            "q09a_percentiles_approx": q09a_percentiles_approx,
+            "q10_between_filter": q10_between_filter,
+            "q12_count": q12_count,
+            "q13_point_lookup": q13_point_lookup,
+            "q15_hourly_rollup": q15_hourly_rollup,
+            "q18_sessionization": q18_sessionization,
+            "q19_running_totals": q19_running_totals,
+            "q20_priority_rollup": q20_priority_rollup,
+            "q21_status_set_ops": q21_status_set_ops,
+            "q22_segment_revenue": q22_segment_revenue,
+            "q23_json_extract": q23_json_extract,
+            "q18a_session_windows": q18a_session_windows,
+            "q26_stratified_sample": q26_stratified_sample,
+            "q27_cube_breakdown": q27_cube_breakdown,
+            "q24_distinct_counts": q24_distinct_counts,
+            "q24a_distinct_approx": q24a_distinct_approx,
+            "q28_corr_stats": q28_corr_stats,
+            "q29_value_histogram": q29_value_histogram,
+            "q31_topn_per_group": q31_topn_per_group,
+            "q32_order_max_item": q32_order_max_item,
+            "q34_gap_fill_days": q34_gap_fill_days,
+            "q36_grouping_sets": q36_grouping_sets,
+            "q37_value_quartiles": q37_value_quartiles,
+            "q39_custdist": q39_custdist,
+            "q40_large_orders": q40_large_orders,
+            "q41_union_tag": q41_union_tag,
+            "q42_user_journey": q42_user_journey,
+            "q43_promo_share": q43_promo_share,
+            "q45_idle_rich_customers": q45_idle_rich_customers,
+        }
+    )
     return out
 
 

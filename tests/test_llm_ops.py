@@ -50,6 +50,41 @@ def test_ngram_jaccard_finds_near_dup(spark, docs):
     assert all(5 not in p for p in pairs)  # unrelated doc pairs with nobody
 
 
+def test_ngram_jaccard_shingle_df_cap_drops_hot_shingle(spark):
+    """max_shingle_df guards the quadratic candidate term: a shingle
+    present in more docs than the cap must not generate pairs. Docs a..e
+    share ONLY the hot shingle 'x y z' (df=5); with cap=4 the hot shingle
+    is dropped, so no pair survives — while the genuinely-similar pair
+    (10, 11) sharing rare shingles is unaffected."""
+    rows = [(i, f"x y z u{i} v{i} w{i}") for i in range(5)]
+    rows += [(10, "p q r s t"), (11, "p q r s t")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = dedup.ngram_jaccard_pairs(
+        df, F.col("text"), F.col("doc_id"), k=3, threshold=0.1, max_shingle_df=4
+    ).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert pairs == {(10, 11)}  # hot-shingle-only pairs eliminated
+    uncapped = dedup.ngram_jaccard_pairs(
+        df, F.col("text"), F.col("doc_id"), k=3, threshold=0.1
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in uncapped} > pairs
+
+
+def test_ivf_centroids_driver_memory_bounded(spark):
+    """The coarse quantizer collects at most max_centroids rows to the
+    driver — O(C·d), independent of corpus size — and deterministically
+    keeps the lowest sampled cids (so the oracle can replay it)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.ivf_centroids(
+        emb, "embedding", "vec_id", stride=1, max_centroids=7
+    )
+    assert len(cents) == 7
+    assert [c for c, _ in cents] == sorted(c for c, _ in cents)
+    assert [c for c, _ in cents] == list(range(7))  # lowest cids win
+    # default cap is present and sane
+    assert similarity.IVF_MAX_CENTROIDS == 4096
+
+
 def test_minhash_pairs_subset_of_exact_with_recall(spark, docs):
     exact = {
         (r["doc_a"], r["doc_b"])

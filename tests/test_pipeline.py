@@ -90,6 +90,40 @@ def test_load_handles_duplicates(spark, tmp_path):
     assert out[0]["speed"] == 30.0
 
 
+def test_load_atomic_publish_layout(spark, tmp_path):
+    """The table path is a symlink atomically repointed at immutable
+    version dirs — no missing-table window during the swap (VERDICT r1
+    flaw in the rename-pair swap), and stale versions are swept."""
+    import os
+
+    path = str(tmp_path / "vehicles")
+    upsert_parquet(spark, _vehicles_df(spark, [_vehicle(1, speed=1.0)]), path)
+    assert os.path.islink(path)
+    v1 = os.path.realpath(path)
+    assert spark.read.parquet(path).count() == 1
+
+    upsert_parquet(spark, _vehicles_df(spark, [_vehicle(2, speed=2.0)]), path)
+    v2 = os.path.realpath(path)
+    assert v2 != v1
+    assert not os.path.exists(v1)  # previous version GC'd after publish
+    assert spark.read.parquet(path).count() == 2
+    # the link target is relative → table survives a parent-dir move
+    assert not os.path.isabs(os.readlink(path))
+
+
+def test_load_migrates_legacy_real_dir(spark, tmp_path):
+    """A table written directly as a parquet dir (pre-symlink layout) is
+    migrated in place on the next upsert and keeps its rows."""
+    import os
+
+    path = str(tmp_path / "vehicles")
+    _vehicles_df(spark, [_vehicle(1, speed=1.0)]).write.parquet(path)
+    assert os.path.isdir(path) and not os.path.islink(path)
+    upsert_parquet(spark, _vehicles_df(spark, [_vehicle(2, speed=2.0)]), path)
+    assert os.path.islink(path)
+    assert spark.read.parquet(path).count() == 2
+
+
 def test_load_tie_prefers_incoming_batch(spark, tmp_path):
     """Equal ingested_at → REPLACE semantics: the new batch wins
     (reference load.go:14 always replaces)."""
@@ -98,6 +132,51 @@ def test_load_tie_prefers_incoming_batch(spark, tmp_path):
     upsert_parquet(spark, _vehicles_df(spark, [_vehicle(1, vid="t", speed=2.0)]), path)
     out = spark.read.parquet(path).collect()
     assert len(out) == 1 and out[0]["speed"] == 2.0
+
+
+# --- ETL orchestration (reference pipeline.go:66-91 + re-run model) -------
+
+def _payload(vehicles):
+    return json.dumps({
+        "data": [
+            {
+                "id": vid, "type": "vehicle",
+                "attributes": {
+                    "updated_at": "2024-01-15T10:30:00-05:00", "speed": speed,
+                    "occupancy_status": "MANY_SEATS_AVAILABLE",
+                    "longitude": -71.0, "latitude": 42.0, "label": vid,
+                    "direction_id": 0, "current_status": "IN_TRANSIT_TO",
+                    "bearing": 0,
+                },
+            }
+            for vid, speed in vehicles
+        ]
+    })
+
+
+def test_run_polling_reingests_with_upsert(spark, tmp_path):
+    """The continuous re-run model: three polling passes, overlapping ids —
+    the upsert absorbs re-ingestion (load.go:14), so the table converges
+    to one row per id with the newest values. Sleep is injected: the loop
+    must sleep iterations-1 times with the rate-limit-clamped interval."""
+    from mbta_etl_spark.pipeline import etl
+
+    path = str(tmp_path / "vehicles")
+    bodies = [
+        _payload([("a", 10.0), ("b", 20.0)]),
+        _payload([("b", 25.0), ("c", 30.0)]),
+        _payload([("a", 11.0)]),
+    ]
+    sleeps = []
+    counts = etl.run_polling(
+        spark, path, interval_s=0.0, iterations=3,
+        body_provider=lambda i: bodies[i], _sleep=sleeps.append,
+    )
+    assert counts == [2, 2, 1]
+    assert len(sleeps) == 2
+    assert all(s >= etl.MIN_POLL_INTERVAL_S for s in sleeps)
+    rows = {r["id"]: r["speed"] for r in spark.read.parquet(path).collect()}
+    assert rows == {"a": 11.0, "b": 25.0, "c": 30.0}
 
 
 # --- vehicle queries ------------------------------------------------------
@@ -124,6 +203,27 @@ def test_summary_stats(spark):
     assert row["percent_moving"] == 100.0
     # discrete percentiles, offsets n//2=1, 9n//10=2, 95n//100=2 → 20,30,30
     assert (row["p50"], row["p90"], row["p95"]) == (20.0, 30.0, 30.0)
+
+
+def test_summary_stats_occupancy_pcts(spark):
+    """The three occupancy share columns are MANY/FEW/UNKNOWN
+    (queries.go:104-111) — UNKNOWN is the normalized empty-occupancy
+    bucket (transform.go:62-67), so it must be reported, and FULL must
+    not appear as a share column."""
+    df = _vehicles_df(
+        spark,
+        [
+            _vehicle(1, occ="MANY_SEATS_AVAILABLE"),
+            _vehicle(2, occ="MANY_SEATS_AVAILABLE"),
+            _vehicle(3, occ="FEW_SEATS_AVAILABLE"),
+            _vehicle(4, occ="UNKNOWN"),
+        ],
+    )
+    row = vq.summary_stats(df).collect()[0]
+    assert row["occupancy_many_seats_available_pct"] == 50.0
+    assert row["occupancy_few_seats_available_pct"] == 25.0
+    assert row["occupancy_unknown_pct"] == 25.0
+    assert "occupancy_full_pct" not in row.asDict()
 
 
 def test_summary_stats_no_moving(spark):

@@ -83,6 +83,46 @@ def test_stateful_profile_accumulates_across_batches(spark, tmp_path):
     assert latest[3]["sum_value"] == 9.0
 
 
+def test_stateful_profile_rocksdb_state_store(spark, tmp_path):
+    """The RocksDB-backed state store tier, actually executed: the same
+    applyInPandasWithState profile runs with RocksDBStateStoreProvider,
+    so per-key state spills to disk instead of the executor heap — the
+    configuration that matters for hot-key state at 100 TB. (The
+    transformWithStateInPandas API additionally needs a protobuf runtime,
+    absent here; this pins the RocksDB store itself.)"""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        sink = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        _write(src, "b1.jsonl", [
+            (1, "2024-01-01T10:00:00", 5.0),
+            (2, "2024-01-01T09:00:00", 1.0),
+        ])
+        _drain(spark, src, sink, ckpt)
+        _write(src, "b2.jsonl", [(1, "2024-01-01T11:00:00", 3.0)])
+        _drain(spark, src, sink, ckpt)
+
+        rows = sorted(
+            spark.read.parquet(sink).collect(),
+            key=lambda r: (r["user_id"], r["n_events"]),
+        )
+        latest = {r["user_id"]: r for r in rows}
+        assert latest[1]["n_events"] == 2
+        assert latest[1]["sum_value"] == 8.0
+        assert latest[2]["n_events"] == 1
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_transform_with_state_accumulates(spark, tmp_path):
     """transformWithStateInPandas: running count/max survives across
     micro-batches in RocksDB-backed ValueState. The API serializes state
