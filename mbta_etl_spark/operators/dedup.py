@@ -365,6 +365,60 @@ def simhash(df: DataFrame, text: Column, id_col: Column) -> DataFrame:
     return agg.select("doc_id", sig.cast("long").alias("simhash"))
 
 
+def simhash_band_pairs(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: (doc_a, doc_b, hamming) for every pair of
+    signatures within ``max_hamming`` bits, found via band collision.
+
+    The signature is split into ``n_bands`` equal bit slices; by
+    pigeonhole, any pair differing in < n_bands bits agrees on at least
+    one slice, so with max_hamming = n_bands − 1 the banding is
+    RECALL-EXACT, not approximate — unlike MinHash-LSH there is no
+    probabilistic miss. Candidates = docs sharing any (band, slice)
+    key; verification = one integer xor + bit_count, no re-scan of the
+    text. This is the cheap near-dedup tier: one shuffle to aggregate
+    signatures, one equi-join on 8-bit slice keys (the d04 MinHash path
+    re-verifies with true Jaccard; this one trades that fidelity for
+    ~10× less compute). Skew note: a degenerate slice value shared by
+    many docs (e.g. all-zero band from very short docs) concentrates one
+    join key; at 100 TB, count band-key frequencies first and route hot
+    keys through the exact pairwise check."""
+    assert SIMHASH_BITS % n_bands == 0
+    band_bits = SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    sigs = simhash(df, text, id_col)
+    stack_args = ", ".join(
+        f"{b}, shiftright(simhash, {b * band_bits}) & {mask}"
+        for b in range(n_bands)
+    )
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.expr(f"stack({n_bands}, {stack_args}) AS (band, bkey)"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.expr("bit_count(sig_a ^ sig_b)")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     vec_col: str,

@@ -55,6 +55,48 @@ def stratified_hash_sample(
     return df.filter(_bucket(key, salt) < thresh)
 
 
+def token_budget_sample(
+    df: DataFrame,
+    key: Column,
+    stratum: Column,
+    n_tokens: Column,
+    budget: int,
+    salt: str = "s0",
+) -> DataFrame:
+    """Per-stratum document selection up to a token budget: within each
+    stratum, walk documents in content-hash order and keep them while the
+    running token total stays ≤ budget. The hash order makes the kept set
+    a uniform-at-random prefix that is reproducible on any cluster and
+    replayable by the oracle (the standard "N billion tokens per source"
+    corpus-construction step).
+
+    One window (cumulative sum partitioned by stratum, ordered by hash
+    then key for total determinism) + one filter. Scale note: the window
+    sort is per-stratum; a stratum far larger than a partition sorts via
+    shuffle-range-sort, which is the unavoidable cost of an ordered
+    prefix — if only the BUDGET matters (not which docs), swap the order
+    key for the doc's hash bucket and pre-aggregate per bucket to pick a
+    bucket-granular prefix with no full sort."""
+    from pyspark.sql import Window
+
+    # project/rename FIRST, then window over the renamed columns — the
+    # caller's Column expressions are unresolvable post-projection
+    base = df.select(
+        key.alias("doc_id"),
+        stratum.alias("stratum"),
+        n_tokens.cast("long").alias("n_tokens"),
+    )
+    h = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+    w = (
+        Window.partitionBy("stratum")
+        .orderBy(h, "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
+        F.col("cum_tokens") <= budget
+    )
+
+
 def split_assign(
     df: DataFrame,
     key: Column,

@@ -325,6 +325,107 @@ def ivf_probe_cells(centroids, query: list[float], nprobe: int) -> list[int]:
     return [cid for _, cid in sorted(scored)[:nprobe]]
 
 
+# --- k-means clustering ----------------------------------------------------
+
+KMEANS_ROUND_DP = 6  # centroids + distances rounded to 6dp for portability
+
+
+def _kmeans_assign(df: DataFrame, vec_col: str, id_col: str, centroids) -> DataFrame:
+    """Nearest-centroid assignment (Euclidean) via mapInPandas: one numpy
+    distance matrix per Arrow batch against the driver-broadcast centroid
+    matrix. Distances are rounded to KMEANS_ROUND_DP before the argmin
+    (ties → lowest cluster index) so the assignment is bit-identical in
+    any engine. Plan: scan → mapInPandas — zero shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cmat = np.array([c for c in centroids], dtype=np.float64)
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("cluster", LongType()),
+            StructField("dist", DoubleType()),
+        ]
+    )
+
+    def _assign(batches):
+        for pdf in batches:
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            # (n, C) squared distances, then sqrt + round for portability
+            d2 = ((v[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            d = np.round(np.sqrt(d2), KMEANS_ROUND_DP)
+            idx = np.argmin(d, axis=1)  # first min = lowest cluster idx
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster": idx.astype("int64"),
+                    "dist": d[np.arange(len(idx)), idx],
+                }
+            )
+
+    return df.mapInPandas(_assign, schema=schema)
+
+
+def kmeans_fit_predict(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_iter: int = 2,
+    stride: int = IVF_STRIDE,
+    max_centroids: int = IVF_MAX_CENTROIDS,
+) -> DataFrame:
+    """Lloyd's k-means with deterministic stride-sample init and a FIXED
+    iteration count: (id, cluster, dist) after n_iter assign/update
+    rounds. Cluster labels are the 0-based index into the cid-ascending
+    initial sample, so results replay exactly in any engine.
+
+    Distributed shape per iteration: one zero-shuffle assignment pass
+    (mapInPandas matmul) + one mean-update = posexplode → (cluster, pos)
+    partial-agg shuffle of C·d cells, collected driver-side (O(C·d),
+    bounded like ivf_centroids). Centroid means are rounded to 6dp
+    before the next assignment — this is what keeps cross-engine float
+    drift out of the argmin. Fixed n_iter (vs convergence test) keeps
+    the job count static and the oracle replayable; production k-means
+    on 100 TB runs the same loop with a sampled update (mini-batch)."""
+    cents = [
+        vec
+        for _, vec in ivf_centroids(df, vec_col, id_col, stride, max_centroids)
+    ]
+    base = df.select(F.col(id_col), F.col(vec_col))
+    for it in range(n_iter):
+        assigned = _kmeans_assign(base, vec_col, id_col, cents)
+        if it == n_iter - 1:
+            return assigned
+        # mean update: explode to (cluster, pos, x), one partial-agg
+        # shuffle of C·d cells, tiny driver collect
+        joined = base.join(assigned.select(id_col, "cluster"), id_col)
+        cells = (
+            joined.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in cells:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        dim = len(cents[0])
+        cents = [
+            [
+                round(by_cluster.get(c, {}).get(p, cents[c][p]), KMEANS_ROUND_DP)
+                for p in range(dim)
+            ]
+            for c in range(len(cents))
+        ]
+    return _kmeans_assign(base, vec_col, id_col, cents)
+
+
 def ivf_topk(
     df: DataFrame,
     vec_col: str,

@@ -52,6 +52,40 @@ def token_stats(df: DataFrame, text: Column, id_col: Column) -> DataFrame:
     )
 
 
+def unigram_lm_score(df: DataFrame, text: Column, id_col: Column) -> DataFrame:
+    """Per-document mean unigram log-likelihood under the corpus's own
+    unigram distribution: score = avg over tokens of ln(count(tok)/N).
+
+    The perplexity-style quality signal real pipelines compute with a
+    KenLM model — here the LM is the corpus itself (two aggregations),
+    so the operator is self-contained and oracle-replayable. Docs full
+    of rare tokens score low (negative, large magnitude); boilerplate
+    scores high.
+
+    Distributed shape: token-frequency table (one partial-agg shuffle on
+    the token — vocab-sized, tiny), broadcast-joined onto the exploded
+    corpus, then one doc-keyed mean. The explode never shuffles: the
+    frequency table is the ONLY aggregated side, so at 100 TB the cost
+    is two scans + a vocab broadcast, not a corpus-wide repartition.
+    N (total tokens) rides along as a broadcast one-row cross join."""
+    toks = df.select(id_col.alias("doc_id"), F.explode(_tokens(text)).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_n"))
+    # N derives from the vocab table (sum of counts) — no third corpus scan
+    total = freq.agg(F.sum("tok_n").alias("corpus_n"))
+    scored = (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("tok_n") / F.col("corpus_n")).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.avg("lp"), 6).alias("lm_score"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
 def quality_score(df: DataFrame, text: Column, id_col: Column) -> DataFrame:
     """Heuristic document quality: length score, stopword ratio,
     punctuation ratio, combined 0-1 score.

@@ -128,6 +128,20 @@ def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir), F.col("text"), F.col("doc_id"))
 
 
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 3  # = SIMHASH_BANDS - 1 → banding is recall-exact
+
+
+def d09_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_band_pairs(
+        _docs(spark, sf_dir),
+        F.col("text"),
+        F.col("doc_id"),
+        max_hamming=SIMHASH_MAX_HAMMING,
+        n_bands=SIMHASH_BANDS,
+    )
+
+
 def d07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components over the MinHash-LSH pair
     graph (iterative min-label propagation; oracle replays it with a
@@ -196,6 +210,18 @@ def s05_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=TOPK,
         nprobe=IVF_NPROBE,
         exclude_id=QUERY_VEC_ID,
+    )
+
+
+KMEANS_ITER = 2
+
+
+def k01_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means on the embedding corpus: stride-
+    sampled init, fixed 2 iterations, 6dp-rounded centroids between
+    rounds — fully replayable by the DuckDB oracle CTE chain."""
+    return similarity.kmeans_fit_predict(
+        _emb(spark, sf_dir), "embedding", "vec_id", n_iter=KMEANS_ITER
     )
 
 
@@ -436,6 +462,34 @@ def c05_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-source totals are ~1.2-1.6k tokens at sf≤0.01 and ~13k at sf0.1,
+# so 800 exercises the cutoff (partial prefix kept) at every test SF
+TOKEN_BUDGET = 800
+
+
+def c06_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget prefix: keep a hash-ordered random prefix
+    of each source until its running token total exceeds the budget —
+    the "N tokens per source" corpus-mixing step, deterministic and
+    oracle-replayable."""
+    from mbta_etl_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    return sampling.token_budget_sample(
+        docs,
+        F.col("doc_id"),
+        F.col("source"),
+        F.size(F.split("text", " ")),
+        budget=TOKEN_BUDGET,
+    )
+
+
+def t11_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-likelihood of each doc under the corpus unigram
+    distribution — the KenLM-style quality signal, self-contained."""
+    return text.unigram_lm_score(_docs(spark, sf_dir), F.col("text"), F.col("doc_id"))
+
+
 # --- oracle SQL generation -------------------------------------------------
 
 def _shingle_cte(source: str = "documents") -> str:
@@ -508,7 +562,9 @@ _QUALITY_EXPR = (
 )
 
 
-def _simhash_oracle() -> str:
+def _simhash_sig_ctes() -> str:
+    """CTE chain ending in sig(doc_id, simhash) — shared by the d05 and
+    d09 oracles."""
     sums = ", ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
         for b in range(SIMHASH_BITS)
@@ -517,7 +573,7 @@ def _simhash_oracle() -> str:
         f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
     )
     return f"""
-        WITH t AS (
+        t AS (
           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
           FROM documents
         ),
@@ -525,8 +581,86 @@ def _simhash_oracle() -> str:
           SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) AS h
           FROM t
         ),
-        b AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
-        SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM b
+        b AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+        sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM b)
+    """
+
+
+def _simhash_oracle() -> str:
+    return f"""
+        WITH {_simhash_sig_ctes()}
+        SELECT doc_id, simhash FROM sig
+    """
+
+
+def _simhash_band_pairs_oracle() -> str:
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_bits) - 1
+    return f"""
+        WITH {_simhash_sig_ctes()},
+        bands AS (
+          SELECT doc_id, simhash, band,
+                 (simhash >> (band * {band_bits})) & {mask} AS bkey
+          FROM sig
+          CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BANDS})) AS band)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sig_a,
+                          b.doc_id AS doc_b, b.simhash AS sig_b
+          FROM bands a JOIN bands b USING (band, bkey)
+          WHERE a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+def _kmeans_oracle() -> str:
+    """Replays kmeans_fit_predict exactly: stride init (cluster = 0-based
+    rank of sampled cid), per-iteration 6dp-rounded distances with
+    lowest-cluster tie-break, 6dp-rounded mean update, empty clusters
+    keep their previous centroid."""
+    assign = """
+          SELECT vec_id, cluster, dist FROM (
+            SELECT e.vec_id, c.cluster,
+                   ROUND(list_distance(e.v, c.cv), 6) AS dist,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY ROUND(list_distance(e.v, c.cv), 6) ASC,
+                              c.cluster ASC
+                   ) AS rn
+            FROM e CROSS JOIN {cent} c
+          ) WHERE rn = 1
+    """
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c0 AS (
+          SELECT row_number() OVER (ORDER BY cid) - 1 AS cluster, cv FROM (
+            SELECT vec_id AS cid, v AS cv FROM e
+            WHERE vec_id % {similarity.IVF_STRIDE} = 0
+            ORDER BY cid LIMIT {similarity.IVF_MAX_CENTROIDS}
+          )
+        ),
+        a1 AS ({assign.format(cent="c0")}),
+        cells AS (
+          SELECT a1.cluster, generate_subscripts(e.v, 1) AS pos,
+                 unnest(e.v) AS x
+          FROM a1 JOIN e USING (vec_id)
+        ),
+        means AS (
+          SELECT cluster, pos, ROUND(AVG(x), 6) AS m
+          FROM cells GROUP BY cluster, pos
+        ),
+        c1 AS (
+          SELECT c0.cluster,
+                 COALESCE(mm.cv, c0.cv) AS cv
+          FROM c0 LEFT JOIN (
+            SELECT cluster, list(m ORDER BY pos) AS cv FROM means GROUP BY cluster
+          ) mm USING (cluster)
+        )
+        SELECT vec_id, cluster, dist FROM ({assign.format(cent="c1")})
     """
 
 
@@ -745,6 +879,34 @@ _ORACLES: dict[str, str] = {
         WHERE ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= {JACCARD_THRESHOLD}
     """,
     "d05_simhash": _simhash_oracle(),
+    "d09_simhash_band_pairs": _simhash_band_pairs_oracle(),
+    "k01_kmeans_clusters": _kmeans_oracle(),
+    "c06_token_budget": f"""
+        SELECT doc_id, stratum, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM (
+          SELECT doc_id, source AS stratum,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 SUM(len(string_split(text, ' '))) OVER (
+                   PARTITION BY source
+                   ORDER BY md5('s0' || CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS cum_tokens
+          FROM documents
+        )
+        WHERE cum_tokens <= {TOKEN_BUDGET}
+    """,
+    "t11_unigram_lm": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        freq AS (SELECT tok, COUNT(*) AS tok_n FROM toks GROUP BY tok),
+        total AS (SELECT CAST(SUM(tok_n) AS BIGINT) AS corpus_n FROM freq)
+        SELECT doc_id,
+               ROUND(AVG(ln(tok_n / corpus_n)), 6) AS lm_score,
+               COUNT(*) AS n_tokens
+        FROM toks JOIN freq USING (tok) CROSS JOIN total
+        GROUP BY doc_id
+    """,
     "d07_dup_clusters": f"""
         WITH RECURSIVE {_SHINGLE_CTE},
         {_minhash_pair_ctes()},
@@ -1044,6 +1206,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d03_ngram_jaccard_pairs": d03_ngram_jaccard_pairs,
         "d04_minhash_lsh_pairs": d04_minhash_lsh_pairs,
         "d05_simhash": d05_simhash,
+        "d09_simhash_band_pairs": d09_simhash_band_pairs,
+        "k01_kmeans_clusters": k01_kmeans_clusters,
+        "c06_token_budget": c06_token_budget,
+        "t11_unigram_lm": t11_unigram_lm,
         "d06_embed_cosine_pairs": d06_embed_cosine_pairs,
         "d07_dup_clusters": d07_dup_clusters,
         "c01_corpus_clean": c01_corpus_clean,

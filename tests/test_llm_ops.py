@@ -102,6 +102,70 @@ def test_minhash_pairs_subset_of_exact_with_recall(spark, docs):
     assert (1, 2) in lsh  # identical docs always collide in every band
 
 
+def test_simhash_band_pairs_recall_exact(spark, docs):
+    """With max_hamming = n_bands − 1 the banding misses NOTHING: every
+    signature pair within the hamming radius must be emitted (pigeonhole
+    guarantee), and identical docs pair at hamming 0."""
+    sigs = {r["doc_id"]: r["simhash"] for r in
+            dedup.simhash(docs, F.col("text"), F.col("doc_id")).collect()}
+    expect = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a in sigs for b in sigs if a < b
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_band_pairs(
+            docs, F.col("text"), F.col("doc_id"), max_hamming=3, n_bands=4
+        ).collect()
+    }
+    assert got == expect
+    assert got[(1, 2)] == 0  # identical docs
+
+
+def test_kmeans_deterministic_and_consistent(spark):
+    """Fixed-iteration k-means: every vector lands in a valid cluster,
+    the reported distance equals the true distance to that centroid's
+    final position, and a re-run is bit-identical (no RNG anywhere)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = similarity.kmeans_fit_predict(emb, "embedding", "vec_id", n_iter=2)
+    rows1 = sorted((r["vec_id"], r["cluster"], r["dist"]) for r in a.collect())
+    rows2 = sorted(
+        (r["vec_id"], r["cluster"], r["dist"])
+        for r in similarity.kmeans_fit_predict(
+            emb, "embedding", "vec_id", n_iter=2
+        ).collect()
+    )
+    assert rows1 == rows2
+    n_cents = len(similarity.ivf_centroids(emb, "embedding", "vec_id"))
+    assert all(0 <= c < n_cents for _, c, _ in rows1)
+    assert len(rows1) == emb.count()
+    assert all(d >= 0 for _, _, d in rows1)
+    # more than one cluster actually used on 500 spread-out vectors
+    assert len({c for _, c, _ in rows1}) > 1
+
+
+def test_unigram_lm_rare_tokens_score_lower(spark):
+    """Docs made of corpus-frequent tokens must outscore docs of rare
+    tokens; values match the hand-computed unigram log-likelihood."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "a a b"), (3, "z a a")],
+        ["doc_id", "text"],
+    )
+    from mbta_etl_spark.operators import text as text_ops
+
+    out = {r["doc_id"]: r for r in
+           text_ops.unigram_lm_score(df, F.col("text"), F.col("doc_id")).collect()}
+    # corpus: a×7, b×1, z×1, N=9
+    lp = {"a": math.log(7 / 9), "b": math.log(1 / 9), "z": math.log(1 / 9)}
+    assert out[1]["lm_score"] == round(lp["a"], 6)
+    assert out[2]["lm_score"] == round((2 * lp["a"] + lp["b"]) / 3, 6)
+    assert out[1]["lm_score"] > out[2]["lm_score"] == out[3]["lm_score"]
+    assert out[1]["n_tokens"] == 3
+
+
 def test_simhash_identical_docs_equal_near_docs_close(spark, docs):
     out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(
         docs, F.col("text"), F.col("doc_id")

@@ -8,6 +8,7 @@ from mbta_etl_spark.operators.sampling import (
     hash_sample,
     split_assign,
     stratified_hash_sample,
+    token_budget_sample,
     weighted_mix,
 )
 from tests.conftest import SF_DIR_SMALL
@@ -82,6 +83,47 @@ def test_split_assign_exhaustive_and_stable(spark):
         for r in split_assign(ev.repartition(5), F.col("event_id")).collect()
     }
     assert again == {(r["event_id"], r["split"]) for r in out.collect()}
+
+
+def test_token_budget_prefix_and_determinism(spark):
+    """Per-stratum budget: the kept set is exactly the hash-ordered
+    prefix whose running total fits, identical under any partitioning."""
+    from mbta_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents")
+    out = token_budget_sample(
+        docs, F.col("doc_id"), F.col("source"),
+        F.size(F.split("text", " ")), budget=800,
+    )
+    rows = out.collect()
+    assert rows  # the budget keeps something
+    assert all(r["cum_tokens"] <= 800 for r in rows)
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["stratum"], []).append(r)
+    full = {r["source"] for r in docs.select("source").distinct().collect()}
+    assert set(per_src) == full  # every stratum keeps a non-empty prefix
+    for src, kept in per_src.items():
+        assert max(r["cum_tokens"] for r in kept) <= 800
+        # partial prefix: the full source exceeds the budget (see
+        # TOKEN_BUDGET sizing), so something was cut
+        total = (
+            docs.filter(F.col("source") == src)
+            .select(F.sum(F.size(F.split("text", " "))))
+            .collect()[0][0]
+        )
+        assert total > 800 > 0
+        assert len(kept) < docs.filter(F.col("source") == src).count()
+    # partitioning-independent
+    ids = {r["doc_id"] for r in rows}
+    ids_repart = {
+        r["doc_id"]
+        for r in token_budget_sample(
+            docs.repartition(13), F.col("doc_id"), F.col("source"),
+            F.size(F.split("text", " ")), budget=800,
+        ).collect()
+    }
+    assert ids == ids_repart
 
 
 def test_weighted_mix_copy_counts(spark):
