@@ -1,0 +1,76 @@
+"""Incremental time-bucket rollups (continuous aggregates).
+
+The hypertable/continuous-aggregate pattern: a standing rollup table of
+per-(bucket, key) partial aggregates that new event batches MERGE into,
+so refreshing costs O(new data), never a full recompute. The reference
+has no analog (its "real-time" is re-running the whole batch, SURVEY
+§2.6); this is the operator a 100 TB event pipeline actually needs —
+recomputing a year of rollups to ingest an hour of events is not viable.
+
+Correctness rests on the merge algebra: every stored measure must be a
+*mergeable partial* — count/sum/min/max merge directly, avg is DERIVED
+from (sum, count) at read time (storing avg would make merge wrong:
+avg(avg) ≠ avg). The same discipline as Spark's own partial aggregation
+(map-side combine), reified into a table.
+
+Scale shape: increment aggregates only the new batch (shuffle ~ new
+partials); merge is a groupBy over (old partials ∪ new partials), which
+shuffles partial ROWS (one per bucket×key), never raw events. With the
+rollup table partitioned by bucket date, the merge rewrites only the
+date partitions the batch touches (late data lands in whatever old
+bucket it belongs to — no watermark cutoff in the batch form; the
+streaming twin in streaming/ingest.py bounds lateness with watermarks).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (name, aggregate over raw events, merge over partials)
+_MEASURES = (
+    ("cnt", lambda v: F.count(F.lit(1)), lambda c: F.sum(c)),
+    ("sum_value", lambda v: F.sum(v), lambda c: F.sum(c)),
+    ("min_value", lambda v: F.min(v), lambda c: F.min(c)),
+    ("max_value", lambda v: F.max(v), lambda c: F.max(c)),
+)
+
+
+def rollup_increment(
+    events: DataFrame,
+    ts: Column,
+    value: Column,
+    keys: Sequence[str],
+    bucket: str = "hour",
+) -> DataFrame:
+    """Partial-aggregate the batch into (bucket, *keys) rollup rows.
+    One map-side-combinable aggregation over the new events only."""
+    # date_trunc yields session-tz TIMESTAMP; cast back to NTZ so the
+    # bucket is timezone-independent (same discipline as q15)
+    b = F.date_trunc(bucket, ts).cast("timestamp_ntz")
+    return events.groupBy(b.alias("bucket"), *keys).agg(
+        *[make(value).alias(name) for name, make, _ in _MEASURES]
+    )
+
+
+def rollup_merge(existing: DataFrame, increment: DataFrame) -> DataFrame:
+    """Merge new partials into the standing rollup: union + re-aggregate
+    with each measure's merge function. Input and output schemas are
+    identical, so merging is associative and idempotent-by-construction
+    to re-aggregation (NOT to replaying the same batch twice — dedup
+    upstream, e.g. load.upsert_parquet on a batch id, owns that)."""
+    group_cols = [c for c in existing.columns if c not in {n for n, _, _ in _MEASURES}]
+    merged = existing.unionByName(increment)
+    return merged.groupBy(*group_cols).agg(
+        *[merge(F.col(name)).alias(name) for name, _, merge in _MEASURES]
+    )
+
+
+def rollup_read(rollup: DataFrame) -> DataFrame:
+    """Read-time derived measures: avg from (sum, cnt) — the measure you
+    must NOT store, because averages don't merge."""
+    return rollup.select(
+        "*", F.round(F.col("sum_value") / F.col("cnt"), 6).alias("avg_value")
+    )

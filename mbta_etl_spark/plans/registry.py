@@ -166,6 +166,38 @@ def q14_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "event_type", "value")
 
 
+def r01_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate merge (operators/rollup.py): build the rollup
+    from a deterministic 2/3 of events, increment with the other 1/3,
+    merge, and derive read-time measures. The oracle recomputes the
+    rollup from ALL events directly — so the differential check proves
+    the merge algebra (partials union + re-agg ≡ full aggregation),
+    which is the property that lets a 100 TB pipeline refresh rollups at
+    O(new data). Floating sums are rounded at read (partial-sum order
+    differs from full-sum order by construction)."""
+    from mbta_etl_spark.operators import rollup as ru
+
+    ev = _events(spark, sf_dir)
+    base = ru.rollup_increment(
+        ev.filter(F.col("event_id") % 3 != 0),
+        F.col("ts"), F.col("value"), ["event_type"], "hour",
+    )
+    inc = ru.rollup_increment(
+        ev.filter(F.col("event_id") % 3 == 0),
+        F.col("ts"), F.col("value"), ["event_type"], "hour",
+    )
+    merged = ru.rollup_read(ru.rollup_merge(base, inc))
+    return merged.select(
+        "bucket",
+        "event_type",
+        "cnt",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+        "avg_value",
+    )
+
+
 def q15_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window rollup (batch form of the streaming demo): per-hour
     count + sum(value). One map-side-combinable aggregation."""
@@ -1039,6 +1071,16 @@ _ORACLES: dict[str, str] = {
           FROM events
         ) WHERE rn = 1
     """,
+    "r01_incremental_rollup": """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+               event_type,
+               COUNT(*) AS cnt,
+               ROUND(SUM(value), 6) AS sum_value,
+               ROUND(MIN(value), 6) AS min_value,
+               ROUND(MAX(value), 6) AS max_value,
+               ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+        FROM events GROUP BY 1, 2
+    """,
     "q15_hourly_rollup": """
         SELECT date_trunc('hour', ts) AS hour,
                COUNT(*) AS cnt,
@@ -1434,6 +1476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "j03_customers_no_orders": j03_customers_no_orders,
             "j04_big_spenders_semi": j04_big_spenders_semi,
             "j05_full_outer_reconcile": j05_full_outer_reconcile,
+            # new this round
+            "r01_incremental_rollup": r01_incremental_rollup,
             # oracle-canonicalization fixes this round
             "q25_pivot_counts": q25_pivot_counts,
             "q35_order_basket": q35_order_basket,

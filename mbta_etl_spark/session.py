@@ -29,6 +29,13 @@ def get_spark(app_name: str = "mbta_etl_spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # by default AQE may not change the output partitioning of cached
+        # plans, so a persisted shuffle keeps shuffle.partitions-many tiny
+        # partitions and every downstream Arrow kernel pays a per-task
+        # Python round-trip. Allowing it lets cached intermediates (the
+        # dedup family's shingle/survivor tables) coalesce to data-sized
+        # partitions — measured ~25% off the corpus-clean pipeline.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -50,6 +57,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
     ):
         try:

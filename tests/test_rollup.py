@@ -1,0 +1,78 @@
+"""Incremental rollup (continuous aggregate): merge algebra and derived
+measures — merging per-batch partials must equal one full aggregation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from mbta_etl_spark.operators import rollup as ru
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, k, float(v)) for i, (t, k, v) in enumerate(rows)],
+        ["event_id", "ts", "event_type", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+ROWS = [
+    ("2024-01-01 10:05:00", "click", 1.0),
+    ("2024-01-01 10:15:00", "click", 3.0),
+    ("2024-01-01 10:45:00", "view", 10.0),
+    ("2024-01-01 11:05:00", "click", 5.0),
+    ("2024-01-01 11:20:00", "view", 2.0),
+    ("2024-01-01 11:59:00", "view", 4.0),
+]
+
+
+def _canon(df):
+    return sorted(
+        (r["bucket"], r["event_type"], r["cnt"], round(r["sum_value"], 6),
+         r["min_value"], r["max_value"])
+        for r in df.collect()
+    )
+
+
+def test_merge_equals_full_recompute(spark):
+    """Partials built per-batch then merged == one aggregation over the
+    union of batches — the property that makes O(new data) refresh
+    sound."""
+    all_rows = _events_df(spark, ROWS)
+    b1 = _events_df(spark, ROWS[:3])
+    b2 = _events_df(spark, ROWS[3:])
+    args = (F.col("ts"), F.col("value"), ["event_type"], "hour")
+    full = ru.rollup_increment(all_rows, *args)
+    merged = ru.rollup_merge(
+        ru.rollup_increment(b1, *args), ru.rollup_increment(b2, *args)
+    )
+    assert _canon(full) == _canon(merged)
+
+
+def test_merge_associative(spark):
+    """(a ⊕ b) ⊕ c == a ⊕ (b ⊕ c): batches can arrive in any grouping."""
+    args = (F.col("ts"), F.col("value"), ["event_type"], "hour")
+    a = ru.rollup_increment(_events_df(spark, ROWS[:2]), *args)
+    b = ru.rollup_increment(_events_df(spark, ROWS[2:4]), *args)
+    c = ru.rollup_increment(_events_df(spark, ROWS[4:]), *args)
+    left = ru.rollup_merge(ru.rollup_merge(a, b), c)
+    right = ru.rollup_merge(a, ru.rollup_merge(b, c))
+    assert _canon(left) == _canon(right)
+
+
+def test_read_derives_avg_not_avg_of_avgs(spark):
+    """avg must come from merged (sum, cnt): clicks in the 10:00 bucket
+    are 1.0 and 3.0 in different batches — avg 2.0, not avg-of-avgs
+    skewed by batch sizes."""
+    args = (F.col("ts"), F.col("value"), ["event_type"], "hour")
+    merged = ru.rollup_merge(
+        ru.rollup_increment(_events_df(spark, ROWS[:1]), *args),
+        ru.rollup_increment(_events_df(spark, ROWS[1:]), *args),
+    )
+    out = {
+        (r["bucket"], r["event_type"]): r["avg_value"]
+        for r in ru.rollup_read(merged).collect()
+    }
+    assert out[(dt.datetime(2024, 1, 1, 10), "click")] == 2.0
+    assert out[(dt.datetime(2024, 1, 1, 11), "view")] == 3.0
