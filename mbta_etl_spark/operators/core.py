@@ -153,30 +153,37 @@ def discrete_percentiles(
     """Exact discrete percentiles with the reference's integer-division
     offsets (p50 → OFFSET n/2, p90 → n*9/10, p95 → n*95/100).
 
-    Implementation: one count action, then per-fraction
-    ``sort(asc).offset(⌊n*k/d⌋).limit(1)`` — Catalyst executes
-    offset+limit over a global sort boundary; for the bounded offsets used
-    here it remains a single-pass skip-scan. For 100 TB you'd switch to
-    ``approx_percentile`` (see :func:`approx_percentiles`); this operator
-    exists for bit-exact parity with the reference semantics.
-    Empty input → empty result (reference emits nothing when
+    Implementation: ONE job — a global-sort window computing
+    ``row_number`` plus an unpartitioned ``count`` window, then each row
+    keeps the labels of every fraction whose offset it occupies (a row
+    can satisfy several fractions at small n, so labels explode from an
+    array — the reference emits one row per fraction regardless of value
+    ties). No driver-side count action, no per-fraction re-sort (the
+    previous form ran 1 + len(fractions) jobs). The single-partition
+    sort is the honest cost of EXACT order statistics and is why this is
+    the parity operator; ``approx_percentiles`` below is the 100 TB
+    path. Empty input → empty result (reference emits nothing when
     movingVehicles == 0, queries.go:152-156).
     """
+    from pyspark.sql import Window
+
     vals = df.select(measure.alias("value"))
-    n = vals.count()  # one intentional action; the reference also runs COUNT first
-    if n == 0:
-        return vals.select(F.lit("").alias("pct"), F.col("value")).limit(0)
-    out = None
-    for label, num, den in fractions:
-        off = (n * num) // den
-        one = (
-            vals.orderBy(F.asc("value"))
-            .offset(off)
-            .limit(1)
-            .select(F.lit(label).alias("pct"), F.col("value"))
+    ranked = vals.select(
+        "value",
+        F.row_number().over(Window.orderBy(F.asc("value"))).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("_n"),
+    )
+    arms = [
+        F.when(
+            F.col("_rn") == F.expr(f"(_n * {num}) div {den} + 1"), F.lit(label)
         )
-        out = one if out is None else out.unionAll(one)
-    return out
+        for label, num, den in fractions
+    ]
+    return (
+        ranked.select(F.array_compact(F.array(*arms)).alias("_m"), "value")
+        .filter(F.size("_m") > 0)
+        .select(F.explode("_m").alias("pct"), F.col("value"))
+    )
 
 
 def approx_percentiles(

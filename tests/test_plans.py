@@ -100,3 +100,48 @@ def test_q34_calendar_side_broadcasts(spark):
     the daily aggregate, never shuffle it."""
     plan = _plan(registry.q34_gap_fill_days(spark, SF_DIR_SMALL))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_t11_vocab_joins_broadcast_corpus_never_shuffled(spark):
+    """Unigram LM: the vocab/total tables broadcast onto the exploded
+    corpus — the corpus side must reach its per-doc aggregation without
+    a join-induced repartition (only agg exchanges allowed)."""
+    from mbta_etl_spark.plans import llm_registry
+
+    plan = _plan(llm_registry.t11_unigram_lm(spark, SF_DIR_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q09_single_job_no_per_fraction_sorts(spark):
+    """Exact percentiles: one global-sort window, labels exploded — no
+    per-fraction re-sort, no CollectLimit pulling O(n) rows to the
+    driver, no union of single-row plans."""
+    plan = _plan(registry.q09_percentiles_exact(spark, SF_DIR_SMALL))
+    assert "CollectLimit" not in plan
+    assert plan.count("Sort") <= 2  # the one window sort (+AQE reuse)
+    assert "Window" in plan
+
+
+def test_c06_single_window_shuffle(spark):
+    """Token-budget prefix: exactly one exchange (the per-stratum window
+    partitioning); the filter rides the window output."""
+    from mbta_etl_spark.plans import llm_registry
+
+    import re
+
+    plan = _plan(llm_registry.c06_token_budget(spark, SF_DIR_SMALL))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+
+
+def test_kmeans_assignment_zero_shuffle(spark):
+    """k-means assignment pass: scan → mapInPandas, no exchange — the
+    centroid matrix rides in the closure, never as a join side."""
+    from mbta_etl_spark.operators import similarity
+
+    emb = spark.read.parquet(SF_DIR_SMALL + "/embeddings.parquet")
+    cents = similarity.ivf_centroids(emb, "embedding", "vec_id")
+    plan = _plan(similarity._kmeans_assign(emb, "embedding", "vec_id",
+                                           [v for _, v in cents]))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()

@@ -64,6 +64,48 @@ def test_discrete_percentiles_match_offset_arithmetic(spark, values):
 
 @given(
     st.lists(
+        st.tuples(
+            st.integers(0, 23),  # hour of day → bucket
+            st.sampled_from(["click", "view"]),
+            st.floats(-1e3, 1e3, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(0, 39),  # split point between "old" and "new" batch
+)
+@_settings
+def test_rollup_merge_equals_full_aggregation(spark, rows, cut):
+    """For ANY batch split, merging per-batch rollup partials equals one
+    aggregation over all events — counts/min/max exactly, sums to fp
+    tolerance (merge order differs from full-sum order)."""
+    from mbta_etl_spark.operators import rollup as ru
+
+    def mk(rs, off):
+        return spark.createDataFrame(
+            [(off + i, f"2024-01-01 {h:02d}:30:00", k, float(v))
+             for i, (h, k, v) in enumerate(rs)],
+            ["event_id", "ts", "event_type", "value"],
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    cut = min(cut, len(rows))
+    args = (F.col("ts"), F.col("value"), ["event_type"], "hour")
+    full = ru.rollup_increment(mk(rows, 0), *args)
+    merged = ru.rollup_merge(
+        ru.rollup_increment(mk(rows[:cut], 0), *args),
+        ru.rollup_increment(mk(rows[cut:], cut), *args),
+    ) if cut not in (0, len(rows)) else full
+    def canon(df):
+        return sorted(
+            (r["bucket"], r["event_type"], r["cnt"],
+             round(r["sum_value"], 6), r["min_value"], r["max_value"])
+            for r in df.collect()
+        )
+    assert canon(full) == canon(merged)
+
+
+@given(
+    st.lists(
         st.tuples(st.integers(0, 3), st.floats(0, 1e5, allow_nan=False)),
         min_size=1,
         max_size=50,
