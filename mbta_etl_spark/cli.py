@@ -31,6 +31,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--target", type=float, default=180.0, help="bearing target")
     p.add_argument("--delta", type=float, default=45.0, help="bearing delta")
     p.add_argument("--id", dest="vehicle_id", help="vehicle id for --query speed")
+    p.add_argument("--sql", help="run arbitrary SQL against the vehicles table "
+                                 "(registered as view `vehicles`) — the "
+                                 "reference's generic SQL cursor, Spark-planned")
     args = p.parse_args(argv)
 
     spark = get_spark("mbta-etl-cli")
@@ -53,6 +56,10 @@ def main(argv: list[str] | None = None) -> int:
                 return 0
             n = etl.run(spark, args.db, api_url=args.api_url, body=body)
             print(f"ETL complete: {n} records loaded")
+            return 0
+        if args.sql:
+            spark.read.parquet(args.db).createOrReplaceTempView("vehicles")
+            spark.sql(args.sql).show(100, truncate=False)
             return 0
         if not args.query:
             p.print_usage()

@@ -142,6 +142,53 @@ def fake_image_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_fake, schema=IMAGE_FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("out_width", LongType()),
+        StructField("out_height", LongType()),
+        StructField("out_bytes", LongType()),
+        StructField("out_checksum", StringType()),
+    ]
+)
+
+
+def fake_resize(df: DataFrame, target: int = 128) -> DataFrame:
+    """Deterministic fake resize — the binary→binary kernel shape: decode
+    dims (fake, from the payload hash like fake_image_features), fit the
+    longest side to ``target`` preserving aspect with pure integer math
+    (engine-portable: ``out_w = w·target // max(w,h)``), synthesize the
+    "resized" payload bytes in-kernel, and emit the NEW metadata
+    (dims, byte length, md5) — exactly what a thumbnailing stage
+    publishes. The output payload is a deterministic function of
+    (doc_id, dims, input-md5), so the whole transform is replayable by
+    the SQL oracle even though real codecs are absent."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(mid: int, b: Any) -> tuple[int, int, int, str]:
+            raw = bytes(b)
+            h = hashlib.md5(raw).digest()
+            w, ht = 64 + h[0] % 192, 64 + h[1] % 192
+            m = max(w, ht)
+            ow, oh = w * target // m, ht * target // m
+            out = f"resized:{mid}:{ow}x{oh}:{hashlib.md5(raw).hexdigest()}".encode()
+            return ow, oh, len(out), hashlib.md5(out).hexdigest()
+
+        for pdf in batches:
+            r = [one(m, p) for m, p in zip(pdf["doc_id"], pdf["payload"])]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "out_width": pd.Series([x[0] for x in r], dtype="int64"),
+                    "out_height": pd.Series([x[1] for x in r], dtype="int64"),
+                    "out_bytes": pd.Series([x[2] for x in r], dtype="int64"),
+                    "out_checksum": pd.Series([x[3] for x in r], dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
 FRAME_SAMPLE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

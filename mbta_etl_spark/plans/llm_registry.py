@@ -256,18 +256,31 @@ def m01_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def m02_fake_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (the fake decode is hashlib-digest-derived, not
-    reasonably SQL-expressible) — exercises the mapInPandas decode path."""
+    """Oracle-checked mapInPandas decode path: the fake dims are digest
+    bytes of md5(payload), which the SQL oracle replays as hex pairs of
+    md5(text) (payload = utf-8 of text)."""
     binary = multimodal.to_binary_table(_docs(spark, sf_dir), "text", "doc_id")
     return multimodal.fake_image_features(binary)
 
 
 def m03_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: one-to-many mapInPandas expansion (video-frame
-    sampling shape) — byte-slice checksums aren't SQL-expressible over
-    blobs, so the driver validates row count + schema stability."""
+    """Oracle-checked one-to-many mapInPandas expansion (video-frame
+    sampling shape): byte-slice checksums replay as md5 over substr —
+    valid because the synthetic corpus is pure ASCII (byte slicing ==
+    char slicing); the operator itself is bytes-defined."""
     binary = multimodal.to_binary_table(_docs(spark, sf_dir), "text", "doc_id")
     return multimodal.fake_frame_samples(binary)
+
+
+def m04_fake_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary→binary kernel (thumbnailing shape): fake-decode dims,
+    integer aspect-fit, synthesized output payload; emits the new
+    metadata incl. output checksum, all replayable in SQL."""
+    binary = multimodal.to_binary_table(_docs(spark, sf_dir), "text", "doc_id")
+    return multimodal.fake_resize(binary, target=RESIZE_TARGET)
+
+
+RESIZE_TARGET = 128
 
 
 MIX_WEIGHTS = {
@@ -1006,6 +1019,56 @@ _ORACLES: dict[str, str] = {
                ascii(text[-1]) AS last_byte
         FROM documents
     """,
+    # fake dims are digest BYTES of md5(payload); payload = utf8(text), so
+    # digest byte k replays as hex pair 2k+1..2k+2 of md5(text)
+    "m02_fake_image_features": """
+        SELECT doc_id AS media_id,
+               64 + CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) % 192 AS width,
+               64 + CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) % 192 AS height,
+               1 + CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT) % 4 AS n_channels
+        FROM documents
+    """,
+    # byte-slice checksums replay as md5 over substr — sound here because
+    # the synthetic corpus is pure ASCII (byte slice == char slice)
+    "m03_frame_samples": """
+        WITH f AS (
+          SELECT doc_id, text,
+                 unnest(range(0, CAST(ceil(greatest(octet_length(encode(text)), 1)
+                                           / 64.0) AS BIGINT))) AS fi
+          FROM documents
+        )
+        SELECT doc_id AS media_id,
+               fi AS frame_idx,
+               fi * 64 AS byte_offset,
+               md5(substr(text, CAST(fi * 64 + 1 AS BIGINT), 64)) AS frame_checksum
+        FROM f
+    """,
+    "m04_fake_resize": """
+        WITH d AS (
+          SELECT doc_id,
+                 64 + CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) % 192 AS w,
+                 64 + CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) % 192 AS h,
+                 md5(text) AS src_md5
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id,
+                 (w * 128) // greatest(w, h) AS ow,
+                 (h * 128) // greatest(w, h) AS oh,
+                 src_md5
+          FROM d
+        ),
+        s AS (
+          SELECT doc_id, ow, oh,
+                 'resized:' || doc_id || ':' || ow || 'x' || oh || ':' || src_md5
+                   AS payload
+          FROM p
+        )
+        SELECT doc_id AS media_id, ow AS out_width, oh AS out_height,
+               octet_length(encode(payload)) AS out_bytes,
+               md5(payload) AS out_checksum
+        FROM s
+    """,
 }
 
 
@@ -1234,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m01_binary_meta": m01_binary_meta,
         "m02_fake_image_features": m02_fake_image_features,
         "m03_frame_samples": m03_frame_samples,
+        "m04_fake_resize": m04_fake_resize,
     }
 
 

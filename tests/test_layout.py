@@ -14,6 +14,7 @@ from mbta_etl_spark.sources.layout import (
     write_bucketed,
     write_partitioned,
 )
+from tests.conftest import SF_DIR_SMALL
 
 
 def _plan(df) -> str:
@@ -63,6 +64,53 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_ivf_cell_partitioned_layout_prunes_probe(spark, tmp_path):
+    """The IVF scale claim made concrete: write the assigned corpus
+    partitioned by cell, probe with a cell filter — the scan must prune
+    to the probed partition directories (PartitionFilters), reading none
+    of the other cells' files."""
+    from pyspark.sql import functions as F
+
+    from mbta_etl_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.ivf_centroids(emb, "embedding", "vec_id")
+    assigned = similarity.ivf_assign(emb, "embedding", "vec_id", cents)
+    path = str(tmp_path / "emb_by_cell")
+    write_partitioned(assigned, path, ["cell"])
+
+    probe_cells = [cents[0][0], cents[1][0]]
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    plan = _plan(scan)
+    assert "PartitionFilters" in plan and "cell" in plan
+    # pruned read: only the probed cells' rows come back
+    got_cells = {r["cell"] for r in scan.select("cell").distinct().collect()}
+    assert got_cells <= set(probe_cells)
+
+
+def test_run_sql_generic_cursor(spark):
+    """S2 parity: arbitrary SQL over the registered testdata views —
+    string in, rows out, Catalyst-planned."""
+    from mbta_etl_spark.sources.tables import run_sql
+
+    out = run_sql(
+        spark,
+        SF_DIR_SMALL,
+        """SELECT o_orderstatus, COUNT(*) AS n
+           FROM orders WHERE o_totalprice > 1000
+           GROUP BY o_orderstatus ORDER BY n DESC""",
+    ).collect()
+    assert len(out) >= 2
+    assert out[0]["n"] >= out[-1]["n"]
+    # joins across views work too
+    j = run_sql(
+        spark,
+        SF_DIR_SMALL,
+        "SELECT COUNT(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+    ).collect()[0]["n"]
+    assert j > 0
 
 
 def test_salted_count_matches_plain(spark):
