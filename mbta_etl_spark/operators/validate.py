@@ -1,0 +1,112 @@
+"""Data-validation operators: constraint checking and snapshot diffing.
+
+The quality gate a training-data pipeline runs before a corpus ships:
+declared expectations (uniqueness, referential integrity, null fractions,
+value ranges) evaluated in ONE pass per table, and a key-level diff
+between two table versions (what an upsert/refresh actually changed).
+
+Scale shapes:
+- ``check_constraints`` folds every expectation into a single conditional
+  aggregation — one scan, one 1-row result per table, no matter how many
+  rules; uniqueness adds one keyed aggregation; referential integrity is
+  a left-anti join that broadcasts the FK side's distinct keys when small.
+- ``snapshot_diff`` is one full-outer join on the key — the minimal
+  shuffle for a complete added/removed/changed census; at 100 TB both
+  sides bucket on the key and the join co-locates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def check_constraints(
+    df: DataFrame,
+    not_null: Sequence[str] = (),
+    unique: Sequence[str] = (),
+    ranges: Sequence[tuple[str, float, float]] = (),
+) -> DataFrame:
+    """Evaluate all declared expectations in one pass; returns one row per
+    rule: (rule, violations, n_rows, ok). Null checks and range checks
+    fold into a single conditional aggregation over one scan; each
+    ``unique`` column adds one count-distinct aggregation (exact — swap
+    for approx_count_distinct at extreme cardinality)."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    names: list[str] = []
+    for c in not_null:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"_v{len(names)}"))
+        names.append(f"not_null:{c}")
+    for c, lo, hi in ranges:
+        aggs.append(
+            F.count(
+                F.when(~F.col(c).between(F.lit(lo), F.lit(hi)), 1)
+            ).alias(f"_v{len(names)}")
+        )
+        names.append(f"range:{c}:[{lo},{hi}]")
+    for c in unique:
+        aggs.append(
+            (F.count(F.col(c)) - F.countDistinct(F.col(c))).alias(f"_v{len(names)}")
+        )
+        names.append(f"unique:{c}")
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{n}', _v{i}" for i, n in enumerate(names))
+    return wide.select(
+        F.expr(f"stack({len(names)}, {stack}) AS (rule, violations)"),
+        F.col("_n").alias("n_rows"),
+    ).select(
+        "rule",
+        F.col("violations").cast("long").alias("violations"),
+        "n_rows",
+        (F.col("violations") == 0).alias("ok"),
+    )
+
+
+def check_referential(
+    child: DataFrame, child_key: Column, parent: DataFrame, parent_key: Column
+) -> DataFrame:
+    """Orphan census: child rows whose key has no parent — a left-anti
+    join against the parent's pruned key column (broadcast when small),
+    aggregated to (n_orphans, n_child)."""
+    parents = parent.select(parent_key.alias("_pk")).distinct()
+    orphans = child.select(child_key.alias("_ck")).join(
+        parents, F.col("_ck") == F.col("_pk"), "left_anti"
+    )
+    return orphans.agg(F.count(F.lit(1)).alias("n_orphans")).crossJoin(
+        child.agg(F.count(F.lit(1)).alias("n_child"))
+    )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, compare: Sequence[str]
+) -> DataFrame:
+    """Key-level diff of two table versions: (key, change) with change ∈
+    {added, removed, changed, unchanged}. One full-outer join on the key;
+    ``compare`` columns decide changed-vs-unchanged (null-safe equality,
+    so NULL → NULL counts as unchanged)."""
+    # presence flags ride the join sides themselves, so a NULL compare
+    # column can never be misread as absence
+    o = old.select(
+        F.col(key),
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in compare],
+    )
+    n = new.select(
+        F.col(key),
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in compare],
+    )
+    j = o.join(n, key, "full_outer")
+    same = None
+    for c in compare:
+        eq = F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col(key), change.alias("change"))

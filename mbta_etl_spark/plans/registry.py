@@ -198,6 +198,51 @@ def r01_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v01_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared expectations over orders — nulls, ranges, uniqueness —
+    evaluated in ONE conditional-aggregation scan (operators/validate.py):
+    the pre-ship data-quality gate, rules × tables, O(1) result rows."""
+    from mbta_etl_spark.operators import validate
+
+    return validate.check_constraints(
+        load_table(spark, sf_dir, "orders"),
+        not_null=["o_orderkey", "o_custkey", "o_orderdate"],
+        unique=["o_orderkey"],
+        ranges=[("o_totalprice", 0.0, 1_000_000.0)],
+    )
+
+
+def v02_referential_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan census: lineitem rows whose order is missing —
+    left-anti probe against the pruned, distinct parent keys."""
+    from mbta_etl_spark.operators import validate
+
+    return validate.check_referential(
+        load_table(spark, sf_dir, "lineitem"),
+        F.col("l_orderkey"),
+        load_table(spark, sf_dir, "orders"),
+        F.col("o_orderkey"),
+    )
+
+
+def v03_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-level diff between two table versions (one full-outer join):
+    what an upsert/refresh actually changed. Versions are derived
+    deterministically from events so the oracle replays them: old drops
+    event_id%11==0, new drops %13==0 and doubles value on %7==0."""
+    from mbta_etl_spark.operators import validate
+
+    ev = _events(spark, sf_dir)
+    old = ev.filter(F.col("event_id") % 11 != 0)
+    new = ev.filter(F.col("event_id") % 13 != 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.col("value") * 2).otherwise(
+            F.col("value")
+        ),
+    )
+    return validate.snapshot_diff(old, new, "event_id", ["value"])
+
+
 def q15_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window rollup (batch form of the streaming demo): per-hour
     count + sum(value). One map-side-combinable aggregation."""
@@ -1071,6 +1116,47 @@ _ORACLES: dict[str, str] = {
           FROM events
         ) WHERE rn = 1
     """,
+    "v01_constraint_check": """
+        WITH s AS (
+          SELECT COUNT(*) AS n_rows,
+                 COUNT(*) FILTER (o_orderkey IS NULL) AS v0,
+                 COUNT(*) FILTER (o_custkey IS NULL) AS v1,
+                 COUNT(*) FILTER (o_orderdate IS NULL) AS v2,
+                 COUNT(*) FILTER (o_totalprice NOT BETWEEN 0.0 AND 1000000.0) AS v3,
+                 COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v4
+          FROM orders
+        )
+        SELECT r.rule, r.violations, s.n_rows, r.violations = 0 AS ok
+        FROM s, LATERAL (VALUES
+          ('not_null:o_orderkey', v0),
+          ('not_null:o_custkey', v1),
+          ('not_null:o_orderdate', v2),
+          ('range:o_totalprice:[0.0,1000000.0]', v3),
+          ('unique:o_orderkey', v4)
+        ) AS r(rule, violations)
+    """,
+    "v02_referential_check": """
+        SELECT (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                 AS n_orphans,
+               (SELECT COUNT(*) FROM lineitem) AS n_child
+    """,
+    "v03_snapshot_diff": """
+        WITH o AS (
+          SELECT event_id, value FROM events WHERE event_id % 11 <> 0
+        ),
+        n AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 7 = 0 THEN value * 2 ELSE value END AS value
+          FROM events WHERE event_id % 13 <> 0
+        )
+        SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+               CASE WHEN o.event_id IS NULL THEN 'added'
+                    WHEN n.event_id IS NULL THEN 'removed'
+                    WHEN o.value IS NOT DISTINCT FROM n.value THEN 'unchanged'
+                    ELSE 'changed' END AS change
+        FROM o FULL OUTER JOIN n ON o.event_id = n.event_id
+    """,
     "r01_incremental_rollup": """
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
                event_type,
@@ -1478,6 +1564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "j05_full_outer_reconcile": j05_full_outer_reconcile,
             # new this round
             "r01_incremental_rollup": r01_incremental_rollup,
+            "v01_constraint_check": v01_constraint_check,
+            "v02_referential_check": v02_referential_check,
+            "v03_snapshot_diff": v03_snapshot_diff,
             # oracle-canonicalization fixes this round
             "q25_pivot_counts": q25_pivot_counts,
             "q35_order_basket": q35_order_basket,

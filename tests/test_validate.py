@@ -1,0 +1,65 @@
+"""Validation operators: constraint checks must DETECT violations (the
+testdata is clean, so parity alone can't prove that), and snapshot diff
+must classify added/removed/changed/unchanged incl. null-safe compares."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mbta_etl_spark.operators import validate
+
+
+def test_constraints_detect_each_violation_kind(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (2, 50.0), (None, 99.0)],
+        ["k", "v"],
+    )
+    out = {
+        r["rule"]: r
+        for r in validate.check_constraints(
+            df, not_null=["k"], unique=["k"], ranges=[("v", 0.0, 100.0)]
+        ).collect()
+    }
+    assert out["not_null:k"]["violations"] == 1
+    assert not out["not_null:k"]["ok"]
+    # COUNT(k)=3 non-null, 2 distinct → 1 duplicate
+    assert out["unique:k"]["violations"] == 1
+    assert out["range:v:[0.0,100.0]"]["violations"] == 1
+    assert all(r["n_rows"] == 4 for r in out.values())
+
+
+def test_constraints_clean_table_all_ok(spark):
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], ["k", "v"])
+    out = validate.check_constraints(
+        df, not_null=["k", "v"], unique=["k"], ranges=[("v", 0.0, 10.0)]
+    ).collect()
+    assert all(r["ok"] and r["violations"] == 0 for r in out)
+
+
+def test_referential_counts_orphans(spark):
+    child = spark.createDataFrame([(1,), (1,), (2,), (9,)], ["fk"])
+    parent = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+    row = validate.check_referential(
+        child, F.col("fk"), parent, F.col("pk")
+    ).collect()[0]
+    assert row["n_orphans"] == 1 and row["n_child"] == 4
+
+
+def test_snapshot_diff_classifies_all_cases(spark):
+    old = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, None), (4, 4.0)], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(1, 1.0), (2, 20.0), (3, None), (5, 5.0)], ["k", "v"]
+    )
+    out = {
+        r["k"]: r["change"]
+        for r in validate.snapshot_diff(old, new, "k", ["v"]).collect()
+    }
+    assert out == {
+        1: "unchanged",
+        2: "changed",
+        3: "unchanged",  # NULL == NULL under null-safe equality
+        4: "removed",
+        5: "added",
+    }
