@@ -57,36 +57,18 @@ def _next_version_dir(base: str) -> str:
         n += 1
 
 
-def upsert_parquet(
-    spark: SparkSession,
-    batch: DataFrame,
-    path: str,
-    key: str = "id",
-    version_col: str = "ingested_at",
-) -> None:
-    """Last-write-wins merge of ``batch`` into the parquet table at
-    ``path``. Ties on ``version_col`` prefer the incoming batch (the
-    reference's REPLACE always wins, load.go:14). ``path`` becomes a
-    symlink to an immutable version dir; the swap is a single atomic
-    ``os.replace`` so readers never observe a missing table."""
+def atomic_publish(df: DataFrame, path: str) -> None:
+    """Write ``df`` as a fresh immutable version dir and atomically point
+    ``path`` (a symlink) at it. Readers resolving mid-swap see either the
+    old version or the new — never a missing or half-written table. Old
+    versions and stale temp links (from crashed writers) are swept after
+    the publish."""
     base = path.rstrip("/")
-    current = _current_version(base)
-
-    new = batch.withColumn("_src", F.lit(1))
-    if current is not None:
-        old = spark.read.parquet(current).withColumn("_src", F.lit(0))
-        merged = new.unionByName(old)
-    else:
-        merged = new
-    winner = latest_by_key(
-        merged, [key], [F.desc(version_col), F.desc("_src")]
-    ).drop("_src")
-
     version_dir = _next_version_dir(base)
-    winner.write.mode("overwrite").parquet(version_dir)
+    df.write.mode("overwrite").parquet(version_dir)
 
-    # publish: atomic symlink replacement (os.replace of a symlink over a
-    # symlink is atomic on POSIX; a temp link in the same dir guarantees
+    # atomic symlink replacement (os.replace of a symlink over a symlink
+    # is atomic on POSIX; a temp link in the same dir guarantees
     # same-filesystem rename)
     tmp_link = version_dir + ".publish"
     if os.path.lexists(tmp_link):
@@ -96,9 +78,7 @@ def upsert_parquet(
         # legacy real-dir layout: one-time migration. rename-away then
         # replace — the only (documented) instant with no table at path,
         # and it never recurs once the table is link-based.
-        legacy = base + ".v-legacy"
-        os.rename(base, legacy)
-        current = legacy
+        os.rename(base, base + ".v-legacy")
     os.replace(tmp_link, base)
 
     # GC: previous version + any stale dirs/links from crashed writers
@@ -115,3 +95,30 @@ def upsert_parquet(
             os.remove(full)
         else:
             shutil.rmtree(full)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    key: str = "id",
+    version_col: str = "ingested_at",
+) -> None:
+    """Last-write-wins merge of ``batch`` into the parquet table at
+    ``path``. Ties on ``version_col`` prefer the incoming batch (the
+    reference's REPLACE always wins, load.go:14). Publishing goes
+    through :func:`atomic_publish`, so readers never observe a missing
+    table."""
+    base = path.rstrip("/")
+    current = _current_version(base)
+
+    new = batch.withColumn("_src", F.lit(1))
+    if current is not None:
+        old = spark.read.parquet(current).withColumn("_src", F.lit(0))
+        merged = new.unionByName(old)
+    else:
+        merged = new
+    winner = latest_by_key(
+        merged, [key], [F.desc(version_col), F.desc("_src")]
+    ).drop("_src")
+    atomic_publish(winner, base)

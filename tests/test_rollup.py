@@ -61,6 +61,56 @@ def test_merge_associative(spark):
     assert _canon(left) == _canon(right)
 
 
+def test_streaming_rollup_converges_to_full_recompute(spark, tmp_path):
+    """The foreachBatch continuous aggregate: after draining two
+    micro-batches, the published rollup table equals one aggregation
+    over all events — and the table stays readable (atomic publish)
+    throughout."""
+    import json
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+        TimestampNTZType,
+    )
+
+    from mbta_etl_spark.streaming.rollup import start_rollup_stream
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampNTZType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    src = tmp_path / "in"
+    src.mkdir()
+    table = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for i, (t, k, v) in enumerate(rows):
+                f.write(json.dumps(
+                    {"event_id": i, "ts": t, "event_type": k, "value": v}) + "\n")
+
+    def drain():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = start_rollup_stream(stream, table, ckpt)
+        q.awaitTermination(120)
+
+    write_batch("b1.jsonl", ROWS[:3])
+    drain()
+    assert spark.read.parquet(table).count() > 0  # readable after batch 1
+    write_batch("b2.jsonl", ROWS[3:])
+    drain()
+
+    full = ru.rollup_increment(
+        _events_df(spark, ROWS), F.col("ts"), F.col("value"),
+        ["event_type"], "hour",
+    )
+    got = _canon(spark.read.parquet(table))
+    assert got == _canon(full)
+
+
 def test_read_derives_avg_not_avg_of_avgs(spark):
     """avg must come from merged (sum, cnt): clicks in the 10:00 bucket
     are 1.0 and 3.0 in different batches — avg 2.0, not avg-of-avgs
