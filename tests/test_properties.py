@@ -105,6 +105,40 @@ def test_rollup_merge_equals_full_aggregation(spark, rows, cut):
 
 
 @given(
+    st.dictionaries(st.integers(0, 15), st.one_of(st.none(), st.integers(0, 3)),
+                    max_size=12),
+    st.dictionaries(st.integers(0, 15), st.one_of(st.none(), st.integers(0, 3)),
+                    max_size=12),
+)
+@_settings
+def test_snapshot_diff_matches_python(spark, old_map, new_map):
+    """snapshot_diff against a dict-based reference: every key classified,
+    null-safe equality (None == None is unchanged)."""
+    from mbta_etl_spark.operators import validate
+
+    if not old_map and not new_map:
+        return
+    mk = lambda m: spark.createDataFrame(
+        [(k, v) for k, v in m.items()], "k: bigint, v: bigint"
+    )
+    out = {
+        r["k"]: r["change"]
+        for r in validate.snapshot_diff(mk(old_map), mk(new_map), "k", ["v"]).collect()
+    }
+    expect = {}
+    for k in set(old_map) | set(new_map):
+        if k not in old_map:
+            expect[k] = "added"
+        elif k not in new_map:
+            expect[k] = "removed"
+        elif old_map[k] == new_map[k]:
+            expect[k] = "unchanged"
+        else:
+            expect[k] = "changed"
+    assert out == expect
+
+
+@given(
     st.lists(
         st.tuples(st.integers(0, 3), st.floats(0, 1e5, allow_nan=False)),
         min_size=1,
