@@ -97,6 +97,30 @@ def token_budget_sample(
     )
 
 
+def per_stratum_topn(
+    df: DataFrame,
+    key: Column,
+    stratum: Column,
+    n: int,
+    salt: str = "s0",
+) -> DataFrame:
+    """Exactly-n-per-stratum sampling ("1000 eval docs per language"):
+    rank rows within each stratum by content hash (uniform, reproducible)
+    and keep rank ≤ n. One per-stratum window; unlike fraction-based
+    sampling the count per stratum is exact. For strata far larger than
+    n at extreme scale, pre-filter with a generous hash_sample first so
+    the window sorts a small superset instead of the full stratum."""
+    from pyspark.sql import Window
+
+    base = df.select(key.alias("doc_id"), stratum.alias("stratum"))
+    h = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("stratum").orderBy(h, "doc_id")
+    return (
+        base.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+    )
+
+
 def split_assign(
     df: DataFrame,
     key: Column,

@@ -497,6 +497,20 @@ def c06_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVAL_N = 10
+
+
+def c07_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N-per-source eval sampling: hash-ranked, reproducible,
+    count-exact (fraction sampling can't guarantee the per-stratum n)."""
+    from mbta_etl_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    return sampling.per_stratum_topn(
+        docs, F.col("doc_id"), F.col("source"), n=EVAL_N
+    )
+
+
 def t11_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean unigram log-likelihood of each doc under the corpus unigram
     distribution — the KenLM-style quality signal, self-contained."""
@@ -894,6 +908,17 @@ _ORACLES: dict[str, str] = {
     "d05_simhash": _simhash_oracle(),
     "d09_simhash_band_pairs": _simhash_band_pairs_oracle(),
     "k01_kmeans_clusters": _kmeans_oracle(),
+    "c07_eval_sample": f"""
+        SELECT doc_id, stratum, CAST(rank AS BIGINT) AS rank FROM (
+          SELECT doc_id, source AS stratum,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('s0' || CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rank
+          FROM documents
+        )
+        WHERE rank <= {EVAL_N}
+    """,
     "c06_token_budget": f"""
         SELECT doc_id, stratum, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
         FROM (
@@ -1272,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d09_simhash_band_pairs": d09_simhash_band_pairs,
         "k01_kmeans_clusters": k01_kmeans_clusters,
         "c06_token_budget": c06_token_budget,
+        "c07_eval_sample": c07_eval_sample,
         "t11_unigram_lm": t11_unigram_lm,
         "d06_embed_cosine_pairs": d06_embed_cosine_pairs,
         "d07_dup_clusters": d07_dup_clusters,

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from mbta_etl_spark.operators.sampling import (
     hash_sample,
+    per_stratum_topn,
     split_assign,
     stratified_hash_sample,
     token_budget_sample,
@@ -124,6 +125,28 @@ def test_token_budget_prefix_and_determinism(spark):
         ).collect()
     }
     assert ids == ids_repart
+
+
+def test_per_stratum_topn_exact_and_stable(spark):
+    """Exactly n per stratum (count-exact, unlike fraction sampling), and
+    the kept set is partitioning-independent."""
+    from mbta_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents")
+    out = per_stratum_topn(docs, F.col("doc_id"), F.col("source"), n=7)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["stratum"], set()).add(r["doc_id"])
+    assert all(len(v) == 7 for v in per.values())
+    assert len(per) == docs.select("source").distinct().count()
+    again = {
+        r["doc_id"]
+        for r in per_stratum_topn(
+            docs.repartition(11), F.col("doc_id"), F.col("source"), n=7
+        ).collect()
+    }
+    assert again == {r["doc_id"] for r in rows}
 
 
 def test_weighted_mix_copy_counts(spark):
