@@ -85,3 +85,60 @@ def running_totals(
         F.round(run, 6).alias("running_value"),
         F.lag(value_col).over(w).alias("prev_value"),
     )
+
+
+def cogroup_funnel(
+    clicks: DataFrame, purchases: DataFrame, user_col: str, ts_col: str
+) -> DataFrame:
+    """Per-user funnel via CO-GROUPED applyInPandas: for every user in
+    either stream, count clicks strictly before their first purchase.
+
+    This is the cogroup tier of the Pandas-UDF taxonomy — two DataFrames
+    grouped on the same key, each key's two frames handed to one Python
+    function together. The right tool when per-key logic needs BOTH
+    sides at once and isn't a plain join (alignment, interleaving,
+    per-key model scoring against per-key history). Both sides shuffle
+    once on the key — same cost as a join — and the Python kernel sees
+    bounded per-key frames.
+
+    Expressible in SQL with a min-aggregate + conditional join (the
+    oracle does exactly that); the operator exists to pin the cogroup
+    execution path, not because SQL can't say it."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("clicks_before_purchase", LongType()),
+            StructField("has_purchase", BooleanType()),
+        ]
+    )
+
+    def _funnel(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        first_p = right[ts_col].min() if len(right) else None
+        if first_p is None or pd.isna(first_p):
+            n = 0
+            has = False
+        else:
+            n = int((left[ts_col] < first_p).sum()) if len(left) else 0
+            has = True
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "clicks_before_purchase": [n],
+                "has_purchase": [has],
+            }
+        )
+
+    return (
+        clicks.groupBy(user_col)
+        .cogroup(purchases.groupBy(user_col))
+        .applyInPandas(_funnel, schema=out_schema)
+    )

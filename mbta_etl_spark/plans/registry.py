@@ -198,6 +198,20 @@ def r01_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j06_cogroup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped applyInPandas (the cogroup tier of the Pandas taxonomy):
+    per-user clicks strictly before the first purchase, computed from the
+    click and purchase streams handed to one Python function per key."""
+    from mbta_etl_spark.operators.windows import cogroup_funnel
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    return cogroup_funnel(clicks, purchases, "user_id", "ts")
+
+
 def v01_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared expectations over orders — nulls, ranges, uniqueness —
     evaluated in ONE conditional-aggregation scan (operators/validate.py):
@@ -1116,6 +1130,25 @@ _ORACLES: dict[str, str] = {
           FROM events
         ) WHERE rn = 1
     """,
+    "j06_cogroup_funnel": """
+        WITH u AS (
+          SELECT DISTINCT user_id FROM events
+          WHERE event_type IN ('click', 'purchase')
+        ),
+        p AS (
+          SELECT user_id, MIN(ts) AS first_p FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        SELECT u.user_id,
+               CAST(COALESCE(SUM(CASE WHEN c.ts < p.first_p THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS clicks_before_purchase,
+               p.first_p IS NOT NULL AS has_purchase
+        FROM u
+        LEFT JOIN p ON u.user_id = p.user_id
+        LEFT JOIN c ON u.user_id = c.user_id
+        GROUP BY u.user_id, p.first_p
+    """,
     "v01_constraint_check": """
         WITH s AS (
           SELECT COUNT(*) AS n_rows,
@@ -1620,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q42_user_journey": q42_user_journey,
             "q43_promo_share": q43_promo_share,
             "q45_idle_rich_customers": q45_idle_rich_customers,
+            "j06_cogroup_funnel": j06_cogroup_funnel,
         }
     )
     return out
