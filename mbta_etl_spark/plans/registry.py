@@ -1582,11 +1582,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ORDER MATTERS: the driver's differential-correctness harness checks
     # the first N entries in dict iteration order, so entries without a
-    # prior green CORRECTNESS row come first. Round-2 front-load: the 33
-    # LLM-pipeline entries + j02–j05 (driver-unverified in r1), then the
+    # prior green CORRECTNESS row come first. Round-2 front-load: the
+    # LLM-pipeline entries + j02–j05 (driver-unverified in r1) + the
+    # round-2 additions (d09/k01/c06/c07/t11/m04/r01/v01–v03), then the
     # three entries whose oracle canonicalization was fixed this round
-    # (q25/q35/q44), then a representative core slice. The r1-proven tail
-    # keeps its local DuckDB parity coverage via tests/test_parity.py.
+    # (q25/q35/q44). The r1-proven tail keeps local DuckDB parity
+    # coverage via tests/test_parity.py; tests/test_registry_order.py
+    # guards this window. ROUND 3: once CORRECTNESS_r02 lands green,
+    # rotate the tail (q01–q46, j01, j06) back into the window so every
+    # entry re-accumulates fresh driver rows.
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(llm_registry.queries())
     out.update(

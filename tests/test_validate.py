@@ -36,6 +36,17 @@ def test_constraints_clean_table_all_ok(spark):
     assert all(r["ok"] and r["violations"] == 0 for r in out)
 
 
+def test_constraints_empty_table(spark):
+    """Zero rows → zero violations, every rule ok (vacuous truth), and
+    n_rows reports 0 — the report stays well-formed."""
+    df = spark.createDataFrame([], "k: bigint, v: double")
+    out = validate.check_constraints(
+        df, not_null=["k"], unique=["k"], ranges=[("v", 0.0, 1.0)]
+    ).collect()
+    assert len(out) == 3
+    assert all(r["ok"] and r["violations"] == 0 and r["n_rows"] == 0 for r in out)
+
+
 def test_referential_counts_orphans(spark):
     child = spark.createDataFrame([(1,), (1,), (2,), (9,)], ["fk"])
     parent = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
