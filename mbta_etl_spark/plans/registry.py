@@ -406,6 +406,32 @@ def q23_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q47_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-flexible semi-structured access via VARIANT (Spark 4):
+    parse_json once into the binary variant encoding, then typed
+    extraction with variant_get — the modern path when the JSON shape
+    isn't declared up front (q23's get_json_object re-parses the string
+    per access; variant parses once and the typed gets are cheap). The
+    missing-path probe uses try_variant_get (null, not error)."""
+    df = _events(spark, sf_dir)
+    v = F.parse_json(F.col("props"))
+    return (
+        df.select(
+            "event_type",
+            F.variant_get(v, "$.k", "long").alias("k"),
+            F.try_variant_get(v, "$.missing", "long").alias("m"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("k").alias("sum_k"),
+            F.count_distinct(F.col("k")).alias("n_k"),
+            F.count("m").alias("n_missing_present"),
+        )
+        .orderBy("event_type")
+    )
+
+
 PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 SAMPLE_RATES = {"click": 0.5, "purchase": 1.0, "view": 0.1}
 SESSION_GAP = "30 minutes"
@@ -1130,6 +1156,14 @@ _ORACLES: dict[str, str] = {
           FROM events
         ) WHERE rn = 1
     """,
+    "q47_variant_extract": """
+        SELECT event_type,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+               COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS n_k,
+               COUNT(CAST(props->>'missing' AS BIGINT)) AS n_missing_present
+        FROM events GROUP BY event_type
+    """,
     "j06_cogroup_funnel": """
         WITH u AS (
           SELECT DISTINCT user_id FROM events
@@ -1658,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q43_promo_share": q43_promo_share,
             "q45_idle_rich_customers": q45_idle_rich_customers,
             "j06_cogroup_funnel": j06_cogroup_funnel,
+            "q47_variant_extract": q47_variant_extract,
         }
     )
     return out
