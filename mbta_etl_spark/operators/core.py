@@ -301,3 +301,49 @@ def latest_by_key(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def apply_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str,
+    order_by: Sequence[Column],
+    payload_cols: Sequence[str],
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC changelog to a snapshot: the latest change per key
+    wins (by ``order_by`` desc); a delete removes the key, anything else
+    upserts the payload columns (replacing an existing row or inserting
+    a new key). This is ``MERGE INTO ... WHEN MATCHED [AND op='D'] THEN
+    DELETE / THEN UPDATE / WHEN NOT MATCHED THEN INSERT`` without a table
+    format — the format-free half of a CDC pipeline (snapshot_diff in
+    operators/validate.py is the inverse: recover the changelog from two
+    snapshots).
+
+    Shape: one keyed window over the changelog (small — changes, not the
+    table) + one full-outer join on the key. With base and changelog
+    bucketed on the key, the join co-locates and applying a day of
+    changes never re-shuffles the snapshot."""
+    latest = latest_by_key(changes, [key], order_by)
+    c = latest.select(
+        F.col(key),
+        F.col(op_col).alias("_op"),
+        *[F.col(p).alias(f"_c_{p}") for p in payload_cols],
+    )
+    b = base.select(
+        F.col(key),
+        F.lit(True).alias("_in_base"),
+        *[F.col(p).alias(f"_b_{p}") for p in payload_cols],
+    )
+    j = b.join(c, key, "full_outer")
+    survives = F.col("_op").isNull() | (F.col("_op") != delete_op)
+    return j.filter(survives).select(
+        F.col(key),
+        *[
+            F.when(F.col("_op").isNotNull(), F.col(f"_c_{p}"))
+            .otherwise(F.col(f"_b_{p}"))
+            .alias(p)
+            for p in payload_cols
+        ],
+    )

@@ -406,6 +406,37 @@ def q23_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v04_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply (core.apply_changelog): a snapshot (latest even-event per
+    user) plus a changelog derived from the odd events (op = delete when
+    user_id%11==0, else upsert; latest change per user wins by ts then
+    event_id) — MERGE semantics without a table format. The oracle
+    replays both derivations and the merge in SQL."""
+    ev = _events(spark, sf_dir)
+    base = core.latest_by_key(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ["user_id"],
+        [F.desc("ts"), F.desc("event_id")],
+    ).select("user_id", "value")
+    changes = ev.filter(F.col("event_id") % 2 == 1).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("user_id") % 11 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return core.apply_changelog(
+        base,
+        changes,
+        key="user_id",
+        op_col="op",
+        order_by=[F.desc("ts"), F.desc("event_id")],
+        payload_cols=["value"],
+    )
+
+
 def q47_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-flexible semi-structured access via VARIANT (Spark 4):
     parse_json once into the binary variant encoding, then typed
@@ -1156,6 +1187,33 @@ _ORACLES: dict[str, str] = {
           FROM events
         ) WHERE rn = 1
     """,
+    "v04_apply_changelog": """
+        WITH base AS (
+          SELECT user_id, value FROM (
+            SELECT user_id, value,
+                   row_number() OVER (
+                     PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events WHERE event_id % 2 = 0
+          ) WHERE rn = 1
+        ),
+        latest_ch AS (
+          SELECT user_id, value,
+                 CASE WHEN user_id % 11 = 0 THEN 'D' ELSE 'U' END AS op
+          FROM (
+            SELECT user_id, value, ts, event_id,
+                   row_number() OVER (
+                     PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events WHERE event_id % 2 = 1
+          ) WHERE rn = 1
+        )
+        SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+               CASE WHEN c.user_id IS NOT NULL THEN c.value
+                    ELSE b.value END AS value
+        FROM base b FULL OUTER JOIN latest_ch c ON b.user_id = c.user_id
+        WHERE c.op IS NULL OR c.op <> 'D'
+    """,
     "q47_variant_extract": """
         SELECT event_type,
                COUNT(*) AS cnt,
@@ -1693,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q45_idle_rich_customers": q45_idle_rich_customers,
             "j06_cogroup_funnel": j06_cogroup_funnel,
             "q47_variant_extract": q47_variant_extract,
+            "v04_apply_changelog": v04_apply_changelog,
         }
     )
     return out

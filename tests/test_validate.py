@@ -56,6 +56,36 @@ def test_referential_counts_orphans(spark):
     assert row["n_orphans"] == 1 and row["n_child"] == 4
 
 
+def test_apply_changelog_merge_semantics(spark):
+    """CDC apply: delete removes, upsert replaces, new key inserts,
+    untouched keys survive, and only the LATEST change per key counts."""
+    from pyspark.sql import functions as F
+
+    from mbta_etl_spark.operators.core import apply_changelog
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "U", 1, 11.0),   # update k=1
+            (2, "D", 1, 0.0),    # delete k=2 ...
+            (2, "U", 2, 22.0),   # ... but a later upsert wins
+            (4, "U", 1, 44.0),   # insert new key
+            (5, "U", 1, 55.0),   # insert then ...
+            (5, "D", 2, 0.0),    # ... later delete wins: never appears
+        ],
+        ["k", "op", "seq", "v"],
+    )
+    out = {
+        r["k"]: r["v"]
+        for r in apply_changelog(
+            base, changes, "k", "op", [F.desc("seq")], ["v"]
+        ).collect()
+    }
+    assert out == {1: 11.0, 2: 22.0, 3: 30.0, 4: 44.0}
+
+
 def test_snapshot_diff_classifies_all_cases(spark):
     old = spark.createDataFrame(
         [(1, 1.0), (2, 2.0), (3, None), (4, 4.0)], ["k", "v"]
