@@ -34,8 +34,16 @@ def run(
         body = http_json.fetch_json(api_url)  # abort-on-error (S1)
     raw = http_json.ingest_payload(spark, body)
     records = transform(raw)
-    n = records.count()
+    # record count via the Observation API: the metric rides the upsert's
+    # own write action instead of a separate count() job — one scan of
+    # the batch, not two (at 100 TB the difference is a full extra pass)
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    records = records.observe(obs, F.count(F.lit(1)).alias("n"))
     upsert_parquet(spark, records, table_path)
+    n = int(obs.get["n"])
     log.info("ETL complete: %d records loaded", n)
     return n
 
