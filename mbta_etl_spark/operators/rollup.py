@@ -70,7 +70,22 @@ def rollup_merge(existing: DataFrame, increment: DataFrame) -> DataFrame:
 
 def rollup_read(rollup: DataFrame) -> DataFrame:
     """Read-time derived measures: avg from (sum, cnt) — the measure you
-    must NOT store, because averages don't merge."""
-    return rollup.select(
-        "*", F.round(F.col("sum_value") / F.col("cnt"), 6).alias("avg_value")
+    must NOT store, because averages don't merge.
+
+    The avg is derived from the 6dp-ROUNDED sum with an explicit
+    scaled-floor (floor(x·1e6 + 0.5)/1e6), not engine round(): sum/cnt
+    lands EXACTLY on a 6dp midpoint whenever cnt is a power of two and
+    values are centesimal, and engine rounding implementations disagree
+    on midpoint-adjacent doubles (Spark's BigDecimal shortest-repr vs
+    C-style scaled rounding). Rounding the sum first makes the dividend
+    bit-identical across engines (2-decimal data keeps raw sums ~1e-2
+    away from any 6dp midpoint), and the shared floor formula then makes
+    the derived avg bit-identical too."""
+    avg = (
+        F.floor(
+            F.round(F.col("sum_value"), 6) / F.col("cnt") * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
     )
+    return rollup.select("*", avg.alias("avg_value"))

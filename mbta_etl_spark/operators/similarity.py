@@ -150,14 +150,25 @@ def norm_zscore_per_label(df: DataFrame, vec_col: str, id_col: str) -> DataFrame
         ]
     )
 
+    def _r(x, dp: int):
+        # scaled-floor rounding: floor(x·10^dp + 0.5)/10^dp. Engine
+        # round() implementations disagree on midpoint-adjacent doubles
+        # (BigDecimal shortest-repr vs C scaled rounding); this formula
+        # is plain IEEE ops, so identical inputs give identical results
+        # in numpy and in the SQL oracle's FLOOR(...) replica.
+        s = 10.0 ** dp
+        return np.floor(x * s + 0.5) / s
+
     def _z(pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        mu = norms.mean()
-        sd = norms.std()  # population std, ddof=0 — oracle uses stddev_pop
-        z = np.zeros_like(norms) if sd == 0 else (norms - mu) / sd
-        # no np.round here: numpy rounds half-to-even, SQL rounds
-        # half-away-from-zero — rounding happens engine-side below
+        norms = _r(np.sqrt((mat * mat).sum(axis=1)), 6)
+        # mean/std over the ROUNDED norms, themselves rounded, so the
+        # z-score's numerator and denominator are bit-identical to the
+        # oracle's — cross-engine summation-order noise never reaches
+        # the final rounding
+        mu = _r(norms.mean(), 6)
+        sd = _r(norms.std(), 6)  # population std, ddof=0 — stddev_pop
+        z = np.zeros_like(norms) if sd == 0 else _r((norms - mu) / sd, 4)
         return pd.DataFrame(
             {
                 "vec_id": pdf[id_col].astype("int64"),
@@ -167,13 +178,7 @@ def norm_zscore_per_label(df: DataFrame, vec_col: str, id_col: str) -> DataFrame
             }
         )
 
-    out = df.groupBy("label").applyInPandas(_z, schema=out_schema)
-    return out.select(
-        "vec_id",
-        "label",
-        F.round("norm", 6).alias("norm"),
-        F.round("z", 4).alias("z"),
-    )
+    return df.groupBy("label").applyInPandas(_z, schema=out_schema)
 
 
 def pairwise_topk_per_label(

@@ -1027,13 +1027,21 @@ _ORACLES: dict[str, str] = {
     "s04_norm_zscore": f"""
         WITH e AS (
           SELECT vec_id, CAST(label AS BIGINT) AS label,
-                 sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+                 FLOOR(sqrt(list_sum(list_transform(
+                   embedding::DOUBLE[], x -> x * x))) * 1000000 + 0.5)
+                   / 1000000 AS norm
           FROM embeddings
         ),
-        s AS (SELECT label, AVG(norm) AS mu, stddev_pop(norm) AS sd
-              FROM e GROUP BY label)
-        SELECT vec_id, e.label, ROUND(norm, 6) AS norm,
-               ROUND(CASE WHEN sd = 0 THEN 0 ELSE (norm - mu) / sd END, 4) AS z
+        s AS (
+          SELECT label,
+                 FLOOR(AVG(norm) * 1000000 + 0.5) / 1000000 AS mu,
+                 FLOOR(stddev_pop(norm) * 1000000 + 0.5) / 1000000 AS sd
+          FROM e GROUP BY label
+        )
+        SELECT vec_id, e.label, norm,
+               CASE WHEN sd = 0 THEN 0
+                    ELSE FLOOR((norm - mu) / sd * 10000 + 0.5) / 10000
+               END AS z
         FROM e JOIN s USING (label)
     """,
     "m01_binary_meta": """

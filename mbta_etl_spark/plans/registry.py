@@ -1289,7 +1289,8 @@ _ORACLES: dict[str, str] = {
                ROUND(SUM(value), 6) AS sum_value,
                ROUND(MIN(value), 6) AS min_value,
                ROUND(MAX(value), 6) AS max_value,
-               ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+               FLOOR(ROUND(SUM(value), 6) / COUNT(*) * 1000000 + 0.5)
+                 / 1000000 AS avg_value
         FROM events GROUP BY 1, 2
     """,
     "q15_hourly_rollup": """
