@@ -97,6 +97,34 @@ def token_budget_sample(
     )
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    key: Column,
+    weight: Column,
+    k: int,
+    salt: str = "s0",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    each row draws u ∈ (0,1) from its content hash and scores
+    ln(u)/weight; the k highest scores are a weighted-without-replacement
+    sample. Fully deterministic (content-hash u, no RNG state), exact-k,
+    single-pass: the top-k plans as TakeOrderedAndProject — per-partition
+    heaps, no global sort, no shuffle of non-winners. This is THE
+    distributed weighted sampler: reservoir semantics without any
+    sequential reservoir."""
+    u = (_bucket(key, salt).cast("double") + F.lit(0.5)) / F.lit(float(DENOM))
+    score = F.log(u) / weight.cast("double")
+    return (
+        df.select(
+            key.alias("doc_id"),
+            weight.cast("double").alias("weight"),
+            score.alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def per_stratum_topn(
     df: DataFrame,
     key: Column,

@@ -437,6 +437,57 @@ def v04_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts01_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF gap fill (operators/timeseries.py): measurements nulled
+    deterministically (event_id%13==0) take the most recent prior value
+    in their user series; leading nulls stay null."""
+    from mbta_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).withColumn(
+        "value",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    out = timeseries.locf(
+        ev, ["user_id"], [F.col("ts"), F.col("event_id")], "value"
+    )
+    return out.select("event_id", "user_id", "value_filled")
+
+
+def ts02_delta_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series delta + per-second rate against the previous
+    observation (counter metrics shape) — one keyed window."""
+    from mbta_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    return timeseries.delta_rate(ev, ["user_id"], "ts", "event_id", "value")
+
+
+def c08_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement over
+    documents, weight = token count: deterministic content-hash draws,
+    exact k, TakeOrderedAndProject (no global sort)."""
+    from mbta_etl_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.weighted_sample_topk(
+        docs,
+        F.col("doc_id"),
+        F.size(F.split("text", " ")),
+        k=50,
+    )
+    # scaled-floor, not round(): cross-engine midpoint divergence on the
+    # freshly-divided score
+    return out.select(
+        "doc_id",
+        "weight",
+        (F.floor(F.col("score") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "score"
+        ),
+    )
+
+
 def q47_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-flexible semi-structured access via VARIANT (Spark 4):
     parse_json once into the binary variant encoding, then typed
@@ -1187,6 +1238,42 @@ _ORACLES: dict[str, str] = {
           FROM events
         ) WHERE rn = 1
     """,
+    "ts01_locf": """
+        SELECT event_id, user_id,
+               last_value(CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS value_filled
+        FROM events
+    """,
+    "ts02_delta_rate": """
+        SELECT user_id, ts, event_id, value,
+               FLOOR((value - lag(value) OVER w) * 1000000 + 0.5)
+                 / 1000000.0 AS delta,
+               CASE WHEN date_diff('microsecond', lag(ts) OVER w, ts) > 0
+                    THEN FLOOR((value - lag(value) OVER w)
+                               / (CAST(date_diff('microsecond',
+                                                 lag(ts) OVER w, ts)
+                                       AS DOUBLE) / 1000000.0)
+                               * 1000000 + 0.5) / 1000000.0
+               END AS rate_per_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "c08_weighted_sample": """
+        SELECT doc_id, weight,
+               FLOOR(score * 1000000 + 0.5) / 1000000.0 AS score FROM (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS DOUBLE) AS weight,
+                 ln((CAST(('0x' || substr(md5('s0' || CAST(doc_id AS VARCHAR)),
+                                          1, 8)) AS UBIGINT) % 10000 + 0.5)
+                    / 10000.0)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+          FROM documents
+        )
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 50
+    """,
     "v04_apply_changelog": """
         WITH base AS (
           SELECT user_id, value FROM (
@@ -1753,6 +1840,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "j06_cogroup_funnel": j06_cogroup_funnel,
             "q47_variant_extract": q47_variant_extract,
             "v04_apply_changelog": v04_apply_changelog,
+            "ts01_locf": ts01_locf,
+            "ts02_delta_rate": ts02_delta_rate,
+            "c08_weighted_sample": c08_weighted_sample,
         }
     )
     return out
