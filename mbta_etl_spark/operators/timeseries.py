@@ -37,6 +37,118 @@ def locf(
     )
 
 
+def interpolate(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    order_tiebreak: str,
+    value_col: str,
+    out_col: str = "value_interp",
+) -> DataFrame:
+    """Linear interpolation of null measurements between the nearest
+    non-null neighbours in the series (TimescaleDB ``interpolate``):
+    v = prev + (next − prev) · elapsed/gap, with elapsed/gap taken from
+    exact microsecond timestamp differences. Non-null rows pass through
+    untouched; nulls before the first or after the last observation stay
+    null (strict interpolation, no extrapolation).
+
+    Two windows over ONE shuffle: the running-prev and running-next
+    frames share the same partitioning+ordering, so Catalyst plans a
+    single Exchange + two in-partition Window passes. Interpolated values
+    use the scaled-floor 6dp formula (cross-engine round() midpoint
+    divergence)."""
+    wp = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    obs_ts = F.when(v.isNotNull(), F.col(ts_col))
+    staged = df.select(
+        "*",
+        F.last(v, ignorenulls=True).over(wp).alias("_prev_v"),
+        F.last(obs_ts, ignorenulls=True).over(wp).alias("_prev_t"),
+        F.first(v, ignorenulls=True).over(wn).alias("_next_v"),
+        F.first(obs_ts, ignorenulls=True).over(wn).alias("_next_t"),
+    )
+    elapsed = F.expr(
+        f"CAST(timestampdiff(MICROSECOND, _prev_t, {ts_col}) AS DOUBLE)"
+    )
+    gap = F.expr("CAST(timestampdiff(MICROSECOND, _prev_t, _next_t) AS DOUBLE)")
+    interp = F.col("_prev_v") + (
+        F.col("_next_v") - F.col("_prev_v")
+    ) * (elapsed / gap)
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(
+            F.col("_prev_v").isNotNull()
+            & F.col("_next_v").isNotNull()
+            & (gap > 0),
+            F.floor(interp * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        )
+    )
+    return staged.withColumn(out_col, filled).drop(
+        "_prev_v", "_prev_t", "_next_v", "_next_t"
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    order_tiebreak: str,
+    value_col: str,
+    lookback: int = 20,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling-window anomaly detection: per-series z-score of each
+    observation against the trailing ``lookback``+current frame, flagged
+    when |z| exceeds ``threshold`` (the classic 3-sigma monitor).
+
+    Cross-engine float discipline: the frame sums (Σv, Σv²) are order-
+    dependent across engines (running vs segment-tree accumulation), so
+    both are scaled-floor-rounded to 6dp FIRST; mean/variance/z are then
+    derived from those identical doubles with one explicit formula, and
+    the flag tests the 6dp-rounded z — no engine round(), no boundary
+    flicker. Population variance (÷n), guarded at 0 for one-row frames."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(-lookback, Window.currentRow)
+    )
+
+    def _r6(c: Column) -> Column:
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    v = F.col(value_col)
+    staged = df.select(
+        "*",
+        F.count(v).over(w).alias("_n"),
+        _r6(F.sum(v).over(w)).alias("_s1"),
+        _r6(F.sum(v * v).over(w)).alias("_s2"),
+    )
+    n = F.col("_n").cast("double")
+    mean = F.col("_s1") / n
+    var = F.greatest(
+        F.lit(0.0), F.col("_s2") / n - mean * mean
+    )
+    std = F.sqrt(var)
+    z = _r6(F.when(std > 0, (v - mean) / std))
+    return staged.select(
+        *key_cols,
+        ts_col,
+        order_tiebreak,
+        value_col,
+        z.alias("z"),
+        (z.isNotNull() & (F.abs(z) > F.lit(threshold))).alias("is_anomaly"),
+    )
+
+
 def delta_rate(
     df: DataFrame,
     key_cols: Sequence[str],

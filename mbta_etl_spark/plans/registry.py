@@ -464,6 +464,33 @@ def ts02_delta_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.delta_rate(ev, ["user_id"], "ts", "event_id", "value")
 
 
+def ts03_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of deterministically-nulled measurements
+    (event_id%13==0) between nearest non-null series neighbours."""
+    from mbta_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).withColumn(
+        "value",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    out = timeseries.interpolate(ev, ["user_id"], "ts", "event_id", "value")
+    return out.select("event_id", "user_id", "value_interp")
+
+
+def ts04_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-20 rolling z-score anomaly flags per user series — the
+    3-sigma monitor over irregular observations."""
+    from mbta_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    out = timeseries.rolling_zscore(
+        ev, ["user_id"], "ts", "event_id", "value", lookback=20
+    )
+    return out.select("event_id", "user_id", "z", "is_anomaly")
+
+
 def c08_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirakis weighted sampling without replacement over
     documents, weight = token count: deterministic content-hash draws,
@@ -1260,6 +1287,61 @@ _ORACLES: dict[str, str] = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
+    "ts03_interpolate": """
+        SELECT event_id, user_id,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                         AND date_diff('microsecond', prev_t, next_t) > 0
+                    THEN FLOOR((prev_v + (next_v - prev_v)
+                                * (CAST(date_diff('microsecond', prev_t, ts)
+                                        AS DOUBLE)
+                                   / CAST(date_diff('microsecond', prev_t,
+                                                    next_t) AS DOUBLE)))
+                               * 1000000 + 0.5) / 1000000.0
+               END AS value_interp
+        FROM (
+          SELECT event_id, user_id, ts, v,
+                 last_value(v IGNORE NULLS) OVER wp AS prev_v,
+                 last_value(CASE WHEN v IS NOT NULL THEN ts END
+                            IGNORE NULLS) OVER wp AS prev_t,
+                 first_value(v IGNORE NULLS) OVER wn AS next_v,
+                 first_value(CASE WHEN v IS NOT NULL THEN ts END
+                             IGNORE NULLS) OVER wn AS next_t
+          FROM (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v
+            FROM events
+          )
+          WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING),
+                 wn AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+    """,
+    "ts04_rolling_zscore": """
+        SELECT event_id, user_id, z,
+               (z IS NOT NULL AND abs(z) > 3.0) AS is_anomaly
+        FROM (
+          SELECT event_id, user_id,
+                 CASE WHEN sqrt(greatest(0.0, s2/n - (s1/n)*(s1/n))) > 0
+                      THEN FLOOR((value - s1/n)
+                                 / sqrt(greatest(0.0,
+                                                 s2/n - (s1/n)*(s1/n)))
+                                 * 1000000 + 0.5) / 1000000.0
+                 END AS z
+          FROM (
+            SELECT event_id, user_id, value,
+                   CAST(count(value) OVER w AS DOUBLE) AS n,
+                   FLOOR(sum(value) OVER w * 1000000 + 0.5)
+                     / 1000000.0 AS s1,
+                   FLOOR(sum(value * value) OVER w * 1000000 + 0.5)
+                     / 1000000.0 AS s2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+          )
+        )
+    """,
     "c08_weighted_sample": """
         SELECT doc_id, weight,
                FLOOR(score * 1000000 + 0.5) / 1000000.0 AS score FROM (
@@ -1842,6 +1924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "v04_apply_changelog": v04_apply_changelog,
             "ts01_locf": ts01_locf,
             "ts02_delta_rate": ts02_delta_rate,
+            "ts03_interpolate": ts03_interpolate,
+            "ts04_rolling_zscore": ts04_rolling_zscore,
             "c08_weighted_sample": c08_weighted_sample,
         }
     )

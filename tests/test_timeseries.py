@@ -1,0 +1,116 @@
+"""Edge-case pins for the time-series gap operators (operators/timeseries.py):
+leading/trailing nulls, exact midpoint interpolation, first-row deltas, and
+zero-variance z-score frames — the cases the registry's random data may not
+isolate."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mbta_etl_spark.operators import timeseries
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _t(s: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(rows, schema=_SCHEMA)
+
+
+def test_locf_fills_gaps_but_not_leading_nulls(spark):
+    df = _series(
+        spark,
+        [
+            ("a", _t(0), 0, None),
+            ("a", _t(1), 1, 10.0),
+            ("a", _t(2), 2, None),
+            ("a", _t(3), 3, None),
+            ("a", _t(4), 4, 20.0),
+            ("b", _t(0), 0, 5.0),
+        ],
+    )
+    out = timeseries.locf(df, ["k"], [F.col("ts"), F.col("seq")], "value")
+    got = {(r.k, r.seq): r.value_filled for r in out.collect()}
+    assert got[("a", 0)] is None  # no prior observation
+    assert got[("a", 2)] == 10.0 and got[("a", 3)] == 10.0
+    assert got[("a", 4)] == 20.0  # non-null passes through
+    assert got[("b", 0)] == 5.0  # series isolation
+
+
+def test_interpolate_midpoint_and_edges(spark):
+    df = _series(
+        spark,
+        [
+            ("a", _t(0), 0, None),  # leading null: no extrapolation
+            ("a", _t(10), 1, 100.0),
+            ("a", _t(15), 2, None),  # midpoint of 100→200
+            ("a", _t(20), 3, 200.0),
+            ("a", _t(30), 4, None),  # trailing null: no extrapolation
+        ],
+    )
+    out = timeseries.interpolate(df, ["k"], "ts", "seq", "value")
+    got = {r.seq: r.value_interp for r in out.collect()}
+    assert got[0] is None and got[4] is None
+    assert got[1] == 100.0 and got[3] == 200.0
+    assert got[2] == 150.0
+
+
+def test_interpolate_weights_by_elapsed_time(spark):
+    # null at 1/4 of the gap → prev + 0.25·(next−prev)
+    df = _series(
+        spark,
+        [
+            ("a", _t(0), 0, 8.0),
+            ("a", _t(5), 1, None),
+            ("a", _t(20), 2, 28.0),
+        ],
+    )
+    out = timeseries.interpolate(df, ["k"], "ts", "seq", "value")
+    got = {r.seq: r.value_interp for r in out.collect()}
+    assert got[1] == 13.0  # 8 + (28-8)·(5/20)
+
+
+def test_delta_rate_first_row_null_and_rate(spark):
+    df = _series(
+        spark,
+        [
+            ("a", _t(0), 0, 10.0),
+            ("a", _t(4), 1, 30.0),
+        ],
+    )
+    out = timeseries.delta_rate(df, ["k"], "ts", "seq", "value")
+    got = {r.seq: (r.delta, r.rate_per_s) for r in out.collect()}
+    assert got[0] == (None, None)
+    assert got[1] == (20.0, 5.0)
+
+
+def test_rolling_zscore_constant_series_no_anomaly(spark):
+    rows = [("a", _t(i), i, 7.0) for i in range(10)]
+    df = _series(spark, rows)
+    out = timeseries.rolling_zscore(df, ["k"], "ts", "seq", "value")
+    for r in out.collect():
+        assert r.z is None  # zero variance → undefined z
+        assert r.is_anomaly is False
+
+
+def test_rolling_zscore_flags_spike(spark):
+    rows = [("a", _t(i), i, 10.0 + (i % 2) * 0.5) for i in range(20)]
+    rows.append(("a", _t(20), 20, 500.0))
+    df = _series(spark, rows)
+    out = timeseries.rolling_zscore(df, ["k"], "ts", "seq", "value")
+    flags = {r.seq: r.is_anomaly for r in out.collect()}
+    assert flags[20] is True
+    assert not any(flags[i] for i in range(20))
