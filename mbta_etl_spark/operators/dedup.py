@@ -335,32 +335,51 @@ def decontaminate_ngrams(
     )
 
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
 
 
 def simhash(df: DataFrame, text: Column, id_col: Column) -> DataFrame:
-    """32-bit SimHash over distinct tokens: token hash = first 8 hex chars
-    of md5 as uint32; each bit position accumulates +1/−1 across tokens;
-    the signature sets bits with positive sums.
+    """64-bit SimHash over distinct tokens (the Manku/Jain/Sarma WWW'07
+    configuration — 64-bit fingerprints, hamming ≤ 3): token hash = first
+    16 hex chars of md5 split into two uint32 halves; each bit position
+    accumulates +1/−1 across tokens; the signature sets bits with positive
+    sums, stored as one signed long (bit 63 = the sign bit, two's
+    complement — every consumer shifts-and-masks, so signedness is
+    invisible).
 
-    Expressed as explode → 32 conditional sums → bit recombination: one
+    64 bits, not 32: at corpus scale 32-bit signatures saturate — real
+    text concentrates token-hash bit statistics, so unrelated docs land
+    within hamming 3 and the band join degenerates toward all-pairs
+    (observed: 1.5M "near-dup" pairs from 50k random docs). Doubling the
+    signature makes collisions meaningful again AND widens band keys from
+    8 to 16 bits, shrinking band-bucket fan-out ~256×.
+
+    Expressed as explode → 64 conditional sums → bit recombination: one
     shuffle keyed by doc_id, all JVM-side."""
     toks = df.select(
         id_col.alias("doc_id"),
         F.explode(F.array_distinct(F.split(text, " "))).alias("tok"),
     )
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
-    toks = toks.select("doc_id", h.alias("h"))
-    bit_sums = [
-        F.sum(
-            F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
-        ).alias(f"_b{b}")
-        for b in range(SIMHASH_BITS)
-    ]
+    md = F.md5(F.col("tok"))
+    h_lo = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+    h_hi = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
+    toks = toks.select("doc_id", h_lo.alias("h_lo"), h_hi.alias("h_hi"))
+    bit_sums = []
+    for b in range(SIMHASH_BITS):
+        src, bit = ("h_lo", b) if b < 32 else ("h_hi", b - 32)
+        bit_sums.append(
+            F.sum(
+                F.when(
+                    F.expr(f"(shiftright({src}, {bit}) & 1) = 1"), 1
+                ).otherwise(-1)
+            ).alias(f"_b{b}")
+        )
     agg = toks.groupBy("doc_id").agg(*bit_sums)
     sig = None
     for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        # bit 63 contributes the sign bit: −2^63 in two's complement
+        val = (1 << b) if b < 63 else -(1 << 63)
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(val)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return agg.select("doc_id", sig.cast("long").alias("simhash"))
 

@@ -593,11 +593,15 @@ def _simhash_sig_ctes() -> str:
     """CTE chain ending in sig(doc_id, simhash) — shared by the d05 and
     d09 oracles."""
     sums = ", ".join(
-        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        f"SUM(CASE WHEN ({'h_lo' if b < 32 else 'h_hi'} >> {b % 32}) & 1 = 1"
+        f" THEN 1 ELSE -1 END) AS b{b}"
         for b in range(SIMHASH_BITS)
     )
+    # bit 63 is the two's-complement sign bit of the BIGINT signature
     sig = " + ".join(
-        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+        f"CASE WHEN b{b} > 0 THEN {(1 << b) if b < 63 else -(1 << 63)}"
+        " ELSE 0 END"
+        for b in range(SIMHASH_BITS)
     )
     return f"""
         t AS (
@@ -605,7 +609,9 @@ def _simhash_sig_ctes() -> str:
           FROM documents
         ),
         h AS (
-          SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) AS h
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) AS h_lo,
+                 CAST(('0x' || substr(md5(tok), 9, 8)) AS UBIGINT) AS h_hi
           FROM t
         ),
         b AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
