@@ -149,6 +149,62 @@ def rolling_zscore(
     )
 
 
+def bucket_gapfill(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Per-key time-bucket rollup with an explicit gap spine
+    (TimescaleDB ``time_bucket_gapfill`` + ``locf``): aggregate each
+    series into ``bucket`` buckets, generate EVERY bucket between that
+    series' first and last observation, zero-fill event counts, and
+    carry the last observed bucket sum forward across empty buckets.
+
+    Scale shape: one keyed agg shuffle; the spine is ``sequence()``
+    exploded from the per-key min/max — its row count is the bucket
+    range, not the input size, so the explode is output-sized. The
+    spine→agg join and the LOCF window both key on (keys, bucket), so
+    AQE reuses one partitioning; no driver-side calendar, no crossJoin.
+    Bucket sums are order-dependent across engines → scaled-floor 6dp
+    before exposure."""
+    b = F.date_trunc(bucket, F.col(ts_col)).cast("timestamp_ntz")
+    agg = df.groupBy(*key_cols, b.alias("bucket")).agg(
+        F.count("*").alias("n_events"),
+        (
+            F.floor(F.sum(value_col) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        ).alias("sum_value"),
+    )
+    spine = (
+        agg.groupBy(*key_cols)
+        .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence(
+                    F.col("_lo"),
+                    F.col("_hi"),
+                    F.expr(f"INTERVAL 1 {bucket}"),
+                )
+            ).alias("bucket"),
+        )
+    )
+    joined = spine.join(agg, [*key_cols, "bucket"], "left")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *key_cols,
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "sum_value",
+        F.last("sum_value", ignorenulls=True).over(w).alias("sum_filled"),
+    )
+
+
 def delta_rate(
     df: DataFrame,
     key_cols: Sequence[str],

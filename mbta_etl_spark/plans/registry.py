@@ -491,6 +491,15 @@ def ts04_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "z", "is_anomaly")
 
 
+def ts05_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly rollup with explicit gap buckets, zero-filled
+    counts, and LOCF-carried sums — time_bucket_gapfill semantics."""
+    from mbta_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    return timeseries.bucket_gapfill(ev, ["user_id"], "ts", "value")
+
+
 def c08_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirakis weighted sampling without replacement over
     documents, weight = token count: deterministic content-hash draws,
@@ -1342,6 +1351,27 @@ _ORACLES: dict[str, str] = {
           )
         )
     """,
+    "ts05_bucket_gapfill": """
+        WITH agg AS (
+          SELECT user_id, date_trunc('hour', ts) AS bucket,
+                 COUNT(*) AS n_events,
+                 FLOOR(SUM(value) * 1000000 + 0.5) / 1000000.0 AS sum_value
+          FROM events GROUP BY user_id, date_trunc('hour', ts)
+        ),
+        spine AS (
+          SELECT user_id, unnest(generate_series(lo, hi,
+                                                 INTERVAL 1 HOUR)) AS bucket
+          FROM (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+                FROM agg GROUP BY user_id)
+        )
+        SELECT s.user_id, s.bucket,
+               COALESCE(a.n_events, 0) AS n_events,
+               a.sum_value,
+               last_value(a.sum_value IGNORE NULLS) OVER (
+                 PARTITION BY s.user_id ORDER BY s.bucket
+                 ROWS UNBOUNDED PRECEDING) AS sum_filled
+        FROM spine s LEFT JOIN agg a USING (user_id, bucket)
+    """,
     "c08_weighted_sample": """
         SELECT doc_id, weight,
                FLOOR(score * 1000000 + 0.5) / 1000000.0 AS score FROM (
@@ -1926,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts02_delta_rate": ts02_delta_rate,
             "ts03_interpolate": ts03_interpolate,
             "ts04_rolling_zscore": ts04_rolling_zscore,
+            "ts05_bucket_gapfill": ts05_bucket_gapfill,
             "c08_weighted_sample": c08_weighted_sample,
         }
     )

@@ -83,6 +83,25 @@ def test_interpolate_weights_by_elapsed_time(spark):
     assert got[1] == 13.0  # 8 + (28-8)·(5/20)
 
 
+def test_bucket_gapfill_emits_empty_buckets_with_locf(spark):
+    df = _series(
+        spark,
+        [
+            ("a", datetime.datetime(2024, 1, 1, 0, 30), 0, 10.0),
+            ("a", datetime.datetime(2024, 1, 1, 0, 45), 1, 2.0),
+            # hours 1 and 2 empty
+            ("a", datetime.datetime(2024, 1, 1, 3, 10), 2, 7.0),
+        ],
+    )
+    out = timeseries.bucket_gapfill(df, ["k"], "ts", "value")
+    rows = {r.bucket.hour: r for r in out.collect()}
+    assert sorted(rows) == [0, 1, 2, 3]  # full spine, gaps included
+    assert rows[0].n_events == 2 and rows[0].sum_value == 12.0
+    assert rows[1].n_events == 0 and rows[1].sum_value is None
+    assert rows[1].sum_filled == 12.0 and rows[2].sum_filled == 12.0
+    assert rows[3].sum_value == 7.0 and rows[3].sum_filled == 7.0
+
+
 def test_delta_rate_first_row_null_and_rate(spark):
     df = _series(
         spark,
