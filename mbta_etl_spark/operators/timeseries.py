@@ -205,6 +205,64 @@ def bucket_gapfill(
     )
 
 
+def ewma(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    order_tiebreak: str,
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Exponentially-weighted moving average per series (pandas
+    ``ewm(adjust=False)`` semantics): s₀ = v₀, sₜ = (1−α)·sₜ₋₁ + α·vₜ.
+
+    Inherently sequential per series — no window-function form without an
+    order-dependent power-sum (which overflows/denormalizes on long
+    series) — so this is the grouped-map Pandas tier: one shuffle on the
+    series key, an O(len) numpy recursion per series. The recursion is
+    written as an EXPLICIT loop with the literal `(1−α)·s + α·v` op
+    order, not pandas ewm(), so the SQL oracle's recursive CTE replays
+    bit-identical IEEE arithmetic; output scaled-floor 6dp.
+
+    Scale: state is one float per series and frames are one series each —
+    memory-safe at any corpus size provided single series fit in a
+    partition (they must: a series IS the unit of sequential work)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    key_fields = [df.schema[k] for k in key_cols]
+    out_schema = T.StructType(
+        [
+            *key_fields,
+            df.schema[ts_col],
+            df.schema[order_tiebreak],
+            df.schema[value_col],
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+    a = float(alpha)
+
+    def _e(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, order_tiebreak])
+        v = pdf[value_col].to_numpy(np.float64)
+        s = np.empty_like(v)
+        if len(v):
+            acc = v[0]
+            s[0] = acc
+            for i in range(1, len(v)):
+                acc = (1.0 - a) * acc + a * v[i]
+                s[i] = acc
+        pdf = pdf[[*key_cols, ts_col, order_tiebreak, value_col]].copy()
+        pdf["ewma"] = np.floor(s * 1e6 + 0.5) / 1e6
+        return pdf
+
+    return df.select(
+        *key_cols, ts_col, order_tiebreak, value_col
+    ).groupBy(*key_cols).applyInPandas(_e, schema=out_schema)
+
+
 def delta_rate(
     df: DataFrame,
     key_cols: Sequence[str],

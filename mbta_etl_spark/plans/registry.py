@@ -491,6 +491,20 @@ def ts04_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "z", "is_anomaly")
 
 
+def j07_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (operators/skew.py): every event row enriched
+    with its event_type's total — event_type is the canonical hot key
+    (5 values over the whole fact table). The salt spreads each hot key
+    over 8 reducers; result is pinned identical to the unsalted join."""
+    from mbta_etl_spark.operators.skew import salted_join
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type")
+    dim = ev.groupBy("event_type").agg(F.count("*").alias("type_total"))
+    return salted_join(
+        ev, dim, "event_type", 8, F.col("event_id")
+    ).select("event_id", "event_type", "type_total")
+
+
 def ts05_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user hourly rollup with explicit gap buckets, zero-filled
     counts, and LOCF-carried sums — time_bucket_gapfill semantics."""
@@ -498,6 +512,17 @@ def ts05_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir).select("user_id", "ts", "value")
     return timeseries.bucket_gapfill(ev, ["user_id"], "ts", "value")
+
+
+def ts06_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series EWMA smoothing (α=0.3, adjust=False recursion) — the
+    sequential-state operator of the time-series family; oracle replays
+    the identical recursion as a recursive CTE."""
+    from mbta_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    out = timeseries.ewma(ev, ["user_id"], "ts", "event_id", "value")
+    return out.select("event_id", "user_id", "value", "ewma")
 
 
 def c08_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1351,6 +1376,12 @@ _ORACLES: dict[str, str] = {
           )
         )
     """,
+    "j07_salted_join": """
+        SELECT event_id, event_type, type_total
+        FROM events
+        JOIN (SELECT event_type, COUNT(*) AS type_total
+              FROM events GROUP BY event_type) USING (event_type)
+    """,
     "ts05_bucket_gapfill": """
         WITH agg AS (
           SELECT user_id, date_trunc('hour', ts) AS bucket,
@@ -1371,6 +1402,25 @@ _ORACLES: dict[str, str] = {
                  PARTITION BY s.user_id ORDER BY s.bucket
                  ROWS UNBOUNDED PRECEDING) AS sum_filled
         FROM spine s LEFT JOIN agg a USING (user_id, bucket)
+    """,
+    "ts06_ewma": """
+        WITH RECURSIVE ev AS (
+          SELECT user_id, ts, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        r AS (
+          SELECT user_id, event_id, value, rn, value AS s
+          FROM ev WHERE rn = 1
+          UNION ALL
+          SELECT ev.user_id, ev.event_id, ev.value, ev.rn,
+                 0.7 * r.s + 0.3 * ev.value
+          FROM r JOIN ev ON ev.user_id = r.user_id AND ev.rn = r.rn + 1
+        )
+        SELECT event_id, user_id, value,
+               FLOOR(s * 1000000 + 0.5) / 1000000.0 AS ewma
+        FROM r
     """,
     "c08_weighted_sample": """
         SELECT doc_id, weight,
@@ -1957,6 +2007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts03_interpolate": ts03_interpolate,
             "ts04_rolling_zscore": ts04_rolling_zscore,
             "ts05_bucket_gapfill": ts05_bucket_gapfill,
+            "ts06_ewma": ts06_ewma,
+            "j07_salted_join": j07_salted_join,
             "c08_weighted_sample": c08_weighted_sample,
         }
     )

@@ -116,6 +116,39 @@ def test_delta_rate_first_row_null_and_rate(spark):
     assert got[1] == (20.0, 5.0)
 
 
+def test_ewma_recursion_matches_closed_form(spark):
+    df = _series(
+        spark,
+        [
+            ("a", _t(0), 0, 10.0),
+            ("a", _t(1), 1, 20.0),
+            ("a", _t(2), 2, 20.0),
+            ("b", _t(0), 0, 4.0),
+        ],
+    )
+    out = timeseries.ewma(df, ["k"], "ts", "seq", "value", alpha=0.5)
+    got = {(r.k, r.seq): r.ewma for r in out.collect()}
+    assert got[("a", 0)] == 10.0  # s0 = v0
+    assert got[("a", 1)] == 15.0  # 0.5·10 + 0.5·20
+    assert got[("a", 2)] == 17.5
+    assert got[("b", 0)] == 4.0  # series isolation
+
+
+def test_salted_join_identical_to_plain_join(spark):
+    from mbta_etl_spark.operators.skew import salted_join
+
+    fact = spark.range(100).select(
+        F.col("id").alias("rid"), (F.col("id") % 3).alias("k")
+    )
+    dim = spark.range(3).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("payload")
+    )
+    salted = salted_join(fact, dim, "k", 4, F.col("rid")).orderBy("rid")
+    plain = fact.join(dim, "k").orderBy("rid")
+    assert [tuple(r) for r in salted.select("rid", "k", "payload").collect()] \
+        == [tuple(r) for r in plain.select("rid", "k", "payload").collect()]
+
+
 def test_rolling_zscore_constant_series_no_anomaly(spark):
     rows = [("a", _t(i), i, 7.0) for i in range(10)]
     df = _series(spark, rows)
