@@ -505,6 +505,38 @@ def j07_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type", "type_total")
 
 
+def q48_analytic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank/navigation analytic functions not exercised elsewhere, in one
+    keyed window over customers: dense_rank, cume_dist, nth_value, and
+    lead-with-default — completing the window-function surface (q37 holds
+    ntile/percent_rank, q19/q33 the frame aggregates, ts01-ts04 the
+    series windows). One shuffle on the segment key."""
+    cust = load_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    # two orderings, one partitioning (one shuffle): the ties window gives
+    # dense_rank/cume_dist their peer-group semantics (deterministic under
+    # ties); navigation fns need the tie-broken total order or their
+    # results would be ambiguous
+    wt = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.dense_rank().over(wt).alias("bal_dense_rank"),
+        (
+            F.floor(F.cume_dist().over(wt) * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6)
+        ).alias("bal_cume_dist"),
+        F.nth_value("c_custkey", 2).over(wf).alias("segment_runnerup"),
+        F.lead("c_custkey", 1, -1).over(w).alias("next_poorer_key"),
+    )
+
+
 def ts05_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user hourly rollup with explicit gap buckets, zero-filled
     counts, and LOCF-carried sums — time_bucket_gapfill semantics."""
@@ -1382,6 +1414,22 @@ _ORACLES: dict[str, str] = {
         JOIN (SELECT event_type, COUNT(*) AS type_total
               FROM events GROUP BY event_type) USING (event_type)
     """,
+    "q48_analytic_battery": """
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               dense_rank() OVER wt AS bal_dense_rank,
+               FLOOR(cume_dist() OVER wt * 1000000 + 0.5) / 1000000.0
+                 AS bal_cume_dist,
+               nth_value(c_custkey, 2) OVER (
+                 PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS segment_runnerup,
+               lead(c_custkey, 1, -1) OVER w AS next_poorer_key
+        FROM customer
+        WINDOW wt AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC),
+               w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
     "ts05_bucket_gapfill": """
         WITH agg AS (
           SELECT user_id, date_trunc('hour', ts) AS bucket,
@@ -2009,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts05_bucket_gapfill": ts05_bucket_gapfill,
             "ts06_ewma": ts06_ewma,
             "j07_salted_join": j07_salted_join,
+            "q48_analytic_battery": q48_analytic_battery,
             "c08_weighted_sample": c08_weighted_sample,
         }
     )
