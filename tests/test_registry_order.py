@@ -36,6 +36,18 @@ MUST_BE_IN_WINDOW = {
     "q25_pivot_counts", "q35_order_basket", "q44_late_ship_priority",
 }
 
+# ROUND 3 ROTATION PLAN: the r2 window is fully occupied by the entries
+# above; everything added later in round 2 sits past slot 50 and has no
+# driver row yet. Next round, swap these into the front of queries()
+# (the r2 window's entries will have green CORRECTNESS_r02 rows by then)
+# and update MUST_BE_IN_WINDOW accordingly:
+#   ts01_locf ts02_delta_rate ts03_interpolate ts04_rolling_zscore
+#   ts05_bucket_gapfill ts06_ewma c08_weighted_sample j07_salted_join
+#   q48_analytic_battery  (+ anything new in round 3)
+# d05_simhash / d09_simhash_band_pairs changed semantics (64-bit sigs)
+# AFTER the r2 window was fixed — they are in the r2 window, so their
+# new values get driver rows this round; no carry-over needed.
+
 
 def test_unverified_entries_sit_in_driver_window():
     first50 = list(entrymod.queries())[:50]
