@@ -174,6 +174,73 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """DIRECTED n-gram containment: for ordered pairs,
+    containment(sub→super) = |sub ∩ super| / |sub| ≥ threshold.
+
+    Catches what symmetric Jaccard misses: a short document wholly
+    quoted inside a long one scores near-zero Jaccard (union is
+    dominated by the long doc) but containment ≈ 1 — the standard
+    signal for quote/boilerplate/subset duplication in corpus curation.
+
+    Same candidate machinery as ``ngram_jaccard_pairs`` (shingle
+    self-join computes each undirected pair's intersection ONCE), then
+    both directions are derived from that single count — the union is a
+    projection, not a second join. ``max_shingle_df`` caps the quadratic
+    hot-shingle term exactly as in d03."""
+    sh = _shingle_table(df, text, id_col, k).persist()
+    sh.count()
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("sh64")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("sh64")
+        )
+        sh = sh.join(rare, "sh64")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "sh64")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
+    )
+    both = inter.join(sa, "doc_a").join(sb, "doc_b")
+
+    def _r6(c: Column) -> Column:
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    fwd = both.select(
+        F.col("doc_a").alias("doc_sub"),
+        F.col("doc_b").alias("doc_super"),
+        _r6(F.col("n_inter") / F.col("size_a")).alias("containment"),
+    )
+    rev = both.select(
+        F.col("doc_b").alias("doc_sub"),
+        F.col("doc_a").alias("doc_super"),
+        _r6(F.col("n_inter") / F.col("size_b")).alias("containment"),
+    )
+    return fwd.unionAll(rev).filter(F.col("containment") >= threshold)
+
+
 MINHASH_PRIME = 4294967311  # smallest prime > 2^32
 
 

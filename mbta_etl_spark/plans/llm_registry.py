@@ -114,6 +114,22 @@ def d03_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def d10_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment |sub∩super|/|sub| ≥ 0.8 — subset/quote
+    duplication the symmetric Jaccard (d03) can't see."""
+    return dedup.ngram_containment_pairs(
+        _docs(spark, sf_dir),
+        F.col("text"),
+        F.col("doc_id"),
+        k=JACCARD_K,
+        threshold=CONTAINMENT_THRESHOLD,
+        max_shingle_df=JACCARD_MAX_SHINGLE_DF,
+    )
+
+
 def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
         _docs(spark, sf_dir),
@@ -876,6 +892,40 @@ _ORACLES: dict[str, str] = {
         JOIN csizes sa ON sa.doc_id = doc_a
         JOIN csizes sb ON sb.doc_id = doc_b
         WHERE ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= {JACCARD_THRESHOLD}
+    """,
+    "d10_ngram_containment": f"""
+        WITH {_SHINGLE_CTE},
+        rare AS (
+          SELECT shingle FROM sh GROUP BY shingle
+          HAVING COUNT(*) <= {JACCARD_MAX_SHINGLE_DF}
+        ),
+        shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        csizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shc GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+          FROM shc a JOIN shc b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        bidir AS (
+          SELECT doc_a, doc_b, n_inter, sa.set_size AS size_a,
+                 sb.set_size AS size_b
+          FROM inter
+          JOIN csizes sa ON sa.doc_id = doc_a
+          JOIN csizes sb ON sb.doc_id = doc_b
+        )
+        SELECT doc_sub, doc_super, containment FROM (
+          SELECT doc_a AS doc_sub, doc_b AS doc_super,
+                 FLOOR(n_inter / size_a * 1000000 + 0.5) / 1000000.0
+                   AS containment
+          FROM bidir
+          UNION ALL
+          SELECT doc_b AS doc_sub, doc_a AS doc_super,
+                 FLOOR(n_inter / size_b * 1000000 + 0.5) / 1000000.0
+                   AS containment
+          FROM bidir
+        )
+        WHERE containment >= {CONTAINMENT_THRESHOLD}
     """,
     "d04_minhash_lsh_pairs": f"""
         WITH {_SHINGLE_CTE},

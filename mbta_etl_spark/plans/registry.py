@@ -2058,6 +2058,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts06_ewma": ts06_ewma,
             "j07_salted_join": j07_salted_join,
             "q48_analytic_battery": q48_analytic_battery,
+            # registered in the tail, NOT in llm_registry.queries(),
+            # so the r2 correctness window keeps its 50 planned slots
+            "d10_ngram_containment": llm_registry.d10_ngram_containment,
             "c08_weighted_sample": c08_weighted_sample,
         }
     )

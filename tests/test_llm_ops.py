@@ -325,3 +325,30 @@ def test_pii_scrub_cascade(spark):
     assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_phones"]) == (0, 0, 0)
     # the scrub is syntactic: 999.x octets still match the shape
     assert out[3]["n_ips"] == 1 and out[3]["n_phones"] == 0
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment(sub→super)
+    = 1.0 while Jaccard stays below any useful threshold — the reason the
+    directed operator exists."""
+    from mbta_etl_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    cont = ngram_containment_pairs(
+        df, F.col("text"), F.col("doc_id"), threshold=0.9
+    ).collect()
+    assert len(cont) == 1
+    assert (cont[0]["doc_sub"], cont[0]["doc_super"]) == (1, 2)
+    assert cont[0]["containment"] == 1.0
+    # symmetric Jaccard on the same pair is far below threshold
+    jacc = ngram_jaccard_pairs(
+        df, F.col("text"), F.col("doc_id"), threshold=0.5
+    ).collect()
+    assert jacc == []
