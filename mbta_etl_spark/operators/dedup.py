@@ -474,17 +474,36 @@ def simhash_band_pairs(
     many docs (e.g. all-zero band from very short docs) concentrates one
     join key; at 100 TB, count band-key frequencies first and route hot
     keys through the exact pairwise check."""
-    assert SIMHASH_BITS % n_bands == 0
-    band_bits = SIMHASH_BITS // n_bands
-    mask = (1 << band_bits) - 1
     sigs = simhash(df, text, id_col)
+    return banded_hamming_pairs(
+        sigs, "simhash", max_hamming=max_hamming, n_bands=n_bands
+    )
+
+
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bits: int = 64,
+) -> DataFrame:
+    """Generic banded hamming join over ANY 64-bit signature column
+    (SimHash, perceptual hash, …): (doc_a, doc_b, hamming) for every
+    pair of signatures within ``max_hamming`` bits, found via band
+    collision. Pigeonhole: pairs differing in < n_bands bits share at
+    least one band slice, so max_hamming = n_bands − 1 makes the banding
+    recall-exact. Input contract: one row per doc_id with a long
+    ``sig_col``."""
+    assert bits % n_bands == 0
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
     stack_args = ", ".join(
-        f"{b}, shiftright(simhash, {b * band_bits}) & {mask}"
+        f"{b}, shiftright({sig_col}, {b * band_bits}) & {mask}"
         for b in range(n_bands)
     )
     bands = sigs.select(
         "doc_id",
-        "simhash",
+        sig_col,
         F.expr(f"stack({n_bands}, {stack_args}) AS (band, bkey)"),
     )
     a = bands.alias("a")
@@ -495,9 +514,9 @@ def simhash_band_pairs(
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
-            F.col("a.simhash").alias("sig_a"),
+            F.col(f"a.{sig_col}").alias("sig_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("b.simhash").alias("sig_b"),
+            F.col(f"b.{sig_col}").alias("sig_b"),
         )
         .distinct()
         .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))

@@ -228,3 +228,37 @@ def fake_frame_samples(df: DataFrame, every_n: int = 64) -> DataFrame:
             )
 
     return df.mapInPandas(_sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def phash_dup_pairs(
+    df: DataFrame, max_hamming: int = 7, n_bands: int = 8
+) -> DataFrame:
+    """Perceptual-hash near-dup pairs over a binary payload table:
+    payload → 64-bit hash → banded hamming join (reuses
+    ``dedup.banded_hamming_pairs``; 8 bands of 8 bits = recall-exact to
+    hamming 7, the usual pHash dup radius).
+
+    The hash here is a DETERMINISTIC STAND-IN — md5 of the raw payload
+    packed into a signed 64-bit value — because no image codec exists in
+    this environment (same policy as the decode stubs at
+    multimodal.py:99-118). A real deployment swaps ONE projection: the
+    DCT-based pHash of the decoded image, which clusters visually
+    similar payloads so near-radii fire; the md5 stand-in is uniform, so
+    only byte-identical payloads collide at small hamming. Everything
+    that matters at scale — one agg-free projection, the band explode,
+    the 8-bit-key equi-join — is the real production shape.
+    """
+    from mbta_etl_spark.operators.dedup import banded_hamming_pairs
+
+    md = F.md5(F.col("payload"))
+    lo = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+    hi = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
+    # (hi << 32) | lo as one signed long; shiftleft wraps into the sign
+    # bit, giving the same two's-complement pattern the oracle's
+    # explicit (hi − 2^32)·2^32 + lo formula produces
+    sigs = df.select(
+        "doc_id", (F.shiftleft(hi, 32) + lo).alias("phash")
+    )
+    return banded_hamming_pairs(
+        sigs, "phash", max_hamming=max_hamming, n_bands=n_bands
+    )

@@ -299,6 +299,13 @@ def m04_fake_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 RESIZE_TARGET = 128
 
 
+def m05_phash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over the binary payload table —
+    the multimodal twin of d09, on the generic banded-hamming join."""
+    binary = multimodal.to_binary_table(_docs(spark, sf_dir), "text", "doc_id")
+    return multimodal.phash_dup_pairs(binary)
+
+
 MIX_WEIGHTS = {
     # high-quality sources upsampled 2.5x, mid kept, low downsampled, the
     # rest dropped — the canonical pretraining-mixture shape
@@ -892,6 +899,36 @@ _ORACLES: dict[str, str] = {
         JOIN csizes sa ON sa.doc_id = doc_a
         JOIN csizes sb ON sb.doc_id = doc_b
         WHERE ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= {JACCARD_THRESHOLD}
+    """,
+    "m05_phash_dupes": """
+        WITH h AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) AS lo,
+                 CAST(('0x' || substr(md5(text), 9, 8)) AS UBIGINT) AS hi
+          FROM documents
+        ),
+        sig AS (
+          SELECT doc_id,
+                 CAST((CASE WHEN hi >= 2147483648
+                            THEN CAST(hi AS HUGEINT) - 4294967296
+                            ELSE CAST(hi AS HUGEINT) END)
+                      * 4294967296 + lo AS BIGINT) AS phash
+          FROM h
+        ),
+        bands AS (
+          SELECT doc_id, phash, band, (phash >> (band * 8)) & 255 AS bkey
+          FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, a.phash AS sig_a,
+                          b.doc_id AS doc_b, b.phash AS sig_b
+          FROM bands a JOIN bands b USING (band, bkey)
+          WHERE a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sig_a, sig_b)) <= 7
     """,
     "d10_ngram_containment": f"""
         WITH {_SHINGLE_CTE},

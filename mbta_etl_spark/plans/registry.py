@@ -2061,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # registered in the tail, NOT in llm_registry.queries(),
             # so the r2 correctness window keeps its 50 planned slots
             "d10_ngram_containment": llm_registry.d10_ngram_containment,
+            "m05_phash_dupes": llm_registry.m05_phash_dupes,
             "c08_weighted_sample": c08_weighted_sample,
         }
     )

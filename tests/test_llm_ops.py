@@ -352,3 +352,21 @@ def test_containment_catches_subset_jaccard_misses(spark):
         df, F.col("text"), F.col("doc_id"), threshold=0.5
     ).collect()
     assert jacc == []
+
+
+def test_phash_dupes_find_identical_payloads(spark):
+    """The md5 stand-in hash is uniform, so only byte-identical payloads
+    fall within the hamming radius — pin that positive case (the sf0.01
+    registry data has no exact dups, so the driver row alone is 0=0)."""
+    from mbta_etl_spark.operators.multimodal import (
+        phash_dup_pairs,
+        to_binary_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "same payload"), (2, "same payload"), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = phash_dup_pairs(to_binary_table(df, "text", "doc_id")).collect()
+    assert len(out) == 1
+    assert (out[0]["doc_a"], out[0]["doc_b"], out[0]["hamming"]) == (1, 2, 0)
