@@ -293,3 +293,55 @@ def weighted_mix(
     n = w_int.otherwise(0) + (_bucket(key, salt) < w_frac.otherwise(0)).cast("int")
     copies = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(F.array())
     return df.withColumn("copy", F.explode(copies))
+
+
+def temperature_mix(
+    df: DataFrame,
+    key: Column,
+    stratum: Column,
+    budget: int,
+    salt: str = "tm",
+) -> DataFrame:
+    """Temperature-flattened source mixture (tau = 0.5): per-stratum
+    share proportional to sqrt(stratum count), the standard trick for
+    boosting small domains without letting huge ones dominate a
+    pretraining mix. Each stratum contributes its hash-ranked top
+    floor(budget * sqrt(n_s)/S + 0.5) rows, S = sum of sqrt counts.
+
+    tau is fixed at 0.5 deliberately: sqrt is the one power IEEE 754
+    requires correctly rounded, so Spark and any SQL oracle compute
+    bit-identical shares — pow(x, tau) for general tau is only
+    ~1-ulp-accurate and engine-dependent, which would make target
+    counts flicker at rounding boundaries.
+
+    Scale shape: one count aggregation (stratum-keyed, tiny result), a
+    broadcast of the per-stratum targets back onto the corpus, and one
+    rank window per stratum — the same envelope as per_stratum_topn."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(stratum.alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_s")
+    )
+    total = counts.agg(F.sum(F.sqrt("n_s")).alias("sqrt_sum"))
+    targets = counts.crossJoin(F.broadcast(total)).select(
+        "stratum",
+        F.floor(
+            F.sqrt("n_s") / F.col("sqrt_sum") * F.lit(float(budget))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("target"),
+    )
+    w = Window.partitionBy(stratum).orderBy(
+        F.md5(F.concat(F.lit(salt), key.cast("string"))), key
+    )
+    ranked = df.select(
+        key.alias("doc_id"),
+        stratum.alias("stratum"),
+        F.row_number().over(w).alias("rank"),
+    )
+    return (
+        ranked.join(F.broadcast(targets), "stratum")
+        .filter(F.col("rank") <= F.col("target"))
+        .select("doc_id", "stratum", "rank")
+    )

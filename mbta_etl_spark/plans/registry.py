@@ -557,6 +557,18 @@ def ts06_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "value", "ewma")
 
 
+def c10_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened (tau=0.5) source mixture over documents:
+    each source contributes hash-ranked docs proportional to the square
+    root of its size — small domains boosted, large ones damped."""
+    from mbta_etl_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.temperature_mix(
+        docs, F.col("doc_id"), F.col("source"), budget=200
+    )
+
+
 def c08_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirakis weighted sampling without replacement over
     documents, weight = token count: deterministic content-hash draws,
@@ -1470,6 +1482,30 @@ _ORACLES: dict[str, str] = {
                FLOOR(s * 1000000 + 0.5) / 1000000.0 AS ewma
         FROM r
     """,
+    "c10_temperature_mix": """
+        WITH counts AS (
+          SELECT source AS stratum, COUNT(*) AS n_s
+          FROM documents GROUP BY source
+        ),
+        total AS (SELECT SUM(sqrt(n_s)) AS sqrt_sum FROM counts),
+        targets AS (
+          SELECT stratum,
+                 CAST(FLOOR(sqrt(n_s) / sqrt_sum * 200.0 + 0.5) AS BIGINT)
+                   AS target
+          FROM counts CROSS JOIN total
+        ),
+        ranked AS (
+          SELECT doc_id, source AS stratum,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('tm' || CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rank
+          FROM documents
+        )
+        SELECT doc_id, stratum, CAST(rank AS BIGINT) AS rank
+        FROM ranked JOIN targets USING (stratum)
+        WHERE rank <= target
+    """,
     "c08_weighted_sample": """
         SELECT doc_id, weight,
                FLOOR(score * 1000000 + 0.5) / 1000000.0 AS score FROM (
@@ -2062,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # so the r2 correctness window keeps its 50 planned slots
             "d10_ngram_containment": llm_registry.d10_ngram_containment,
             "m05_phash_dupes": llm_registry.m05_phash_dupes,
+            "c10_temperature_mix": c10_temperature_mix,
             "c08_weighted_sample": c08_weighted_sample,
         }
     )

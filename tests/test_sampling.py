@@ -258,3 +258,25 @@ def test_decontaminate_flags_leaked_docs(spark):
     assert rows[1]["contamination"] == 1.0  # all 3 of its 8-grams leak
     assert rows[1]["n_grams"] == 3
     assert rows[2]["contamination"] == 0.0
+
+
+def test_temperature_mix_boosts_small_strata(spark):
+    """tau=0.5 flattening: a 9:1 corpus yields sqrt(9):sqrt(1) = 3:1
+    targets, tripling the small stratum's share vs proportional."""
+    from pyspark.sql import functions as F
+
+    from mbta_etl_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big") for i in range(90)] + [(100 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, F.col("doc_id"), F.col("source"), budget=40)
+    by = {r["stratum"]: 0 for r in out.collect()}
+    for r in out.collect():
+        by[r["stratum"]] += 1
+    # sqrt(90)=9.487, sqrt(10)=3.162, S=12.65 -> targets 30 and 10
+    assert by == {"big": 30, "small": 10}
+    # determinism: same call, same picks
+    again = temperature_mix(df, F.col("doc_id"), F.col("source"), budget=40)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
