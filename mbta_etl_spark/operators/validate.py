@@ -110,3 +110,28 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(F.col(key), change.alias("change"))
+
+
+def quarantine_split(
+    df: DataFrame,
+    rules: Sequence[tuple[str, Column]],
+) -> DataFrame:
+    """Row-level quarantine routing: tag every row with the FIRST failing
+    rule (declaration order) or null if all pass. ``rules`` is an ordered
+    list of (name, pass_predicate). Downstream splits on the tag —
+    clean rows flow on, quarantined rows land in a dead-letter table
+    WITH their reason, the operational contract an ETL quarantine needs
+    (check_constraints reports per-RULE counts; this keeps per-ROW
+    blame).
+
+    One projection, zero shuffles: the first-fail CASE folds into the
+    scan, so both branches of the split read the tag from the same pass.
+    At 100 TB this is free — the cost is wherever the two branches are
+    written, not here."""
+    reason = None
+    for name, pred in rules:
+        clause = F.when(~pred, F.lit(name))
+        reason = clause if reason is None else reason.when(~pred, F.lit(name))
+    return df.withColumn("quarantine_reason", reason).withColumn(
+        "is_clean", F.col("quarantine_reason").isNull()
+    )

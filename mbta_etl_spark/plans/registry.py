@@ -557,6 +557,24 @@ def ts06_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "value", "ewma")
 
 
+def v05_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quarantine routing over orders: first failing rule (in
+    declaration order) becomes the row's reason; clean rows tagged
+    True — per-ROW blame vs v01's per-rule counts. One projection."""
+    from mbta_etl_spark.operators import validate
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = validate.quarantine_split(
+        orders,
+        [
+            ("status_known", F.col("o_orderstatus").isin("O", "F", "P")),
+            ("price_range", F.col("o_totalprice").between(0.0, 300000.0)),
+            ("priority_format", F.col("o_orderpriority").rlike("^[1-5]-")),
+        ],
+    )
+    return out.select("o_orderkey", "quarantine_reason", "is_clean")
+
+
 def c10_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened (tau=0.5) source mixture over documents:
     each source contributes hash-ranked docs proportional to the square
@@ -1482,6 +1500,24 @@ _ORACLES: dict[str, str] = {
                FLOOR(s * 1000000 + 0.5) / 1000000.0 AS ewma
         FROM r
     """,
+    "v05_quarantine_split": """
+        SELECT o_orderkey,
+               CASE WHEN NOT (o_orderstatus IN ('O', 'F', 'P'))
+                      THEN 'status_known'
+                    WHEN NOT (o_totalprice BETWEEN 0.0 AND 300000.0)
+                      THEN 'price_range'
+                    WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                      THEN 'priority_format'
+               END AS quarantine_reason,
+               (CASE WHEN NOT (o_orderstatus IN ('O', 'F', 'P'))
+                       THEN 'status_known'
+                     WHEN NOT (o_totalprice BETWEEN 0.0 AND 300000.0)
+                       THEN 'price_range'
+                     WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                       THEN 'priority_format'
+                END) IS NULL AS is_clean
+        FROM orders
+    """,
     "c10_temperature_mix": """
         WITH counts AS (
           SELECT source AS stratum, COUNT(*) AS n_s
@@ -2099,6 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d10_ngram_containment": llm_registry.d10_ngram_containment,
             "m05_phash_dupes": llm_registry.m05_phash_dupes,
             "c10_temperature_mix": c10_temperature_mix,
+            "v05_quarantine_split": v05_quarantine_split,
             "c08_weighted_sample": c08_weighted_sample,
         }
     )

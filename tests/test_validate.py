@@ -104,3 +104,28 @@ def test_snapshot_diff_classifies_all_cases(spark):
         4: "removed",
         5: "added",
     }
+
+
+def test_quarantine_split_first_fail_wins(spark):
+    from pyspark.sql import functions as F
+
+    from mbta_etl_spark.operators.validate import quarantine_split
+
+    df = spark.createDataFrame(
+        [(1, 5, "ok"), (2, -1, "ok"), (3, -1, "bad"), (4, 5, "bad")],
+        "id long, v long, s string",
+    )
+    out = {
+        r["id"]: (r["quarantine_reason"], r["is_clean"])
+        for r in quarantine_split(
+            df,
+            [
+                ("v_positive", F.col("v") > 0),
+                ("s_ok", F.col("s") == "ok"),
+            ],
+        ).collect()
+    }
+    assert out[1] == (None, True)
+    assert out[2] == ("v_positive", False)
+    assert out[3] == ("v_positive", False)  # first failing rule wins
+    assert out[4] == ("s_ok", False)
