@@ -731,3 +731,37 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus_index: DataFrame,
+    text: Column,
+    id_col: Column,
+) -> DataFrame:
+    """Exact dedup of an incoming batch against a STANDING corpus: keep
+    the min-id representative of each content hash within the batch,
+    then anti-join the standing index of already-ingested hashes.
+
+    This is the incremental-ingestion shape: work is O(batch), never
+    O(corpus) — the standing corpus is represented only by its
+    ``corpus_index`` (one ``sha`` column, maintained by appending each
+    accepted batch's hashes), so a 100 TB corpus costs one pre-hashed
+    join side, not a re-scan. The index side of the anti-join broadcasts
+    while it fits; beyond that it's one hash-keyed shuffle of (sha)
+    pairs — tiny relative to payloads. Contrast d01, which dedups a
+    corpus against itself in one pass."""
+    from pyspark.sql import Window
+
+    hashed = batch.select(
+        id_col.alias("doc_id"), F.sha2(text, 256).alias("sha")
+    )
+    w = Window.partitionBy("sha")
+    batch_kept = (
+        hashed.withColumn("_keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .drop("_keep")
+    )
+    return batch_kept.join(
+        corpus_index.select("sha").distinct(), "sha", "left_anti"
+    ).select("doc_id", "sha")

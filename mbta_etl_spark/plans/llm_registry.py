@@ -299,6 +299,19 @@ def m04_fake_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 RESIZE_TARGET = 128
 
 
+def d11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch dedup against a standing corpus index: docs with
+    doc_id%10==0 arrive as the batch; the rest are the already-ingested
+    corpus, represented ONLY by their sha index — O(batch) work."""
+    docs = _docs(spark, sf_dir)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    standing = docs.filter(F.col("doc_id") % 10 != 0)
+    index = standing.select(F.sha2(F.col("text"), 256).alias("sha"))
+    return dedup.incremental_dedup(
+        batch, index, F.col("text"), F.col("doc_id")
+    )
+
+
 def m05_phash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup pairs over the binary payload table —
     the multimodal twin of d09, on the generic banded-hamming join."""
@@ -899,6 +912,24 @@ _ORACLES: dict[str, str] = {
         JOIN csizes sa ON sa.doc_id = doc_a
         JOIN csizes sb ON sb.doc_id = doc_b
         WHERE ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= {JACCARD_THRESHOLD}
+    """,
+    "d11_incremental_dedup": """
+        WITH batch AS (
+          SELECT doc_id, sha256(text) AS sha FROM documents
+          WHERE doc_id % 10 = 0
+        ),
+        kept AS (
+          SELECT doc_id, sha FROM (
+            SELECT doc_id, sha,
+                   MIN(doc_id) OVER (PARTITION BY sha) AS keep_id
+            FROM batch
+          ) WHERE doc_id = keep_id
+        )
+        SELECT doc_id, sha FROM kept
+        WHERE NOT EXISTS (
+          SELECT 1 FROM documents c
+          WHERE c.doc_id % 10 <> 0 AND sha256(c.text) = kept.sha
+        )
     """,
     "m05_phash_dupes": """
         WITH h AS (

@@ -2136,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "m05_phash_dupes": llm_registry.m05_phash_dupes,
             "c10_temperature_mix": c10_temperature_mix,
             "v05_quarantine_split": v05_quarantine_split,
+            "d11_incremental_dedup": llm_registry.d11_incremental_dedup,
             "c08_weighted_sample": c08_weighted_sample,
         }
     )

@@ -370,3 +370,21 @@ def test_phash_dupes_find_identical_payloads(spark):
     out = phash_dup_pairs(to_binary_table(df, "text", "doc_id")).collect()
     assert len(out) == 1
     assert (out[0]["doc_a"], out[0]["doc_b"], out[0]["hamming"]) == (1, 2, 0)
+
+
+def test_incremental_dedup_drops_known_and_intra_batch(spark):
+    from pyspark.sql import functions as F
+
+    from mbta_etl_spark.operators.dedup import incremental_dedup
+
+    batch = spark.createDataFrame(
+        [(10, "known text"), (11, "fresh text"), (12, "fresh text")],
+        "doc_id long, text string",
+    )
+    index = spark.createDataFrame([("known text",)], "text string").select(
+        F.sha2(F.col("text"), 256).alias("sha")
+    )
+    out = incremental_dedup(batch, index, F.col("text"), F.col("doc_id"))
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # 10 dropped (already in corpus), 12 dropped (intra-batch dup of 11)
+    assert kept == [11]

@@ -145,3 +145,43 @@ def test_kmeans_assignment_zero_shuffle(spark):
                                            [v for _, v in cents]))
     assert "Exchange" not in plan
     assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+def _n_exchanges(df) -> int:
+    # the formatted explain lists each node twice (tree + details); the
+    # executed-plan string holds each Exchange exactly once
+    return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+
+def test_ts03_both_frames_share_one_exchange(spark):
+    """interpolate's running-prev and running-next windows share the same
+    partitioning+ordering — one Exchange, two in-partition Window passes."""
+    assert _n_exchanges(registry.ts03_interpolate(spark, SF_DIR_SMALL)) == 1
+
+
+def test_q48_two_orderings_one_exchange(spark):
+    """The ties window and the tie-broken window differ only in ordering,
+    so the analytic battery shuffles once."""
+    assert _n_exchanges(registry.q48_analytic_battery(spark, SF_DIR_SMALL)) == 1
+
+
+def test_c08_weighted_sample_take_ordered(spark):
+    """A-Res top-k must plan as TakeOrderedAndProject (per-partition
+    heaps), never a global Sort."""
+    plan = _plan(registry.c08_weighted_sample(spark, SF_DIR_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan or "TakeOrderedAndProject" in plan
+
+
+def test_c10_targets_broadcast_corpus_never_shuffled_twice(spark):
+    """Temperature-mix targets join back as a broadcast — the corpus
+    shuffles once for the rank window, not for the join."""
+    plan = _plan(registry.c10_temperature_mix(spark, SF_DIR_SMALL))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_v05_quarantine_is_scan_plus_projection(spark):
+    """Row-level routing must add ZERO shuffles — the first-fail CASE
+    folds into the scan projection."""
+    plan = _plan(registry.v05_quarantine_split(spark, SF_DIR_SMALL))
+    assert "Exchange" not in plan
