@@ -112,3 +112,67 @@ def range_join_agg(
     joined = left.alias("l").join(right.alias("r"), cond, "left")
     group_cols = [F.col(f"l.{c}") for c in left.columns]
     return joined.groupBy(*group_cols).agg(*aggs)
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    bin_minutes: int = 5,
+) -> DataFrame:
+    """Keyed interval-overlap join via time-axis binning — the scalable
+    range-join shape. Inputs carry (key, id, start_ts, end_ts); output is
+    every (key, a_id, b_id) whose intervals overlap, with the overlap
+    duration in seconds.
+
+    Without binning, ``a.start < b.end AND b.start < a.end`` alone forces
+    a nested-loop join. Binning restores an equi-key: each interval
+    explodes into the coarse time bins it touches, the join runs on
+    (key, bin) — a plain shuffled hash join — and the exact overlap
+    predicate filters the binned candidates. An interval pair overlapping
+    across a bin boundary appears in multiple bins, so candidates are
+    de-duplicated before the final projection. Bin width trades explode
+    factor (long intervals / small bins → many rows) against candidate
+    precision (huge bins → more false candidates); set it near the median
+    interval length. Overlap seconds derive from exact microsecond
+    arithmetic — no float hazards."""
+    # tz-free binning: microseconds since a fixed NTZ reference, integer-
+    # divided into bins (unix_micros would need an NTZ→TZ cast that
+    # shifts with the session timezone)
+    bin_expr = (
+        "CAST(timestampdiff(MICROSECOND, "
+        "TIMESTAMP_NTZ '2000-01-01 00:00:00', {c}) "
+        f"/ {bin_minutes * 60_000_000} AS LONG)"
+    )
+
+    def _bins(df: DataFrame, side: str) -> DataFrame:
+        lo = F.expr(bin_expr.format(c="start_ts"))
+        hi = F.expr(bin_expr.format(c="end_ts"))
+        return df.select(
+            F.col(key),
+            F.col("id").alias(f"{side}_id"),
+            F.col("start_ts").alias(f"{side}_start"),
+            F.col("end_ts").alias(f"{side}_end"),
+            F.explode(F.sequence(lo, hi)).alias("_bin"),
+        )
+
+    cand = (
+        _bins(a, "a")
+        .join(_bins(b, "b"), [key, "_bin"])
+        .filter(
+            (F.col("a_start") < F.col("b_end"))
+            & (F.col("b_start") < F.col("a_end"))
+        )
+        .drop("_bin")
+        .distinct()
+    )
+    overlap_us = F.expr(
+        "timestampdiff(MICROSECOND, "
+        "greatest(a_start, b_start), least(a_end, b_end))"
+    )
+    return cand.select(
+        key,
+        "a_id",
+        "b_id",
+        (overlap_us / F.lit(1_000_000.0)).alias("overlap_s"),
+    )

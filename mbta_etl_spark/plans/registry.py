@@ -557,6 +557,29 @@ def ts06_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "value", "ewma")
 
 
+def j08_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-bucketed interval overlap join: click windows [ts, ts+5m)
+    against purchase windows [ts, ts+2m) per user — every overlapping
+    pair with its overlap seconds. The bin explode restores an equi-key
+    so the range join runs as a plain shuffled hash join."""
+    from mbta_etl_spark.operators.temporal import interval_overlap_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("id"),
+        F.col("ts").alias("start_ts"),
+        F.expr("ts + INTERVAL 5 MINUTE").alias("end_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("id"),
+        F.col("ts").alias("start_ts"),
+        F.expr("ts + INTERVAL 2 MINUTE").alias("end_ts"),
+    )
+    return interval_overlap_join(clicks, purchases, "user_id")
+
+
 def v05_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level quarantine routing over orders: first failing rule (in
     declaration order) becomes the row's reason; clean rows tagged
@@ -1500,6 +1523,25 @@ _ORACLES: dict[str, str] = {
                FLOOR(s * 1000000 + 0.5) / 1000000.0 AS ewma
         FROM r
     """,
+    "j08_interval_overlap": """
+        WITH clicks AS (
+          SELECT user_id, event_id AS a_id, ts AS a_start,
+                 ts + INTERVAL 5 MINUTE AS a_end
+          FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+          SELECT user_id, event_id AS b_id, ts AS b_start,
+                 ts + INTERVAL 2 MINUTE AS b_end
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT user_id, a_id, b_id,
+               CAST(date_diff('microsecond',
+                              greatest(a_start, b_start),
+                              least(a_end, b_end)) AS DOUBLE)
+                 / 1000000.0 AS overlap_s
+        FROM clicks JOIN purchases USING (user_id)
+        WHERE a_start < b_end AND b_start < a_end
+    """,
     "v05_quarantine_split": """
         SELECT o_orderkey,
                CASE WHEN NOT (o_orderstatus IN ('O', 'F', 'P'))
@@ -2137,6 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "c10_temperature_mix": c10_temperature_mix,
             "v05_quarantine_split": v05_quarantine_split,
             "d11_incremental_dedup": llm_registry.d11_incremental_dedup,
+            "j08_interval_overlap": j08_interval_overlap,
             "c08_weighted_sample": c08_weighted_sample,
         }
     )

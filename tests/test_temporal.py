@@ -119,3 +119,36 @@ def test_asof_single_shuffle_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # createDataFrame parallelizes locally: exchanges come only from the window
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_interval_overlap_join_bins_and_boundaries(spark):
+    """Pairs overlapping ACROSS a bin boundary must appear exactly once
+    (multi-bin candidates dedup); same-bin non-overlaps must not."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from mbta_etl_spark.operators.temporal import interval_overlap_join
+
+    def t(minute, second=0):
+        return datetime.datetime(2024, 1, 1, 0, minute, second)
+
+    a = spark.createDataFrame(
+        [
+            ("u", 1, t(3), t(8)),    # spans bins 0 and 1 (5-min bins)
+            ("u", 2, t(20), t(21)),  # no partner
+        ],
+        "user_id string, id long, start_ts timestamp_ntz, end_ts timestamp_ntz",
+    )
+    b = spark.createDataFrame(
+        [
+            ("u", 10, t(4), t(6)),   # overlaps id=1 in both bins -> one row
+            ("u", 11, t(8), t(9)),   # touches id=1's end: NOT an overlap
+            ("u", 12, t(22), t(23)), # same bin as id=2, disjoint
+        ],
+        "user_id string, id long, start_ts timestamp_ntz, end_ts timestamp_ntz",
+    )
+    rows = interval_overlap_join(a, b, "user_id").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a_id"], r["b_id"], r["overlap_s"]) == (1, 10, 120.0)
