@@ -223,3 +223,43 @@ def pii_scrub(df: DataFrame, text: Column, id_col: Column) -> DataFrame:
             "n_phones"
         ),
     )
+
+
+def boilerplate_fraction(
+    df: "DataFrame", text: "Column", id_col: "Column", k: int = 3
+) -> "DataFrame":
+    """Per-document boilerplate fraction: the share of a doc's distinct
+    k-gram shingles that also appear in at least one OTHER document.
+    High fraction → the doc is mostly corpus-common phrasing (template/
+    boilerplate); low → novel content. The corpus-wide complement of
+    t09's within-doc repetition ratio.
+
+    Shape: one shingle explode (the dedup family's mapInPandas shingle
+    kernel), one document-frequency aggregation on the 8-byte shingle
+    key, one join back, one per-doc aggregation — all hash-keyed
+    shuffles of (long, long) rows, never text. The fraction divides two
+    exact integers, scaled-floor-rounded for cross-engine stability."""
+    from mbta_etl_spark.operators.dedup import _shingle_table
+
+    sh = _shingle_table(df, text, id_col, k)
+    dfreq = sh.groupBy("sh64").agg(F.count(F.lit(1)).alias("_df"))
+    joined = sh.join(dfreq, "sh64")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("_df") > 1, 1)).alias("n_common"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_common",
+            (
+                F.floor(
+                    F.col("n_common") / F.col("n_shingles") * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("boilerplate_frac"),
+        )
+    )

@@ -299,6 +299,14 @@ def m04_fake_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 RESIZE_TARGET = 128
 
 
+def t12_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-common shingle share per document (boilerplate signal, the
+    cross-document complement of t09's within-doc repetition)."""
+    return text.boilerplate_fraction(
+        _docs(spark, sf_dir), F.col("text"), F.col("doc_id"), k=JACCARD_K
+    )
+
+
 def d11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """New-batch dedup against a standing corpus index: docs with
     doc_id%10==0 arrive as the batch; the rest are the already-ingested
@@ -912,6 +920,18 @@ _ORACLES: dict[str, str] = {
         JOIN csizes sa ON sa.doc_id = doc_a
         JOIN csizes sb ON sb.doc_id = doc_b
         WHERE ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= {JACCARD_THRESHOLD}
+    """,
+    "t12_boilerplate_frac": f"""
+        WITH {_SHINGLE_CTE},
+        dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+        SELECT doc_id,
+               COUNT(*) AS n_shingles,
+               COUNT(CASE WHEN df > 1 THEN 1 END) AS n_common,
+               FLOOR(COUNT(CASE WHEN df > 1 THEN 1 END)
+                     / COUNT(*) * 1000000 + 0.5) / 1000000.0
+                 AS boilerplate_frac
+        FROM sh JOIN dfreq USING (shingle)
+        GROUP BY doc_id
     """,
     "d11_incremental_dedup": """
         WITH batch AS (

@@ -2180,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "v05_quarantine_split": v05_quarantine_split,
             "d11_incremental_dedup": llm_registry.d11_incremental_dedup,
             "j08_interval_overlap": j08_interval_overlap,
+            "t12_boilerplate_frac": llm_registry.t12_boilerplate_frac,
             "c08_weighted_sample": c08_weighted_sample,
         }
     )

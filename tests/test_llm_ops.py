@@ -388,3 +388,28 @@ def test_incremental_dedup_drops_known_and_intra_batch(spark):
     kept = sorted(r["doc_id"] for r in out.collect())
     # 10 dropped (already in corpus), 12 dropped (intra-batch dup of 11)
     assert kept == [11]
+
+
+def test_boilerplate_fraction_counts_cross_doc_shingles(spark):
+    from pyspark.sql import functions as F
+
+    from mbta_etl_spark.operators.text import boilerplate_fraction
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # shingles: abc, bcd
+            (2, "a b c x"),        # shingles: abc, bcx -> shares abc with 1
+            (3, "p q r s"),        # fully novel
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_fraction(
+            df, F.col("text"), F.col("doc_id")
+        ).collect()
+    }
+    assert out[1]["n_shingles"] == 2 and out[1]["n_common"] == 1
+    assert out[1]["boilerplate_frac"] == 0.5
+    assert out[2]["boilerplate_frac"] == 0.5
+    assert out[3]["n_common"] == 0 and out[3]["boilerplate_frac"] == 0.0
