@@ -187,3 +187,31 @@ def enrich_stream(
     broadcasts the static side when it's small; this is the streaming
     analog of the dimension joins in q17/q30."""
     return events.join(F.broadcast(dim), on, how)
+
+
+def session_window_counts(
+    events: DataFrame,
+    key: str = "event_type",
+    gap: str = "30 minutes",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Per-key session windows with a merge gap: rows closer than ``gap``
+    within a key fuse into one session whose bounds grow dynamically —
+    the streaming twin of the batch q18a operator (identical expression;
+    the watermark bounds state by closing sessions older than the delay,
+    so open-session state ~ #keys with activity inside the horizon, not
+    history). Streaming output mode must be append/update — sessions
+    emit when the watermark passes their end."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(
+            F.col(key), F.session_window(F.col("ts"), gap).alias("sess")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )

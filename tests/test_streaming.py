@@ -308,3 +308,59 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT imp_id, click_id FROM attrib_sink").collect()
     assert {(r["imp_id"], r["click_id"]) for r in rows} == {(1, 10)}
+
+
+def test_streaming_session_windows_merge_and_close(spark, tmp_path):
+    """Session windows over a file stream: rows within the gap fuse into
+    one growing session; a far-apart row opens a second session."""
+    import datetime as dt
+
+    from mbta_etl_spark.streaming.ingest import session_window_counts
+
+    src = tmp_path / "sess_events"
+    src.mkdir()
+    rows = [
+        (1, "2024-01-15T10:00:00", 1.0, "click"),
+        (2, "2024-01-15T10:10:00", 1.0, "click"),  # within gap: same session
+        (3, "2024-01-15T14:00:00", 1.0, "click"),  # far: new session
+    ]
+    with open(src / "a.jsonl", "w") as f:
+        for eid, ts, v, et in rows:
+            f.write(
+                json.dumps(
+                    {"event_id": eid, "ts": ts, "value": v, "event_type": et}
+                )
+                + "\n"
+            )
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    out_rows = []
+    q = (
+        session_window_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out_rows = spark.sql("SELECT * FROM sess_test").collect()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["session_start"], r["session_end"], r["n_events"]) for r in out_rows
+    )
+    assert len(got) == 2
+    # first session: 10:00 merged with 10:10, ends 10:10 + 30m gap
+    assert got[0][2] == 2
+    assert got[0][1] - got[0][0] == dt.timedelta(minutes=40)
+    # second session: single row, 30m span
+    assert got[1][2] == 1
+    assert got[1][1] - got[1][0] == dt.timedelta(minutes=30)
