@@ -463,3 +463,43 @@ def ivf_topk(
     if exclude_id is not None:
         out = out.filter(F.col(id_col) != exclude_id)
     return out.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def multi_query_topk(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """Batched top-k serving: a small block of query vectors answered in
+    ONE corpus scan. ``queries`` carries (query_id, qvec); it broadcasts
+    to every executor, each corpus partition scores its vectors against
+    the whole block (Q·|partition| HOF dot products, no shuffle of the
+    corpus), and a per-query rank window keeps k.
+
+    This is the amortization that makes ANN serving batch-friendly: Q
+    queries cost one scan instead of Q (s01 is the single-query form).
+    The rank window shuffles only (query_id, neighbor_id, score) rows —
+    never embeddings — into Q partitions; for large Q swap the window
+    for a groupBy(query_id) + min_by-heap aggregation."""
+    from pyspark.sql import Window
+
+    from mbta_etl_spark.functions.vector import cosine
+
+    pairs = emb.crossJoin(F.broadcast(queries)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -299,6 +299,21 @@ def m04_fake_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 RESIZE_TARGET = 128
 
 
+N_QUERY_BLOCK = 5  # s08: vec_ids [0, N) form the broadcast query block
+
+
+def s08_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN serving: 5 query vectors broadcast against the corpus
+    in one scan; per-query top-3 via rank window over scored pairs."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_BLOCK).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.multi_query_topk(
+        emb, "embedding", "vec_id", queries, k=LABEL_TOPK
+    )
+
+
 def t12_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-common shingle share per document (boilerplate signal, the
     cross-document complement of t09's within-doc repetition)."""
@@ -921,6 +936,26 @@ _ORACLES: dict[str, str] = {
         JOIN csizes sb ON sb.doc_id = doc_b
         WHERE ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= {JACCARD_THRESHOLD}
     """,
+    "s08_multi_query_topk": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        p AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 ROUND({{dot}} /
+                       (sqrt({{qq}}) * sqrt({{vv}})), 6) AS cosine
+          FROM e CROSS JOIN q
+          WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cosine
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+          ) AS rn
+          FROM p
+        ) WHERE rn <= 3
+    """.format(
+        dot=_dot("e.v", "q.qv"), qq=_dot("q.qv", "q.qv"), vv=_dot("e.v", "e.v")
+    ),
     "t12_boilerplate_frac": f"""
         WITH {_SHINGLE_CTE},
         dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)

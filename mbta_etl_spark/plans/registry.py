@@ -2181,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d11_incremental_dedup": llm_registry.d11_incremental_dedup,
             "j08_interval_overlap": j08_interval_overlap,
             "t12_boilerplate_frac": llm_registry.t12_boilerplate_frac,
+            "s08_multi_query_topk": llm_registry.s08_multi_query_topk,
             "c08_weighted_sample": c08_weighted_sample,
         }
     )
