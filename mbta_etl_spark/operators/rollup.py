@@ -89,3 +89,39 @@ def rollup_read(rollup: DataFrame) -> DataFrame:
         / F.lit(1000000.0)
     )
     return rollup.select("*", avg.alias("avg_value"))
+
+
+def sketch_rollup(
+    df: DataFrame,
+    ts_col: str,
+    entity_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Mergeable distinct-count rollup: one HLL sketch per time bucket
+    (Datasketches ``hll_sketch_agg``), per-bucket estimates plus an
+    all-buckets total derived by UNIONING the bucket sketches — never by
+    re-scanning raw events. This is r01's partial-aggregate algebra
+    applied to COUNT(DISTINCT), the measure that otherwise cannot merge
+    (distincts aren't additive): store sketches, merge sketches, read
+    estimates. At 100 TB the standing rollup holds one ~KB sketch per
+    bucket and a refresh touches only new buckets; a million-bucket
+    union is a few MB of driver-free aggregation.
+
+    The total row carries a null bucket (grouping-sets convention).
+    Estimates carry the usual HLL error (~1.04/√2^(lgK/1) relative), so
+    this entry is rows-only by design — no SQL oracle can replay the
+    sketch — and the merge contract (union estimate ≈ single-pass
+    estimate ≈ exact, within error) is pinned in tests/test_rollup.py.
+    For oracle-exact distincts see q24 (two-stage exact) / r01."""
+    b = F.date_trunc(bucket, F.col(ts_col)).cast("timestamp_ntz")
+    sketches = df.groupBy(b.alias("bucket")).agg(
+        F.hll_sketch_agg(entity_col).alias("_sk")
+    )
+    per_bucket = sketches.select(
+        "bucket", F.hll_sketch_estimate("_sk").alias("distinct_entities")
+    )
+    total = sketches.agg(F.hll_union_agg("_sk").alias("_m")).select(
+        F.lit(None).cast("timestamp_ntz").alias("bucket"),
+        F.hll_sketch_estimate("_m").alias("distinct_entities"),
+    )
+    return per_bucket.unionAll(total)

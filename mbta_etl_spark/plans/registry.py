@@ -580,6 +580,19 @@ def j08_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_overlap_join(clicks, purchases, "user_id")
 
 
+def r02_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-user rollup per day + sketch-union total
+    (null bucket) — COUNT(DISTINCT) made incremental. Rows-only by
+    design, like the other sketch entries (q09a/q24a): estimates leave
+    sparse-mode exactness at sf0.1 cardinalities, so no SQL oracle can
+    replay them; the merge algebra (union of bucket sketches ≡ one
+    full-corpus sketch) is pinned exactly in tests/test_rollup.py."""
+    from mbta_etl_spark.operators.rollup import sketch_rollup
+
+    ev = _events(spark, sf_dir).select("ts", "user_id")
+    return sketch_rollup(ev, "ts", "user_id")
+
+
 def v05_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level quarantine routing over orders: first failing rule (in
     declaration order) becomes the row's reason; clean rows tagged
@@ -2182,6 +2195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "j08_interval_overlap": j08_interval_overlap,
             "t12_boilerplate_frac": llm_registry.t12_boilerplate_frac,
             "s08_multi_query_topk": llm_registry.s08_multi_query_topk,
+            "r02_sketch_rollup": r02_sketch_rollup,
             "c08_weighted_sample": c08_weighted_sample,
         }
     )

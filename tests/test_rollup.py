@@ -126,3 +126,35 @@ def test_read_derives_avg_not_avg_of_avgs(spark):
     }
     assert out[(dt.datetime(2024, 1, 1, 10), "click")] == 2.0
     assert out[(dt.datetime(2024, 1, 1, 11), "view")] == 3.0
+
+
+def test_sketch_rollup_union_equals_single_pass(spark):
+    """The mergeability contract: estimate(union of per-bucket sketches)
+    tracks estimate(one full-corpus sketch) within HLL error — union is
+    lossless over the registers but mode transitions (sparse→dense) make
+    the states near-identical, not bitwise equal — and both stay within
+    error of the exact distinct count."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mbta_etl_spark.operators.rollup import sketch_rollup
+
+    rows = [
+        (dt.datetime(2024, 1, 1 + (i % 3), 8), i % 500) for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp_ntz, user_id long")
+    out = {r["bucket"]: r["distinct_entities"] for r in sketch_rollup(
+        df, "ts", "user_id").collect()}
+    single = (
+        df.agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("est"))
+        .collect()[0]["est"]
+    )
+    exact_total = 500
+    assert abs(out[None] - single) / exact_total < 0.02
+    assert abs(out[None] - exact_total) / exact_total < 0.05
+    assert abs(single - exact_total) / exact_total < 0.05
+    for bucket, est in out.items():
+        if bucket is not None:
+            assert abs(est - 500) / 500 < 0.05  # every user active daily
