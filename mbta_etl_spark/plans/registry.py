@@ -580,6 +580,31 @@ def j08_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_overlap_join(clicks, purchases, "user_id")
 
 
+def q49_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join (entity resolution): match customer and
+    supplier records by their 9-char numeric id-suffix, tolerating one
+    transcription edit. Blocking on the first 7 suffix chars restores an
+    equi-key — levenshtein runs only within blocks, never all-pairs
+    (the unblocked cross join is |C|·|S| edit-distance evaluations; the
+    blocked form is Σ per-block products, the standard ER trade of
+    recall-beyond-the-block for tractability). Edit distance is integer
+    — no float hazards."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.substring("c_name", -9, 9).alias("c_sfx")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.substring("s_name", -9, 9).alias("s_sfx")
+    )
+    blocked = cust.withColumn("blk", F.substring("c_sfx", 1, 7)).join(
+        supp.withColumn("blk", F.substring("s_sfx", 1, 7)), "blk"
+    )
+    dist = F.levenshtein("c_sfx", "s_sfx")
+    return (
+        blocked.filter(dist <= 1)
+        .select("c_custkey", "s_suppkey", dist.alias("edit_distance"))
+    )
+
+
 def r02_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL distinct-user rollup per day + sketch-union total
     (null bucket) — COUNT(DISTINCT) made incremental. Rows-only by
@@ -1555,6 +1580,15 @@ _ORACLES: dict[str, str] = {
         FROM clicks JOIN purchases USING (user_id)
         WHERE a_start < b_end AND b_start < a_end
     """,
+    "q49_fuzzy_join": """
+        WITH c AS (SELECT c_custkey, right(c_name, 9) AS c_sfx
+                   FROM customer),
+        s AS (SELECT s_suppkey, right(s_name, 9) AS s_sfx FROM supplier)
+        SELECT c_custkey, s_suppkey,
+               CAST(levenshtein(c_sfx, s_sfx) AS INT) AS edit_distance
+        FROM c JOIN s ON substr(c_sfx, 1, 7) = substr(s_sfx, 1, 7)
+        WHERE levenshtein(c_sfx, s_sfx) <= 1
+    """,
     "v05_quarantine_split": """
         SELECT o_orderkey,
                CASE WHEN NOT (o_orderstatus IN ('O', 'F', 'P'))
@@ -2196,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t12_boilerplate_frac": llm_registry.t12_boilerplate_frac,
             "s08_multi_query_topk": llm_registry.s08_multi_query_topk,
             "r02_sketch_rollup": r02_sketch_rollup,
+            "q49_fuzzy_join": q49_fuzzy_join,
             "c08_weighted_sample": c08_weighted_sample,
         }
     )
