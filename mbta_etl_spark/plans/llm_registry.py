@@ -314,6 +314,46 @@ def s08_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZIPF_TOP = 100
+
+
+def t13_zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rank-frequency spectrum: the top tokens with rank, count,
+    and cumulative corpus coverage — the Zipf diagnostic a tokenizer/
+    vocab decision reads. One token explode + count agg; the rank and
+    running-coverage windows run on the tiny aggregated table, and the
+    global total rides a broadcast one-row cross join (no second scan).
+    Integer counts divide into coverage ratios → scaled-floor 6dp."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("corpus_n"))
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            "n",
+            F.row_number().over(w).alias("rank"),
+            (
+                F.floor(
+                    F.sum("n").over(wc)
+                    / F.col("corpus_n")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("cum_share"),
+        )
+        .filter(F.col("rank") <= ZIPF_TOP)
+    )
+
+
 def t12_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-common shingle share per document (boilerplate signal, the
     cross-document complement of t09's within-doc repetition)."""
@@ -956,6 +996,25 @@ _ORACLES: dict[str, str] = {
     """.format(
         dot=_dot("e.v", "q.qv"), qq=_dot("q.qv", "q.qv"), vv=_dot("e.v", "e.v")
     ),
+    "t13_zipf_spectrum": f"""
+        WITH counts AS (
+          SELECT tok, COUNT(*) AS n FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+          ) GROUP BY tok
+        ),
+        total AS (SELECT SUM(n) AS corpus_n FROM counts)
+        SELECT tok, n, rank,
+               FLOOR(cum_n / corpus_n * 1000000 + 0.5) / 1000000.0
+                 AS cum_share
+        FROM (
+          SELECT tok, n,
+                 row_number() OVER (ORDER BY n DESC, tok ASC) AS rank,
+                 SUM(n) OVER (ORDER BY n DESC, tok ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum_n
+          FROM counts
+        ) CROSS JOIN total
+        WHERE rank <= {ZIPF_TOP}
+    """,
     "t12_boilerplate_frac": f"""
         WITH {_SHINGLE_CTE},
         dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)

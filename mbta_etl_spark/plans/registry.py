@@ -2231,6 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s08_multi_query_topk": llm_registry.s08_multi_query_topk,
             "r02_sketch_rollup": r02_sketch_rollup,
             "q49_fuzzy_join": q49_fuzzy_join,
+            "t13_zipf_spectrum": llm_registry.t13_zipf_spectrum,
             "c08_weighted_sample": c08_weighted_sample,
         }
     )
