@@ -580,6 +580,26 @@ def j08_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_overlap_join(clicks, purchases, "user_id")
 
 
+def q50_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL): unlike
+    q21's DISTINCT set ops, multiplicity survives — a user with 3 clicks
+    and 1 purchase keeps 2 rows in the except-all branch. Spark's
+    exceptAll/intersectAll plan as a count-difference aggregation +
+    generator (no distinct collapse), one shuffle each."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    surplus = clicks.exceptAll(buys).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    common = clicks.intersectAll(buys).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return surplus.withColumn("op", F.lit("click_surplus")).unionAll(
+        common.withColumn("op", F.lit("matched_pairs"))
+    )
+
+
 def q49_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy join (entity resolution): match customer and
     supplier records by their 9-char numeric id-suffix, tolerating one
@@ -1580,6 +1600,20 @@ _ORACLES: dict[str, str] = {
         FROM clicks JOIN purchases USING (user_id)
         WHERE a_start < b_end AND b_start < a_end
     """,
+    "q50_bag_set_ops": """
+        WITH clicks AS (SELECT user_id FROM events
+                        WHERE event_type = 'click'),
+        buys AS (SELECT user_id FROM events WHERE event_type = 'purchase')
+        SELECT user_id, COUNT(*) AS n, 'click_surplus' AS op
+        FROM (SELECT user_id FROM clicks EXCEPT ALL
+              SELECT user_id FROM buys)
+        GROUP BY user_id
+        UNION ALL
+        SELECT user_id, COUNT(*) AS n, 'matched_pairs' AS op
+        FROM (SELECT user_id FROM clicks INTERSECT ALL
+              SELECT user_id FROM buys)
+        GROUP BY user_id
+    """,
     "q49_fuzzy_join": """
         WITH c AS (SELECT c_custkey, right(c_name, 9) AS c_sfx
                    FROM customer),
@@ -2232,6 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r02_sketch_rollup": r02_sketch_rollup,
             "q49_fuzzy_join": q49_fuzzy_join,
             "t13_zipf_spectrum": llm_registry.t13_zipf_spectrum,
+            "q50_bag_set_ops": q50_bag_set_ops,
             "c08_weighted_sample": c08_weighted_sample,
         }
     )

@@ -166,3 +166,22 @@ def test_rolling_zscore_flags_spike(spark):
     flags = {r.seq: r.is_anomaly for r in out.collect()}
     assert flags[20] is True
     assert not any(flags[i] for i in range(20))
+
+
+def test_salted_left_join_preserves_unmatched_rows(spark):
+    """The outer-join hazard the docstring warns about: a deterministic
+    salt must leave unmatched fact rows appearing EXACTLY once with null
+    payload (a nondeterministic salt could duplicate or drop them under
+    task retries; here we pin the single-attempt contract)."""
+    from mbta_etl_spark.operators.skew import salted_join
+
+    fact = spark.range(10).select(
+        F.col("id").alias("rid"), (F.col("id") % 5).alias("k")
+    )
+    dim = spark.range(3).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("payload")
+    )
+    out = salted_join(fact, dim, "k", 4, F.col("rid"), how="left").collect()
+    assert len(out) == 10  # every fact row exactly once
+    unmatched = [r for r in out if r["payload"] is None]
+    assert sorted(r["k"] for r in unmatched) == [3, 3, 4, 4]
