@@ -315,6 +315,26 @@ def s08_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ZIPF_TOP = 100
+CURRICULUM_SHARDS = 4
+
+
+def c12_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: rank the corpus by the t02 quality score and
+    cut it into equal-size shards, easiest (highest quality) first —
+    shard 1 feeds early training, later shards phase in. ntile over the
+    quality ordering (doc_id tiebreak → deterministic); the single
+    global window runs on (doc_id, quality) pairs only, never text.
+    At 100 TB swap ntile's global sort for range-partitioned bucketing
+    on a quality quantile sketch (approx_percentile boundaries)."""
+    from pyspark.sql import Window
+
+    q = text.quality_score(
+        _docs(spark, sf_dir), F.col("text"), F.col("doc_id")
+    ).select("doc_id", "quality")
+    w = Window.orderBy(F.desc("quality"), F.asc("doc_id"))
+    return q.select(
+        "doc_id", "quality", F.ntile(CURRICULUM_SHARDS).over(w).alias("shard")
+    )
 
 
 def t13_zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -996,6 +1016,21 @@ _ORACLES: dict[str, str] = {
     """.format(
         dot=_dot("e.v", "q.qv"), qq=_dot("q.qv", "q.qv"), vv=_dot("e.v", "e.v")
     ),
+    "c12_curriculum_shards": f"""
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                   FROM documents),
+        q AS (
+          SELECT doc_id,
+                 ROUND(0.5 * LEAST(1.0, len(toks) / 100.0)
+                     + 0.3 * (1 - len(list_filter(toks, x -> x IN ({', '.join(f"'{w}'" for w in EN_STOPWORDS)}))) / len(toks))
+                     + 0.2 * (1 - (length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g'))) / length(text)), 6) AS quality
+          FROM t
+        )
+        SELECT doc_id, quality,
+               ntile({CURRICULUM_SHARDS}) OVER (
+                 ORDER BY quality DESC, doc_id ASC) AS shard
+        FROM q
+    """,
     "t13_zipf_spectrum": f"""
         WITH counts AS (
           SELECT tok, COUNT(*) AS n FROM (

@@ -2267,6 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q49_fuzzy_join": q49_fuzzy_join,
             "t13_zipf_spectrum": llm_registry.t13_zipf_spectrum,
             "q50_bag_set_ops": q50_bag_set_ops,
+            "c12_curriculum_shards": llm_registry.c12_curriculum_shards,
             "c08_weighted_sample": c08_weighted_sample,
         }
     )
