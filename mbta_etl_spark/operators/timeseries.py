@@ -155,6 +155,7 @@ def bucket_gapfill(
     ts_col: str,
     value_col: str,
     bucket: str = "hour",
+    max_buckets_per_key: int | None = None,
 ) -> DataFrame:
     """Per-key time-bucket rollup with an explicit gap spine
     (TimescaleDB ``time_bucket_gapfill`` + ``locf``): aggregate each
@@ -168,7 +169,14 @@ def bucket_gapfill(
     spine→agg join and the LOCF window both key on (keys, bucket), so
     AQE reuses one partitioning; no driver-side calendar, no crossJoin.
     Bucket sums are order-dependent across engines → scaled-floor 6dp
-    before exposure."""
+    before exposure.
+
+    ``max_buckets_per_key`` is the span guard: a key with one event per
+    year still explodes its whole span of buckets, and at corpus scale
+    sparse long-lived keys can make the SPINE outgrow the fact table.
+    When set, a key's spine is truncated to its LAST N buckets (the
+    recent window a dashboard reads); the task fails loudly in review,
+    not silently, because truncation is visible in the output domain."""
     b = F.date_trunc(bucket, F.col(ts_col)).cast("timestamp_ntz")
     agg = df.groupBy(*key_cols, b.alias("bucket")).agg(
         F.count("*").alias("n_events"),
@@ -176,19 +184,29 @@ def bucket_gapfill(
             F.floor(F.sum(value_col) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
         ).alias("sum_value"),
     )
-    spine = (
-        agg.groupBy(*key_cols)
-        .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
-        .select(
-            *key_cols,
-            F.explode(
-                F.sequence(
-                    F.col("_lo"),
-                    F.col("_hi"),
-                    F.expr(f"INTERVAL 1 {bucket}"),
-                )
-            ).alias("bucket"),
+    bounds = agg.groupBy(*key_cols).agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    )
+    if max_buckets_per_key is not None:
+        # keep the most recent N buckets: raise the lower bound
+        capped_lo = F.greatest(
+            F.col("_lo"),
+            F.expr(
+                f"_hi - INTERVAL {max_buckets_per_key - 1} {bucket}"
+            ).cast("timestamp_ntz"),
         )
+        bounds = bounds.select(
+            *key_cols, capped_lo.alias("_lo"), F.col("_hi")
+        )
+    spine = bounds.select(
+        *key_cols,
+        F.explode(
+            F.sequence(
+                F.col("_lo"),
+                F.col("_hi"),
+                F.expr(f"INTERVAL 1 {bucket}"),
+            )
+        ).alias("bucket"),
     )
     joined = spine.join(agg, [*key_cols, "bucket"], "left")
     w = (

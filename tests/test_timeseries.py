@@ -185,3 +185,23 @@ def test_salted_left_join_preserves_unmatched_rows(spark):
     assert len(out) == 10  # every fact row exactly once
     unmatched = [r for r in out if r["payload"] is None]
     assert sorted(r["k"] for r in unmatched) == [3, 3, 4, 4]
+
+
+def test_bucket_gapfill_span_guard_keeps_last_n(spark):
+    """max_buckets_per_key truncates a sparse key's spine to its most
+    recent N buckets — the guard against spine blowup from long-lived
+    sparse keys."""
+    df = _series(
+        spark,
+        [
+            ("a", datetime.datetime(2024, 1, 1, 0, 10), 0, 1.0),
+            ("a", datetime.datetime(2024, 1, 1, 23, 10), 1, 2.0),
+        ],
+    )
+    full = timeseries.bucket_gapfill(df, ["k"], "ts", "value")
+    assert full.count() == 24  # whole-day spine
+    capped = timeseries.bucket_gapfill(
+        df, ["k"], "ts", "value", max_buckets_per_key=4
+    )
+    rows = sorted(r.bucket.hour for r in capped.collect())
+    assert rows == [20, 21, 22, 23]  # last 4 buckets only
