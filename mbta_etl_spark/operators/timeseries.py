@@ -319,3 +319,32 @@ def delta_rate(
         _r6(delta).alias("delta"),
         _r6(F.when(secs > 0, delta / secs)).alias("rate_per_s"),
     )
+
+
+def downsample_last(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    order_tiebreak: str,
+    value_cols: Sequence[str],
+    bucket: str = "hour",
+) -> DataFrame:
+    """Downsample each series to one row per time bucket — the LAST
+    observation wins (TimescaleDB ``last(value, time)`` per
+    ``time_bucket``; the dashboard-resolution reducer). One window keyed
+    by (series, bucket): rank descending by (ts, tiebreak), keep rank 1.
+    Same single-shuffle envelope as the other series operators; output
+    size is #(key, bucket) pairs regardless of input rate, which is the
+    point — a 1 Hz feed downsampled hourly sheds 3600× before anything
+    downstream shuffles again."""
+    b = F.date_trunc(bucket, F.col(ts_col)).cast("timestamp_ntz")
+    w = (
+        Window.partitionBy(*key_cols, "bucket")
+        .orderBy(F.desc(ts_col), F.desc(order_tiebreak))
+    )
+    return (
+        df.withColumn("bucket", b)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*key_cols, "bucket", ts_col, *value_cols)
+    )

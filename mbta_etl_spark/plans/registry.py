@@ -668,6 +668,17 @@ def c10_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts07_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly downsampling: one row per (user, hour), the last
+    observation winning — time_bucket + last() dashboard reducer."""
+    from mbta_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    return timeseries.downsample_last(
+        ev, ["user_id"], "ts", "event_id", ["event_id", "value"]
+    )
+
+
 def c08_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirakis weighted sampling without replacement over
     documents, weight = token count: deterministic content-hash draws,
@@ -1665,6 +1676,16 @@ _ORACLES: dict[str, str] = {
         FROM ranked JOIN targets USING (stratum)
         WHERE rank <= target
     """,
+    "ts07_downsample": """
+        SELECT user_id, bucket, ts, event_id, value FROM (
+          SELECT user_id, date_trunc('hour', ts) AS bucket, ts, event_id,
+                 value,
+                 row_number() OVER (
+                   PARTITION BY user_id, date_trunc('hour', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1
+    """,
     "c08_weighted_sample": """
         SELECT doc_id, weight,
                FLOOR(score * 1000000 + 0.5) / 1000000.0 AS score FROM (
@@ -2268,6 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t13_zipf_spectrum": llm_registry.t13_zipf_spectrum,
             "q50_bag_set_ops": q50_bag_set_ops,
             "c12_curriculum_shards": llm_registry.c12_curriculum_shards,
+            "ts07_downsample": ts07_downsample,
             "c08_weighted_sample": c08_weighted_sample,
         }
     )
