@@ -348,3 +348,29 @@ def downsample_last(
         .filter(F.col("_rn") == 1)
         .select(*key_cols, "bucket", ts_col, *value_cols)
     )
+
+
+def minmax_normalize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "value_norm",
+) -> DataFrame:
+    """Per-series min-max normalization to [0, 1] — the per-key feature
+    scaling an ML pipeline applies before windowed models. One unordered
+    window over the series key (no sort — min/max are frame-free), so
+    the plan is a single Exchange plus a hash-window pass; constant
+    series (max == min) normalize to null rather than a divide-by-zero.
+    The scaled ratio divides two exact input doubles → scaled-floor 6dp
+    for cross-engine stability."""
+    w = Window.partitionBy(*key_cols)
+    v = F.col(value_col)
+    lo = F.min(v).over(w)
+    hi = F.max(v).over(w)
+    ratio = (v - lo) / (hi - lo)
+    return df.withColumn(
+        out_col,
+        F.when(
+            hi > lo, F.floor(ratio * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        ),
+    )

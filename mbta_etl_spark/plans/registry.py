@@ -679,6 +679,16 @@ def ts07_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts08_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user min-max normalization of values to [0,1] — per-key
+    feature scaling; constant series yield null."""
+    from mbta_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "value")
+    out = timeseries.minmax_normalize(ev, ["user_id"], "value")
+    return out.select("event_id", "user_id", "value", "value_norm")
+
+
 def c08_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirakis weighted sampling without replacement over
     documents, weight = token count: deterministic content-hash draws,
@@ -1676,6 +1686,19 @@ _ORACLES: dict[str, str] = {
         FROM ranked JOIN targets USING (stratum)
         WHERE rank <= target
     """,
+    "ts08_minmax_norm": """
+        SELECT event_id, user_id, value,
+               CASE WHEN hi > lo
+                    THEN FLOOR((value - lo) / (hi - lo) * 1000000 + 0.5)
+                         / 1000000.0
+               END AS value_norm
+        FROM (
+          SELECT event_id, user_id, value,
+                 MIN(value) OVER (PARTITION BY user_id) AS lo,
+                 MAX(value) OVER (PARTITION BY user_id) AS hi
+          FROM events
+        )
+    """,
     "ts07_downsample": """
         SELECT user_id, bucket, ts, event_id, value FROM (
           SELECT user_id, date_trunc('hour', ts) AS bucket, ts, event_id,
@@ -2290,6 +2313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q50_bag_set_ops": q50_bag_set_ops,
             "c12_curriculum_shards": llm_registry.c12_curriculum_shards,
             "ts07_downsample": ts07_downsample,
+            "ts08_minmax_norm": ts08_minmax_norm,
             "c08_weighted_sample": c08_weighted_sample,
         }
     )

@@ -205,3 +205,23 @@ def test_bucket_gapfill_span_guard_keeps_last_n(spark):
     )
     rows = sorted(r.bucket.hour for r in capped.collect())
     assert rows == [20, 21, 22, 23]  # last 4 buckets only
+
+
+def test_minmax_normalize_constant_series_null(spark):
+    df = _series(
+        spark,
+        [
+            ("a", _t(0), 0, 10.0),
+            ("a", _t(1), 1, 30.0),
+            ("a", _t(2), 2, 20.0),
+            ("b", _t(0), 0, 7.0),
+            ("b", _t(1), 1, 7.0),  # constant series
+        ],
+    )
+    out = {
+        (r.k, r.seq): r.value_norm
+        for r in timeseries.minmax_normalize(df, ["k"], "value").collect()
+    }
+    assert out[("a", 0)] == 0.0 and out[("a", 1)] == 1.0
+    assert out[("a", 2)] == 0.5
+    assert out[("b", 0)] is None and out[("b", 1)] is None
