@@ -374,3 +374,35 @@ def minmax_normalize(
             hi > lo, F.floor(ratio * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
         ),
     )
+
+
+def detect_gaps(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    order_tiebreak: str,
+    min_gap_seconds: float,
+) -> DataFrame:
+    """Report every silence longer than ``min_gap_seconds`` within each
+    series: (keys, gap_start, gap_end, gap_s) — the data-loss /
+    sensor-outage monitor. One lag window per series (the delta_rate
+    envelope); gap length from exact microsecond arithmetic, emitted
+    only for offending intervals so output ~ #outages, not #rows."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, order_tiebreak)
+    staged = df.select(
+        *key_cols,
+        F.col(ts_col),
+        F.lag(ts_col).over(w).alias("_prev_t"),
+    )
+    gap_s = F.expr(
+        f"timestampdiff(MICROSECOND, _prev_t, {ts_col})"
+    ) / F.lit(1_000_000.0)
+    return (
+        staged.filter(gap_s > min_gap_seconds)
+        .select(
+            *key_cols,
+            F.col("_prev_t").alias("gap_start"),
+            F.col(ts_col).alias("gap_end"),
+            gap_s.alias("gap_s"),
+        )
+    )

@@ -679,6 +679,17 @@ def ts07_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts09_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silences longer than 6 hours within each user series — the
+    sensor-outage monitor; output ~ #outages, not #rows."""
+    from mbta_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    return timeseries.detect_gaps(
+        ev, ["user_id"], "ts", "event_id", min_gap_seconds=6 * 3600.0
+    )
+
+
 def ts08_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user min-max normalization of values to [0,1] — per-key
     feature scaling; constant series yield null."""
@@ -1686,6 +1697,17 @@ _ORACLES: dict[str, str] = {
         FROM ranked JOIN targets USING (stratum)
         WHERE rank <= target
     """,
+    "ts09_gap_detect": """
+        SELECT user_id, gap_start, gap_end, gap_s FROM (
+          SELECT user_id,
+                 lag(ts) OVER w AS gap_start,
+                 ts AS gap_end,
+                 CAST(date_diff('microsecond', lag(ts) OVER w, ts)
+                      AS DOUBLE) / 1000000.0 AS gap_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ) WHERE gap_s > 21600.0
+    """,
     "ts08_minmax_norm": """
         SELECT event_id, user_id, value,
                CASE WHEN hi > lo
@@ -2314,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "c12_curriculum_shards": llm_registry.c12_curriculum_shards,
             "ts07_downsample": ts07_downsample,
             "ts08_minmax_norm": ts08_minmax_norm,
+            "ts09_gap_detect": ts09_gap_detect,
             "c08_weighted_sample": c08_weighted_sample,
         }
     )
