@@ -406,3 +406,43 @@ def detect_gaps(
             gap_s.alias("gap_s"),
         )
     )
+
+
+def locf_with_ttl(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    order_tiebreak: str,
+    value_col: str,
+    max_stale_seconds: float,
+    out_col: str = "value_filled",
+) -> DataFrame:
+    """LOCF with an expiry: a carried-forward value goes back to null
+    once it is older than ``max_stale_seconds`` — the monitoring
+    semantics where a stale reading is worse than no reading (a sensor
+    that died mustn't keep reporting its last value forever; plain
+    ``locf`` does exactly that).
+
+    Same single window as ``locf``, plus the timestamp of the carried
+    observation (``last`` over the same frame) so staleness is one
+    exact-microsecond comparison — no second shuffle."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.col(value_col)
+    carried = F.last(v, ignorenulls=True).over(w)
+    carried_t = F.last(
+        F.when(v.isNotNull(), F.col(ts_col)), ignorenulls=True
+    ).over(w)
+    staged = df.select(
+        "*", carried.alias("_cv"), carried_t.alias("_ct")
+    )
+    age_s = F.expr(
+        f"timestampdiff(MICROSECOND, _ct, {ts_col})"
+    ) / F.lit(1_000_000.0)
+    return staged.withColumn(
+        out_col,
+        F.when(age_s <= max_stale_seconds, F.col("_cv")),
+    ).drop("_cv", "_ct")

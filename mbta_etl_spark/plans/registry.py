@@ -690,6 +690,25 @@ def ts09_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts10_locf_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF with 12-hour expiry over deterministically-nulled
+    measurements: carried values older than the TTL revert to null —
+    stale-reading semantics plain LOCF (ts01) cannot express."""
+    from mbta_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).withColumn(
+        "value",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    out = timeseries.locf_with_ttl(
+        ev, ["user_id"], "ts", "event_id", "value",
+        max_stale_seconds=12 * 3600.0,
+    )
+    return out.select("event_id", "user_id", "value_filled")
+
+
 def ts08_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user min-max normalization of values to [0,1] — per-key
     feature scaling; constant series yield null."""
@@ -1708,6 +1727,26 @@ _ORACLES: dict[str, str] = {
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ) WHERE gap_s > 21600.0
     """,
+    "ts10_locf_ttl": """
+        SELECT event_id, user_id,
+               CASE WHEN CAST(date_diff('microsecond', ct, ts) AS DOUBLE)
+                         / 1000000.0 <= 43200.0
+                    THEN cv
+               END AS value_filled
+        FROM (
+          SELECT event_id, user_id, ts,
+                 last_value(v IGNORE NULLS) OVER w AS cv,
+                 last_value(CASE WHEN v IS NOT NULL THEN ts END
+                            IGNORE NULLS) OVER w AS ct
+          FROM (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v
+            FROM events
+          )
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING)
+        )
+    """,
     "ts08_minmax_norm": """
         SELECT event_id, user_id, value,
                CASE WHEN hi > lo
@@ -2337,6 +2376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts07_downsample": ts07_downsample,
             "ts08_minmax_norm": ts08_minmax_norm,
             "ts09_gap_detect": ts09_gap_detect,
+            "ts10_locf_ttl": ts10_locf_ttl,
             "c08_weighted_sample": c08_weighted_sample,
         }
     )

@@ -185,3 +185,22 @@ def test_v05_quarantine_is_scan_plus_projection(spark):
     folds into the scan projection."""
     plan = _plan(registry.v05_quarantine_split(spark, SF_DIR_SMALL))
     assert "Exchange" not in plan
+
+
+def test_s08_query_block_broadcasts(spark):
+    """Batched ANN serving must broadcast the query block — the corpus
+    never shuffles to meet the queries."""
+    from mbta_etl_spark.plans import llm_registry
+
+    plan = _plan(llm_registry.s08_multi_query_topk(spark, SF_DIR_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ts08_minmax_single_exchange(spark):
+    """Unordered per-key min/max windows ride one Exchange, no Sort-based
+    second shuffle."""
+    assert _n_exchanges(registry.ts08_minmax_norm(spark, SF_DIR_SMALL)) == 1
+
+
+def test_ts09_gap_detect_single_exchange(spark):
+    assert _n_exchanges(registry.ts09_gap_detect(spark, SF_DIR_SMALL)) == 1

@@ -225,3 +225,21 @@ def test_minmax_normalize_constant_series_null(spark):
     assert out[("a", 0)] == 0.0 and out[("a", 1)] == 1.0
     assert out[("a", 2)] == 0.5
     assert out[("b", 0)] is None and out[("b", 1)] is None
+
+
+def test_locf_ttl_expires_stale_values(spark):
+    df = _series(
+        spark,
+        [
+            ("a", datetime.datetime(2024, 1, 1, 0, 0), 0, 5.0),
+            ("a", datetime.datetime(2024, 1, 1, 0, 30), 1, None),  # fresh
+            ("a", datetime.datetime(2024, 1, 1, 3, 0), 2, None),   # stale
+        ],
+    )
+    out = timeseries.locf_with_ttl(
+        df, ["k"], "ts", "seq", "value", max_stale_seconds=3600.0
+    )
+    got = {r.seq: r.value_filled for r in out.collect()}
+    assert got[0] == 5.0  # own observation, age 0
+    assert got[1] == 5.0  # 30 min old: carried
+    assert got[2] is None  # 3 h old: expired
