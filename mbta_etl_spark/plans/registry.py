@@ -638,6 +638,45 @@ def r02_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_rollup(ev, "ts", "user_id")
 
 
+def j09_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event join by composition: for each purchase, the click
+    closest in time (either direction; backward wins ties) — two as-of
+    passes (backward + forward) over the same operator, then one
+    projection picks the nearer candidate. Two keyed window shuffles
+    total, no pair explosion; the oracle replays it as argmin over the
+    per-user theta join."""
+    from mbta_etl_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    back = asof_join(
+        purchases, clicks, "user_id", "ts", ["click_id"], "backward"
+    ).withColumnsRenamed({"r_ts": "b_ts", "r_click_id": "b_id"})
+    both = asof_join(
+        back, clicks, "user_id", "ts", ["click_id"], "forward"
+    ).withColumnsRenamed({"r_ts": "f_ts", "r_click_id": "f_id"})
+    db = F.expr("timestampdiff(MICROSECOND, b_ts, ts)")
+    df_ = F.expr("timestampdiff(MICROSECOND, ts, f_ts)")
+    pick_back = F.col("b_id").isNotNull() & (
+        F.col("f_id").isNull() | (db <= df_)
+    )
+    return both.select(
+        "user_id",
+        "event_id",
+        F.when(pick_back, F.col("b_id")).otherwise(F.col("f_id")).alias(
+            "nearest_click_id"
+        ),
+        (
+            F.when(pick_back, db).otherwise(df_) / F.lit(1_000_000.0)
+        ).alias("distance_s"),
+    ).filter(F.col("nearest_click_id").isNotNull())
+
+
 def v05_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level quarantine routing over orders: first failing rule (in
     declaration order) becomes the row's reason; clean rows tagged
@@ -1674,6 +1713,27 @@ _ORACLES: dict[str, str] = {
         FROM c JOIN s ON substr(c_sfx, 1, 7) = substr(s_sfx, 1, 7)
         WHERE levenshtein(c_sfx, s_sfx) <= 1
     """,
+    "j09_nearest_event": """
+        WITH p AS (SELECT user_id, event_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, event_id AS click_id, ts AS c_ts FROM events
+              WHERE event_type = 'click'),
+        j AS (
+          SELECT p.user_id, p.event_id, c.click_id,
+                 abs(date_diff('microsecond', c.c_ts, p.ts)) AS adist,
+                 CASE WHEN c.c_ts <= p.ts THEN 0 ELSE 1 END AS side,
+                 row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY abs(date_diff('microsecond', c.c_ts, p.ts)),
+                            CASE WHEN c.c_ts <= p.ts THEN 0 ELSE 1 END,
+                            c.click_id
+                 ) AS rn
+          FROM p JOIN c USING (user_id)
+        )
+        SELECT user_id, event_id, click_id AS nearest_click_id,
+               CAST(adist AS DOUBLE) / 1000000.0 AS distance_s
+        FROM j WHERE rn = 1
+    """,
     "v05_quarantine_split": """
         SELECT o_orderkey,
                CASE WHEN NOT (o_orderstatus IN ('O', 'F', 'P'))
@@ -2377,6 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts08_minmax_norm": ts08_minmax_norm,
             "ts09_gap_detect": ts09_gap_detect,
             "ts10_locf_ttl": ts10_locf_ttl,
+            "j09_nearest_event": j09_nearest_event,
             "c08_weighted_sample": c08_weighted_sample,
         }
     )
