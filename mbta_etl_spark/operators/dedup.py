@@ -765,3 +765,29 @@ def incremental_dedup(
     return batch_kept.join(
         corpus_index.select("sha").distinct(), "sha", "left_anti"
     ).select("doc_id", "sha")
+
+
+def normalized_dedup_groups(
+    df: DataFrame, text: Column, id_col: Column
+) -> DataFrame:
+    """Dedup on a NORMALIZED content key: lowercase, strip every char
+    outside [a-z0-9 ], collapse whitespace runs, trim — then group on
+    md5 of the result. Catches the near-exact tier between d01 (byte
+    equality) and d02 (token-multiset): case variants, punctuation
+    variants, double-spacing. Same canonical shape as d01 — hash
+    projection + one groupBy on the digest, skew-free by construction."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        df.select(F.md5(norm).alias("norm_key"), id_col.alias("_id"))
+        .groupBy("norm_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("_id").alias("keep_doc_id"),
+        )
+    )

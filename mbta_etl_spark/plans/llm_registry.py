@@ -382,6 +382,15 @@ def t12_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d12_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup groups on the normalized content key (lowercase, strip
+    non-alphanumerics, collapse whitespace) — the near-exact tier
+    between d01 byte equality and d02 token-multiset."""
+    return dedup.normalized_dedup_groups(
+        _docs(spark, sf_dir), F.col("text"), F.col("doc_id")
+    )
+
+
 def d11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """New-batch dedup against a standing corpus index: docs with
     doc_id%10==0 arrive as the batch; the rest are the already-ingested
@@ -1061,6 +1070,15 @@ _ORACLES: dict[str, str] = {
                  AS boilerplate_frac
         FROM sh JOIN dfreq USING (shingle)
         GROUP BY doc_id
+    """,
+    "d12_normalized_dedup": """
+        SELECT md5(trim(regexp_replace(
+                 regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                 ' +', ' ', 'g'))) AS norm_key,
+               COUNT(*) AS n_copies,
+               MIN(doc_id) AS keep_doc_id
+        FROM documents
+        GROUP BY 1
     """,
     "d11_incremental_dedup": """
         WITH batch AS (

@@ -600,6 +600,23 @@ def q50_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q52_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 order totals per priority WITH ties (rank, not row_number):
+    every order tied with the 3rd-largest total survives — the
+    FETCH ... WITH TIES semantics q31's row_number form cuts off."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice")
+    )
+    return (
+        orders.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
 def q49_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy join (entity resolution): match customer and
     supplier records by their 9-char numeric id-suffix, tolerating one
@@ -1704,6 +1721,16 @@ _ORACLES: dict[str, str] = {
               SELECT user_id FROM buys)
         GROUP BY user_id
     """,
+    "q52_topk_with_ties": """
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               CAST(rnk AS INT) AS rnk
+        FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 rank() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC) AS rnk
+          FROM orders
+        ) WHERE rnk <= 3
+    """,
     "q49_fuzzy_join": """
         WITH c AS (SELECT c_custkey, right(c_name, 9) AS c_sfx
                    FROM customer),
@@ -2438,6 +2465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts09_gap_detect": ts09_gap_detect,
             "ts10_locf_ttl": ts10_locf_ttl,
             "j09_nearest_event": j09_nearest_event,
+            "d12_normalized_dedup": llm_registry.d12_normalized_dedup,
+            "q52_topk_with_ties": q52_topk_with_ties,
             "c08_weighted_sample": c08_weighted_sample,
         }
     )

@@ -413,3 +413,22 @@ def test_boilerplate_fraction_counts_cross_doc_shingles(spark):
     assert out[1]["boilerplate_frac"] == 0.5
     assert out[2]["boilerplate_frac"] == 0.5
     assert out[3]["n_common"] == 0 and out[3]["boilerplate_frac"] == 0.0
+
+
+def test_normalized_dedup_merges_case_and_punct_variants(spark):
+    from pyspark.sql import functions as F
+
+    from mbta_etl_spark.operators.dedup import normalized_dedup_groups
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "HELLO WORLD."),
+            (4, "goodbye world"),
+        ],
+        "doc_id long, text string",
+    )
+    out = normalized_dedup_groups(df, F.col("text"), F.col("doc_id")).collect()
+    groups = {r["keep_doc_id"]: r["n_copies"] for r in out}
+    assert groups == {1: 3, 4: 1}
