@@ -600,6 +600,31 @@ def q50_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q53_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (rolling WAU) — the
+    distinct-over-window aggregate window frames cannot express
+    (COUNT(DISTINCT) OVER is unsupported in every engine). Shape:
+    dedup events to (user, day) once, broadcast the tiny day spine, and
+    band-join it against the pairs (the broadcast carries ~#days rows,
+    so the nested-loop is #days × #pairs cheap predicate evaluations,
+    never a shuffle), then one countDistinct per day. At 100 TB the
+    (user, day) dedup is the only fact-sized shuffle."""
+    ev = _events(spark, sf_dir)
+    ud = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("d"),
+    ).distinct()
+    days = ud.select(F.col("d").alias("day")).distinct()
+    joined = ud.join(
+        F.broadcast(days),
+        (F.col("d") <= F.col("day"))
+        & (F.col("d") >= F.expr("day - INTERVAL 6 DAY")),
+    )
+    return joined.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+
+
 def q52_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 order totals per priority WITH ties (rank, not row_number):
     every order tied with the 3rd-largest total survives — the
@@ -1721,6 +1746,17 @@ _ORACLES: dict[str, str] = {
               SELECT user_id FROM buys)
         GROUP BY user_id
     """,
+    "q53_rolling_distinct": """
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events
+        ),
+        days AS (SELECT DISTINCT d AS day FROM ud)
+        SELECT day, COUNT(DISTINCT user_id) AS wau
+        FROM days JOIN ud
+          ON ud.d <= days.day AND ud.d >= days.day - INTERVAL 6 DAY
+        GROUP BY day
+    """,
     "q52_topk_with_ties": """
         SELECT o_orderpriority, o_orderkey, o_totalprice,
                CAST(rnk AS INT) AS rnk
@@ -2467,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "j09_nearest_event": j09_nearest_event,
             "d12_normalized_dedup": llm_registry.d12_normalized_dedup,
             "q52_topk_with_ties": q52_topk_with_ties,
+            "q53_rolling_distinct": q53_rolling_distinct,
             "c08_weighted_sample": c08_weighted_sample,
         }
     )

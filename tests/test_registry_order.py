@@ -43,7 +43,7 @@ MUST_BE_IN_WINDOW = {
 # and update MUST_BE_IN_WINDOW accordingly:
 #   ts01_locf ts02_delta_rate ts03_interpolate ts04_rolling_zscore
 #   ts05_bucket_gapfill ts06_ewma c08_weighted_sample j07_salted_join
-#   q48_analytic_battery d10_ngram_containment m05_phash_dupes c10_temperature_mix v05_quarantine_split d11_incremental_dedup j08_interval_overlap t12_boilerplate_frac s08_multi_query_topk r02_sketch_rollup q49_fuzzy_join t13_zipf_spectrum q50_bag_set_ops c12_curriculum_shards ts07_downsample ts08_minmax_norm ts09_gap_detect ts10_locf_ttl j09_nearest_event d12_normalized_dedup q52_topk_with_ties
+#   q48_analytic_battery d10_ngram_containment m05_phash_dupes c10_temperature_mix v05_quarantine_split d11_incremental_dedup j08_interval_overlap t12_boilerplate_frac s08_multi_query_topk r02_sketch_rollup q49_fuzzy_join t13_zipf_spectrum q50_bag_set_ops c12_curriculum_shards ts07_downsample ts08_minmax_norm ts09_gap_detect ts10_locf_ttl j09_nearest_event d12_normalized_dedup q52_topk_with_ties q53_rolling_distinct
 #   (+ anything new in round 3)
 # d05_simhash / d09_simhash_band_pairs changed semantics (64-bit sigs)
 # AFTER the r2 window was fixed — they are in the r2 window, so their
