@@ -625,6 +625,121 @@ def q53_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q51_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix: users grouped by the ISO week of
+    their first event; for each (cohort_week, week_offset) cell, how many
+    cohort members were active and what fraction of the cohort that is.
+    Shape: one groupBy(user) for first-touch, one (user, week) dedup —
+    both fact-sized shuffles on user_id so AQE can coalesce them — then
+    the cells aggregate (~#weeks² rows) and a broadcast join against the
+    tiny cohort-size table. (user, week) is unique after the dedup, so
+    the cell count is a plain count(*), never a second distinct."""
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts"))
+        .cast("timestamp_ntz")
+        .alias("cohort_week")
+    )
+    weekly = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("timestamp_ntz").alias("week"),
+    ).distinct()
+    cells = (
+        weekly.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_users")
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "active_users",
+        "cohort_users",
+        # scaled-floor, not round(): engine round() implementations
+        # disagree on midpoint-adjacent doubles (dyadic count ratios like
+        # p/128 are EXACT 6-decimal midpoints); floor(x*1e6+0.5)/1e6 is
+        # bit-identical across Spark and the DuckDB oracle
+        (
+            F.floor(
+                F.col("active_users") / F.col("cohort_users") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("retention"),
+    )
+
+
+def q54_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the 20 part pairs most often ordered
+    together. Shape: dedup to (order, part), self-join co-partitioned on
+    l_orderkey (both sides shuffle once on the same key, so the join
+    itself is local), expand each basket to its C(b,2) pairs — bounded
+    by the max basket size (~11 parts → ≤55 pairs per order, so the
+    blow-up is O(rows·b̄), not quadratic in the table) — then a partial-
+    agg count and TakeOrdered(20). At 100 TB the only caveat is a
+    pathological mega-basket; a per-order size cap would bolt on as a
+    count-filter before the self-join."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = a.join(b, "l_orderkey").filter(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("pair_cnt"))
+        .orderBy(F.desc("pair_cnt"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+def q55_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for each (from_type, to_type) bigram, the transition count and the
+    conditional probability P(to | from). Shape: one window shuffle on
+    user_id (lag over the tie-broken per-user order), one partial-agg
+    count to ~|types|² rows, and the probability normalization is a
+    window over that tiny aggregate — post-shuffle data is KB regardless
+    of input scale."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("transitions")
+    )
+    wnorm = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "transitions",
+        # scaled-floor (see q51_retention_cohorts) — dyadic transition
+        # ratios are exact 6-decimal midpoints where round() diverges
+        (
+            F.floor(
+                F.col("transitions")
+                / F.sum("transitions").over(wnorm)
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("prob"),
+    )
+
+
 def q52_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 order totals per priority WITH ties (rank, not row_number):
     every order tied with the 3rd-largest total survives — the
@@ -1757,6 +1872,61 @@ _ORACLES: dict[str, str] = {
           ON ud.d <= days.day AND ud.d >= days.day - INTERVAL 6 DAY
         GROUP BY day
     """,
+    "q51_retention_cohorts": """
+        WITH firsts AS (
+          SELECT user_id,
+                 CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP)
+                   AS cohort_week
+          FROM events GROUP BY user_id
+        ),
+        weekly AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+          FROM events
+        ),
+        cells AS (
+          SELECT cohort_week,
+                 CAST(date_diff('day', cohort_week, week) / 7 AS INT)
+                   AS week_offset,
+                 CAST(COUNT(*) AS BIGINT) AS active_users
+          FROM weekly JOIN firsts USING (user_id)
+          GROUP BY 1, 2
+        ),
+        sizes AS (
+          SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+          FROM firsts GROUP BY 1
+        )
+        SELECT c.cohort_week, week_offset, active_users, cohort_users,
+               FLOOR(active_users * 1.0 / cohort_users * 1e6 + 0.5) / 1e6
+                 AS retention
+        FROM cells c JOIN sizes USING (cohort_week)
+    """,
+    "q54_pair_cooccurrence": """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS pair_cnt
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY pair_cnt DESC, part_a ASC, part_b ASC
+        LIMIT 20
+    """,
+    "q55_transition_matrix": """
+        WITH seq AS (
+          SELECT event_type AS to_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS from_type
+          FROM events
+        )
+        SELECT from_type, to_type,
+               CAST(COUNT(*) AS BIGINT) AS transitions,
+               FLOOR(COUNT(*) * 1.0
+                     / SUM(COUNT(*)) OVER (PARTITION BY from_type)
+                     * 1e6 + 0.5) / 1e6 AS prob
+        FROM seq WHERE from_type IS NOT NULL
+        GROUP BY 1, 2
+    """,
     "q52_topk_with_ties": """
         SELECT o_orderpriority, o_orderkey, o_totalprice,
                CAST(rnk AS INT) AS rnk
@@ -2505,6 +2675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q52_topk_with_ties": q52_topk_with_ties,
             "q53_rolling_distinct": q53_rolling_distinct,
             "c08_weighted_sample": c08_weighted_sample,
+            "q51_retention_cohorts": q51_retention_cohorts,
+            "q54_pair_cooccurrence": q54_pair_cooccurrence,
+            "q55_transition_matrix": q55_transition_matrix,
         }
     )
     return out

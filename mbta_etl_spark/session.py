@@ -41,6 +41,18 @@ def get_spark(app_name: str = "mbta_etl_spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle/spill files go to spark.local.dir. On a real cluster that is
+    # executor-local NVMe; here the sandbox's disk writes at ~30 MB/s
+    # (measured), which both throttles every shuffle-heavy query and adds
+    # writeback-stall jitter. A tmpfs local dir is the faithful local
+    # stand-in for cluster-local scratch (shuffle data at bench SF is MBs
+    # against 126 G of tmpfs). Fallback: Spark's default (/tmp).
+    shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark_graft_local")
+    try:
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
+    except OSError:
+        pass
     return builder.getOrCreate()
 
 

@@ -204,3 +204,26 @@ def test_ts08_minmax_single_exchange(spark):
 
 def test_ts09_gap_detect_single_exchange(spark):
     assert _n_exchanges(registry.ts09_gap_detect(spark, SF_DIR_SMALL)) == 1
+
+
+def test_q51_cohort_sizes_broadcast(spark):
+    """The cohort-size table (~#weeks rows) must broadcast into the cells
+    join — the fact-sized shuffles are only the user-keyed aggregates."""
+    plan = _plan(registry.q51_retention_cohorts(spark, SF_DIR_SMALL))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q54_pair_topk_take_ordered(spark):
+    """Pair mining's final top-20 must plan as TakeOrderedAndProject (per-
+    partition heap + merge), and the pair count must partial-aggregate
+    before its shuffle so shuffled bytes ~ #distinct pairs."""
+    plan = _plan(registry.q54_pair_cooccurrence(spark, SF_DIR_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_q55_count_partial_aggregates(spark):
+    """The bigram count must map-side combine; the probability window
+    runs over the ~|types|^2 aggregate, not over raw events."""
+    plan = _plan(registry.q55_transition_matrix(spark, SF_DIR_SMALL))
+    assert "partial_count" in plan
