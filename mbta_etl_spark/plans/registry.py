@@ -740,6 +740,132 @@ def q55_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q56_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (signup → later click → later purchase) with
+    per-step user counts and conversion rates. Each step is a keyed
+    aggregate joined to the previous step's per-user timestamp, so the
+    whole funnel is three user-keyed shuffles over progressively smaller
+    sets (step N's input is semi-joined down by step N-1) — no window
+    over the full event stream, no per-user collect. The summary is three
+    1-row aggregates broadcast-crossed into one row. Guard: conversion
+    denominators go through a null-guard (ANSI-safe), matching the
+    oracle's NULLIF."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def _rate(num, den):
+        safe = F.when(F.col(den) != 0, F.col(den))
+        return F.floor(
+            F.col(num) / safe * F.lit(1e6) + F.lit(0.5)
+        ) / F.lit(1e6)
+
+    out = (
+        s1.agg(F.count("*").alias("step1_users"))
+        .crossJoin(s2.agg(F.count("*").alias("step2_users")))
+        .crossJoin(s3.agg(F.count("*").alias("step3_users")))
+    )
+    return out.select(
+        "step1_users",
+        "step2_users",
+        "step3_users",
+        _rate("step2_users", "step1_users").alias("conv_12"),
+        _rate("step3_users", "step2_users").alias("conv_23"),
+        _rate("step3_users", "step1_users").alias("conv_13"),
+    )
+
+
+def v06_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-over-epoch profile drift: split events at the midpoint of
+    their time span, profile each half (row count, distinct users, mean
+    value, click share), and report per-metric relative change — the
+    data-quality check a training pipeline runs between ingestion
+    batches. Shape: one 1-row min/max aggregate broadcast onto the scan
+    (scalar cross join), one groupBy(epoch) partial-agg profile, then a
+    constant-width unpivot — post-scan state is O(1) regardless of input
+    size. distinct_users is the one full-width term (exact distinct per
+    epoch); at 100 TB it swaps for approx_count_distinct."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts", "value")
+    # integer-µs midpoint (div, not /) so the epoch boundary is exact and
+    # bit-identical to the oracle's epoch_us arithmetic
+    # ts is TIMESTAMP_NTZ; cast to LTZ for unix_micros. The session-tz
+    # shift is uniform across min/max/ts, and the midpoint comparison is
+    # shift-invariant, so the epoch split is tz-independent.
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    # (hi-lo)/2 in double is exact here (span µs << 2^53) and the long
+    # cast truncates the positive half-step exactly like the oracle's //2
+    span = ev.agg(
+        (
+            us(F.min("ts"))
+            + ((us(F.max("ts")) - us(F.min("ts"))) / F.lit(2)).cast("long")
+        ).alias("mid_us")
+    )
+    tagged = ev.crossJoin(F.broadcast(span)).select(
+        "user_id",
+        "event_type",
+        "value",
+        F.when(us(F.col("ts")) < F.col("mid_us"), F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("epoch"),
+    )
+    prof = tagged.groupBy("epoch").agg(
+        F.count("*").cast("double").alias("row_count"),
+        F.countDistinct("user_id").cast("double").alias("distinct_users"),
+        # avg = rounded-sum / count, NOT avg(): the order-dependent sum
+        # differs across engines at ~1e-11 and raw avg lands midpoint-
+        # adjacent after the 6dp floor; rounding the sum first gives both
+        # engines identical doubles to divide
+        (
+            F.floor(F.sum("value") * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6)
+            / F.count("*")
+        ).alias("avg_value"),
+        (
+            F.count(F.when(F.col("event_type") == "click", 1))
+            / F.count("*")
+        ).alias("click_share"),
+    )
+    metrics = ["row_count", "distinct_users", "avg_value", "click_share"]
+    long = prof.unpivot(
+        "epoch", metrics, "metric", "metric_value"
+    )
+    wide = long.groupBy("metric").agg(
+        F.max(F.when(F.col("epoch") == "a", F.col("metric_value"))).alias(
+            "epoch_a"
+        ),
+        F.max(F.when(F.col("epoch") == "b", F.col("metric_value"))).alias(
+            "epoch_b"
+        ),
+    )
+    scale = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    safe_a = F.when(F.col("epoch_a") != 0, F.col("epoch_a"))
+    return wide.select(
+        "metric",
+        scale(F.col("epoch_a")).alias("epoch_a"),
+        scale(F.col("epoch_b")).alias("epoch_b"),
+        scale(
+            (F.col("epoch_b") - F.col("epoch_a")) / safe_a
+        ).alias("rel_change"),
+    )
+
+
 def q52_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 order totals per priority WITH ties (rank, not row_number):
     every order tied with the 3rd-largest total survives — the
@@ -1872,6 +1998,89 @@ _ORACLES: dict[str, str] = {
           ON ud.d <= days.day AND ud.d >= days.day - INTERVAL 6 DAY
         GROUP BY day
     """,
+    "q56_funnel_conversion": """
+        WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t1 FROM events
+          WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s1.t1
+          GROUP BY e.user_id
+        ),
+        s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          GROUP BY e.user_id
+        ),
+        n AS (
+          SELECT (SELECT COUNT(*) FROM s1) AS s1n,
+                 (SELECT COUNT(*) FROM s2) AS s2n,
+                 (SELECT COUNT(*) FROM s3) AS s3n
+        )
+        SELECT CAST(s1n AS BIGINT) AS step1_users,
+               CAST(s2n AS BIGINT) AS step2_users,
+               CAST(s3n AS BIGINT) AS step3_users,
+               FLOOR(s2n * 1.0 / NULLIF(s1n, 0) * 1e6 + 0.5) / 1e6
+                 AS conv_12,
+               FLOOR(s3n * 1.0 / NULLIF(s2n, 0) * 1e6 + 0.5) / 1e6
+                 AS conv_23,
+               FLOOR(s3n * 1.0 / NULLIF(s1n, 0) * 1e6 + 0.5) / 1e6
+                 AS conv_13
+        FROM n
+    """,
+    "v06_profile_drift": """
+        WITH span AS (
+          SELECT epoch_us(MIN(ts))
+                 + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2 AS mid_us
+          FROM events
+        ),
+        tagged AS (
+          SELECT user_id, event_type, value,
+                 CASE WHEN epoch_us(ts) < (SELECT mid_us FROM span)
+                      THEN 'a' ELSE 'b' END AS epoch
+          FROM events
+        ),
+        prof AS (
+          SELECT epoch,
+                 CAST(COUNT(*) AS DOUBLE) AS row_count,
+                 CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS distinct_users,
+                 FLOOR(SUM(value) * 1e6 + 0.5) / 1e6 / COUNT(*)
+                   AS avg_value,
+                 COUNT(*) FILTER (event_type = 'click') * 1.0 / COUNT(*)
+                   AS click_share
+          FROM tagged GROUP BY epoch
+        ),
+        longt AS (
+          SELECT 'row_count' AS metric,
+                 MAX(CASE WHEN epoch = 'a' THEN row_count END) AS epoch_a,
+                 MAX(CASE WHEN epoch = 'b' THEN row_count END) AS epoch_b
+          FROM prof
+          UNION ALL
+          SELECT 'distinct_users',
+                 MAX(CASE WHEN epoch = 'a' THEN distinct_users END),
+                 MAX(CASE WHEN epoch = 'b' THEN distinct_users END)
+          FROM prof
+          UNION ALL
+          SELECT 'avg_value',
+                 MAX(CASE WHEN epoch = 'a' THEN avg_value END),
+                 MAX(CASE WHEN epoch = 'b' THEN avg_value END)
+          FROM prof
+          UNION ALL
+          SELECT 'click_share',
+                 MAX(CASE WHEN epoch = 'a' THEN click_share END),
+                 MAX(CASE WHEN epoch = 'b' THEN click_share END)
+          FROM prof
+        )
+        SELECT metric,
+               FLOOR(epoch_a * 1e6 + 0.5) / 1e6 AS epoch_a,
+               FLOOR(epoch_b * 1e6 + 0.5) / 1e6 AS epoch_b,
+               FLOOR((epoch_b - epoch_a) / NULLIF(epoch_a, 0) * 1e6 + 0.5)
+                 / 1e6 AS rel_change
+        FROM longt
+    """,
     "q51_retention_cohorts": """
         WITH firsts AS (
           SELECT user_id,
@@ -2678,6 +2887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q51_retention_cohorts": q51_retention_cohorts,
             "q54_pair_cooccurrence": q54_pair_cooccurrence,
             "q55_transition_matrix": q55_transition_matrix,
+            "q56_funnel_conversion": q56_funnel_conversion,
+            "v06_profile_drift": v06_profile_drift,
         }
     )
     return out

@@ -227,3 +227,19 @@ def test_q55_count_partial_aggregates(spark):
     runs over the ~|types|^2 aggregate, not over raw events."""
     plan = _plan(registry.q55_transition_matrix(spark, SF_DIR_SMALL))
     assert "partial_count" in plan
+
+
+def test_q56_funnel_partial_mins(spark):
+    """Each funnel step is a keyed MIN aggregate with map-side combine;
+    the three 1-row summaries meet via broadcast, never a shuffle."""
+    plan = _plan(registry.q56_funnel_conversion(spark, SF_DIR_SMALL))
+    assert "partial_min" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_v06_span_broadcast_single_pass(spark):
+    """The 1-row midpoint aggregate broadcasts onto the scan; the epoch
+    profile partial-aggregates, so post-scan state is O(1)."""
+    plan = _plan(registry.v06_profile_drift(spark, SF_DIR_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_count" in plan
