@@ -374,6 +374,73 @@ def t13_zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIGRAM_MIN_CT = 5
+BIGRAM_TOP = 20
+
+
+def t14_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by lift: count(ab)·N / (count(a)·count(b)),
+    the PMI ratio without the log — identical integer inputs divide to
+    identical doubles on both engines, so no transcendental cross-engine
+    drift. Shape: bigrams come from a zip_with over the split array (pure
+    Catalyst HOF, no shuffle until the count), unigrams from one explode;
+    both partial-aggregate to vocab-sized tables, join word-keyed (at
+    100 TB the unigram side usually broadcasts — vocab ≪ corpus), the
+    bigram total rides a 1-row broadcast, and the top-20 is TakeOrdered.
+    A min-count floor drops the noisy singleton tail before the joins."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(F.split(F.col("text"), " ").alias("w"))
+    bigrams = words.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(w, 1, size(w) - 1),"
+                " slice(w, 2, size(w) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bgc = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= BIGRAM_MIN_CT)
+    )
+    unic = (
+        words.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # total over ALL bigrams (pre-filter) so lift is corpus-calibrated;
+    # N = Σ(size(w)-1) — a scalar agg over the split arrays, no second
+    # explode pass
+    total = words.agg(
+        F.sum(F.greatest(F.size("w") - F.lit(1), F.lit(0))).alias("big_n")
+    )
+    a = unic.select(F.col("tok").alias("w1"), F.col("n").alias("n_a"))
+    b = unic.select(F.col("tok").alias("w2"), F.col("n").alias("n_b"))
+    return (
+        bgc.join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            (
+                F.floor(
+                    F.col("n_ab")
+                    * F.col("big_n")
+                    / (F.col("n_a") * F.col("n_b"))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+        .limit(BIGRAM_TOP)
+    )
+
+
 def t12_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-common shingle share per document (boilerplate signal, the
     cross-document complement of t09's within-doc repetition)."""
@@ -1058,6 +1125,35 @@ _ORACLES: dict[str, str] = {
           FROM counts
         ) CROSS JOIN total
         WHERE rank <= {ZIPF_TOP}
+    """,
+    "t14_bigram_lift": f"""
+        WITH words AS (SELECT string_split(text, ' ') AS w FROM documents),
+        idx AS (
+          SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM words
+        ),
+        bg AS (SELECT w[i] AS w1, w[i + 1] AS w2 FROM idx),
+        bgc AS (
+          SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+          FROM bg GROUP BY w1, w2
+          HAVING COUNT(*) >= {BIGRAM_MIN_CT}
+        ),
+        unic AS (
+          SELECT tok, COUNT(*) AS n FROM (
+            SELECT unnest(w) AS tok FROM words
+          ) GROUP BY tok
+        ),
+        total AS (
+          SELECT SUM(CASE WHEN len(w) > 1 THEN len(w) - 1 ELSE 0 END)
+            AS big_n
+          FROM words
+        )
+        SELECT w1, w2, n_ab,
+               FLOOR(n_ab * big_n * 1.0 / (a.n * b.n) * 1e6 + 0.5) / 1e6
+                 AS lift
+        FROM bgc JOIN unic a ON w1 = a.tok JOIN unic b ON w2 = b.tok
+        CROSS JOIN total
+        ORDER BY lift DESC, w1 ASC, w2 ASC
+        LIMIT {BIGRAM_TOP}
     """,
     "t12_boilerplate_frac": f"""
         WITH {_SHINGLE_CTE},

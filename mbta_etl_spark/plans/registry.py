@@ -2889,6 +2889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q55_transition_matrix": q55_transition_matrix,
             "q56_funnel_conversion": q56_funnel_conversion,
             "v06_profile_drift": v06_profile_drift,
+            "t14_bigram_lift": llm_registry.t14_bigram_lift,
         }
     )
     return out

@@ -243,3 +243,13 @@ def test_v06_span_broadcast_single_pass(spark):
     plan = _plan(registry.v06_profile_drift(spark, SF_DIR_SMALL))
     assert "BroadcastNestedLoopJoin" in plan
     assert "partial_count" in plan
+
+
+def test_t14_bigram_lift_take_ordered(spark):
+    """Bigram and unigram counts partial-aggregate to vocab-sized tables;
+    the top-20 plans as TakeOrderedAndProject, and the corpus total rides
+    a broadcast 1-row cross join (no second explode pass)."""
+    plan = _plan(registry.queries()["t14_bigram_lift"](spark, SF_DIR_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" in plan
