@@ -866,6 +866,93 @@ def v06_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q57_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event type: median, MAD (median absolute
+    deviation), and the count/fraction beyond the 3σ-equivalent robust
+    threshold (3·1.4826·MAD) — the outlier detector that, unlike ts04's
+    rolling z-score, a single wild value cannot drag. Shape: two grouped
+    exact-percentile passes with the tiny per-type tables broadcast back
+    between scans (group count is |types|, so every join is broadcast).
+    Exact percentile buffers per-group values — at 100 TB the declared
+    swap is approx_percentile, the same exact→sketch trade q09/q09a pins.
+    Both engines interpolate percentile_cont identically (verified)."""
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mads = dev.groupBy("event_type").agg(
+        F.max("med").alias("med"),
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+        F.count("*").alias("n"),
+    )
+    scale = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        dev.select("event_type", "adev")
+        .join(F.broadcast(mads), "event_type")
+        .groupBy("event_type")
+        .agg(
+            scale(F.max("med")).alias("med"),
+            scale(F.max("mad")).alias("mad"),
+            F.max("n").alias("n"),
+            F.count(
+                F.when(
+                    F.col("adev")
+                    > F.lit(3.0) * F.lit(1.4826) * F.col("mad"),
+                    1,
+                )
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "med",
+            "mad",
+            "n",
+            "n_outliers",
+            scale(F.col("n_outliers") / F.col("n")).alias("outlier_frac"),
+        )
+    )
+
+
+def j10_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 interval construction from an event changelog: compress
+    each user's consecutive same-state runs to change points, then emit
+    validity intervals [valid_from, valid_to) with valid_to = next change
+    (null = current). The warehouse primitive that turns append-only logs
+    into as-of-joinable dimension history (j01 then consumes it). Shape:
+    both windows partition on user_id — one shuffle, two in-partition
+    passes (the second window runs over the change-compressed rows)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    # event_id tie-break: identical timestamps must order identically in
+    # both engines or change detection diverges
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+        )
+        .select(
+            "user_id", F.col("event_type").alias("state"), "ts", "event_id"
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
 def q52_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 order totals per priority WITH ties (rank, not row_number):
     every order tied with the 3rd-largest total survives — the
@@ -1998,6 +2085,56 @@ _ORACLES: dict[str, str] = {
           ON ud.d <= days.day AND ud.d >= days.day - INTERVAL 6 DAY
         GROUP BY day
     """,
+    "q57_mad_outliers": """
+        WITH med AS (
+          SELECT event_type,
+                 percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+          FROM events GROUP BY event_type
+        ),
+        dev AS (
+          SELECT e.event_type, med, abs(value - med) AS adev
+          FROM events e JOIN med USING (event_type)
+        ),
+        mads AS (
+          SELECT event_type, MAX(med) AS med,
+                 percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad,
+                 COUNT(*) AS n
+          FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               FLOOR(m.med * 1e6 + 0.5) / 1e6 AS med,
+               FLOOR(m.mad * 1e6 + 0.5) / 1e6 AS mad,
+               CAST(m.n AS BIGINT) AS n,
+               CAST(COUNT(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad
+                          THEN 1 END) AS BIGINT) AS n_outliers,
+               FLOOR(COUNT(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad
+                           THEN 1 END) * 1.0 / m.n * 1e6 + 0.5) / 1e6
+                 AS outlier_frac
+        FROM dev d JOIN mads m USING (event_type)
+        GROUP BY d.event_type, m.med, m.mad, m.n
+    """,
+    "j10_scd2_intervals": """
+        WITH changes AS (
+          SELECT user_id, event_type AS state, ts, event_id
+          FROM (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev
+            FROM events
+          )
+          WHERE prev IS NULL OR prev <> event_type
+        )
+        SELECT user_id, state,
+               ts AS valid_from,
+               lead(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               ) AS valid_to,
+               lead(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               ) IS NULL AS is_current
+        FROM changes
+    """,
     "q56_funnel_conversion": """
         WITH s1 AS (
           SELECT user_id, MIN(ts) AS t1 FROM events
@@ -2890,6 +3027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q56_funnel_conversion": q56_funnel_conversion,
             "v06_profile_drift": v06_profile_drift,
             "t14_bigram_lift": llm_registry.t14_bigram_lift,
+            "q57_mad_outliers": q57_mad_outliers,
+            "j10_scd2_intervals": j10_scd2_intervals,
         }
     )
     return out

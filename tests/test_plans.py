@@ -253,3 +253,18 @@ def test_t14_bigram_lift_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q57_per_type_tables_broadcast(spark):
+    """Both percentile passes hand back |types|-row tables; every join
+    against the fact must broadcast, never shuffle the events side twice
+    for a join."""
+    plan = _plan(registry.q57_mad_outliers(spark, SF_DIR_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_j10_one_partitioning_two_windows(spark):
+    """Change detection and interval close-out share the user_id
+    partitioning — exactly one Exchange."""
+    assert _n_exchanges(registry.j10_scd2_intervals(spark, SF_DIR_SMALL)) == 1
