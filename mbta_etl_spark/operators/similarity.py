@@ -503,3 +503,131 @@ def multi_query_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+MMR_LAMBDA = 0.7  # relevance weight; (1-λ) penalizes similarity to picked
+MMR_POOL = 50  # candidate pool from the distributed top-C stage
+MMR_K = 10  # reranked result size
+
+
+def mmr_rerank(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    pool: int = MMR_POOL,
+    k: int = MMR_K,
+    lam: float = MMR_LAMBDA,
+    exclude_id=None,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k: greedily pick the
+    candidate maximizing ``λ·rel − (1−λ)·max_{s∈picked} cos(c, s)`` —
+    the standard retrieval re-rank that trades raw relevance for
+    coverage (near-duplicate hits stop crowding the result list).
+
+    Two-stage shape, and this IS the 100 TB shape: stage 1 is the
+    distributed brute-force/ANN top-``pool`` (TakeOrdered over the
+    corpus — the only part that sees data); stage 2 runs the inherently
+    sequential greedy loop as ONE applyInPandas kernel over the
+    constant-size pool (state O(pool·d), independent of corpus size) —
+    in the plan, not a driver collect.
+
+    Cross-engine determinism: every float op replays the oracle's
+    recursive CTE bit-for-bit — relevance uses the same sequential
+    query-norm accumulation (not fsum), the kernel's gram matrix
+    accumulates per-dimension in index order exactly like the oracle's
+    ``list_sum(list_transform(...))``, argmax ties break on the lower
+    id, and only the emitted relevance is scaled-floor rounded."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    # sequential (oracle-order) accumulation — math.fsum would be MORE
+    # accurate but would not match list_sum's left fold
+    qns = 0.0
+    for x in query:
+        qns += float(x) * float(x)
+    qnorm = math.sqrt(qns)
+    rel = _dot_lit(F.col(vec_col), query) / (_norm(F.col(vec_col)) * qnorm)
+    cand = df.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+        rel.alias("rel"),
+    )
+    if exclude_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_id)
+    cand = cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(pool)
+
+    out_schema = StructType(
+        [
+            StructField("rank", IntegerType()),
+            StructField("vec_id", LongType()),
+            StructField("mmr_rel", DoubleType()),
+        ]
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic candidate order (pool arrives unordered)
+        pdf = pdf.sort_values(
+            ["rel", "vec_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        rels = pdf["rel"].to_numpy(np.float64)
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        n, d = V.shape
+        # gram + norms accumulated per-dimension in index order: each
+        # entry is the same left-fold sum the oracle's list_sum computes
+        G = np.zeros((n, n))
+        ns = np.zeros(n)
+        for kk in range(d):
+            col = V[:, kk]
+            G += np.multiply.outer(col, col)
+            ns += col * col
+        norms = np.sqrt(ns)
+        cosM = G / np.multiply.outer(norms, norms)
+
+        picked = [0]  # row 0 = max rel (ties already id-ordered)
+        while len(picked) < min(k, n):
+            best, best_score = None, None
+            for i in range(n):
+                if i in picked:
+                    continue
+                maxcos = cosM[i, picked].max()
+                score = lam * rels[i] - (1.0 - lam) * maxcos
+                # strict > keeps the earlier (higher-rel / lower-id on
+                # equal rel) candidate on exact ties... but the oracle
+                # breaks ties on vec_id alone, so mirror that:
+                if (
+                    best is None
+                    or score > best_score
+                    or (score == best_score and ids[i] < ids[best])
+                ):
+                    best, best_score = i, score
+            picked.append(best)
+        return pd.DataFrame(
+            {
+                "rank": pd.Series(range(1, len(picked) + 1), dtype="int32"),
+                "vec_id": pd.Series([ids[i] for i in picked], dtype="int64"),
+                "mmr_rel": pd.Series(
+                    [
+                        math.floor(rels[i] * 1e6 + 0.5) / 1e6
+                        for i in picked
+                    ],
+                    dtype="float64",
+                ),
+            }
+        )
+
+    return (
+        cand.groupBy(F.lit(0).alias("_g"))
+        .applyInPandas(
+            lambda _, pdf: _greedy(pdf), schema=out_schema
+        )
+    )

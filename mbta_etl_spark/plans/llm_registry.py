@@ -378,6 +378,22 @@ BIGRAM_MIN_CT = 5
 BIGRAM_TOP = 20
 
 
+def s09_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: MMR re-rank of the cosine top-50 pool down
+    to 10 (λ=0.7). Stage 1 is the distributed top-pool scan; stage 2 the
+    sequential greedy over the constant-size pool as one applyInPandas
+    kernel. Oracle: the same greedy replayed as a DuckDB recursive CTE,
+    bit-identical because both sides fold sums in index order."""
+    q = _query_vector(spark, sf_dir)
+    return similarity.mmr_rerank(
+        _emb(spark, sf_dir),
+        "embedding",
+        "vec_id",
+        q,
+        exclude_id=QUERY_VEC_ID,
+    )
+
+
 def t14_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top bigram collocations by lift: count(ab)·N / (count(a)·count(b)),
     the PMI ratio without the log — identical integer inputs divide to
@@ -1125,6 +1141,47 @@ _ORACLES: dict[str, str] = {
           FROM counts
         ) CROSS JOIN total
         WHERE rank <= {ZIPF_TOP}
+    """,
+    "s09_mmr_rerank": f"""
+        WITH RECURSIVE
+        qv AS (
+          SELECT embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        cand AS (
+          SELECT vec_id, v, rel FROM (
+            SELECT vec_id, v,
+                   {_dot('v', 'qv')}
+                     / (sqrt({_dot('v', 'v')}) * sqrt({_dot('qv', 'qv')}))
+                     AS rel
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                  WHERE vec_id <> {QUERY_VEC_ID}), qv
+          ) ORDER BY rel DESC, vec_id ASC LIMIT {similarity.MMR_POOL}
+        ),
+        sel AS (
+          SELECT 1 AS rank,
+                 [(SELECT vec_id FROM cand
+                   ORDER BY rel DESC, vec_id ASC LIMIT 1)] AS ids
+          UNION ALL
+          SELECT rank + 1, list_append(sel.ids, (
+             SELECT c.vec_id
+             FROM cand c JOIN cand s ON list_contains(sel.ids, s.vec_id)
+             WHERE NOT list_contains(sel.ids, c.vec_id)
+             GROUP BY c.vec_id, c.rel
+             ORDER BY {similarity.MMR_LAMBDA} * c.rel
+                      - {1.0 - similarity.MMR_LAMBDA} * MAX(
+                          {_dot('c.v', 's.v')}
+                          / (sqrt({_dot('c.v', 'c.v')})
+                             * sqrt({_dot('s.v', 's.v')}))) DESC,
+                      c.vec_id ASC
+             LIMIT 1))
+          FROM sel WHERE rank < {similarity.MMR_K}
+        )
+        SELECT CAST(i AS INT) AS rank, ids[i] AS vec_id,
+               FLOOR(c.rel * 1e6 + 0.5) / 1e6 AS mmr_rel
+        FROM (SELECT ids FROM sel WHERE rank = {similarity.MMR_K}),
+             generate_series(1, {similarity.MMR_K}) AS g(i)
+             JOIN cand c ON c.vec_id = ids[i]
     """,
     "t14_bigram_lift": f"""
         WITH words AS (SELECT string_split(text, ' ') AS w FROM documents),

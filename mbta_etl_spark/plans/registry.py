@@ -3029,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t14_bigram_lift": llm_registry.t14_bigram_lift,
             "q57_mad_outliers": q57_mad_outliers,
             "j10_scd2_intervals": j10_scd2_intervals,
+            "s09_mmr_rerank": llm_registry.s09_mmr_rerank,
         }
     )
     return out

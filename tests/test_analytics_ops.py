@@ -103,3 +103,16 @@ def test_t14_lift_floor_and_order(spark):
     for r in rows:
         assert r.n_ab >= 5
         assert r.lift > 0.0
+
+
+def test_s09_mmr_diversifies(spark):
+    """MMR keeps the top-relevance hit first and never repeats an id; the
+    relevance sequence is NOT required to be monotone (that's the point),
+    but every emitted rel must come from the candidate pool's top-50."""
+    rows = registry.queries()["s09_mmr_rerank"](spark, SF_DIR_SMALL).collect()
+    assert [r.rank for r in rows] == list(range(1, 11))
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == 10
+    s01 = registry.queries()["s01_cosine_topk"](spark, SF_DIR_SMALL).collect()
+    # rank 1 == the globally most-relevant vector (λ only reweights later picks)
+    assert ids[0] == s01[0].vec_id

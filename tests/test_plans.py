@@ -268,3 +268,10 @@ def test_j10_one_partitioning_two_windows(spark):
     """Change detection and interval close-out share the user_id
     partitioning — exactly one Exchange."""
     assert _n_exchanges(registry.j10_scd2_intervals(spark, SF_DIR_SMALL)) == 1
+
+
+def test_s09_pool_stage_take_ordered(spark):
+    """MMR stage 1 (top-pool by relevance) must plan as TakeOrdered over
+    the corpus; the greedy stage touches only the constant-size pool."""
+    plan = _plan(registry.queries()["s09_mmr_rerank"](spark, SF_DIR_SMALL))
+    assert "TakeOrderedAndProject" in plan
