@@ -394,6 +394,59 @@ def s09_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d13_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch quality gate: measure d04's MinHash+LSH against d03's exact
+    n-gram Jaccard on the same corpus — pair counts, intersection, and
+    recall/precision. The audit a production near-dedup pipeline runs on
+    a sample before trusting the sketch at full scale (the banding
+    recall depends on the corpus' similarity distribution, not just the
+    (bands, rows) theory curve). The intersection joins on the pair key,
+    so neither containment direction is assumed (d03's shingle-df cap
+    and d04's band recall each drop pairs the other keeps). Output is
+    one row; the heavy lifting is the two existing pair pipelines."""
+    docs = _docs(spark, sf_dir)
+    exact = dedup.ngram_jaccard_pairs(
+        docs,
+        F.col("text"),
+        F.col("doc_id"),
+        k=JACCARD_K,
+        threshold=JACCARD_THRESHOLD,
+        max_shingle_df=JACCARD_MAX_SHINGLE_DF,
+    ).select("doc_a", "doc_b")
+    lsh = dedup.minhash_lsh_pairs(
+        docs,
+        F.col("text"),
+        F.col("doc_id"),
+        k=JACCARD_K,
+        threshold=JACCARD_THRESHOLD,
+    ).select("doc_a", "doc_b")
+    ne = exact.agg(F.count("*").alias("n_exact"))
+    nl = lsh.agg(F.count("*").alias("n_lsh"))
+    nb = exact.join(lsh, ["doc_a", "doc_b"]).agg(
+        F.count("*").alias("n_both")
+    )
+    rate = lambda num, den: (  # noqa: E731
+        F.floor(
+            F.col(num)
+            / F.when(F.col(den) != 0, F.col(den))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    return (
+        ne.crossJoin(nl)
+        .crossJoin(nb)
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_both",
+            rate("n_both", "n_exact").alias("recall"),
+            rate("n_both", "n_lsh").alias("lsh_precision"),
+        )
+    )
+
+
 def t14_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top bigram collocations by lift: count(ab)·N / (count(a)·count(b)),
     the PMI ratio without the log — identical integer inputs divide to
@@ -1732,6 +1785,26 @@ _ORACLES["c03_split_assign"] = f"""
                 WHEN {_bucket_sql('doc_id', 'split')} < 9000 THEN 'val'
                 ELSE 'test' END AS split
     FROM documents
+"""
+
+# d13 composes the d03 and d04 oracle bodies verbatim as nested CTEs —
+# the audit is definitionally "those two pipelines, intersected"
+_ORACLES["d13_lsh_recall_audit"] = f"""
+    WITH exact AS ({_ORACLES["d03_ngram_jaccard_pairs"]}),
+    lsh AS ({_ORACLES["d04_minhash_lsh_pairs"]}),
+    ne AS (SELECT COUNT(*) AS n_exact FROM exact),
+    nl AS (SELECT COUNT(*) AS n_lsh FROM lsh),
+    nb AS (SELECT COUNT(*) AS n_both
+           FROM exact e JOIN lsh l
+             ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b)
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_lsh AS BIGINT) AS n_lsh,
+           CAST(n_both AS BIGINT) AS n_both,
+           FLOOR(n_both * 1.0 / NULLIF(n_exact, 0) * 1e6 + 0.5) / 1e6
+             AS recall,
+           FLOOR(n_both * 1.0 / NULLIF(n_lsh, 0) * 1e6 + 0.5) / 1e6
+             AS lsh_precision
+    FROM ne, nl, nb
 """
 
 

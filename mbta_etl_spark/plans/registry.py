@@ -953,6 +953,40 @@ def j10_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q58_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands shape: anchor = day − row_number() days is constant
+    within a run of consecutive days, so one groupBy on (user, anchor)
+    yields the islands and a rank keeps each user's longest (earliest on
+    ties). Shape: one (user, day) dedup, one user-keyed window, one
+    island aggregate, one rank over per-user islands — every shuffle
+    keys on user_id, so AQE reuses the partitioning end-to-end."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    ud = ev.select(
+        "user_id",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    anchored = ud.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    islands = anchored.groupBy("user_id", "anchor").agg(
+        F.min("d").alias("start_day"),
+        F.max("d").alias("end_day"),
+        F.count("*").alias("streak_days"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.asc("start_day")
+    )
+    return (
+        islands.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "start_day", "end_day", "streak_days")
+    )
+
+
 def q52_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 order totals per priority WITH ties (rank, not row_number):
     every order tied with the 3rd-largest total survives — the
@@ -2085,6 +2119,34 @@ _ORACLES: dict[str, str] = {
           ON ud.d <= days.day AND ud.d >= days.day - INTERVAL 6 DAY
         GROUP BY day
     """,
+    "q58_activity_streaks": """
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('day', ts) AS DATE) AS d
+          FROM events
+        ),
+        anchored AS (
+          SELECT user_id, d,
+                 d - CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY d
+                     ) AS INT) AS anchor
+          FROM ud
+        ),
+        islands AS (
+          SELECT user_id, anchor,
+                 MIN(d) AS start_day, MAX(d) AS end_day,
+                 CAST(COUNT(*) AS BIGINT) AS streak_days
+          FROM anchored GROUP BY user_id, anchor
+        )
+        SELECT user_id, start_day, end_day, streak_days
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY streak_days DESC, start_day ASC
+                 ) AS rn
+          FROM islands
+        ) WHERE rn = 1
+    """,
     "q57_mad_outliers": """
         WITH med AS (
           SELECT event_type,
@@ -3030,6 +3092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q57_mad_outliers": q57_mad_outliers,
             "j10_scd2_intervals": j10_scd2_intervals,
             "s09_mmr_rerank": llm_registry.s09_mmr_rerank,
+            "q58_activity_streaks": q58_activity_streaks,
+            "d13_lsh_recall_audit": llm_registry.d13_lsh_recall_audit,
         }
     )
     return out

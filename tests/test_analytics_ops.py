@@ -116,3 +116,24 @@ def test_s09_mmr_diversifies(spark):
     s01 = registry.queries()["s01_cosine_topk"](spark, SF_DIR_SMALL).collect()
     # rank 1 == the globally most-relevant vector (λ only reweights later picks)
     assert ids[0] == s01[0].vec_id
+
+
+def test_q58_streaks_are_maximal_runs(spark):
+    rows = registry.q58_activity_streaks(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        span = (r.end_day - r.start_day).days + 1
+        assert span == r.streak_days  # consecutive: no holes inside the run
+        assert r.streak_days >= 1
+    assert len({r.user_id for r in rows}) == len(rows)  # one row per user
+
+
+def test_d13_audit_counts_consistent(spark):
+    [r] = registry.queries()["d13_lsh_recall_audit"](
+        spark, SF_DIR_SMALL
+    ).collect()
+    assert 0 <= r.n_both <= min(r.n_exact, r.n_lsh)
+    if r.n_exact:
+        assert r.recall == __import__("math").floor(
+            r.n_both / r.n_exact * 1e6 + 0.5
+        ) / 1e6
