@@ -446,3 +446,83 @@ def locf_with_ttl(
         out_col,
         F.when(age_s <= max_stale_seconds, F.col("_cv")),
     ).drop("_cv", "_ct")
+
+
+def seasonal_naive_error(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "hour",
+    season: int = 24,
+) -> DataFrame:
+    """Per-series MASE-style forecast evaluation: bucket the series, then
+    score the seasonal-naive forecast ŷ_t = y_{t−season} against the
+    one-step naive ŷ_t = y_{t−1} on the rows where both exist —
+    mase < 1 means seasonality carries signal for this series. The
+    standard cheap baseline check before any real forecasting model.
+
+    Cross-engine float discipline: bucket sums are scaled-floor-rounded
+    FIRST (order-dependent aggregation), so every downstream lag/abs/
+    compare operates on identical doubles; the per-series absolute-error
+    sums are floored before the final division for the same reason.
+
+    Shape: one bucket aggregate and two lag windows, all keyed on the
+    series — a single hash partitioning reused end-to-end. Output is one
+    row per series."""
+    from pyspark.sql import Window
+
+    b = F.date_trunc(bucket, F.col(ts_col)).cast("timestamp_ntz")
+    hourly = df.groupBy(*key_cols, b.alias("bucket")).agg(
+        (
+            F.floor(F.sum(value_col) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        ).alias("y")
+    )
+    w = Window.partitionBy(*key_cols).orderBy("bucket")
+    scored = (
+        hourly.withColumn("y_season", F.lag("y", season).over(w))
+        .withColumn("y_naive", F.lag("y", 1).over(w))
+        .filter(F.col("y_season").isNotNull())
+    )
+    agg = scored.groupBy(*key_cols).agg(
+        F.count("*").alias("n_scored"),
+        (
+            F.floor(
+                F.sum(F.abs(F.col("y") - F.col("y_season"))) * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("sae_season"),
+        (
+            F.floor(
+                F.sum(F.abs(F.col("y") - F.col("y_naive"))) * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("sae_naive"),
+    )
+    safe = F.when(F.col("sae_naive") != 0, F.col("sae_naive"))
+    return agg.select(
+        *key_cols,
+        "n_scored",
+        (
+            F.floor(
+                F.col("sae_season") / F.col("n_scored") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("mae_season"),
+        (
+            F.floor(
+                F.col("sae_naive") / F.col("n_scored") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("mae_naive"),
+        (
+            F.floor(
+                F.col("sae_season") / safe * F.lit(1e6) + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("mase"),
+    )

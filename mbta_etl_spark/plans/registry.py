@@ -987,6 +987,18 @@ def q58_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts11_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive vs one-step-naive forecast error (MASE) per user
+    over hourly value sums — the baseline-model sanity check of the
+    time-series family."""
+    from mbta_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    return timeseries.seasonal_naive_error(
+        ev, ["user_id"], "ts", "value", bucket="hour", season=24
+    )
+
+
 def q52_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 order totals per priority WITH ties (rank, not row_number):
     every order tied with the 3rd-largest total survives — the
@@ -2119,6 +2131,38 @@ _ORACLES: dict[str, str] = {
           ON ud.d <= days.day AND ud.d >= days.day - INTERVAL 6 DAY
         GROUP BY day
     """,
+    "ts11_mase": """
+        WITH hourly AS (
+          SELECT user_id,
+                 CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                 FLOOR(SUM(value) * 1e6 + 0.5) / 1e6 AS y
+          FROM events GROUP BY user_id, bucket
+        ),
+        scored AS (
+          SELECT user_id, y,
+                 lag(y, 24) OVER (
+                   PARTITION BY user_id ORDER BY bucket) AS y_season,
+                 lag(y, 1) OVER (
+                   PARTITION BY user_id ORDER BY bucket) AS y_naive
+          FROM hourly
+        ),
+        agg AS (
+          SELECT user_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_scored,
+                 FLOOR(SUM(abs(y - y_season)) * 1e6 + 0.5) / 1e6
+                   AS sae_season,
+                 FLOOR(SUM(abs(y - y_naive)) * 1e6 + 0.5) / 1e6
+                   AS sae_naive
+          FROM scored WHERE y_season IS NOT NULL
+          GROUP BY user_id
+        )
+        SELECT user_id, n_scored,
+               FLOOR(sae_season / n_scored * 1e6 + 0.5) / 1e6 AS mae_season,
+               FLOOR(sae_naive / n_scored * 1e6 + 0.5) / 1e6 AS mae_naive,
+               FLOOR(sae_season / NULLIF(sae_naive, 0) * 1e6 + 0.5) / 1e6
+                 AS mase
+        FROM agg
+    """,
     "q58_activity_streaks": """
         WITH ud AS (
           SELECT DISTINCT user_id,
@@ -3094,6 +3138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s09_mmr_rerank": llm_registry.s09_mmr_rerank,
             "q58_activity_streaks": q58_activity_streaks,
             "d13_lsh_recall_audit": llm_registry.d13_lsh_recall_audit,
+            "ts11_mase": ts11_mase,
         }
     )
     return out

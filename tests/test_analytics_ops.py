@@ -137,3 +137,16 @@ def test_d13_audit_counts_consistent(spark):
         assert r.recall == __import__("math").floor(
             r.n_both / r.n_exact * 1e6 + 0.5
         ) / 1e6
+
+
+def test_ts11_mase_consistency(spark):
+    rows = registry.ts11_mase(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_scored >= 1
+        assert r.mae_season >= 0.0 and r.mae_naive >= 0.0
+        if r.mase is not None and r.mae_naive:
+            # mase is the SAE ratio; cross-check against the MAE ratio
+            # within floor tolerance
+            approx = r.mae_season / r.mae_naive
+            assert abs(r.mase - approx) < 1e-3

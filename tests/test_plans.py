@@ -275,3 +275,11 @@ def test_s09_pool_stage_take_ordered(spark):
     the corpus; the greedy stage touches only the constant-size pool."""
     plan = _plan(registry.queries()["s09_mmr_rerank"](spark, SF_DIR_SMALL))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ts11_single_partitioning_reused(spark):
+    """Bucket agg and both lag windows key on the series — one hash
+    partitioning, no second fact-sized Exchange."""
+    plan = _plan(registry.ts11_mase(spark, SF_DIR_SMALL))
+    assert plan.count("hashpartitioning(") <= 2
+    assert "partial_sum" in plan
