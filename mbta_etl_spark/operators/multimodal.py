@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -262,3 +263,64 @@ def phash_dup_pairs(
     return banded_hamming_pairs(
         sigs, "phash", max_hamming=max_hamming, n_bands=n_bands
     )
+
+
+SNIFF_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sniffed_mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("printable", BooleanType()),
+    ]
+)
+
+# (magic prefix, mime) in check order — first match wins
+_MAGIC = (
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"RIFF", "audio/x-riff"),
+    (b"%PDF", "application/pdf"),
+)
+
+
+def sniff_types(df: DataFrame) -> DataFrame:
+    """Content-type router: classify each opaque payload by magic bytes,
+    falling back to a printable-ASCII check — the dispatch step in front
+    of any multimodal decode fan-out (route image payloads to the image
+    kernel, audio to audio, quarantine the rest). Pure per-row bytes
+    logic in an Arrow-batched mapInPandas kernel; no shuffle at all.
+
+    On the synthetic ASCII corpus every row routes to text/plain — the
+    magic-byte arms are exercised by unit tests with crafted payloads
+    (the oracle replays the same CASE over the text form)."""
+
+    def _sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b: Any) -> tuple[str, bool]:
+            raw = bytes(b)
+            for magic, mime in _MAGIC:
+                if raw.startswith(magic):
+                    return mime, False
+            printable = all(
+                c in (9, 10, 13) or 32 <= c <= 126 for c in raw
+            )
+            return (
+                "text/plain" if printable else "application/octet-stream",
+                printable,
+            )
+
+        for pdf in batches:
+            r = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "sniffed_mime": pd.Series(
+                        [x[0] for x in r], dtype="object"
+                    ),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "printable": pd.Series([x[1] for x in r], dtype="bool"),
+                }
+            )
+
+    return df.mapInPandas(_sniff, schema=SNIFF_SCHEMA)

@@ -394,6 +394,16 @@ def s09_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m06_sniff_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-type dispatch over opaque payloads: magic-byte sniff +
+    printable fallback (mapInPandas, zero shuffle). The oracle replays
+    the same CASE over the text form — valid because the corpus is
+    ASCII; the binary magic arms are pinned by unit tests with crafted
+    PNG/JPEG/RIFF payloads."""
+    binary = multimodal.to_binary_table(_docs(spark, sf_dir), "text", "doc_id")
+    return multimodal.sniff_types(binary)
+
+
 def d13_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch quality gate: measure d04's MinHash+LSH against d03's exact
     n-gram Jaccard on the same corpus — pair counts, intersection, and
@@ -1194,6 +1204,23 @@ _ORACLES: dict[str, str] = {
           FROM counts
         ) CROSS JOIN total
         WHERE rank <= {ZIPF_TOP}
+    """,
+    "m06_sniff_router": """
+        SELECT doc_id AS media_id,
+               CASE
+                 WHEN substr(text, 1, 8) = chr(137) || 'PNG' || chr(13)
+                      || chr(10) || chr(26) || chr(10) THEN 'image/png'
+                 WHEN substr(text, 1, 6) IN ('GIF87a', 'GIF89a')
+                   THEN 'image/gif'
+                 WHEN substr(text, 1, 4) = 'RIFF' THEN 'audio/x-riff'
+                 WHEN substr(text, 1, 4) = '%PDF' THEN 'application/pdf'
+                 WHEN regexp_matches(text, '^[\\t\\n\\r -~]*$')
+                   THEN 'text/plain'
+                 ELSE 'application/octet-stream'
+               END AS sniffed_mime,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               regexp_matches(text, '^[\\t\\n\\r -~]*$') AS printable
+        FROM documents
     """,
     "s09_mmr_rerank": f"""
         WITH RECURSIVE

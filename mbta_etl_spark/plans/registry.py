@@ -3139,6 +3139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q58_activity_streaks": q58_activity_streaks,
             "d13_lsh_recall_audit": llm_registry.d13_lsh_recall_audit,
             "ts11_mase": ts11_mase,
+            "m06_sniff_router": llm_registry.m06_sniff_router,
         }
     )
     return out

@@ -432,3 +432,29 @@ def test_normalized_dedup_merges_case_and_punct_variants(spark):
     out = normalized_dedup_groups(df, F.col("text"), F.col("doc_id")).collect()
     groups = {r["keep_doc_id"]: r["n_copies"] for r in out}
     assert groups == {1: 3, 4: 1}
+
+
+def test_sniff_router_magic_bytes(spark):
+    """Crafted binary payloads route to their magic-byte mime; the ASCII
+    corpus never exercises these arms (the oracle covers that side)."""
+    rows = [
+        (1, b"\x89PNG\r\n\x1a\nrest-of-png"),
+        (2, b"\xff\xd8\xff\xe0jpeg-body"),
+        (3, b"GIF89a-frames"),
+        (4, b"RIFF....WAVE"),
+        (5, b"%PDF-1.7 ..."),
+        (6, b"plain ascii text\n"),
+        (7, b"\x00\x01binary junk"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.media_id: (r.sniffed_mime, r.printable)
+        for r in multimodal.sniff_types(df).collect()
+    }
+    assert got[1] == ("image/png", False)
+    assert got[2] == ("image/jpeg", False)
+    assert got[3] == ("image/gif", False)
+    assert got[4] == ("audio/x-riff", False)
+    assert got[5] == ("application/pdf", False)
+    assert got[6] == ("text/plain", True)
+    assert got[7] == ("application/octet-stream", False)
