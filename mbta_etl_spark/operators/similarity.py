@@ -631,3 +631,58 @@ def mmr_rerank(
             lambda _, pdf: _greedy(pdf), schema=out_schema
         )
     )
+
+
+def int8_quant_distortion(
+    df: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """Per-vector int8 scalar-quantization audit: quantize each embedding
+    to 256 levels over its own [min, max] range (the standard storage
+    compression for ANN indexes — 4x smaller than float32), dequantize,
+    and report the reconstruction error (MSE and max |err|) plus the
+    vector's range. The go/no-go check before switching an index to
+    int8 storage.
+
+    Shape: a pure per-row projection — array_min/array_max for the
+    range, one transform for the error vector, an ordered fold for the
+    MSE — all JVM higher-order functions, zero shuffle, zero Python.
+    At 100 TB this runs as a map-only pass colocated with the scan.
+    Constant vectors (hi == lo) quantize losslessly to code 0 by
+    definition. floor(x+0.5) quantization (not engine round()) and
+    scaled-floor 6dp outputs keep both engines bit-identical."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    staged = (
+        df.select(F.col(id_col), v.alias("_v"))
+        .withColumn("_lo", F.array_min("_v"))
+        .withColumn("_hi", F.array_max("_v"))
+        .withColumn("_scale", (F.col("_hi") - F.col("_lo")) / F.lit(255.0))
+    )
+    lo, scale = F.col("_lo"), F.col("_scale")
+    errs = F.transform(
+        F.col("_v"),
+        lambda x: F.when(
+            scale > 0,
+            x - (lo + F.floor((x - lo) / scale + F.lit(0.5)) * scale),
+        ).otherwise(F.lit(0.0)),
+    )
+    staged = staged.withColumn("_errs", errs)
+    mse = (
+        F.aggregate(
+            F.transform(F.col("_errs"), lambda e: e * e),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size("_v")
+    )
+    mx = F.array_max(F.transform(F.col("_errs"), lambda e: F.abs(e)))
+
+    def _r6(c: Column) -> Column:
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return staged.select(
+        F.col(id_col),
+        _r6(mse).alias("mse_q8"),
+        _r6(mx).alias("max_abs_err_q8"),
+        F.col("_lo").alias("v_lo"),
+        F.col("_hi").alias("v_hi"),
+    )

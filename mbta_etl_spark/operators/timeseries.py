@@ -526,3 +526,40 @@ def seasonal_naive_error(
             / F.lit(1e6)
         ).alias("mase"),
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    order_tiebreak: str,
+    value_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Resample each series into OHLC bars: one row per (series, bucket)
+    with the first (open), max (high), min (low), and last (close)
+    observation plus the bar's row count — the candlestick/telemetry
+    reducer (TimescaleDB ``candlestick_agg``, kdb ``xbar`` + first/last).
+
+    Shape: a single groupBy on (keys, date_trunc(bucket)) — ``min_by`` /
+    ``max_by`` over a (ts, tiebreak) struct give open/close without any
+    window sort, and all five aggregates are partial-aggregable, so the
+    map side combines to one row per (key, bucket) per task BEFORE the
+    one hash Exchange. At 100 TB this is the canonical downsample: the
+    shuffle moves #(key, bucket) rows, not #input rows, and a 1 Hz feed
+    compresses 3600x map-side. Deterministic under ties via the
+    monotonic tiebreak column in the ordering struct."""
+    b = F.date_trunc(bucket, F.col(ts_col)).cast("timestamp_ntz")
+    ordk = F.struct(F.col(ts_col), F.col(order_tiebreak))
+    v = F.col(value_col)
+    return (
+        df.withColumn("bucket", b)
+        .groupBy(*key_cols, "bucket")
+        .agg(
+            F.min_by(v, ordk).alias("open_value"),
+            F.max(v).alias("high_value"),
+            F.min(v).alias("low_value"),
+            F.max_by(v, ordk).alias("close_value"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )

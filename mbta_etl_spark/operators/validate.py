@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -134,4 +134,50 @@ def quarantine_split(
         reason = clause if reason is None else reason.when(~pred, F.lit(name))
     return df.withColumn("quarantine_reason", reason).withColumn(
         "is_clean", F.col("quarantine_reason").isNull()
+    )
+
+
+def benford_digit_audit(
+    df: DataFrame, value_col: Column, out_digit: str = "digit"
+) -> DataFrame:
+    """First-significant-digit census vs Benford's law — the classic
+    fabricated-data / unit-mixup detector for positive monetary or
+    measurement columns. Returns one row per digit 1..9 with the
+    observed count, observed share, the Benford expectation
+    log10(1 + 1/d), and the digit's chi-square contribution
+    (O_d - E_d)^2 / E_d over counts.
+
+    Shape: one conditional-aggregation scan (digit = floor(v / 10^
+    floor(log10 v)), a pure codegen expression) -> 9-row grouped result;
+    the 9-digit spine is joined broadcast so absent digits still report
+    zero counts. Post-scan state is O(9) regardless of input size -- the
+    same one-pass census envelope as check_constraints. Shares/chi2 are
+    scaled-floor 6dp for cross-engine float stability."""
+    pos = df.select(value_col.alias("_v")).filter(F.col("_v") > 0)
+    digit = F.floor(F.col("_v") / F.pow(F.lit(10.0), F.floor(F.log10("_v"))))
+    counted = (
+        pos.select(digit.cast("int").alias(out_digit))
+        .groupBy(out_digit)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = counted.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias(out_digit)
+    )
+    total = F.sum("n").over(Window.partitionBy())
+
+    def _r6(c: Column) -> Column:
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    exp_share = F.log10(F.lit(1.0) + F.lit(1.0) / F.col(out_digit))
+    exp_n = exp_share * total
+    filled = (
+        spine.join(F.broadcast(counted), out_digit, "left")
+        .select(out_digit, F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    return filled.select(
+        out_digit,
+        "n",
+        _r6(F.col("n") / total).alias("obs_share"),
+        _r6(exp_share).alias("exp_share"),
+        _r6((F.col("n") - exp_n) ** F.lit(2.0) / exp_n).alias("chi2_term"),
     )

@@ -1835,6 +1835,117 @@ _ORACLES["d13_lsh_recall_audit"] = f"""
 """
 
 
+def t15_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the unigram distributions of
+    two corpus epochs (doc_id parity split) — the distribution-shift
+    monitor a data pipeline runs when a new crawl lands: JS near 0 means
+    the refresh matches the standing corpus, near ln(2) means disjoint
+    vocabularies. Tokenization matches t07/t13 (split-on-space).
+
+    Shape: ONE token-keyed shuffle (groupBy token with both epochs'
+    counts as conditional sums — no per-epoch pre-aggregation pass),
+    then a 1-row totals agg broadcast back via cross join, then a scalar
+    agg of the per-token contributions. Post-scan state is O(vocab);
+    text itself never shuffles. Terms with a zero-count side contribute
+    only the present side's half (0*log0 := 0), so the sum is finite by
+    construction. Result floats scaled-floor 6dp."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        (F.col("doc_id") % 2).alias("epoch"),
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    )
+    per = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("epoch") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("c0"),
+        F.sum(F.when(F.col("epoch") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("c1"),
+    )
+    tot = per.agg(F.sum("c0").alias("t0"), F.sum("c1").alias("t1"))
+    joined = per.crossJoin(F.broadcast(tot))
+    p = F.col("c0") / F.col("t0")
+    q = F.col("c1") / F.col("t1")
+    m = (p + q) / F.lit(2.0)
+    term = F.when(p > 0, F.lit(0.5) * p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(q > 0, F.lit(0.5) * q * F.log(q / m)).otherwise(F.lit(0.0))
+    return joined.agg(
+        (F.floor(F.sum(term) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "js_nats"
+        ),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("c0").cast("bigint").alias("n_tokens_epoch0"),
+        F.sum("c1").cast("bigint").alias("n_tokens_epoch1"),
+    )
+
+
+_ORACLES["t15_js_divergence"] = """
+    WITH tok AS (
+        SELECT doc_id % 2 AS epoch,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    per AS (
+        SELECT token,
+               CAST(SUM(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 AS c0,
+               CAST(SUM(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 AS c1
+        FROM tok GROUP BY token),
+    tot AS (SELECT SUM(c0) AS t0, SUM(c1) AS t1 FROM per),
+    terms AS (
+        SELECT
+            CASE WHEN c0 > 0 THEN 0.5 * (c0 / t0)
+                 * LN((c0 / t0) / ((c0 / t0 + c1 / t1) / 2))
+                 ELSE 0.0 END
+          + CASE WHEN c1 > 0 THEN 0.5 * (c1 / t1)
+                 * LN((c1 / t1) / ((c0 / t0 + c1 / t1) / 2))
+                 ELSE 0.0 END AS term,
+            c0, c1
+        FROM per, tot)
+    SELECT FLOOR(SUM(term) * 1e6 + 0.5) / 1e6 AS js_nats,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(c0) AS BIGINT) AS n_tokens_epoch0,
+           CAST(SUM(c1) AS BIGINT) AS n_tokens_epoch1
+    FROM terms
+"""
+
+
+def s10_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantization distortion audit over the embeddings
+    table — the storage-compression go/no-go check for the ANN family
+    (s01/s02/s05 would serve int8-quantized vectors at 4x density)."""
+    return similarity.int8_quant_distortion(
+        _emb(spark, sf_dir), "embedding", "vec_id"
+    )
+
+
+_ORACLES["s10_int8_quant"] = """
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings),
+    b AS (
+        SELECT vec_id, ve,
+               list_min(ve) AS lo, list_max(ve) AS hi,
+               (list_max(ve) - list_min(ve)) / 255.0 AS scale
+        FROM v),
+    e AS (
+        SELECT vec_id, lo, hi, len(ve) AS d,
+               list_transform(ve, x -> CASE WHEN scale > 0
+                   THEN x - (lo + FLOOR((x - lo) / scale + 0.5) * scale)
+                   ELSE 0.0 END) AS errs
+        FROM b)
+    SELECT vec_id,
+           FLOOR(list_aggregate(list_transform(errs, e -> e * e), 'sum')
+                 / d * 1e6 + 0.5) / 1e6 AS mse_q8,
+           FLOOR(list_aggregate(list_transform(errs, e -> abs(e)), 'max')
+                 * 1e6 + 0.5) / 1e6 AS max_abs_err_q8,
+           lo AS v_lo, hi AS v_hi
+    FROM e
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "t01_token_stats": t01_token_stats,

@@ -999,6 +999,183 @@ def ts11_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts12_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per user over event values — the candlestick /
+    telemetry resampler (first/max/min/last per bucket, deterministic
+    under ties via the event_id tiebreak)."""
+    from mbta_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    return timeseries.ohlc_bars(ev, ["user_id"], "ts", "event_id", "value")
+
+
+def v07_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order totals: observed
+    vs expected digit shares plus per-digit chi-square contributions —
+    the fabricated-data / unit-mixup detector of the validation family.
+    (o_totalprice is a sum of uniform draws, so it does NOT follow
+    Benford — the audit's job is to report the divergence, and the
+    oracle pins every term of it.)"""
+    from mbta_etl_spark.operators import validate
+
+    orders = load_table(spark, sf_dir, "orders")
+    return validate.benford_digit_audit(orders, F.col("o_totalprice"))
+
+
+def q59_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long UNPIVOT (melt): per-event_type stat columns rotated
+    into (metric, metric_value) rows — the reshape every metrics export
+    needs. ``DataFrame.unpivot`` is a zero-shuffle Expand over the tiny
+    aggregated table (the one Exchange is the groupBy feeding it); the
+    long form never touches raw events."""
+    ev = _events(spark, sf_dir)
+    scale = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    wide = ev.groupBy("event_type").agg(
+        scale(F.avg("value")).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    return wide.unpivot(
+        ["event_type"],
+        ["avg_value", "min_value", "max_value"],
+        "metric",
+        "metric_value",
+    )
+
+
+def q60_percentile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ordered-set aggregates per group: percentile_cont (linear
+    interpolation) next to percentile_disc (first value whose cume_dist
+    reaches p) at p50/p90 — the two standard percentile semantics, whose
+    difference on real data is exactly what this entry pins. The oracle
+    derives disc from its cume_dist definition, so the SQL-standard
+    semantics (not an engine's shortcut) is what both sides compute.
+
+    Shape: one grouped aggregation; exact ordered-set aggregates buffer
+    per-group values, so at 100 TB the standing swap is approx_percentile
+    (the q09/q09a trade) — this entry is the exact-semantics baseline."""
+    ev = _events(spark, sf_dir)
+    scale = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    cont = "percentile_cont({p}) WITHIN GROUP (ORDER BY value)"
+    disc = "percentile_disc({p}) WITHIN GROUP (ORDER BY value)"
+    return ev.groupBy("event_type").agg(
+        scale(F.expr(cont.format(p=0.5))).alias("p50_cont"),
+        F.expr(disc.format(p=0.5)).alias("p50_disc"),
+        scale(F.expr(cont.format(p=0.9))).alias("p90_cont"),
+        F.expr(disc.format(p=0.9)).alias("p90_disc"),
+    )
+
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 10
+
+
+def _pagerank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-normalized transition edges between consecutive event types
+    per user (the q55 transition graph), probabilities scaled-floor 6dp
+    so both engines iterate from identical doubles."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("_dst", F.lead("event_type").over(w))
+        .filter(F.col("_dst").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("_dst").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("src").agg(F.sum("n").alias("out_n"))
+    return pairs.join(tot, "src").select(
+        "src",
+        "dst",
+        (
+            F.floor(F.col("n") / F.col("out_n") * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6)
+        ).alias("p"),
+    )
+
+
+def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank by fixed-iteration power method over the event-type
+    transition graph — the iterative-algorithm pattern: the 100 TB event
+    log collapses to an O(|node|^2) aggregated graph in ONE distributed
+    pass, then the iteration runs join+agg rounds on the tiny edge table
+    (localCheckpoint per round cuts lineage; nothing data-sized moves
+    after the first aggregation). Contributions flow only along observed
+    edges (no dangling-mass redistribution — pinned semantics mirrored
+    by the oracle's unrolled CTE chain). Each iteration's ranks are
+    scaled-floor 9dp on both sides, so ten rounds of float summation
+    stay bit-identical across engines."""
+    edges = _pagerank_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    base = (1.0 - PAGERANK_DAMPING) / n_nodes
+    r9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)  # noqa: E731
+    ranks = nodes.select(
+        "node", r9(F.lit(1.0 / n_nodes)).alias("rank")
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            r9(
+                F.lit(base)
+                + F.lit(PAGERANK_DAMPING) * F.coalesce("inflow", F.lit(0.0))
+            ).alias("rank"),
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def _pagerank_oracle() -> str:
+    base_edges = """
+        WITH pairs AS (
+            SELECT event_type AS src,
+                   lead(event_type) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS dst
+            FROM events),
+        e0 AS (
+            SELECT src, dst, COUNT(*) AS n FROM pairs
+            WHERE dst IS NOT NULL GROUP BY src, dst),
+        tot AS (SELECT src, SUM(n) AS out_n FROM e0 GROUP BY src),
+        edges AS (
+            SELECT e0.src, e0.dst,
+                   FLOOR(e0.n * 1.0 / tot.out_n * 1e6 + 0.5) / 1e6 AS p
+            FROM e0 JOIN tot ON e0.src = tot.src),
+        nodes AS (
+            SELECT DISTINCT src AS node FROM edges
+            UNION SELECT DISTINCT dst FROM edges),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        r0 AS (
+            SELECT node, FLOOR(1.0 / n * 1e9 + 0.5) / 1e9 AS rank
+            FROM nodes, nn)"""
+    damp = PAGERANK_DAMPING
+    steps = []
+    for i in range(PAGERANK_ITERS):
+        steps.append(f"""
+        r{i + 1} AS (
+            SELECT nodes.node,
+                   FLOOR(((1.0 - {damp}) / nn.n + {damp} * COALESCE(
+                       (SELECT SUM(edges.p * r{i}.rank)
+                        FROM edges JOIN r{i} ON edges.src = r{i}.node
+                        WHERE edges.dst = nodes.node), 0.0))
+                     * 1e9 + 0.5) / 1e9 AS rank
+            FROM nodes, nn)""")
+    final = f"SELECT node, rank FROM r{PAGERANK_ITERS}"
+    return base_edges + "," + ",".join(steps) + " " + final
+
+
 def q52_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 order totals per priority WITH ties (rank, not row_number):
     every order tied with the 3rd-largest total survives — the
@@ -2131,6 +2308,68 @@ _ORACLES: dict[str, str] = {
           ON ud.d <= days.day AND ud.d >= days.day - INTERVAL 6 DAY
         GROUP BY day
     """,
+    "q60_percentile_battery": """
+        WITH r AS (
+          SELECT event_type, value,
+                 cume_dist() OVER (
+                   PARTITION BY event_type ORDER BY value) AS cd
+          FROM events)
+        SELECT event_type,
+               FLOOR(quantile_cont(value, 0.5) * 1e6 + 0.5) / 1e6
+                 AS p50_cont,
+               MIN(value) FILTER (WHERE cd >= 0.5) AS p50_disc,
+               FLOOR(quantile_cont(value, 0.9) * 1e6 + 0.5) / 1e6
+                 AS p90_cont,
+               MIN(value) FILTER (WHERE cd >= 0.9) AS p90_disc
+        FROM r GROUP BY event_type
+    """,
+    "ts12_ohlc": """
+        SELECT user_id,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+               first(value ORDER BY ts, event_id) AS open_value,
+               MAX(value) AS high_value,
+               MIN(value) AS low_value,
+               last(value ORDER BY ts, event_id) AS close_value,
+               CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM events
+        GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    "v07_benford": """
+        WITH pos AS (
+          SELECT o_totalprice AS v FROM orders WHERE o_totalprice > 0),
+        d AS (
+          SELECT CAST(FLOOR(v / power(10, FLOOR(log10(v)))) AS INT)
+                   AS digit
+          FROM pos),
+        counted AS (SELECT digit, COUNT(*) AS cn FROM d GROUP BY digit),
+        spine AS (SELECT CAST(range AS INT) AS digit FROM range(1, 10)),
+        filled AS (
+          SELECT s.digit, CAST(COALESCE(c.cn, 0) AS BIGINT) AS n
+          FROM spine s LEFT JOIN counted c USING (digit)),
+        tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM filled)
+        SELECT digit, n,
+               FLOOR(n / t * 1e6 + 0.5) / 1e6 AS obs_share,
+               FLOOR(log10(1 + 1.0 / digit) * 1e6 + 0.5) / 1e6
+                 AS exp_share,
+               FLOOR(pow(n - log10(1 + 1.0 / digit) * t, 2)
+                     / (log10(1 + 1.0 / digit) * t) * 1e6 + 0.5) / 1e6
+                 AS chi2_term
+        FROM filled, tot
+    """,
+    "q59_unpivot": """
+        WITH wide AS (
+          SELECT event_type,
+                 FLOOR(AVG(value) * 1e6 + 0.5) / 1e6 AS avg_value,
+                 MIN(value) AS min_value,
+                 MAX(value) AS max_value
+          FROM events GROUP BY event_type)
+        SELECT event_type, 'avg_value' AS metric, avg_value AS metric_value
+        FROM wide
+        UNION ALL
+        SELECT event_type, 'min_value', min_value FROM wide
+        UNION ALL
+        SELECT event_type, 'max_value', max_value FROM wide
+    """,
     "ts11_mase": """
         WITH hourly AS (
           SELECT user_id,
@@ -3011,6 +3250,8 @@ _ORACLES: dict[str, str] = {
     """,
 }
 
+_ORACLES["g01_pagerank"] = _pagerank_oracle()
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from mbta_etl_spark.plans import llm_registry
@@ -3140,6 +3381,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d13_lsh_recall_audit": llm_registry.d13_lsh_recall_audit,
             "ts11_mase": ts11_mase,
             "m06_sniff_router": llm_registry.m06_sniff_router,
+            "ts12_ohlc": ts12_ohlc,
+            "v07_benford": v07_benford,
+            "q59_unpivot": q59_unpivot,
+            "t15_js_divergence": llm_registry.t15_js_divergence,
+            "s10_int8_quant": llm_registry.s10_int8_quant,
+            "q60_percentile_battery": q60_percentile_battery,
+            "g01_pagerank": g01_pagerank,
         }
     )
     return out

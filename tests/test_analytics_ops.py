@@ -150,3 +150,104 @@ def test_ts11_mase_consistency(spark):
             # within floor tolerance
             approx = r.mae_season / r.mae_naive
             assert abs(r.mase - approx) < 1e-3
+
+
+def test_ts12_ohlc_invariants(spark):
+    rows = registry.ts12_ohlc(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.low_value <= r.high_value
+        assert r.low_value <= r.open_value <= r.high_value
+        assert r.low_value <= r.close_value <= r.high_value
+        assert r.n_obs >= 1
+        if r.n_obs == 1:
+            assert r.open_value == r.close_value == r.high_value == r.low_value
+
+
+def test_v07_benford_is_census(spark):
+    rows = registry.v07_benford(spark, SF_DIR_SMALL).collect()
+    assert len(rows) == 9  # zero-filled digit spine
+    assert sorted(r.digit for r in rows) == list(range(1, 10))
+    total_obs = sum(r.obs_share for r in rows)
+    total_exp = sum(r.exp_share for r in rows)
+    assert abs(total_obs - 1.0) < 1e-5
+    assert abs(total_exp - 1.0) < 1e-5  # Benford expectations telescope to 1
+    for r in rows:
+        assert r.chi2_term >= 0.0
+
+
+def test_q59_unpivot_shape(spark):
+    wide_groups = (
+        registry._events(spark, SF_DIR_SMALL)
+        .select("event_type").distinct().count()
+    )
+    rows = registry.q59_unpivot(spark, SF_DIR_SMALL).collect()
+    assert len(rows) == 3 * wide_groups
+    by_type = defaultdict(dict)
+    for r in rows:
+        by_type[r.event_type][r.metric] = r.metric_value
+    for _, m in by_type.items():
+        assert set(m) == {"avg_value", "min_value", "max_value"}
+        assert m["min_value"] <= m["avg_value"] <= m["max_value"]
+
+
+def test_t15_js_bounds(spark):
+    from mbta_etl_spark.plans import llm_registry
+    import math
+
+    row = llm_registry.t15_js_divergence(spark, SF_DIR_SMALL).collect()[0]
+    # JS divergence is bounded by ln(2) and non-negative; the two parity
+    # epochs of one corpus should be far from disjoint
+    assert 0.0 <= row.js_nats <= math.log(2.0) + 1e-9
+    assert row.js_nats < 0.5 * math.log(2.0)
+    assert row.vocab_size > 0
+    assert row.n_tokens_epoch0 + row.n_tokens_epoch1 > 0
+
+
+def test_s10_quant_error_bounded_by_half_step(spark):
+    from mbta_etl_spark.plans import llm_registry
+
+    rows = llm_registry.s10_int8_quant(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.v_lo <= r.v_hi
+        half_step = (r.v_hi - r.v_lo) / 255.0 / 2.0
+        # quantization to the nearest of 256 levels cannot miss by more
+        # than half a step (plus the 6dp reporting round)
+        assert r.max_abs_err_q8 <= half_step + 1e-6
+        assert 0.0 <= r.mse_q8 <= r.max_abs_err_q8 ** 2 + 1e-6
+
+
+def test_q60_disc_is_real_value_cont_between(spark):
+    ev_vals = {
+        t.event_type: set()
+        for t in registry._events(spark, SF_DIR_SMALL)
+        .select("event_type").distinct().collect()
+    }
+    for r in registry._events(spark, SF_DIR_SMALL).select(
+        "event_type", "value"
+    ).collect():
+        ev_vals[r.event_type].add(r.value)
+    rows = registry.q60_percentile_battery(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        # disc percentiles are actual data values; cont may interpolate
+        assert r.p50_disc in ev_vals[r.event_type]
+        assert r.p90_disc in ev_vals[r.event_type]
+        assert r.p50_cont <= r.p90_cont
+        lo, hi = min(ev_vals[r.event_type]), max(ev_vals[r.event_type])
+        assert lo <= r.p50_cont <= hi
+
+
+def test_g01_pagerank_mass_and_positivity(spark):
+    rows = registry.g01_pagerank(spark, SF_DIR_SMALL).collect()
+    assert rows
+    n = len(rows)
+    base = (1.0 - registry.PAGERANK_DAMPING) / n
+    total = 0.0
+    for r in rows:
+        assert r.rank >= base - 1e-9  # teleport floor
+        total += r.rank
+    # every node here has out-edges (transition graph is dense), so rank
+    # mass is conserved up to per-iteration rounding drift
+    assert abs(total - 1.0) < 1e-3

@@ -283,3 +283,28 @@ def test_ts11_single_partitioning_reused(spark):
     plan = _plan(registry.ts11_mase(spark, SF_DIR_SMALL))
     assert plan.count("hashpartitioning(") <= 2
     assert "partial_sum" in plan
+
+
+def test_ts12_ohlc_single_exchange_partial_agg(spark):
+    """OHLC resample must combine map-side: one hash Exchange on
+    (user, bucket), partial min_by/max_by/min/max/count below it."""
+    assert _n_exchanges(registry.ts12_ohlc(spark, SF_DIR_SMALL)) == 1
+    plan = _plan(registry.ts12_ohlc(spark, SF_DIR_SMALL))
+    assert "partial_min" in plan and "partial_max" in plan
+
+
+def test_q59_unpivot_expands_post_aggregate(spark):
+    """Unpivot is an Expand over the aggregated table — one Exchange
+    (the groupBy), and the scan reads only the two needed columns."""
+    assert _n_exchanges(registry.q59_unpivot(spark, SF_DIR_SMALL)) == 1
+    plan = _plan(registry.q59_unpivot(spark, SF_DIR_SMALL))
+    assert "Expand" in plan
+    assert "ReadSchema: struct<event_type:string,value:double>" in plan
+
+
+def test_s10_quant_is_map_only(spark):
+    """int8 quantization audit must be a shuffle-free projection
+    colocated with the scan."""
+    from mbta_etl_spark.plans import llm_registry
+
+    assert _n_exchanges(llm_registry.s10_int8_quant(spark, SF_DIR_SMALL)) == 0
