@@ -181,3 +181,52 @@ def benford_digit_audit(
         _r6(exp_share).alias("exp_share"),
         _r6((F.col("n") - exp_n) ** F.lit(2.0) / exp_n).alias("chi2_term"),
     )
+
+
+def fd_audit(
+    df: DataFrame, fds: Sequence[tuple[Sequence[str], str]]
+) -> DataFrame:
+    """Functional-dependency audit: for each declared dependency
+    lhs -> rhs, report how many lhs groups exist, how many hold more
+    than one distinct rhs (violations), and the violating share — the
+    schema-discovery / denormalization-safety check (does this column
+    really determine that one?) run before keys are trusted.
+
+    Shape: one keyed aggregation per declared FD (distinct lhs each
+    need their own shuffle — that is inherent), each collapsing to a
+    1-row summary; the union of summaries is O(#FDs). countDistinct
+    expands to the standard two-stage distinct aggregate, so the map
+    side dedups (lhs, rhs) pairs before anything shuffles. At 100 TB
+    swap countDistinct > 1 for approx_count_distinct > 1 when rhs
+    cardinality per group can be huge (it cannot in an FD that is
+    anywhere near holding)."""
+    outs = []
+    for lhs, rhs in fds:
+        name = f"{'+'.join(lhs)}->{rhs}"
+        g = (
+            df.groupBy(*lhs)
+            .agg(F.countDistinct(rhs).alias("_nd"))
+            .agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum(
+                    F.when(F.col("_nd") > 1, 1).otherwise(0)
+                ).alias("n_violating"),
+            )
+        )
+        outs.append(g)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.select(
+        "fd",
+        "n_groups",
+        "n_violating",
+        (
+            F.floor(
+                F.col("n_violating") / F.col("n_groups") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("violation_share"),
+    )

@@ -1946,6 +1946,141 @@ _ORACLES["s10_int8_quant"] = """
 """
 
 
+def s11_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate for the IVF path: s05's cell-pruned top-k against
+    s01's exact brute-force top-k for the same query — overlap and
+    recall@k in one row (the d13 audit, applied to the vector index).
+    The check a pipeline runs before trusting nprobe/cell settings at
+    full scale. All counting stays in-plan (crossJoin of three 1-row
+    aggregates); the heavy lifting is the two existing search plans."""
+    exact = s01_cosine_topk(spark, sf_dir).select("vec_id")
+    ivf = s05_ivf_topk(spark, sf_dir).select("vec_id")
+    ne = exact.agg(F.count("*").alias("n_exact"))
+    ni = ivf.agg(F.count("*").alias("n_ivf"))
+    nb = exact.join(ivf, "vec_id").agg(F.count("*").alias("n_both"))
+    rate = lambda num, den: (  # noqa: E731
+        F.floor(
+            F.col(num)
+            / F.when(F.col(den) != 0, F.col(den))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    return (
+        ne.crossJoin(ni)
+        .crossJoin(nb)
+        .select(
+            "n_exact",
+            "n_ivf",
+            "n_both",
+            rate("n_both", "n_exact").alias("recall_at_k"),
+        )
+    )
+
+
+_ORACLES["s11_ivf_recall_audit"] = f"""
+    WITH exact AS ({_ORACLES["s01_cosine_topk"]}),
+    ivf AS ({_ORACLES["s05_ivf_topk"]}),
+    ne AS (SELECT COUNT(*) AS n_exact FROM exact),
+    ni AS (SELECT COUNT(*) AS n_ivf FROM ivf),
+    nb AS (SELECT COUNT(*) AS n_both
+           FROM exact e JOIN ivf i ON e.vec_id = i.vec_id)
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_ivf AS BIGINT) AS n_ivf,
+           CAST(n_both AS BIGINT) AS n_both,
+           FLOOR(n_both * 1.0 / NULLIF(n_exact, 0) * 1e6 + 0.5) / 1e6
+             AS recall_at_k
+    FROM ne, ni, nb
+"""
+
+
+def t16_corpus_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level unigram statistics: Shannon entropy of the token
+    distribution (nats), its perplexity exp(H) — the effective vocabulary
+    size a unigram LM sees — and the type-token ratio. The one-row
+    diagnostic read next to t13's Zipf spectrum when sizing a tokenizer.
+    Shape: one token-keyed shuffle (the t13 envelope), totals on a
+    broadcast 1-row cross join, O(vocab) post-scan state."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("vocab")
+    )
+    j = counts.crossJoin(F.broadcast(total))
+    p = F.col("n") / F.col("tot")
+    agg = j.agg(
+        F.sum(-p * F.log(p)).alias("_h"),
+        F.max("vocab").alias("vocab_size"),
+        F.max("tot").alias("n_tokens_total"),
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        r6(F.col("_h")).alias("entropy_nats"),
+        r6(F.exp("_h")).alias("perplexity"),
+        "vocab_size",
+        F.col("n_tokens_total").cast("bigint").alias("n_tokens_total"),
+        r6(F.col("vocab_size") / F.col("n_tokens_total")).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+_ORACLES["t16_corpus_entropy"] = """
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot,
+                   CAST(COUNT(*) AS BIGINT) AS vocab
+            FROM counts),
+    h AS (SELECT SUM(-(n / tot) * LN(n / tot)) AS hh,
+                 MAX(vocab) AS vocab_size, MAX(tot) AS tot
+          FROM counts, tot)
+    SELECT FLOOR(hh * 1e6 + 0.5) / 1e6 AS entropy_nats,
+           FLOOR(EXP(hh) * 1e6 + 0.5) / 1e6 AS perplexity,
+           vocab_size,
+           CAST(tot AS BIGINT) AS n_tokens_total,
+           FLOOR(vocab_size / tot * 1e6 + 0.5) / 1e6 AS type_token_ratio
+    FROM h
+"""
+
+
+def t17_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the t03 language classifier: per (actual,
+    predicted) pair, the count and its share of the actual language's
+    docs — the evaluation census any heuristic classifier ships with.
+    One groupBy over t03's per-doc output; the share window runs on the
+    |langs|^2-row aggregate, so post-scan state is O(|langs|^2)."""
+    from pyspark.sql import Window
+
+    pred = text.lang_id(
+        _docs(spark, sf_dir), F.col("text"), F.col("doc_id"), F.col("lang")
+    )
+    cm = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("lang")
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return cm.select(
+        "lang",
+        "predicted_lang",
+        "n",
+        r6(F.col("n") / F.sum("n").over(w)).alias("share_of_actual"),
+    )
+
+
+_ORACLES["t17_langid_confusion"] = f"""
+    WITH p AS ({_lang_id_oracle()}),
+    cm AS (SELECT lang, predicted_lang, COUNT(*) AS n
+           FROM p GROUP BY lang, predicted_lang)
+    SELECT lang, predicted_lang, CAST(n AS BIGINT) AS n,
+           FLOOR(n * 1.0 / SUM(n) OVER (PARTITION BY lang) * 1e6 + 0.5)
+             / 1e6 AS share_of_actual
+    FROM cm
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "t01_token_stats": t01_token_stats,

@@ -1043,6 +1043,23 @@ def q59_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FD_SPECS = [
+    (("o_orderkey",), "o_orderstatus"),  # PK -> holds by construction
+    (("o_custkey",), "o_orderpriority"),  # fails: customers reorder
+    (("o_orderpriority",), "o_orderstatus"),  # fails: independent dims
+]
+
+
+def v08_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit over orders: one holding FD (the
+    primary key) pinned next to two failing ones — the schema-discovery
+    census of the validation family."""
+    from mbta_etl_spark.operators import validate
+
+    orders = load_table(spark, sf_dir, "orders")
+    return validate.fd_audit(orders, FD_SPECS)
+
+
 def q60_percentile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI ordered-set aggregates per group: percentile_cont (linear
     interpolation) next to percentile_disc (first value whose cume_dist
@@ -1119,7 +1136,7 @@ def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.select(
         "node", r9(F.lit(1.0 / n_nodes)).alias("rank")
     )
-    for _ in range(PAGERANK_ITERS):
+    for i in range(PAGERANK_ITERS):
         contrib = (
             edges.join(ranks, edges["src"] == ranks["node"])
             .groupBy("dst")
@@ -1134,7 +1151,11 @@ def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(PAGERANK_DAMPING) * F.coalesce("inflow", F.lit(0.0))
             ).alias("rank"),
         )
-        ranks = ranks.localCheckpoint(eager=True)
+        # lineage cut every 3rd round (not every round: each eager
+        # checkpoint costs a job; the graph DF is tiny so a 3-deep
+        # join chain between cuts is cheaper than 10 materializations)
+        if i % 3 == 2 or i == PAGERANK_ITERS - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -2308,6 +2329,35 @@ _ORACLES: dict[str, str] = {
           ON ud.d <= days.day AND ud.d >= days.day - INTERVAL 6 DAY
         GROUP BY day
     """,
+    "v08_fd_audit": """
+        WITH g1 AS (SELECT o_orderkey,
+                           COUNT(DISTINCT o_orderstatus) AS nd
+                    FROM orders GROUP BY o_orderkey),
+        g2 AS (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS nd
+               FROM orders GROUP BY o_custkey),
+        g3 AS (SELECT o_orderpriority, COUNT(DISTINCT o_orderstatus) AS nd
+               FROM orders GROUP BY o_orderpriority),
+        u AS (
+          SELECT 'o_orderkey->o_orderstatus' AS fd,
+                 CAST(COUNT(*) AS BIGINT) AS n_groups,
+                 CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating
+          FROM g1
+          UNION ALL
+          SELECT 'o_custkey->o_orderpriority',
+                 CAST(COUNT(*) AS BIGINT),
+                 CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM g2
+          UNION ALL
+          SELECT 'o_orderpriority->o_orderstatus',
+                 CAST(COUNT(*) AS BIGINT),
+                 CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM g3)
+        SELECT fd, n_groups, n_violating,
+               FLOOR(n_violating * 1.0 / n_groups * 1e6 + 0.5) / 1e6
+                 AS violation_share
+        FROM u
+    """,
     "q60_percentile_battery": """
         WITH r AS (
           SELECT event_type, value,
@@ -3388,6 +3438,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s10_int8_quant": llm_registry.s10_int8_quant,
             "q60_percentile_battery": q60_percentile_battery,
             "g01_pagerank": g01_pagerank,
+            "s11_ivf_recall_audit": llm_registry.s11_ivf_recall_audit,
+            "t16_corpus_entropy": llm_registry.t16_corpus_entropy,
+            "t17_langid_confusion": llm_registry.t17_langid_confusion,
+            "v08_fd_audit": v08_fd_audit,
         }
     )
     return out

@@ -251,3 +251,46 @@ def test_g01_pagerank_mass_and_positivity(spark):
     # every node here has out-edges (transition graph is dense), so rank
     # mass is conserved up to per-iteration rounding drift
     assert abs(total - 1.0) < 1e-3
+
+
+def test_v08_pk_fd_holds_others_fail(spark):
+    rows = {r.fd: r for r in registry.v08_fd_audit(spark, SF_DIR_SMALL).collect()}
+    assert rows["o_orderkey->o_orderstatus"].n_violating == 0
+    assert rows["o_orderkey->o_orderstatus"].violation_share == 0.0
+    assert rows["o_custkey->o_orderpriority"].n_violating > 0
+    assert rows["o_orderpriority->o_orderstatus"].n_violating > 0
+    for r in rows.values():
+        assert 0 <= r.n_violating <= r.n_groups
+
+
+def test_t17_confusion_shares_normalize(spark):
+    from mbta_etl_spark.plans import llm_registry
+
+    rows = llm_registry.t17_langid_confusion(spark, SF_DIR_SMALL).collect()
+    assert rows
+    by_actual = defaultdict(float)
+    for r in rows:
+        assert r.n >= 1
+        by_actual[r.lang] += r.share_of_actual
+    for lang, s in by_actual.items():
+        assert abs(s - 1.0) < 1e-4, (lang, s)
+
+
+def test_t16_entropy_bounded_by_log_vocab(spark):
+    import math
+
+    from mbta_etl_spark.plans import llm_registry
+
+    row = llm_registry.t16_corpus_entropy(spark, SF_DIR_SMALL).collect()[0]
+    assert 0.0 < row.entropy_nats <= math.log(row.vocab_size) + 1e-6
+    # perplexity is the effective vocab: between 1 and the true vocab
+    assert 1.0 <= row.perplexity <= row.vocab_size
+    assert 0.0 < row.type_token_ratio <= 1.0
+
+
+def test_s11_recall_bounds(spark):
+    from mbta_etl_spark.plans import llm_registry
+
+    row = llm_registry.s11_ivf_recall_audit(spark, SF_DIR_SMALL).collect()[0]
+    assert row.n_both <= min(row.n_exact, row.n_ivf)
+    assert 0.0 <= row.recall_at_k <= 1.0
