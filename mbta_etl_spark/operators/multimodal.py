@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -324,3 +325,63 @@ def sniff_types(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_sniff, schema=SNIFF_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("band_e0", DoubleType()),
+        StructField("band_e1", DoubleType()),
+        StructField("band_e2", DoubleType()),
+        StructField("band_e3", DoubleType()),
+    ]
+)
+
+
+def fake_audio_features(df: DataFrame) -> DataFrame:
+    """Deterministic fake audio decode: sample rate, sample count,
+    duration, and a 4-band energy profile derived from the payload hash
+    — the spectral-feature stage of an audio pipeline (librosa's
+    load + mel-band energies) with the codec swapped for a replayable
+    fake. Same mapInPandas batch shape a real decoder uses; the real
+    kernel is the env-gated ``decode_audio`` stub.
+
+    Band energies are digest bytes scaled to [0, 1] (scaled-floor 6dp);
+    duration divides two exact integers. Zero shuffle — decode is
+    map-only and colocates with the scan at any scale."""
+
+    def _fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        def r6(x: float) -> float:
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        def feats(mid: int, b: Any) -> tuple:
+            h = hashlib.md5(bytes(b)).digest()
+            rate = 8000 * (1 + h[3] % 6)
+            n = len(bytes(b)) * 256
+            return (
+                mid,
+                rate,
+                n,
+                r6(n / rate),
+                r6(h[4] / 255.0),
+                r6(h[5] / 255.0),
+                r6(h[6] / 255.0),
+                r6(h[7] / 255.0),
+            )
+
+        for pdf in batches:
+            rows = [
+                feats(m, b)
+                for m, b in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields],
+            )
+
+    return df.mapInPandas(_fake, schema=AUDIO_FEATURE_SCHEMA)

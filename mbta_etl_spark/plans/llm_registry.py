@@ -1946,6 +1946,41 @@ _ORACLES["s10_int8_quant"] = """
 """
 
 
+def m07_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked audio decode plumbing: deterministic fake spectral
+    features (rate/duration/4 band energies) from md5(payload), replayed
+    by the SQL oracle as hex pairs of md5(text) — the m02 contract
+    applied to the audio modality."""
+    binary = multimodal.to_binary_table(_docs(spark, sf_dir), "text", "doc_id")
+    return multimodal.fake_audio_features(binary)
+
+
+_ORACLES["m07_audio_features"] = """
+    WITH h AS (
+      SELECT doc_id, md5(text) AS hx,
+             octet_length(encode(text)) * 256 AS n_samples
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+             8000 * (1 + CAST(('0x' || substr(hx, 7, 2)) AS BIGINT) % 6)
+               AS sample_rate,
+             n_samples,
+             CAST(('0x' || substr(hx, 9, 2)) AS BIGINT) AS b0,
+             CAST(('0x' || substr(hx, 11, 2)) AS BIGINT) AS b1,
+             CAST(('0x' || substr(hx, 13, 2)) AS BIGINT) AS b2,
+             CAST(('0x' || substr(hx, 15, 2)) AS BIGINT) AS b3
+      FROM h)
+    SELECT doc_id AS media_id, sample_rate, n_samples,
+           FLOOR(n_samples * 1.0 / sample_rate * 1e6 + 0.5) / 1e6
+             AS duration_s,
+           FLOOR(b0 / 255.0 * 1e6 + 0.5) / 1e6 AS band_e0,
+           FLOOR(b1 / 255.0 * 1e6 + 0.5) / 1e6 AS band_e1,
+           FLOOR(b2 / 255.0 * 1e6 + 0.5) / 1e6 AS band_e2,
+           FLOOR(b3 / 255.0 * 1e6 + 0.5) / 1e6 AS band_e3
+    FROM f
+"""
+
+
 def s11_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality gate for the IVF path: s05's cell-pruned top-k against
     s01's exact brute-force top-k for the same query — overlap and

@@ -1043,6 +1043,106 @@ def q59_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCD2_STATE_TYPES = ("signup", "purchase")
+
+
+def j11_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment against an SCD2 dimension: every
+    click/view/error event is tagged with the state the user was in at
+    that instant, where state history is the j10-style interval dim
+    built from the signup/purchase changelog — the fact-to-
+    slowly-changing-dimension join every warehouse runs at event time.
+
+    Shape: NOT a range join. Dim changes and facts union-tag into ONE
+    user-keyed window (states ordered before facts at equal ts, so a
+    state taking effect at t applies to facts at t, matching the
+    oracle's half-open intervals); last(state, ignorenulls) carries the
+    in-effect state forward. One shuffle total for any number of facts
+    — the same merge-join shape as j01, where a join-then-filter would
+    shuffle both sides AND explode matches."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    is_state = F.col("event_type").isin(*SCD2_STATE_TYPES)
+    st = ev.filter(is_state).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.lit(1).alias("is_state"),
+    )
+    facts = ev.filter(~is_state).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("string").alias("state"),
+        F.lit(0).alias("is_state"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_state"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        st.unionByName(facts)
+        .withColumn(
+            "state_at_event", F.last("state", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_state") == 0)
+        .select("event_id", "user_id", "state_at_event")
+    )
+
+
+def q61_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer recency (days since last
+    order vs the corpus max date), frequency (#orders), monetary (total
+    spend), each cut into quintiles (ntile with custkey tiebreak) and
+    concatenated into the classic 'r-f-m' segment label.
+
+    Shape: one grouped aggregation over orders, then three global ntile
+    windows over the |customers|-row aggregate (single-partition window
+    — acceptable because the window input is the aggregate, never the
+    fact table; at 10^9 customers the quintile cut swaps to
+    approx_percentile boundaries + a broadcast bucket join, the c12
+    trade). Monetary is scaled-floor 6dp BEFORE ranking so the quintile
+    order is identical across engines."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    scale = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    gmax = orders.agg(F.max("o_orderdate").alias("gmax"))
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            scale(F.sum("o_totalprice")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .withColumn(
+            "recency_days", F.datediff(F.col("gmax"), F.col("last_order"))
+        )
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    w_m = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    scored = per.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws("-", "r_score", "f_score", "m_score"),
+    )
+
+
 FD_SPECS = [
     (("o_orderkey",), "o_orderstatus"),  # PK -> holds by construction
     (("o_custkey",), "o_orderpriority"),  # fails: customers reorder
@@ -2329,6 +2429,48 @@ _ORACLES: dict[str, str] = {
           ON ud.d <= days.day AND ud.d >= days.day - INTERVAL 6 DAY
         GROUP BY day
     """,
+    "j11_scd2_enrich": """
+        WITH st AS (
+          SELECT user_id, ts, event_id, event_type AS state
+          FROM events WHERE event_type IN ('signup', 'purchase')),
+        iv AS (
+          SELECT user_id, state, ts AS valid_from,
+                 lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+          FROM st),
+        f AS (
+          SELECT user_id, ts, event_id FROM events
+          WHERE event_type NOT IN ('signup', 'purchase'))
+        SELECT f.event_id, f.user_id, iv.state AS state_at_event
+        FROM f LEFT JOIN iv
+          ON f.user_id = iv.user_id
+         AND f.ts >= iv.valid_from
+         AND (iv.valid_to IS NULL OR f.ts < iv.valid_to)
+    """,
+    "q61_rfm_segments": """
+        WITH g AS (SELECT MAX(o_orderdate) AS gmax FROM orders),
+        per AS (
+          SELECT o_custkey,
+                 date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                           CAST((SELECT gmax FROM g) AS DATE))
+                   AS recency_days,
+                 CAST(COUNT(*) AS BIGINT) AS frequency,
+                 FLOOR(SUM(o_totalprice) * 1e6 + 0.5) / 1e6 AS monetary
+          FROM orders GROUP BY o_custkey),
+        scored AS (
+          SELECT o_custkey, recency_days, frequency, monetary,
+                 NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+                   AS r_score,
+                 NTILE(5) OVER (ORDER BY frequency DESC, o_custkey ASC)
+                   AS f_score,
+                 NTILE(5) OVER (ORDER BY monetary DESC, o_custkey ASC)
+                   AS m_score
+          FROM per)
+        SELECT *,
+               CAST(r_score AS VARCHAR) || '-' || CAST(f_score AS VARCHAR)
+                 || '-' || CAST(m_score AS VARCHAR) AS segment
+        FROM scored
+    """,
     "v08_fd_audit": """
         WITH g1 AS (SELECT o_orderkey,
                            COUNT(DISTINCT o_orderstatus) AS nd
@@ -3442,6 +3584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t16_corpus_entropy": llm_registry.t16_corpus_entropy,
             "t17_langid_confusion": llm_registry.t17_langid_confusion,
             "v08_fd_audit": v08_fd_audit,
+            "j11_scd2_enrich": j11_scd2_enrich,
+            "q61_rfm_segments": q61_rfm_segments,
+            "m07_audio_features": llm_registry.m07_audio_features,
         }
     )
     return out

@@ -294,3 +294,43 @@ def test_s11_recall_bounds(spark):
     row = llm_registry.s11_ivf_recall_audit(spark, SF_DIR_SMALL).collect()[0]
     assert row.n_both <= min(row.n_exact, row.n_ivf)
     assert 0.0 <= row.recall_at_k <= 1.0
+
+
+def test_j11_states_only_from_changelog_types(spark):
+    rows = registry.j11_scd2_enrich(spark, SF_DIR_SMALL).collect()
+    assert rows
+    states = {r.state_at_event for r in rows}
+    assert states <= {"signup", "purchase", None}
+    # facts never include changelog types, and some user has pre-history
+    ev = registry._events(spark, SF_DIR_SMALL)
+    n_facts = ev.filter(
+        ~ev.event_type.isin(*registry.SCD2_STATE_TYPES)
+    ).count()
+    assert len(rows) == n_facts
+
+
+def test_q61_quintiles_balanced_and_labeled(spark):
+    rows = registry.q61_rfm_segments(spark, SF_DIR_SMALL).collect()
+    assert rows
+    from collections import Counter
+
+    for col in ("r_score", "f_score", "m_score"):
+        c = Counter(getattr(r, col) for r in rows)
+        assert set(c) == {1, 2, 3, 4, 5}
+        assert max(c.values()) - min(c.values()) <= 1  # ntile balance
+    for r in rows:
+        assert r.segment == f"{r.r_score}-{r.f_score}-{r.m_score}"
+        assert r.recency_days >= 0 and r.frequency >= 1
+
+
+def test_m07_audio_features_deterministic_and_bounded(spark):
+    from mbta_etl_spark.plans import llm_registry
+
+    rows = llm_registry.m07_audio_features(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.sample_rate in {8000, 16000, 24000, 32000, 40000, 48000}
+        assert r.n_samples > 0
+        assert abs(r.duration_s - round(r.n_samples / r.sample_rate, 6)) < 2e-6
+        for b in (r.band_e0, r.band_e1, r.band_e2, r.band_e3):
+            assert 0.0 <= b <= 1.0

@@ -308,3 +308,17 @@ def test_s10_quant_is_map_only(spark):
     from mbta_etl_spark.plans import llm_registry
 
     assert _n_exchanges(llm_registry.s10_int8_quant(spark, SF_DIR_SMALL)) == 0
+
+
+def test_j11_single_exchange_union_window(spark):
+    """SCD2 enrichment is the union-tag merge-join shape: one user-keyed
+    Exchange for states+facts together, never a range join."""
+    assert _n_exchanges(registry.j11_scd2_enrich(spark, SF_DIR_SMALL)) == 1
+    plan = _plan(registry.j11_scd2_enrich(spark, SF_DIR_SMALL))
+    assert "Join" not in plan
+
+
+def test_m07_audio_decode_no_shuffle(spark):
+    from mbta_etl_spark.plans import llm_registry
+
+    assert _n_exchanges(llm_registry.m07_audio_features(spark, SF_DIR_SMALL)) == 0
