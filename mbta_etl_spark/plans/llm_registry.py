@@ -2116,6 +2116,79 @@ _ORACLES["t17_langid_confusion"] = f"""
 """
 
 
+def k02_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality report over k01's assignment: per-cluster member
+    count, mean/max distance to centroid, and the inertia contribution
+    (sum of squared distances) — the convergence/health readout every
+    k-means run ships with. One groupBy over the assignment output;
+    post-scan state is O(k)."""
+    assign = similarity.kmeans_fit_predict(
+        _emb(spark, sf_dir), "embedding", "vec_id", n_iter=KMEANS_ITER
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        r6(F.avg("dist")).alias("mean_dist"),
+        F.max("dist").alias("max_dist"),
+        r6(F.sum(F.col("dist") * F.col("dist"))).alias("inertia"),
+    )
+
+
+def c13_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit over c05's greedy bins: per source shard,
+    bin count, average fill ratio vs capacity, wasted token slots, and
+    oversize bins (single docs larger than capacity) — the readout that
+    decides whether the packing capacity is sized right before a
+    training run burns the waste. Two grouped aggregations over the
+    packed table (bins, then shards); state is O(#bins)."""
+    packed = c05_greedy_pack(spark, sf_dir)
+    bins = packed.groupBy("source", "bin").agg(
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.count(F.lit(1)).alias("n_docs_bin"),
+    )
+    cap = F.lit(PACK_CAP)
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return bins.groupBy("source").agg(
+        F.sum("n_docs_bin").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_bins"),
+        r6(F.avg(F.col("bin_tokens") / cap)).alias("avg_fill_ratio"),
+        F.sum(F.greatest(cap - F.col("bin_tokens"), F.lit(0))).alias(
+            "waste_tokens"
+        ),
+        F.sum(F.when(F.col("bin_tokens") > cap, 1).otherwise(0)).alias(
+            "n_oversize_bins"
+        ),
+    )
+
+
+_ORACLES["k02_cluster_profile"] = f"""
+    WITH assign AS ({_ORACLES["k01_kmeans_clusters"]}),
+    p AS (SELECT cluster, dist FROM assign)
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           FLOOR(AVG(dist) * 1e6 + 0.5) / 1e6 AS mean_dist,
+           MAX(dist) AS max_dist,
+           FLOOR(SUM(dist * dist) * 1e6 + 0.5) / 1e6 AS inertia
+    FROM p GROUP BY cluster
+"""
+
+_ORACLES["c13_pack_efficiency"] = f"""
+    WITH packed AS ({_ORACLES["c05_greedy_pack"]}),
+    bins AS (SELECT source, bin, SUM(n_tokens) AS bt, COUNT(*) AS nd
+             FROM packed GROUP BY source, bin)
+    SELECT source,
+           CAST(SUM(nd) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           FLOOR(AVG(bt / {PACK_CAP}.0) * 1e6 + 0.5) / 1e6
+             AS avg_fill_ratio,
+           CAST(SUM(GREATEST({PACK_CAP} - bt, 0)) AS BIGINT)
+             AS waste_tokens,
+           CAST(SUM(CASE WHEN bt > {PACK_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oversize_bins
+    FROM bins GROUP BY source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "t01_token_stats": t01_token_stats,

@@ -1043,6 +1043,44 @@ def q59_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRAILING_WINDOW_US = 3600 * 1_000_000  # one hour, in microseconds
+
+
+def q62_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing one-hour RANGE-frame window per user: for every event,
+    the sum and count of the user's values in the preceding hour
+    INCLUDING this instant — the time-based sliding frame (RANGE, not
+    ROWS: frame membership is defined by timestamp distance, so bursts
+    widen the frame and silences empty it, which a row-count frame
+    cannot express). The rate-limiter / fraud-velocity primitive.
+
+    Shape: one user-keyed Exchange + an in-partition ordered pass; the
+    frame bound is evaluated per row against the running order column
+    (epoch microseconds via pure TIMESTAMP_NTZ arithmetic — no session
+    timezone anywhere). Same single-shuffle envelope as every series
+    window; at 100 TB this is the standing velocity-feature plan."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    epoch_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    staged = ev.withColumn("_us", epoch_us)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_us")
+        .rangeBetween(-TRAILING_WINDOW_US, 0)
+    )
+    scale = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return staged.select(
+        "event_id",
+        "user_id",
+        "value",
+        scale(F.sum("value").over(w)).alias("trailing_1h_sum"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
+    )
+
+
 SCD2_STATE_TYPES = ("signup", "purchase")
 
 
@@ -2429,6 +2467,18 @@ _ORACLES: dict[str, str] = {
           ON ud.d <= days.day AND ud.d >= days.day - INTERVAL 6 DAY
         GROUP BY day
     """,
+    "q62_trailing_hour_window": """
+        WITH s AS (
+          SELECT event_id, user_id, value, epoch_us(ts) AS us
+          FROM events)
+        SELECT event_id, user_id, value,
+               FLOOR(SUM(value) OVER w * 1e6 + 0.5) / 1e6
+                 AS trailing_1h_sum,
+               CAST(COUNT(*) OVER w AS BIGINT) AS trailing_1h_n
+        FROM s
+        WINDOW w AS (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
     "j11_scd2_enrich": """
         WITH st AS (
           SELECT user_id, ts, event_id, event_type AS state
@@ -3587,6 +3637,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "j11_scd2_enrich": j11_scd2_enrich,
             "q61_rfm_segments": q61_rfm_segments,
             "m07_audio_features": llm_registry.m07_audio_features,
+            "q62_trailing_hour_window": q62_trailing_hour_window,
+            "k02_cluster_profile": llm_registry.k02_cluster_profile,
+            "c13_pack_efficiency": llm_registry.c13_pack_efficiency,
         }
     )
     return out

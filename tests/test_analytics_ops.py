@@ -334,3 +334,37 @@ def test_m07_audio_features_deterministic_and_bounded(spark):
         assert abs(r.duration_s - round(r.n_samples / r.sample_rate, 6)) < 2e-6
         for b in (r.band_e0, r.band_e1, r.band_e2, r.band_e3):
             assert 0.0 <= b <= 1.0
+
+
+def test_q62_trailing_frame_includes_self(spark):
+    rows = registry.q62_trailing_hour_window(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.trailing_1h_n >= 1  # RANGE frame always includes self
+        # sum includes at least this row's own value
+        if r.trailing_1h_n == 1:
+            assert abs(r.trailing_1h_sum - round(r.value, 6)) < 2e-6
+
+
+def test_k02_profile_covers_all_members(spark):
+    from mbta_etl_spark.plans import llm_registry
+    from tests.conftest import SF_DIR_SMALL as SF
+
+    total = spark.read.parquet(SF + "/embeddings.parquet").count()
+    rows = llm_registry.k02_cluster_profile(spark, SF).collect()
+    assert sum(r.n_members for r in rows) == total
+    for r in rows:
+        assert 0.0 <= r.mean_dist <= r.max_dist + 1e-9
+        assert r.inertia >= 0.0
+
+
+def test_c13_fill_never_exceeds_one_without_oversize(spark):
+    from mbta_etl_spark.plans import llm_registry
+
+    rows = llm_registry.c13_pack_efficiency(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bins <= r.n_docs
+        assert r.waste_tokens >= 0
+        if r.n_oversize_bins == 0:
+            assert r.avg_fill_ratio <= 1.0 + 1e-9
