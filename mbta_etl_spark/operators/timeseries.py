@@ -10,6 +10,7 @@ keys are the usual risk and AQE's skew handling the usual answer.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -563,3 +564,147 @@ def ohlc_bars(
             F.count(F.lit(1)).alias("n_obs"),
         )
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "day",
+    slack_sigmas: float = 0.5,
+    alarm_sigmas: float = 4.0,
+) -> DataFrame:
+    """Per-series one-sided CUSUM drift detector over bucketed means:
+
+        S_t = max(0, S_{t-1} + x_t - mu - k),   alarm when S_t > h
+
+    with mu/sd the series' own bucket-mean statistics, k = slack_sigmas*sd
+    (ignore wiggle below this), h = alarm_sigmas*sd. The standard
+    change-point monitor for data-quality/ingest drift — unlike ts04's
+    rolling z-score, CUSUM accumulates many small shifts that never
+    individually clear a z threshold.
+
+    Execution shape: ONE distributed bucket aggregate collapses the raw
+    log to |series| x |buckets| rows, then the inherently-sequential
+    recursion runs per-series inside applyInPandas (Arrow-batched, one
+    series never leaves one task; the grouped table is tiny relative to
+    the input, so at 100 TB this is a post-aggregate pass like g01's
+    iteration, not a data-sized shuffle).
+
+    Cross-engine float discipline: bucket means, mu, and sd are
+    scaled-floor-rounded to 6dp BEFORE the recursion so both engines
+    iterate identical doubles with identical left-associated arithmetic;
+    the emitted cusum is rounded last and the alarm compares the rounded
+    value. Oracle: recursive CTE (see registry ts13).
+    """
+    import pandas as pd
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    b = F.date_trunc(bucket, F.col(ts_col)).cast("timestamp_ntz")
+    bucketed = df.groupBy(*key_cols, b.alias("bucket")).agg(
+        r6(F.avg(value_col)).alias("x")
+    )
+    params = bucketed.groupBy(*key_cols).agg(
+        r6(F.avg("x")).alias("mu"),
+        r6(F.stddev_samp("x")).alias("sd"),
+    )
+    joined = bucketed.join(F.broadcast(params), list(key_cols))
+
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in joined.schema.fields
+        if f.name in key_cols
+    )
+    schema = (
+        f"{key_fields}, bucket timestamp_ntz, x double, "
+        "cusum double, alarm boolean"
+    )
+
+    def _one_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket").reset_index(drop=True)
+        mu = float(pdf["mu"].iloc[0])
+        sd = float(pdf["sd"].iloc[0]) if pd.notna(pdf["sd"].iloc[0]) else 0.0
+        k = slack_sigmas * sd
+        h = alarm_sigmas * sd
+        s = 0.0
+        out = []
+        for x in pdf["x"]:
+            s = max(0.0, s + float(x) - mu - k)  # left-assoc, doubles
+            r = float(int(s * 1e6 + 0.5)) / 1e6  # floor(s*1e6+0.5)/1e6
+            out.append(r)
+        res = pdf[[*key_cols, "bucket", "x"]].copy()
+        res["cusum"] = out
+        res["alarm"] = [c > h for c in out]
+        return res
+
+    return joined.groupBy(*key_cols).applyInPandas(_one_series, schema=schema)
+
+
+def holt_linear(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "day",
+    alpha: float = 0.5,
+    beta: float = 0.25,
+) -> DataFrame:
+    """Per-series Holt double-exponential smoothing (level + trend) over
+    bucketed means, scoring the one-step-ahead forecast f_t = l_{t-1} +
+    b_{t-1} against the actual — the next rung up from ts11's seasonal-
+    naive baseline, still cheap enough to run as a scan-side audit:
+
+        l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+
+    initialized l_1 = x_1, b_1 = 0 (no-lookahead init, recursion-friendly
+    on both engines). Emits one row per bucket from t=2 with the
+    forecast and absolute error, 6dp-floored at emission only.
+
+    Execution shape: identical to cusum_drift — one distributed bucket
+    aggregate, then the inherently-sequential recursion per series
+    inside applyInPandas over the tiny post-aggregate table. Smoothing
+    factors are exact binary fractions (0.5, 0.25) so both engines'
+    recursions multiply exactly and stay bit-identical.
+    """
+    import pandas as pd
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    b = F.date_trunc(bucket, F.col(ts_col)).cast("timestamp_ntz")
+    bucketed = df.groupBy(*key_cols, b.alias("bucket")).agg(
+        r6(F.avg(value_col)).alias("x")
+    )
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in bucketed.schema.fields
+        if f.name in key_cols
+    )
+    schema = (
+        f"{key_fields}, bucket timestamp_ntz, x double, "
+        "forecast double, abs_err double"
+    )
+
+    def _one_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket").reset_index(drop=True)
+        xs = [float(v) for v in pdf["x"]]
+        lvl, trd = xs[0], 0.0
+        fc, ae, idx = [], [], []
+        for t in range(1, len(xs)):
+            f = lvl + trd
+            x = xs[t]
+            new_l = alpha * x + (1.0 - alpha) * (lvl + trd)
+            trd = beta * (new_l - lvl) + (1.0 - beta) * trd
+            lvl = new_l
+            # FLOOR(v*1e6+0.5)/1e6, valid for negative forecasts too
+            r = math.floor(f * 1e6 + 0.5) / 1e6
+            e = math.floor(abs(x - f) * 1e6 + 0.5) / 1e6
+            fc.append(r)
+            ae.append(e)
+            idx.append(t)
+        res = pdf.iloc[idx][[*key_cols, "bucket", "x"]].copy()
+        res["forecast"] = fc
+        res["abs_err"] = ae
+        return res
+
+    return bucketed.groupBy(*key_cols).applyInPandas(_one_series, schema=schema)

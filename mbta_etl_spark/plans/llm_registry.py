@@ -1089,6 +1089,77 @@ def _lsh_topk_oracle() -> str:
     """
 
 
+HH_PHI = 0.02  # heavy-hitter threshold: keys with > 2% of token stream
+
+
+def t18_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token heavy hitters via two-pass Misra–Gries: per-partition
+    MG summaries nominate a candidate set whose size is independent of
+    corpus size, then one broadcast-semi recount turns the sketch into
+    the exact answer (operators/frequent.py). The streaming-frequency
+    primitive t07's full vocab count doesn't give you at 100 TB — the
+    full vocab shuffle is O(vocab), MG is O(1/phi) per task."""
+    from mbta_etl_spark.operators import frequent
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    return frequent.heavy_hitters_exact(toks, "tok", phi=HH_PHI)
+
+
+def t19_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Flesch reading-ease with regex syllable approximation
+    (vowel-group count): the length/structure quality signal pipelines
+    pair with t02's ratio score. Pure Catalyst regexp counting — no
+    Python in the hot path; both engines run the same three character-
+    class regexes so the integer counts match exactly and only the final
+    score needs the 6dp scale-floor."""
+    txt = F.col("text")
+    low = F.lower(txt)
+    n_words = F.size(F.regexp_extract_all(low, F.lit("[a-z0-9]+"), 0))
+    n_sents = F.size(F.regexp_extract_all(txt, F.lit("[.!?]+"), 0))
+    n_syll = F.size(F.regexp_extract_all(low, F.lit("[aeiouy]+"), 0))
+    w = F.greatest(F.lit(1), n_words).cast("double")
+    s = F.greatest(F.lit(1), n_sents).cast("double")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w / s)
+        - F.lit(84.6) * (n_syll.cast("double") / w)
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sents.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        (F.floor(flesch * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "flesch"
+        ),
+    )
+
+
+def s12_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature statistics over the embedding column
+    (mean / sample variance / min / max per coordinate) — the
+    standardization pre-pass every whitening/PCA/quantization step
+    needs. posexplode keeps it one shuffle keyed on the 64 dims; at
+    100 TB the same plan holds because the aggregate is partial
+    (map-side combine over dim) and output is O(d)."""
+    ex = _emb(spark, sf_dir).select(
+        F.posexplode(F.col("embedding")).alias("dim", "val")
+    )
+    v = F.col("val").cast("double")
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(F.avg(v)).alias("mean"),
+        r6(F.var_samp(v)).alias("variance"),
+        F.min(v).alias("min_val"),
+        F.max(v).alias("max_val"),
+    )
+
+
 _ORACLES: dict[str, str] = {
     "t01_token_stats": """
         SELECT doc_id,
@@ -2186,6 +2257,53 @@ _ORACLES["c13_pack_efficiency"] = f"""
            CAST(SUM(CASE WHEN bt > {PACK_CAP} THEN 1 ELSE 0 END) AS BIGINT)
              AS n_oversize_bins
     FROM bins GROUP BY source
+"""
+
+_ORACLES["t18_heavy_hitter_tokens"] = f"""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    w2 AS (SELECT tok FROM w WHERE tok <> ''),
+    tot AS (SELECT COUNT(*) AS n FROM w2)
+    SELECT tok,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           FLOOR(COUNT(*) * 1.0 / MAX(tot.n) * 1e6 + 0.5) / 1e6 AS share
+    FROM w2 CROSS JOIN tot
+    GROUP BY tok
+    HAVING COUNT(*) > {HH_PHI} * MAX(tot.n)
+"""
+
+_ORACLES["t19_readability"] = """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[.!?]+'))
+                AS BIGINT) AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                AS BIGINT) AS n_syllables,
+           FLOOR((206.835
+                  - 1.015 * (GREATEST(1, len(regexp_extract_all(
+                        lower(text), '[a-z0-9]+'))) * 1.0
+                     / GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))))
+                  - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                     * 1.0
+                     / GREATEST(1, len(regexp_extract_all(
+                        lower(text), '[a-z0-9]+')))))
+                 * 1e6 + 0.5) / 1e6 AS flesch
+    FROM documents
+"""
+
+_ORACLES["s12_dim_stats"] = """
+    WITH ex AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings)
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(AVG(val) * 1e6 + 0.5) / 1e6 AS mean,
+           FLOOR(VAR_SAMP(val) * 1e6 + 0.5) / 1e6 AS variance,
+           MIN(val) AS min_val,
+           MAX(val) AS max_val
+    FROM ex GROUP BY dim
 """
 
 

@@ -2182,6 +2182,205 @@ def j02_range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts13_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM drift detector over daily means — the
+    change-point monitor that catches slow ingest drift a rolling
+    z-score (ts04) never alarms on. One distributed daily aggregate,
+    then the sequential recursion per series inside applyInPandas; the
+    oracle replays the identical recursion as a recursive CTE (same
+    tier as c04/c05's packing oracles)."""
+    from mbta_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).select("event_type", "ts", "value")
+    return timeseries.cusum_drift(ev, ["event_type"], "ts", "value")
+
+
+def g02_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the undirected event-transition graph: nodes,
+    edges, triangles in one row. Enumeration is the a<b<c ordered
+    three-way self-join — each triangle found exactly once, no
+    post-dedup. Like g01, the 100 TB event log collapses to an
+    O(|types|^2) edge table in one pass, so the cubic-looking join runs
+    on a tiny broadcastable relation; on a genuinely large graph the
+    same plan holds with the standard degree-ordering refinement (orient
+    edges low-degree -> high-degree before the join)."""
+    e = _pagerank_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    und = e.select(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+    ).distinct()
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri_n = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a"))
+            & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes_n = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select("b"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    edges_n = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        nodes_n.crossJoin(F.broadcast(edges_n))
+        .crossJoin(F.broadcast(tri_n))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
+def q64_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood fuzzy dedup over customer names: sort within
+    a prefix block, compare each name to its sorted predecessor by
+    Levenshtein, emit adjacent pairs within edit distance 2 — the
+    linear-pair alternative to d03's quadratic all-pairs blocking (the
+    classic Hernandez-Stolfo merge/purge shape). Window partitions on
+    the block so no global single-partition sort exists; the documented
+    trade is that cross-block adjacencies are unseen (at scale: run w/
+    a second pass on a shifted key, the standard multi-pass SN fix)."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    block = F.substring("c_name", 1, 16)
+    w = Window.partitionBy(block).orderBy("c_name")
+    withprev = cust.select(
+        "c_custkey",
+        "c_name",
+        block.alias("blk"),
+        F.lag("c_name").over(w).alias("prev_name"),
+        F.lag("c_custkey").over(w).alias("prev_key"),
+    ).filter(F.col("prev_name").isNotNull())
+    return (
+        withprev.withColumn(
+            "edit_dist", F.levenshtein("prev_name", "c_name")
+        )
+        .filter(F.col("edit_dist") <= 2)
+        .select(
+            F.col("prev_key").alias("left_key"),
+            F.col("c_custkey").alias("right_key"),
+            F.col("prev_name").alias("left_name"),
+            F.col("c_name").alias("right_name"),
+            "edit_dist",
+        )
+    )
+
+
+def ts14_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Holt level+trend smoothing over daily means with
+    one-step-ahead forecast error — the trend-aware upgrade of ts11's
+    seasonal-naive baseline; same post-aggregate applyInPandas recursion
+    tier as ts13, replayed by a recursive CTE carrying (level, trend)."""
+    from mbta_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).select("event_type", "ts", "value")
+    return timeseries.holt_linear(ev, ["event_type"], "ts", "value")
+
+
+def v09_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test per event type between the deterministic
+    A/B halves (event_id parity = the hash-split assignment c03 uses for
+    train/test): means, variances, Welch t statistic and
+    Satterthwaite df, flagged at |t| > 1.96 — the experiment-readout /
+    drift-significance primitive on top of v06's raw deltas. One
+    grouped partial agg (6 small states per type), pivoted A|B by
+    conditional aggregation — single shuffle on event_type, O(|types|)
+    output. Means/variances are 6dp-floored BEFORE the closed-form
+    t/df arithmetic so both engines derive from identical doubles
+    (squares via x*x, not pow — pow is not correctly-rounded in every
+    libm)."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        (F.col("event_id") % 2).alias("grp"),
+        "value",
+    )
+    g = ev.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(F.avg("value")).alias("mean"),
+        r6(F.var_samp("value")).alias("var"),
+    )
+    side = lambda grp, c: F.max(F.when(F.col("grp") == grp, F.col(c)))  # noqa: E731
+    piv = g.groupBy("event_type").agg(
+        side(0, "n").alias("n_a"),
+        side(0, "mean").alias("mean_a"),
+        side(0, "var").alias("var_a"),
+        side(1, "n").alias("n_b"),
+        side(1, "mean").alias("mean_b"),
+        side(1, "var").alias("var_b"),
+    )
+    sa = F.col("var_a") / F.col("n_a").cast("double")
+    sb = F.col("var_b") / F.col("n_b").cast("double")
+    se2 = sa + sb
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)
+    df_w = (se2 * se2) / (
+        (sa * sa) / (F.col("n_a") - 1).cast("double")
+        + (sb * sb) / (F.col("n_b") - 1).cast("double")
+    )
+    return piv.select(
+        "event_type",
+        "n_a",
+        "mean_a",
+        "var_a",
+        "n_b",
+        "mean_b",
+        "var_b",
+        r6(t).alias("t_stat"),
+        r6(df_w).alias("df_welch"),
+        (F.abs(r6(t)) > F.lit(1.96)).alias("significant"),
+    )
+
+
+def q65_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table over customer spend: rank customers by
+    total order value, ntile into 10 deciles (spend-desc, custkey
+    tiebreak), report per-decile customer count, revenue, revenue
+    share, and cumulative share — the campaign-targeting readout.
+    Shape: one keyed agg (custkey), one ntile window (ranking shuffle
+    over the CUSTOMER aggregate, not the fact table), then a 10-row
+    final agg; per-customer spends are 6dp-floored first so both
+    engines tile the identical ordering."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(r6(F.sum("o_totalprice")).alias("spend"))
+    )
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    tiled = spend.select(
+        "o_custkey", "spend", F.ntile(10).over(w).alias("decile")
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        r6(F.sum("spend")).alias("revenue"),
+    )
+    total = per.agg(r6(F.sum("revenue")).alias("_total"))
+    wd = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            "revenue",
+            r6(F.col("revenue") / F.col("_total")).alias("rev_share"),
+        )
+        .select(
+            "decile",
+            "n_customers",
+            "revenue",
+            "rev_share",
+            r6(F.sum("rev_share").over(wd)).alias("cum_share"),
+        )
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -3494,6 +3693,168 @@ _ORACLES: dict[str, str] = {
 
 _ORACLES["g01_pagerank"] = _pagerank_oracle()
 
+# Recursive-CTE replay of the per-series CUSUM recursion (same oracle
+# tier as c04/c05): inputs are 6dp-rounded on both sides before the
+# recursion, and both engines evaluate the identical left-associated
+# double arithmetic, so the accumulated statistic matches bitwise.
+_ORACLES["ts13_cusum"] = """
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             FLOOR(AVG(value) * 1e6 + 0.5) / 1e6 AS x
+      FROM events GROUP BY 1, 2),
+    par AS (
+      SELECT event_type,
+             FLOOR(AVG(x) * 1e6 + 0.5) / 1e6 AS mu,
+             COALESCE(FLOOR(STDDEV_SAMP(x) * 1e6 + 0.5) / 1e6, 0.0) AS sd
+      FROM daily GROUP BY 1),
+    seq AS (
+      SELECT d.event_type, d.bucket, d.x, p.mu, p.sd,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.event_type ORDER BY d.bucket) AS rn
+      FROM daily d JOIN par p USING (event_type)),
+    cs AS (
+      SELECT event_type, bucket, x, mu, sd, rn,
+             GREATEST(0.0, 0.0 + x - mu - 0.5 * sd) AS s
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT q.event_type, q.bucket, q.x, q.mu, q.sd, q.rn,
+             GREATEST(0.0, cs.s + q.x - q.mu - 0.5 * q.sd) AS s
+      FROM seq q JOIN cs
+        ON q.event_type = cs.event_type AND q.rn = cs.rn + 1)
+    SELECT event_type, bucket, x,
+           FLOOR(s * 1e6 + 0.5) / 1e6 AS cusum,
+           FLOOR(s * 1e6 + 0.5) / 1e6 > 4.0 * sd AS alarm
+    FROM cs
+"""
+
+_ORACLES["g02_triangles"] = """
+    WITH pairs AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM events),
+    e0 AS (
+        SELECT DISTINCT src, dst FROM pairs
+        WHERE dst IS NOT NULL AND src <> dst),
+    und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e0),
+    nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM und e1 JOIN und e2 ON e1.b = e2.a
+                        JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b)
+             AS n_triangles
+"""
+
+_ORACLES["ts14_holt_linear"] = """
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             FLOOR(AVG(value) * 1e6 + 0.5) / 1e6 AS x
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT event_type, bucket, x,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY bucket) AS rn
+      FROM daily),
+    hw AS (
+      SELECT event_type, bucket, x, rn,
+             x AS lvl, CAST(0.0 AS DOUBLE) AS trd,
+             CAST(NULL AS DOUBLE) AS f
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT q.event_type, q.bucket, q.x, q.rn,
+             0.5 * q.x + 0.5 * (hw.lvl + hw.trd) AS lvl,
+             0.25 * ((0.5 * q.x + 0.5 * (hw.lvl + hw.trd)) - hw.lvl)
+               + 0.75 * hw.trd AS trd,
+             hw.lvl + hw.trd AS f
+      FROM seq q JOIN hw
+        ON q.event_type = hw.event_type AND q.rn = hw.rn + 1)
+    SELECT event_type, bucket, x,
+           FLOOR(f * 1e6 + 0.5) / 1e6 AS forecast,
+           FLOOR(ABS(x - f) * 1e6 + 0.5) / 1e6 AS abs_err
+    FROM hw WHERE rn >= 2
+"""
+
+_ORACLES["v09_welch_ttest"] = """
+    WITH g AS (
+      SELECT event_type, event_id % 2 AS grp,
+             COUNT(*) AS n,
+             FLOOR(AVG(value) * 1e6 + 0.5) / 1e6 AS mean,
+             FLOOR(VAR_SAMP(value) * 1e6 + 0.5) / 1e6 AS var
+      FROM events GROUP BY 1, 2),
+    piv AS (
+      SELECT event_type,
+             MAX(CASE WHEN grp = 0 THEN n END) AS n_a,
+             MAX(CASE WHEN grp = 0 THEN mean END) AS mean_a,
+             MAX(CASE WHEN grp = 0 THEN var END) AS var_a,
+             MAX(CASE WHEN grp = 1 THEN n END) AS n_b,
+             MAX(CASE WHEN grp = 1 THEN mean END) AS mean_b,
+             MAX(CASE WHEN grp = 1 THEN var END) AS var_b
+      FROM g GROUP BY 1),
+    d AS (
+      SELECT *, var_a / n_a AS sa, var_b / n_b AS sb FROM piv),
+    e AS (
+      SELECT *,
+             (mean_a - mean_b) / sqrt(sa + sb) AS t,
+             ((sa + sb) * (sa + sb))
+               / ((sa * sa) / (n_a - 1) + (sb * sb) / (n_b - 1)) AS dfw
+      FROM d)
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, mean_a, var_a,
+           CAST(n_b AS BIGINT) AS n_b, mean_b, var_b,
+           FLOOR(t * 1e6 + 0.5) / 1e6 AS t_stat,
+           FLOOR(dfw * 1e6 + 0.5) / 1e6 AS df_welch,
+           ABS(FLOOR(t * 1e6 + 0.5) / 1e6) > 1.96 AS significant
+    FROM e
+"""
+
+_ORACLES["q65_decile_lift"] = """
+    WITH spend AS (
+      SELECT o_custkey,
+             FLOOR(SUM(o_totalprice) * 1e6 + 0.5) / 1e6 AS spend
+      FROM orders GROUP BY 1),
+    tiled AS (
+      SELECT o_custkey, spend,
+             NTILE(10) OVER (ORDER BY spend DESC, o_custkey ASC) AS decile
+      FROM spend),
+    per AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             FLOOR(SUM(spend) * 1e6 + 0.5) / 1e6 AS revenue
+      FROM tiled GROUP BY 1),
+    tot AS (SELECT FLOOR(SUM(revenue) * 1e6 + 0.5) / 1e6 AS t FROM per),
+    shares AS (
+      SELECT decile, n_customers, revenue,
+             FLOOR(revenue / tot.t * 1e6 + 0.5) / 1e6 AS rev_share
+      FROM per CROSS JOIN tot)
+    SELECT decile, n_customers, revenue, rev_share,
+           FLOOR(SUM(rev_share) OVER (
+                   ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1e6 + 0.5) / 1e6 AS cum_share
+    FROM shares
+"""
+
+_ORACLES["q64_sorted_neighborhood"] = """
+    WITH wp AS (
+      SELECT c_custkey, c_name,
+             lag(c_name) OVER (
+               PARTITION BY substr(c_name, 1, 16) ORDER BY c_name)
+               AS prev_name,
+             lag(c_custkey) OVER (
+               PARTITION BY substr(c_name, 1, 16) ORDER BY c_name)
+               AS prev_key
+      FROM customer)
+    SELECT prev_key AS left_key, c_custkey AS right_key,
+           prev_name AS left_name, c_name AS right_name,
+           CAST(levenshtein(prev_name, c_name) AS INT) AS edit_dist
+    FROM wp
+    WHERE prev_name IS NOT NULL AND levenshtein(prev_name, c_name) <= 2
+"""
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from mbta_etl_spark.plans import llm_registry
@@ -3640,6 +4001,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q62_trailing_hour_window": q62_trailing_hour_window,
             "k02_cluster_profile": llm_registry.k02_cluster_profile,
             "c13_pack_efficiency": llm_registry.c13_pack_efficiency,
+            "ts13_cusum": ts13_cusum,
+            "g02_triangles": g02_triangles,
+            "q64_sorted_neighborhood": q64_sorted_neighborhood,
+            "t18_heavy_hitter_tokens": llm_registry.t18_heavy_hitter_tokens,
+            "t19_readability": llm_registry.t19_readability,
+            "s12_dim_stats": llm_registry.s12_dim_stats,
+            "ts14_holt_linear": ts14_holt_linear,
+            "v09_welch_ttest": v09_welch_ttest,
+            "q65_decile_lift": q65_decile_lift,
         }
     )
     return out

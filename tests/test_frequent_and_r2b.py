@@ -1,0 +1,243 @@
+"""Semantic invariants for the round-2b additions: Misra–Gries heavy
+hitters, CUSUM drift, triangle census, sorted-neighborhood dedup,
+readability, and per-dimension embedding stats.
+
+Parity tests prove Spark == DuckDB; these prove the operators compute
+what they claim on constructed inputs where the answer is known.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mbta_etl_spark.operators import frequent, timeseries
+from mbta_etl_spark.plans import llm_registry, registry
+from tests.conftest import SF_DIR_SMALL
+
+
+# --- Misra–Gries heavy hitters ---------------------------------------------
+
+
+def test_mg_exact_on_skewed_stream(spark):
+    # 60% a, 25% b, rest singletons: phi=0.2 must return exactly {a, b}
+    rows = (
+        [("a",)] * 60 + [("b",)] * 25 + [(f"z{i}",) for i in range(15)]
+    )
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    got = {
+        r.k: r.n_occurrences
+        for r in frequent.heavy_hitters_exact(df, "k", 0.2).collect()
+    }
+    assert got == {"a": 60, "b": 25}
+
+
+def test_mg_counts_are_exact_not_sketch_estimates(spark):
+    # adversarial for plain MG (many distinct keys, capacity 5): the
+    # two-pass recount must still report the TRUE count for the winner
+    rows = [("hot",)] * 40 + [(f"c{i % 37}",) for i in range(160)]
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    out = frequent.heavy_hitters_exact(df, "k", 0.19).collect()
+    assert [(r.k, r.n_occurrences) for r in out] == [("hot", 40)]
+    assert abs(out[0].share - 0.2) < 1e-6
+
+
+def test_mg_long_key_type(spark):
+    df = spark.createDataFrame([(7,)] * 9 + [(1,), (2,)], "k long")
+    out = frequent.heavy_hitters_exact(df, "k", 0.5).collect()
+    assert [(r.k, r.n_occurrences) for r in out] == [(7, 9)]
+
+
+def test_t18_registry_nonempty_and_share_bounded(spark):
+    rows = llm_registry.t18_heavy_hitter_tokens(spark, SF_DIR_SMALL).collect()
+    assert rows, "synthetic vocab has stable >2% tokens"
+    for r in rows:
+        assert r.share > llm_registry.HH_PHI - 1e-6
+        assert r.share <= 1.0
+
+
+# --- CUSUM drift ------------------------------------------------------------
+
+
+def test_cusum_alarms_on_level_shift(spark):
+    import datetime as dt
+
+    # 20 days at 10.0, then 20 days at 12.0: the shift accumulates and
+    # must alarm in the second regime, never in the first
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(days=i), "s", 10.0 if i < 20 else 12.0)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, key string, value double")
+    out = (
+        timeseries.cusum_drift(df, ["key"], "ts", "value")
+        .orderBy("bucket")
+        .collect()
+    )
+    assert len(out) == 40
+    first = [r.alarm for r in out[:20]]
+    second = [r.alarm for r in out[20:]]
+    assert not any(first)
+    assert any(second)
+    # cusum is non-negative and non-decreasing across the shifted regime
+    cs = [r.cusum for r in out]
+    assert all(c >= 0 for c in cs)
+    assert cs[39] > cs[21]
+
+
+def test_cusum_flat_series_never_alarms(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(days=i), "s", 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "ts timestamp, key string, value double")
+    out = timeseries.cusum_drift(df, ["key"], "ts", "value").collect()
+    assert all(r.cusum == 0.0 for r in out)
+    assert not any(r.alarm for r in out)
+
+
+# --- triangle census --------------------------------------------------------
+
+
+def test_g02_counts_on_testdata_are_consistent(spark):
+    r = registry.g02_triangles(spark, SF_DIR_SMALL).collect()[0]
+    # n_edges <= C(n_nodes, 2); n_triangles <= C(n_nodes, 3)
+    n = r.n_nodes
+    assert r.n_edges <= n * (n - 1) // 2
+    assert r.n_triangles <= n * (n - 1) * (n - 2) // 6
+    assert r.n_triangles >= 0
+
+
+# --- sorted neighborhood ----------------------------------------------------
+
+
+def test_q64_adjacent_pairs_within_distance(spark):
+    rows = registry.q64_sorted_neighborhood(spark, SF_DIR_SMALL).collect()
+    assert rows, "consecutive customer names differ by <=2 digits"
+    for r in rows:
+        assert 0 <= r.edit_dist <= 2
+        assert r.left_name != r.right_name or r.edit_dist == 0
+        # pairs come from the same sorted block
+        assert r.left_name[:16] == r.right_name[:16]
+
+
+# --- readability ------------------------------------------------------------
+
+
+def test_t19_flesch_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!")], "doc_id long, text string"
+    )
+    # the same three regex counts the registry entry binds:
+    # 6 words, 2 sentences, 6 vowel groups
+    txt = F.col("text")
+    low = F.lower(txt)
+    got = df.select(
+        F.size(F.regexp_extract_all(low, F.lit("[a-z0-9]+"), 0)).alias("w"),
+        F.size(F.regexp_extract_all(txt, F.lit("[.!?]+"), 0)).alias("s"),
+        F.size(F.regexp_extract_all(low, F.lit("[aeiouy]+"), 0)).alias("y"),
+    ).collect()[0]
+    assert (got.w, got.s, got.y) == (6, 2, 6)
+    flesch = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert abs(flesch - (206.835 - 3.045 - 84.6)) < 1e-9
+
+
+def test_t19_registry_rows_match_docs(spark):
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    out = llm_registry.t19_readability(spark, SF_DIR_SMALL)
+    assert out.count() == docs.count()
+    r = out.first()
+    assert r.n_words >= 1 and r.n_syllables >= 0
+
+
+# --- embedding dim stats ----------------------------------------------------
+
+
+def test_s12_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{SF_DIR_SMALL}/embeddings.parquet")
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    rows = llm_registry.s12_dim_stats(spark, SF_DIR_SMALL).collect()
+    assert len(rows) == mat.shape[1]
+    for r in rows:
+        col = mat[:, r.dim]
+        assert r.n == len(col)
+        assert abs(r.mean - col.mean()) < 1e-5
+        assert abs(r.variance - col.var(ddof=1)) < 1e-5
+        assert math.isclose(r.min_val, col.min(), rel_tol=1e-12)
+        assert math.isclose(r.max_val, col.max(), rel_tol=1e-12)
+
+
+# --- Holt linear smoothing --------------------------------------------------
+
+
+def test_holt_constant_series_perfect_forecast(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(days=i), "s", 7.5) for i in range(12)]
+    df = spark.createDataFrame(rows, "ts timestamp, key string, value double")
+    out = timeseries.holt_linear(df, ["key"], "ts", "value").collect()
+    # l1=x1, b1=0 on a constant series => forecast is exact from t=2
+    assert len(out) == 11
+    assert all(r.forecast == 7.5 and r.abs_err == 0.0 for r in out)
+
+
+def test_holt_tracks_linear_trend(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(days=i), "s", 10.0 + 2.0 * i) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, key string, value double")
+    out = (
+        timeseries.holt_linear(df, ["key"], "ts", "value")
+        .orderBy("bucket")
+        .collect()
+    )
+    # trend-aware smoothing locks onto a pure linear ramp: late error
+    # far below the early (trendless-init) error
+    assert out[-1].abs_err < out[0].abs_err / 4
+
+
+def test_v09_welch_shapes(spark):
+    rows = registry.v09_welch_ttest(spark, SF_DIR_SMALL).collect()
+    assert rows
+    ev_n = (
+        registry._events(spark, SF_DIR_SMALL).count()
+    )
+    assert sum(r.n_a + r.n_b for r in rows) == ev_n
+    for r in rows:
+        assert r.n_a > 1 and r.n_b > 1
+        assert r.var_a >= 0 and r.var_b >= 0
+        # Welch df is bounded by the pooled df
+        assert 1.0 <= r.df_welch <= r.n_a + r.n_b - 2
+        assert r.significant == (abs(r.t_stat) > 1.96)
+
+
+def test_q65_lift_table_invariants(spark):
+    rows = (
+        registry.q65_decile_lift(spark, SF_DIR_SMALL)
+        .orderBy("decile")
+        .collect()
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    n_cust = (
+        registry.load_table(spark, SF_DIR_SMALL, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    # top decile (highest spenders) out-earns the bottom decile
+    assert rows[0].revenue > rows[-1].revenue
+    shares = [r.rev_share for r in rows]
+    assert abs(sum(shares) - 1.0) < 1e-4
+    cums = [r.cum_share for r in rows]
+    assert all(b >= a for a, b in zip(cums, cums[1:]))
+    assert abs(cums[-1] - 1.0) < 1e-4
