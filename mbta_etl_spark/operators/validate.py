@@ -230,3 +230,45 @@ def fd_audit(
             / F.lit(1e6)
         ).alias("violation_share"),
     )
+
+
+def rule_census(
+    df: DataFrame, rules: "dict[str, str]", key_col: str
+) -> DataFrame:
+    """Free-form data-quality rule engine: every rule is a SQL boolean
+    predicate, ALL evaluated in one conditional-aggregation pass over a
+    single scan (no per-rule jobs). NULL predicate results count as
+    violations (unknown fails the expectation, ANSI three-valued logic
+    folded with NOT COALESCE(pred, FALSE)). Each rule also reports the
+    min/max violating key — the instant repro pointer a failing nightly
+    check needs, captured in the same pass for free.
+
+    The generalization of check_constraints' typed rules: at 100 TB the
+    cost stays one scan regardless of rule count, because every rule is
+    three more partial-agg states, not another pass."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    names: list[str] = []
+    for i, (name, pred) in enumerate(rules.items()):
+        viol = ~F.coalesce(F.expr(pred), F.lit(False))
+        aggs.append(F.count(F.when(viol, 1)).alias(f"_v{i}"))
+        aggs.append(F.min(F.when(viol, F.col(key_col))).alias(f"_lo{i}"))
+        aggs.append(F.max(F.when(viol, F.col(key_col))).alias(f"_hi{i}"))
+        names.append(name)
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{n}', _v{i}, _lo{i}, _hi{i}" for i, n in enumerate(names)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(names)}, {stack}) AS "
+            "(rule, violations, first_bad_key, last_bad_key)"
+        ),
+        F.col("_n").alias("n_rows"),
+    ).select(
+        "rule",
+        F.col("violations").cast("long").alias("violations"),
+        "first_bad_key",
+        "last_bad_key",
+        "n_rows",
+        (F.col("violations") == 0).alias("ok"),
+    )

@@ -2381,6 +2381,165 @@ def q65_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: v10 declarative rule set: name -> SQL boolean predicate over lineitem.
+#: Evaluated in ONE scan by validate.rule_census; mirrored rule-for-rule
+#: in the oracle.
+V10_RULES = {
+    "qty_range": "l_quantity BETWEEN 1 AND 50",
+    "positive_price": "l_extendedprice > 0",
+    "discount_domain": "l_discount BETWEEN 0.0 AND 0.1",
+    "tax_domain": "l_tax BETWEEN 0.0 AND 0.08",
+    "linestatus_domain": "l_linestatus IN ('O', 'F')",
+    "returnflag_domain": "l_returnflag IN ('A', 'N', 'R')",
+}
+
+
+def v10_rule_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DQ rule engine over lineitem: five free-form SQL
+    predicates evaluated in one conditional-aggregation scan, each with
+    violation count plus min/max violating order key as repro pointers
+    (operators/validate.rule_census). v01's typed constraints
+    generalized to arbitrary predicates at the same one-scan cost."""
+    from mbta_etl_spark.operators import validate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return validate.rule_census(li, V10_RULES, "l_orderkey")
+
+
+MATRYOSHKA_KS = (8, 16, 32, 64)
+
+
+def s13_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: how much vector norm (equivalently,
+    cosine(full, prefix) = |v_k|/|v|) survives truncating embeddings to
+    their first k dims — the measurement behind serving shorter prefixes
+    of MRL-trained embeddings. Map-only HOF pass (slice + sequential
+    aggregate fold, identical fold order in the oracle's list_sum), one
+    tiny groupBy(k); per-row ratios 6dp-floored before aggregation."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ks = F.array([F.lit(k) for k in MATRYOSHKA_KS])
+    sq = "aggregate({0}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"
+    exploded = emb.select(
+        "vec_id",
+        "v",
+        F.explode(ks).alias("k"),
+    ).select(
+        "vec_id",
+        "k",
+        F.expr(sq.format("slice(v, 1, k)")).alias("_sub"),
+        F.expr(sq.format("v")).alias("_full"),
+    )
+    ratio = (
+        F.floor(
+            F.sqrt(F.col("_sub")) / F.sqrt(F.col("_full")) * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        exploded.select("k", ratio.alias("ratio"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r6(F.avg("ratio")).alias("mean_ratio"),
+            F.min("ratio").alias("min_ratio"),
+            F.count(F.when(F.col("ratio") >= 0.95, 1)).alias("n_ge_95"),
+        )
+    )
+
+
+def q66_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly order totals with the
+    lag-based growth rate — the period-over-period BI staple. The lag
+    window runs on the POST-AGGREGATE month table (tens of rows), so
+    the unpartitioned ordering is not a scale concern; monthly sums are
+    6dp-floored before the growth division."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias(
+                "month"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r6(F.sum("o_totalprice")).alias("revenue"),
+        )
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "n_orders",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.when(
+            prev.isNotNull() & (prev != 0),
+            r6((F.col("revenue") - prev) / prev),
+        ).alias("growth"),
+    )
+
+
+ATTRIBUTION_WINDOW_DAYS = 7
+
+
+def j12_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase splits its value
+    evenly across the user's clicks in the prior 7 days (j01's last-
+    touch as-of generalized to every touch). One user-keyed shuffle
+    join with the band predicate applied in-join, then a purchase-keyed
+    count — per-purchase credit is value/n_touches, exact division of
+    6dp inputs. Purchases with no touch window keep n_touches=0 and a
+    NULL credit (left join, nothing silently dropped)."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    band = (
+        (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts")
+            - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_DAYS} DAYS")
+        )
+    )
+    joined = purchases.join(
+        clicks, (purchases["user_id"] == clicks["user_id"]) & band, "left"
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        joined.groupBy(
+            "purchase_id",
+            purchases["user_id"],
+            "p_ts",
+            "purchase_value",
+        )
+        .agg(F.count("c_ts").alias("n_touches"))
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_value",
+            "n_touches",
+            F.when(
+                F.col("n_touches") > 0,
+                r6(F.col("purchase_value") / F.col("n_touches")),
+            ).alias("credit_per_touch"),
+        )
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -3749,6 +3908,79 @@ _ORACLES["g02_triangles"] = """
              AS n_triangles
 """
 
+def _v10_oracle() -> str:
+    """One UNION ALL arm per declared rule, each mirroring the NOT
+    COALESCE(pred, FALSE) three-valued fold of validate.rule_census."""
+    parts = []
+    for name, pred in V10_RULES.items():
+        bad = f"NOT COALESCE({pred}, FALSE)"
+        parts.append(
+            f"""
+        SELECT '{name}' AS rule,
+               CAST(COUNT(CASE WHEN {bad} THEN 1 END) AS BIGINT)
+                 AS violations,
+               MIN(CASE WHEN {bad} THEN l_orderkey END) AS first_bad_key,
+               MAX(CASE WHEN {bad} THEN l_orderkey END) AS last_bad_key,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               COUNT(CASE WHEN {bad} THEN 1 END) = 0 AS ok
+        FROM lineitem"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+_ORACLES["v10_rule_census"] = _v10_oracle()
+
+_ORACLES["s13_matryoshka_audit"] = """
+    WITH ks AS (SELECT UNNEST([8, 16, 32, 64]) AS k),
+    r AS (
+      SELECT e.vec_id, ks.k,
+             FLOOR(sqrt(list_sum(list_transform(
+                        list_slice(e.embedding, 1, ks.k),
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   / sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * 1e6 + 0.5) / 1e6 AS ratio
+      FROM embeddings e CROSS JOIN ks)
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(AVG(ratio) * 1e6 + 0.5) / 1e6 AS mean_ratio,
+           MIN(ratio) AS min_ratio,
+           CAST(COUNT(CASE WHEN ratio >= 0.95 THEN 1 END) AS BIGINT)
+             AS n_ge_95
+    FROM r GROUP BY k
+"""
+
+_ORACLES["q66_mom_growth"] = """
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             FLOOR(SUM(o_totalprice) * 1e6 + 0.5) / 1e6 AS revenue
+      FROM orders GROUP BY 1)
+    SELECT month, n_orders, revenue,
+           lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+           CASE WHEN lag(revenue) OVER (ORDER BY month) IS NOT NULL
+                 AND lag(revenue) OVER (ORDER BY month) <> 0
+                THEN FLOOR((revenue - lag(revenue) OVER (ORDER BY month))
+                           / lag(revenue) OVER (ORDER BY month)
+                           * 1e6 + 0.5) / 1e6
+           END AS growth
+    FROM monthly
+"""
+
+_ORACLES["j12_linear_attribution"] = """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           p.value AS purchase_value,
+           CAST(COUNT(c.ts) AS BIGINT) AS n_touches,
+           CASE WHEN COUNT(c.ts) > 0
+                THEN FLOOR(p.value / COUNT(c.ts) * 1e6 + 0.5) / 1e6
+           END AS credit_per_touch
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT user_id, ts FROM events
+               WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 7 DAY
+    GROUP BY p.event_id, p.user_id, p.ts, p.value
+"""
+
 _ORACLES["ts14_holt_linear"] = """
     WITH RECURSIVE daily AS (
       SELECT event_type,
@@ -4010,6 +4242,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts14_holt_linear": ts14_holt_linear,
             "v09_welch_ttest": v09_welch_ttest,
             "q65_decile_lift": q65_decile_lift,
+            "v10_rule_census": v10_rule_census,
+            "s13_matryoshka_audit": s13_matryoshka_audit,
+            "q66_mom_growth": q66_mom_growth,
+            "j12_linear_attribution": j12_linear_attribution,
         }
     )
     return out

@@ -241,3 +241,86 @@ def test_q65_lift_table_invariants(spark):
     cums = [r.cum_share for r in rows]
     assert all(b >= a for a, b in zip(cums, cums[1:]))
     assert abs(cums[-1] - 1.0) < 1e-4
+
+
+# --- declarative rule census ------------------------------------------------
+
+
+def test_v10_rule_census_counts_and_pointers(spark):
+    from mbta_etl_spark.operators import validate
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None), (4, 120.0)],
+        "id long, v double",
+    )
+    out = {
+        r.rule: r
+        for r in validate.rule_census(
+            df, {"v_pos": "v > 0", "v_small": "v < 100"}, "id"
+        ).collect()
+    }
+    # NULL predicate counts as violation (three-valued logic folded)
+    assert out["v_pos"].violations == 2  # ids 2 (neg) and 3 (null)
+    assert out["v_pos"].first_bad_key == 2
+    assert out["v_pos"].last_bad_key == 3
+    assert out["v_small"].violations == 2  # ids 3 (null) and 4 (120)
+    assert not out["v_pos"].ok and not out["v_small"].ok
+    assert all(r.n_rows == 4 for r in out.values())
+
+
+def test_v10_registry_all_rules_present(spark):
+    rows = registry.v10_rule_census(spark, SF_DIR_SMALL).collect()
+    assert {r.rule for r in rows} == set(registry.V10_RULES)
+
+
+# --- matryoshka audit -------------------------------------------------------
+
+
+def test_s13_full_prefix_is_identity_and_monotone(spark):
+    rows = {
+        r.k: r
+        for r in registry.s13_matryoshka_audit(spark, SF_DIR_SMALL).collect()
+    }
+    assert set(rows) == set(registry.MATRYOSHKA_KS)
+    # k = full dim: prefix == vector, ratio exactly 1
+    assert rows[64].mean_ratio == 1.0 and rows[64].min_ratio == 1.0
+    # norm captured grows with prefix length
+    means = [rows[k].mean_ratio for k in sorted(rows)]
+    assert all(b >= a for a, b in zip(means, means[1:]))
+    assert all(0.0 < rows[k].min_ratio <= 1.0 for k in rows)
+
+
+# --- month-over-month growth ------------------------------------------------
+
+
+def test_q66_growth_recomputes(spark):
+    rows = (
+        registry.q66_mom_growth(spark, SF_DIR_SMALL)
+        .orderBy("month")
+        .collect()
+    )
+    assert rows[0].prev_revenue is None and rows[0].growth is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.prev_revenue == prev.revenue
+        expect = (cur.revenue - prev.revenue) / prev.revenue
+        assert abs(cur.growth - expect) < 2e-6
+
+
+# --- linear attribution -----------------------------------------------------
+
+
+def test_j12_credit_splits_value(spark):
+    rows = registry.j12_linear_attribution(spark, SF_DIR_SMALL).collect()
+    n_purch = (
+        registry._events(spark, SF_DIR_SMALL)
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert len(rows) == n_purch  # left join: nothing silently dropped
+    touched = [r for r in rows if r.n_touches > 0]
+    untouched = [r for r in rows if r.n_touches == 0]
+    assert touched, "dense synthetic stream has windows with clicks"
+    for r in touched[:50]:
+        assert abs(r.credit_per_touch * r.n_touches - r.purchase_value) < 1e-4
+    for r in untouched:
+        assert r.credit_per_touch is None
