@@ -2540,6 +2540,110 @@ def j12_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q67_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x event-type activity profile (count + mean value)
+    — the seasonality heat map behind ts11's season choice. Day names
+    via the engines' shared English names (date_format 'EEEE' /
+    dayname) so no DOW-numbering convention mismatch exists; single
+    partial-agg shuffle on a 7x|types| key space."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_format(F.col("ts"), "EEEE").alias("dow"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r6(F.avg("value")).alias("mean_value"),
+        )
+    )
+
+
+TOP_PCT = 0.01
+
+
+def q68_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: what share of total order revenue comes
+    from the top 1% of orders by value (the Pareto audit). Exact
+    cutoff via one ordered window rank over ORDERS (order-level, the
+    fact table's parent), then a single conditional aggregate — the
+    rank threshold floor(n/100) keeps both engines on identical
+    integer arithmetic. One row out. The global row_number is exact-
+    parity tier: at 100 TB the declared swap is an approx_percentile
+    price threshold + exact recount above it (the q09/q09a trade)."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    ranked = o.select(
+        "o_totalprice",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    cut = F.floor(F.col("n") * F.lit(TOP_PCT)).cast("long")
+    agg = ranked.agg(
+        F.max("n").alias("n_orders"),
+        F.max(F.when(F.col("rk") <= cut, F.col("rk"))).alias("n_top"),
+        r6(F.sum(F.when(F.col("rk") <= cut, F.col("o_totalprice")))).alias(
+            "top_revenue"
+        ),
+        r6(F.sum("o_totalprice")).alias("total_revenue"),
+    )
+    return agg.select(
+        "n_orders",
+        "n_top",
+        "top_revenue",
+        "total_revenue",
+        r6(F.col("top_revenue") / F.col("total_revenue")).alias(
+            "top_share"
+        ),
+    )
+
+
+def c14_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call corpus dataset card: the summary block a corpus release
+    ships with (doc/token/source/lang counts, exact-dup fraction, size
+    stats) as (metric, value) rows. Two aggregates total — one full
+    projection pass and one sha-distinct — then a constant-width stack;
+    post-scan state is O(1). The capstone composition a data curator
+    actually runs first on a new 100 TB dump."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    wide = d.agg(
+        F.count(F.lit(1)).alias("_docs"),
+        F.sum(toks).alias("_tokens"),
+        F.countDistinct("source").alias("_sources"),
+        F.countDistinct("lang").alias("_langs"),
+        F.countDistinct(F.sha2(F.col("text"), 256)).alias("_uniq"),
+        F.sum("n_chars").alias("_chars"),
+    )
+    f6 = "FLOOR({0} * 1e6 + 0.5) / 1e6"
+    return wide.select(
+        F.expr(
+            "stack(7, "
+            "'n_docs', CAST(_docs AS DOUBLE), "
+            "'total_tokens', CAST(_tokens AS DOUBLE), "
+            "'n_sources', CAST(_sources AS DOUBLE), "
+            "'n_langs', CAST(_langs AS DOUBLE), "
+            "'exact_dup_frac', "
+            + f6.format("(_docs - _uniq) / CAST(_docs AS DOUBLE)")
+            + ", 'avg_tokens_per_doc', "
+            + f6.format("_tokens / CAST(_docs AS DOUBLE)")
+            + ", 'avg_chars_per_doc', "
+            + f6.format("_chars / CAST(_docs AS DOUBLE)")
+            + ") AS (metric, value)"
+        )
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -3981,6 +4085,56 @@ _ORACLES["j12_linear_attribution"] = """
     GROUP BY p.event_id, p.user_id, p.ts, p.value
 """
 
+_ORACLES["q67_dow_profile"] = """
+    SELECT dayname(ts) AS dow, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           FLOOR(AVG(value) * 1e6 + 0.5) / 1e6 AS mean_value
+    FROM events GROUP BY 1, 2
+"""
+
+_ORACLES["q68_revenue_concentration"] = """
+    WITH ranked AS (
+      SELECT o_totalprice,
+             ROW_NUMBER() OVER (
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk,
+             COUNT(*) OVER () AS n
+      FROM orders)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST(MAX(CASE WHEN rk <= FLOOR(n * 0.01) THEN rk END)
+                AS BIGINT) AS n_top,
+           FLOOR(SUM(CASE WHEN rk <= FLOOR(n * 0.01)
+                          THEN o_totalprice END) * 1e6 + 0.5) / 1e6
+             AS top_revenue,
+           FLOOR(SUM(o_totalprice) * 1e6 + 0.5) / 1e6 AS total_revenue,
+           FLOOR((FLOOR(SUM(CASE WHEN rk <= FLOOR(n * 0.01)
+                                 THEN o_totalprice END) * 1e6 + 0.5) / 1e6)
+                 / (FLOOR(SUM(o_totalprice) * 1e6 + 0.5) / 1e6)
+                 * 1e6 + 0.5) / 1e6 AS top_share
+    FROM ranked
+"""
+
+_ORACLES["c14_dataset_card"] = """
+    WITH wide AS (
+      SELECT COUNT(*) AS _docs,
+             SUM(len(string_split(text, ' '))) AS _tokens,
+             COUNT(DISTINCT source) AS _sources,
+             COUNT(DISTINCT lang) AS _langs,
+             COUNT(DISTINCT sha256(text)) AS _uniq,
+             SUM(n_chars) AS _chars
+      FROM documents)
+    SELECT 'n_docs' AS metric, CAST(_docs AS DOUBLE) AS value FROM wide
+    UNION ALL SELECT 'total_tokens', CAST(_tokens AS DOUBLE) FROM wide
+    UNION ALL SELECT 'n_sources', CAST(_sources AS DOUBLE) FROM wide
+    UNION ALL SELECT 'n_langs', CAST(_langs AS DOUBLE) FROM wide
+    UNION ALL SELECT 'exact_dup_frac',
+      FLOOR((_docs - _uniq) / CAST(_docs AS DOUBLE) * 1e6 + 0.5) / 1e6
+      FROM wide
+    UNION ALL SELECT 'avg_tokens_per_doc',
+      FLOOR(_tokens / CAST(_docs AS DOUBLE) * 1e6 + 0.5) / 1e6 FROM wide
+    UNION ALL SELECT 'avg_chars_per_doc',
+      FLOOR(_chars / CAST(_docs AS DOUBLE) * 1e6 + 0.5) / 1e6 FROM wide
+"""
+
 _ORACLES["ts14_holt_linear"] = """
     WITH RECURSIVE daily AS (
       SELECT event_type,
@@ -4246,6 +4400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s13_matryoshka_audit": s13_matryoshka_audit,
             "q66_mom_growth": q66_mom_growth,
             "j12_linear_attribution": j12_linear_attribution,
+            "q67_dow_profile": q67_dow_profile,
+            "q68_revenue_concentration": q68_revenue_concentration,
+            "c14_dataset_card": c14_dataset_card,
         }
     )
     return out

@@ -324,3 +324,43 @@ def test_j12_credit_splits_value(spark):
         assert abs(r.credit_per_touch * r.n_touches - r.purchase_value) < 1e-4
     for r in untouched:
         assert r.credit_per_touch is None
+
+
+# --- dow profile / concentration / dataset card -----------------------------
+
+
+def test_q67_covers_full_grid(spark):
+    rows = registry.q67_dow_profile(spark, SF_DIR_SMALL).collect()
+    ev = registry._events(spark, SF_DIR_SMALL)
+    assert sum(r.n_events for r in rows) == ev.count()
+    dows = {r.dow for r in rows}
+    assert dows <= {
+        "Monday", "Tuesday", "Wednesday", "Thursday",
+        "Friday", "Saturday", "Sunday",
+    }
+    assert len(dows) == 7  # 1000 events over ~3 months hit every weekday
+
+
+def test_q68_top_orders_outearn_uniform(spark):
+    r = registry.q68_revenue_concentration(spark, SF_DIR_SMALL).collect()[0]
+    assert r.n_top == r.n_orders // 100
+    assert 0.0 < r.top_share < 1.0
+    # the top 1% BY VALUE must beat the uniform 1% share
+    assert r.top_share > r.n_top / r.n_orders
+    assert abs(r.top_revenue / r.total_revenue - r.top_share) < 2e-6
+
+
+def test_c14_card_metrics(spark):
+    vals = {
+        r.metric: r.value
+        for r in registry.c14_dataset_card(spark, SF_DIR_SMALL).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    assert vals["n_docs"] == docs.count()
+    assert 0.0 <= vals["exact_dup_frac"] < 1.0
+    assert vals["avg_tokens_per_doc"] > 0
+    assert vals["total_tokens"] >= vals["n_docs"]
+    assert set(vals) == {
+        "n_docs", "total_tokens", "n_sources", "n_langs",
+        "exact_dup_frac", "avg_tokens_per_doc", "avg_chars_per_doc",
+    }
