@@ -2644,6 +2644,179 @@ def c14_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q69_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): the full customer-nation x
+    supplier-nation x ship-year revenue matrix through the 6-table
+    chain lineitem-orders-customer-supplier-nation(x2). Both nation
+    dims broadcast (25 rows); customer and supplier joins shuffle on
+    their keys with AQE free to broadcast the dimension side; the
+    final 25x25x|years| aggregate is partial-agg combinable. Revenue
+    is the Q7 sum(extendedprice * (1 - discount)), 6dp-floored."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "vol"
+        ),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(
+            F.broadcast(n.withColumnRenamed("n_name", "cust_nation")),
+            c["c_nationkey"] == F.col("n_nationkey"),
+        )
+        .drop("n_nationkey")
+        .join(
+            F.broadcast(n.withColumnRenamed("n_name", "supp_nation")),
+            s["s_nationkey"] == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            r6(F.sum("vol")).alias("revenue"),
+        )
+    )
+
+
+Q70_REGION = "ASIA"
+Q70_PTYPE = "PROMO"
+Q70_TARGET_NATION = "NATION_1"
+
+
+def q70_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): within one region's
+    customers and one part type, the share of yearly revenue supplied
+    by a target nation. Region/nation/part dims all broadcast; one
+    fact-side shuffle per key join; the share is a conditional sum over
+    the same aggregate (no second pass). Sums 6dp-floored before the
+    final division."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_partkey",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "vol"
+        ),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == Q70_PTYPE)
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q70_REGION
+    )
+    cust_nations = n.join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    supp_nation = n.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    joined = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(cust_nations), c["c_nationkey"] == F.col("cn_key")
+        )
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(
+            F.broadcast(supp_nation), s["s_nationkey"] == F.col("sn_key")
+        )
+    )
+    agg = joined.groupBy("o_year").agg(
+        r6(
+            F.sum(
+                F.when(
+                    F.col("supp_nation") == Q70_TARGET_NATION, F.col("vol")
+                )
+            )
+        ).alias("target_revenue"),
+        r6(F.sum("vol")).alias("total_revenue"),
+    )
+    return agg.select(
+        "o_year",
+        F.coalesce(F.col("target_revenue"), F.lit(0.0)).alias(
+            "target_revenue"
+        ),
+        "total_revenue",
+        r6(
+            F.coalesce(F.col("target_revenue"), F.lit(0.0))
+            / F.col("total_revenue")
+        ).alias("mkt_share"),
+    )
+
+
+Q71_SEGMENT = "BUILDING"
+Q71_CUTOFF = "1998-01-01"
+
+
+def q71_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): top-10 unshipped-revenue
+    orders for one market segment — orders placed before the cutoff
+    whose lineitems ship after it. Customer dim filtered THEN
+    broadcast; the orders-lineitem join shuffles on the order key; the
+    top-10 is a TakeOrdered over the per-order aggregate (no global
+    sort materialized). o_orderpriority stands in for the reference
+    schema's o_shippriority, which this testdata omits."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    cutoff = F.lit(Q71_CUTOFF).cast("date")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == Q71_SEGMENT)
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            r6(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                )
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -4085,6 +4258,67 @@ _ORACLES["j12_linear_attribution"] = """
     GROUP BY p.event_id, p.user_id, p.ts, p.value
 """
 
+_ORACLES["q69_trade_matrix"] = """
+    SELECT cn.n_name AS cust_nation,
+           sn.n_name AS supp_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           FLOOR(SUM(l.l_extendedprice * (1.0 - l.l_discount))
+                 * 1e6 + 0.5) / 1e6 AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    GROUP BY 1, 2, 3
+"""
+
+_ORACLES["q70_market_share"] = f"""
+    WITH base AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             sn.n_name AS supp_nation,
+             l.l_extendedprice * (1.0 - l.l_discount) AS vol
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+        AND p.p_type = '{Q70_PTYPE}'
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey
+        AND r.r_name = '{Q70_REGION}'
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey),
+    agg AS (
+      SELECT o_year,
+             FLOOR(SUM(CASE WHEN supp_nation = '{Q70_TARGET_NATION}'
+                            THEN vol END) * 1e6 + 0.5) / 1e6
+               AS target_revenue,
+             FLOOR(SUM(vol) * 1e6 + 0.5) / 1e6 AS total_revenue
+      FROM base GROUP BY 1)
+    SELECT o_year,
+           COALESCE(target_revenue, 0.0) AS target_revenue,
+           total_revenue,
+           FLOOR(COALESCE(target_revenue, 0.0) / total_revenue
+                 * 1e6 + 0.5) / 1e6 AS mkt_share
+    FROM agg
+"""
+
+_ORACLES["q71_shipping_priority"] = f"""
+    SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+           FLOOR(SUM(l.l_extendedprice * (1.0 - l.l_discount))
+                 * 1e6 + 0.5) / 1e6 AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+      AND c.c_mktsegment = '{Q71_SEGMENT}'
+    WHERE o.o_orderdate < DATE '{Q71_CUTOFF}'
+      AND l.l_shipdate > DATE '{Q71_CUTOFF}'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+"""
+
 _ORACLES["q67_dow_profile"] = """
     SELECT dayname(ts) AS dow, event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -4403,6 +4637,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q67_dow_profile": q67_dow_profile,
             "q68_revenue_concentration": q68_revenue_concentration,
             "c14_dataset_card": c14_dataset_card,
+            "q69_trade_matrix": q69_trade_matrix,
+            "q70_market_share": q70_market_share,
+            "q71_shipping_priority": q71_shipping_priority,
         }
     )
     return out

@@ -364,3 +364,35 @@ def test_c14_card_metrics(spark):
         "n_docs", "total_tokens", "n_sources", "n_langs",
         "exact_dup_frac", "avg_tokens_per_doc", "avg_chars_per_doc",
     }
+
+
+# --- TPC-H shape battery (Q7/Q8/Q3) -----------------------------------------
+
+
+def test_q69_matrix_consistent_with_fact_count(spark):
+    rows = registry.q69_trade_matrix(spark, SF_DIR_SMALL).collect()
+    li_n = registry.load_table(spark, SF_DIR_SMALL, "lineitem").count()
+    # every lineitem maps to exactly one (cust_nation, supp_nation, year)
+    assert sum(r.n_items for r in rows) == li_n
+    assert all(r.revenue > 0 for r in rows)
+
+
+def test_q70_share_bounded_and_consistent(spark):
+    rows = registry.q70_market_share(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.mkt_share <= 1.0
+        assert r.target_revenue <= r.total_revenue + 1e-6
+        expect = r.target_revenue / r.total_revenue
+        assert abs(r.mkt_share - expect) < 2e-6
+
+
+def test_q71_top10_descending_and_filtered(spark):
+    rows = registry.q71_shipping_priority(spark, SF_DIR_SMALL).collect()
+    assert len(rows) == 10
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    import datetime as dt
+
+    cutoff = dt.datetime(1998, 1, 1)
+    assert all(r.o_orderdate < cutoff for r in rows)
