@@ -2817,6 +2817,81 @@ def q71_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d14_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theoretical LSH S-curve for the deployed MinHash banding config
+    (16 hashes = 4 bands x 4 rows): candidate probability
+    1 - (1 - s^r)^b over a Jaccard-similarity grid — the tuning table
+    read NEXT TO d13's empirical recall audit when choosing (b, r).
+    Generated JVM-side from spark.range (no Python-RDD scan); powers
+    expanded to explicit squarings so both engines run identical IEEE
+    multiply chains (pow() is not correctly-rounded in every libm)."""
+    from mbta_etl_spark.operators.dedup import BAND_SIZE, NUM_HASHES
+
+    n_bands = NUM_HASHES // BAND_SIZE
+    assert (n_bands, BAND_SIZE) == (4, 4), "expansion below is for b=r=4"
+    s = (F.col("id").cast("double") * F.lit(0.05)).alias("s")
+    grid = spark.range(1, 20).select(s)
+    s2 = F.col("s") * F.col("s")
+    s4 = s2 * s2
+    q = F.lit(1.0) - s4
+    q2 = q * q
+    p = F.lit(1.0) - q2 * q2
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return grid.select(
+        r6(F.col("s")).alias("jaccard_s"),
+        F.lit(n_bands).alias("bands"),
+        F.lit(BAND_SIZE).alias("rows_per_band"),
+        r6(p).alias("p_candidate"),
+    )
+
+
+def ts15_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily means per event type:
+    trend = centered 7-day moving average (full windows only),
+    seasonal = per-day-of-week mean of the detrended series,
+    residual = x - trend - seasonal — the classical-decomposition
+    lite that turns ts11's "is there weekly signal" yes/no into the
+    actual components. Two windows + one grouped mean, all keyed on
+    the series; runs on the post-aggregate daily table. Day names via
+    the engines' shared English names (q67 convention)."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    b = F.date_trunc("day", F.col("ts")).cast("timestamp_ntz")
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", b.alias("day"))
+        .agg(r6(F.avg("value")).alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    trended = (
+        daily.withColumn("_nw", F.count("x").over(w))
+        .withColumn("trend", r6(F.avg("x").over(w)))
+        .filter(F.col("_nw") == 7)
+        .withColumn("dow", F.date_format("day", "EEEE"))
+        .withColumn("detrended", F.col("x") - F.col("trend"))
+    )
+    seasonal = trended.groupBy("event_type", "dow").agg(
+        r6(F.avg("detrended")).alias("seasonal")
+    )
+    return (
+        trended.join(F.broadcast(seasonal), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            "dow",
+            "x",
+            "trend",
+            "seasonal",
+            r6(F.col("detrended") - F.col("seasonal")).alias("residual"),
+        )
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -4258,6 +4333,52 @@ _ORACLES["j12_linear_attribution"] = """
     GROUP BY p.event_id, p.user_id, p.ts, p.value
 """
 
+_ORACLES["d14_lsh_scurve"] = """
+    WITH grid AS (
+      SELECT CAST(range AS DOUBLE) * 0.05 AS s FROM range(1, 20)),
+    c AS (
+      SELECT s,
+             (s * s) * (s * s) AS s4
+      FROM grid),
+    p AS (
+      SELECT s,
+             1.0 - ((1.0 - s4) * (1.0 - s4))
+                   * ((1.0 - s4) * (1.0 - s4)) AS pc
+      FROM c)
+    SELECT FLOOR(s * 1e6 + 0.5) / 1e6 AS jaccard_s,
+           4 AS bands, 4 AS rows_per_band,
+           FLOOR(pc * 1e6 + 0.5) / 1e6 AS p_candidate
+    FROM p
+"""
+
+_ORACLES["ts15_seasonal_decompose"] = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             FLOOR(AVG(value) * 1e6 + 0.5) / 1e6 AS x
+      FROM events GROUP BY 1, 2),
+    trended AS (
+      SELECT event_type, day, x,
+             COUNT(x) OVER w AS _nw,
+             FLOOR(AVG(x) OVER w * 1e6 + 0.5) / 1e6 AS trend
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (
+      SELECT event_type, day, dayname(day) AS dow, x, trend,
+             x - trend AS detrended
+      FROM trended WHERE _nw = 7),
+    seas AS (
+      SELECT event_type, dow,
+             FLOOR(AVG(detrended) * 1e6 + 0.5) / 1e6 AS seasonal
+      FROM det GROUP BY 1, 2)
+    SELECT d.event_type, d.day, d.dow, d.x, d.trend, s.seasonal,
+           FLOOR((d.detrended - s.seasonal) * 1e6 + 0.5) / 1e6
+             AS residual
+    FROM det d JOIN seas s
+      ON d.event_type = s.event_type AND d.dow = s.dow
+"""
+
 _ORACLES["q69_trade_matrix"] = """
     SELECT cn.n_name AS cust_nation,
            sn.n_name AS supp_nation,
@@ -4640,6 +4761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q69_trade_matrix": q69_trade_matrix,
             "q70_market_share": q70_market_share,
             "q71_shipping_priority": q71_shipping_priority,
+            "d14_lsh_scurve": d14_lsh_scurve,
+            "ts15_seasonal_decompose": ts15_seasonal_decompose,
         }
     )
     return out

@@ -396,3 +396,36 @@ def test_q71_top10_descending_and_filtered(spark):
 
     cutoff = dt.datetime(1998, 1, 1)
     assert all(r.o_orderdate < cutoff for r in rows)
+
+
+# --- LSH S-curve / seasonal decomposition -----------------------------------
+
+
+def test_d14_scurve_monotone_with_fixed_point(spark):
+    rows = (
+        registry.d14_lsh_scurve(spark, SF_DIR_SMALL)
+        .orderBy("jaccard_s")
+        .collect()
+    )
+    assert len(rows) == 19
+    ps = [r.p_candidate for r in rows]
+    assert all(b >= a for a, b in zip(ps, ps[1:]))  # S-curve is monotone
+    assert ps[0] < 0.01 and ps[-1] > 0.99  # steep at both ends
+    mid = next(r for r in rows if abs(r.jaccard_s - 0.5) < 1e-9)
+    # closed form at s=0.5, b=r=4: 1 - (1 - 0.5^4)^4
+    assert abs(mid.p_candidate - (1 - (1 - 0.5**4) ** 4)) < 2e-6
+
+
+def test_ts15_components_reassemble(spark):
+    rows = registry.ts15_seasonal_decompose(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows[:100]:
+        assert abs((r.trend + r.seasonal + r.residual) - r.x) < 5e-6
+    # seasonal indices per series sum to ~0 over a whole week's dows
+    from collections import defaultdict
+
+    by_series = defaultdict(dict)
+    for r in rows:
+        by_series[r.event_type][r.dow] = r.seasonal
+    for et, seas in by_series.items():
+        assert len(seas) == 7
