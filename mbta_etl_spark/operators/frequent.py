@@ -95,3 +95,48 @@ def heavy_hitters_exact(
             ).alias("share"),
         )
     )
+
+
+# --- DataFrame-level MG summary algebra (streaming-mergeable state) ---------
+
+
+def mg_trim(counts: DataFrame, key: str, capacity: int) -> DataFrame:
+    """Trim a (key, cnt) table to a Misra–Gries summary of at most
+    ``capacity`` rows: subtract the (capacity+1)-th largest count from
+    all and drop non-positive remainders (the mergeable-summaries rule).
+    The cut value is fetched with a bounded ``limit(capacity+1)`` —
+    O(capacity) driver transfer regardless of table size."""
+    top = (
+        counts.orderBy(F.desc("cnt"), F.asc(key))
+        .limit(capacity + 1)
+        .collect()
+    )
+    if len(top) <= capacity:
+        return counts
+    cut = top[-1]["cnt"]
+    return counts.select(
+        key, (F.col("cnt") - F.lit(cut)).alias("cnt")
+    ).filter(F.col("cnt") > 0)
+
+
+def mg_summarize(df: DataFrame, key: str, capacity: int) -> DataFrame:
+    """Exact batch counts trimmed to an MG summary — the per-batch
+    increment of the streaming heavy-hitter state."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    return mg_trim(counts, key, capacity)
+
+
+def mg_merge(
+    a: DataFrame, b: DataFrame, key: str, capacity: int
+) -> DataFrame:
+    """Merge two MG summaries: add counts, re-trim. Preserves the MG
+    guarantee (any key with true frequency > N/capacity across the
+    merged inputs survives) and the undercount bound
+    (true_count - N/capacity <= cnt <= true_count)."""
+    merged = (
+        a.select(key, "cnt")
+        .unionByName(b.select(key, "cnt"))
+        .groupBy(key)
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return mg_trim(merged, key, capacity)

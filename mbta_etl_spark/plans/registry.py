@@ -2892,6 +2892,80 @@ def ts15_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: v11 per-table rule sets: table -> (key column, {rule: predicate}).
+V11_RULES = {
+    "orders": (
+        "o_orderkey",
+        {
+            "totalprice_pos": "o_totalprice > 0",
+            "status_domain": "o_orderstatus IN ('O', 'F', 'P')",
+            "date_range": "o_orderdate BETWEEN DATE '1995-01-01' "
+            "AND DATE '2001-12-31'",
+        },
+    ),
+    "customer": (
+        "c_custkey",
+        {
+            "segment_domain": "c_mktsegment IN ('MACHINERY', 'AUTOMOBILE',"
+            " 'BUILDING', 'FURNITURE', 'HOUSEHOLD')",
+            "acctbal_not_null": "c_acctbal IS NOT NULL",
+        },
+    ),
+    "supplier": (
+        "s_suppkey",
+        {"s_acctbal_not_null": "s_acctbal IS NOT NULL"},
+    ),
+}
+
+
+def v11_warehouse_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-wide DQ scorecard: v10's one-scan rule census run per
+    table with table-specific rules and unioned into a single report —
+    the nightly artifact a data platform pages on. Each table costs
+    exactly one scan regardless of its rule count; the union is
+    plan-level (no extra pass)."""
+    from mbta_etl_spark.operators import validate
+
+    parts = []
+    for tbl, (keycol, rules) in V11_RULES.items():
+        df = load_table(spark, sf_dir, tbl)
+        parts.append(
+            validate.rule_census(df, rules, keycol).select(
+                F.lit(tbl).alias("tbl"), "*"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def d15_dup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source: docs, unique shas, and the dup
+    fraction for each corpus source — the per-provider quality signal
+    that decides which feeds earn a place in the mixture (c02). One
+    grouped aggregate with a distinct-count; at extreme cardinality the
+    sha distinct swaps for approx_count_distinct (q24/q24a trade)."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.sha2(F.col("text"), 256)).alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            r6(
+                (F.col("n_docs") - F.col("n_unique"))
+                / F.col("n_docs").cast("double")
+            ).alias("dup_frac"),
+        )
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -4282,6 +4356,38 @@ def _v10_oracle() -> str:
 
 _ORACLES["v10_rule_census"] = _v10_oracle()
 
+
+def _v11_oracle() -> str:
+    parts = []
+    for tbl, (keycol, rules) in V11_RULES.items():
+        for name, pred in rules.items():
+            bad = f"NOT COALESCE({pred}, FALSE)"
+            parts.append(
+                f"""
+        SELECT '{tbl}' AS tbl, '{name}' AS rule,
+               CAST(COUNT(CASE WHEN {bad} THEN 1 END) AS BIGINT)
+                 AS violations,
+               MIN(CASE WHEN {bad} THEN {keycol} END) AS first_bad_key,
+               MAX(CASE WHEN {bad} THEN {keycol} END) AS last_bad_key,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               COUNT(CASE WHEN {bad} THEN 1 END) = 0 AS ok
+        FROM {tbl}"""
+            )
+    return " UNION ALL ".join(parts)
+
+
+_ORACLES["v11_warehouse_scorecard"] = _v11_oracle()
+
+_ORACLES["d15_dup_by_source"] = """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_unique,
+           FLOOR((COUNT(*) - COUNT(DISTINCT sha256(text)))
+                 / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS dup_frac
+    FROM documents GROUP BY source
+"""
+
 _ORACLES["s13_matryoshka_audit"] = """
     WITH ks AS (SELECT UNNEST([8, 16, 32, 64]) AS k),
     r AS (
@@ -4763,6 +4869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q71_shipping_priority": q71_shipping_priority,
             "d14_lsh_scurve": d14_lsh_scurve,
             "ts15_seasonal_decompose": ts15_seasonal_decompose,
+            "v11_warehouse_scorecard": v11_warehouse_scorecard,
+            "d15_dup_by_source": d15_dup_by_source,
         }
     )
     return out

@@ -1,0 +1,51 @@
+"""Streaming heavy hitters: a standing Misra–Gries summary table merged
+per micro-batch (foreachBatch), the streaming twin of the batch two-pass
+operator in operators/frequent.py.
+
+State lives in the TABLE (an MG summary is mergeable, Agarwal et al.
+PODS'12), not the stream engine, so like streaming/rollup.py the
+aggregate survives restarts via checkpoint replay + exactly-once
+foreachBatch merges. Per-batch cost: one batch-sized groupBy plus a
+merge over <= 2*capacity summary rows; standing state is O(capacity)
+regardless of stream length. Counts are LOWER BOUNDS with error at most
+N/capacity — the consumer reads "keys that might exceed phi" and, as in
+the batch operator, an exact recount of the candidate set turns the
+sketch into an exact answer whenever one is needed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from mbta_etl_spark.operators.frequent import mg_merge, mg_summarize
+from mbta_etl_spark.pipeline.load import atomic_publish
+
+
+def start_heavy_hitter_stream(
+    keyed: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    key: str = "k",
+    capacity: int = 50,
+):
+    """keyed stream (one column ``key``) → continuously-merged MG
+    summary table at ``table_path``. Returns the StreamingQuery."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        inc = mg_summarize(batch_df, key, capacity)
+        spark = batch_df.sparkSession
+        if os.path.exists(table_path):
+            existing = spark.read.parquet(table_path)
+            out = mg_merge(existing, inc, key, capacity)
+        else:
+            out = inc
+        atomic_publish(out, table_path)
+
+    return (
+        keyed.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

@@ -429,3 +429,95 @@ def test_ts15_components_reassemble(spark):
         by_series[r.event_type][r.dow] = r.seasonal
     for et, seas in by_series.items():
         assert len(seas) == 7
+
+
+# --- MG summary algebra + streaming heavy hitters ---------------------------
+
+
+def test_mg_merge_preserves_guarantee(spark):
+    from mbta_etl_spark.operators.frequent import (
+        mg_merge,
+        mg_summarize,
+        mg_trim,
+    )
+
+    # two batches, 300 rows total; phi-guarantee key: 90 occurrences of
+    # "hot" > N/capacity = 300/10
+    b1 = spark.createDataFrame(
+        [("hot",)] * 40 + [(f"a{i % 23}",) for i in range(110)], "k string"
+    )
+    b2 = spark.createDataFrame(
+        [("hot",)] * 50 + [(f"b{i % 29}",) for i in range(100)], "k string"
+    )
+    cap = 10
+    merged = mg_merge(
+        mg_summarize(b1, "k", cap), mg_summarize(b2, "k", cap), "k", cap
+    )
+    rows = {r.k: r.cnt for r in merged.collect()}
+    assert len(rows) <= cap
+    assert "hot" in rows  # survives the merge (freq > N/capacity)
+    # undercount bound: true - N/cap <= cnt <= true
+    assert 90 - 300 / cap <= rows["hot"] <= 90
+
+
+def test_mg_trim_noop_under_capacity(spark):
+    from mbta_etl_spark.operators.frequent import mg_trim
+
+    counts = spark.createDataFrame(
+        [("a", 5), ("b", 3)], "k string, cnt long"
+    )
+    out = {r.k: r.cnt for r in mg_trim(counts, "k", 10).collect()}
+    assert out == {"a": 5, "b": 3}  # exact below capacity
+
+
+def test_streaming_heavy_hitters_converge(spark, tmp_path):
+    import time
+
+    from mbta_etl_spark.streaming.frequent_stream import (
+        start_heavy_hitter_stream,
+    )
+
+    src_dir = str(tmp_path / "src")
+    table = str(tmp_path / "hh_table")
+    ckpt = str(tmp_path / "ckpt")
+    # seed two file-batches: "hot" dominates across both
+    spark.createDataFrame(
+        [("hot",)] * 30 + [(f"x{i}",) for i in range(20)], "k string"
+    ).write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema("k string").parquet(src_dir)
+    )
+    q = start_heavy_hitter_stream(stream, table, ckpt, key="k", capacity=8)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [("hot",)] * 25 + [(f"y{i}",) for i in range(15)], "k string"
+        ).write.mode("append").parquet(src_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = {r.k: r.cnt for r in spark.read.parquet(table).collect()}
+    assert len(state) <= 8
+    assert "hot" in state
+    # lower-bound property vs true count 55 over N=90, cap=8
+    assert 55 - 90 / 8 <= state["hot"] <= 55
+
+
+def test_v11_scorecard_tables_and_rules(spark):
+    rows = registry.v11_warehouse_scorecard(spark, SF_DIR_SMALL).collect()
+    got = {(r.tbl, r.rule) for r in rows}
+    want = {
+        (tbl, rule)
+        for tbl, (_, rules) in registry.V11_RULES.items()
+        for rule in rules
+    }
+    assert got == want
+
+
+def test_d15_per_source_consistency(spark):
+    rows = registry.d15_dup_by_source(spark, SF_DIR_SMALL).collect()
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 1 <= r.n_unique <= r.n_docs
+        assert 0.0 <= r.dup_frac < 1.0
