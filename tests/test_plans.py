@@ -322,3 +322,50 @@ def test_m07_audio_decode_no_shuffle(spark):
     from mbta_etl_spark.plans import llm_registry
 
     assert _n_exchanges(llm_registry.m07_audio_features(spark, SF_DIR_SMALL)) == 0
+
+
+def test_v10_rule_census_one_scan(spark):
+    """N rules must cost ONE scan: every predicate is partial-agg state
+    (partial_count/min/max), folded by a single exchange, then the
+    constant-width stack (Generate). A second scan means the rules
+    stopped sharing the pass."""
+    plan = _plan(registry.v10_rule_census(spark, SF_DIR_SMALL))
+    # the tree section lists each node once; 'Scan parquet' also appears
+    # in the detail section -> assert on the tree by node id instead
+    tree = plan.split("(1) Scan parquet")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "partial_count" in plan and "partial_min" in plan
+    assert "Generate" in tree  # the stack() unpivot
+
+
+def test_q69_trade_matrix_broadcast_dims_single_agg_shuffle(spark):
+    """Q7 shape: nation dims broadcast; exactly one hash-partition
+    exchange (the final matrix group-by) plus AQE's join exchanges —
+    the aggregate itself must be map-side combinable."""
+    plan = _plan(registry.q69_trade_matrix(spark, SF_DIR_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    assert plan.count("hashpartitioning(") <= 2
+
+
+def test_q71_shipping_priority_pushdown_and_topk(spark):
+    """Q3 shape: both date filters reach their scans; the top-10 plans
+    as TakeOrderedAndProject, never a global sort."""
+    plan = _plan(registry.q71_shipping_priority(spark, SF_DIR_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan
+    assert "o_orderdate" in plan and "l_shipdate" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_t18_heavy_hitters_candidates_broadcast(spark):
+    """Two-pass MG: the candidate set must come back as a BROADCAST
+    join against the token stream (pass 2), with the MG summarizer as
+    MapInPandas — no full-vocab shuffle on the recount path."""
+    plan = _plan(
+        __import__(
+            "mbta_etl_spark.plans.llm_registry", fromlist=["llm_registry"]
+        ).t18_heavy_hitter_tokens(spark, SF_DIR_SMALL)
+    )
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
