@@ -1160,6 +1160,102 @@ def s12_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c15_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit over c03's hash splits: because c03
+    assigns by doc_id (stability) while duplicates share TEXT, an
+    exact-dup group can straddle splits — the eval-integrity bug every
+    benchmark paper gets burned by. One grouped pass over (sha -> split
+    flags), one summary row: total shas, leaking shas (>1 split), docs
+    inside leaking groups, and the worst case — groups present in BOTH
+    train and test. At 100 TB this is the same sha-keyed shuffle as d01."""
+    from mbta_etl_spark.operators import sampling
+
+    docs = sampling.split_assign(
+        _docs(spark, sf_dir).select("doc_id", "text"), F.col("doc_id")
+    ).select(F.sha2(F.col("text"), 256).alias("sha"), "split")
+    per_sha = docs.groupBy("sha").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("split").alias("n_splits"),
+        F.max((F.col("split") == "train").cast("int")).alias("in_train"),
+        F.max((F.col("split") == "test").cast("int")).alias("in_test"),
+    )
+    leak = F.col("n_splits") > 1
+    return per_sha.agg(
+        F.count(F.lit(1)).alias("n_shas"),
+        F.count(F.when(leak, 1)).alias("n_leaking_shas"),
+        F.sum(F.when(leak, F.col("n_docs")).otherwise(0)).alias(
+            "n_docs_in_leaking"
+        ),
+        F.count(
+            F.when((F.col("in_train") == 1) & (F.col("in_test") == 1), 1)
+        ).alias("n_train_test_leaks"),
+    )
+
+
+KNN_K = 5
+KNN_QUERY_MOD = 97
+
+
+def s14_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label prediction: every ~97th vector becomes a query, scored
+    brute-force cosine against the remaining corpus, majority vote over
+    the top-5 (ties break to the lowest label) — the eval loop that
+    tells you whether the embedding space separates labels at all.
+    Shape: query set BROADCAST against the corpus scan (map-side
+    scoring, no shuffle), one q_id-keyed top-k shuffle, one tiny vote
+    aggregate. At 100 TB the exact scorer swaps for s02/s05's
+    LSH/IVF candidates with identical downstream voting."""
+    from pyspark.sql import Window
+
+    from mbta_etl_spark.operators.similarity import _as_double
+
+    def dot(a: Column, b: Column) -> Column:
+        prods = F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y)
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("true_label"),
+    )
+    corpus = emb.filter(F.col("vec_id") % KNN_QUERY_MOD != 0)
+    cos = F.round(
+        dot(F.col("embedding"), F.col("q_emb"))
+        / (
+            F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+            * F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
+        ),
+        6,
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "q_id", "true_label", "vec_id", "label", cos.alias("cosine")
+    )
+    wk = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    top = scored.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= KNN_K
+    )
+    votes = top.groupBy("q_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("q_id").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "q_id",
+            "true_label",
+            F.col("label").alias("predicted_label"),
+            "n_votes",
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
 _ORACLES: dict[str, str] = {
     "t01_token_stats": """
         SELECT doc_id,
@@ -2257,6 +2353,60 @@ _ORACLES["c13_pack_efficiency"] = f"""
            CAST(SUM(CASE WHEN bt > {PACK_CAP} THEN 1 ELSE 0 END) AS BIGINT)
              AS n_oversize_bins
     FROM bins GROUP BY source
+"""
+
+_ORACLES["c15_split_leakage_audit"] = f"""
+    WITH assigned AS (
+      SELECT sha256(text) AS sha,
+             CASE WHEN {_bucket_sql('doc_id', 'split')} < 8000 THEN 'train'
+                  WHEN {_bucket_sql('doc_id', 'split')} < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    per_sha AS (
+      SELECT sha,
+             COUNT(*) AS n_docs,
+             COUNT(DISTINCT split) AS n_splits,
+             MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+             MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test
+      FROM assigned GROUP BY sha)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_shas,
+           CAST(COUNT(CASE WHEN n_splits > 1 THEN 1 END) AS BIGINT)
+             AS n_leaking_shas,
+           CAST(SUM(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END)
+                AS BIGINT) AS n_docs_in_leaking,
+           CAST(COUNT(CASE WHEN in_train = 1 AND in_test = 1 THEN 1 END)
+                AS BIGINT) AS n_train_test_leaks
+    FROM per_sha
+"""
+
+_ORACLES["s14_knn_classify"] = f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (
+      SELECT vec_id AS q_id, label AS true_label, v AS qv
+      FROM e WHERE vec_id % {KNN_QUERY_MOD} = 0),
+    c AS (SELECT * FROM e WHERE vec_id % {KNN_QUERY_MOD} <> 0),
+    s AS (
+      SELECT q.q_id, q.true_label, c.vec_id, c.label,
+             ROUND({_dot('c.v', 'q.qv')}
+                   / (sqrt({_dot('c.v', 'c.v')})
+                      * sqrt({_dot('q.qv', 'q.qv')})), 6) AS cosine
+      FROM q CROSS JOIN c),
+    top AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rn
+        FROM s) WHERE rn <= {KNN_K}),
+    votes AS (
+      SELECT q_id, true_label, label,
+             CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM top GROUP BY 1, 2, 3)
+    SELECT q_id, true_label, label AS predicted_label, n_votes,
+           label = true_label AS correct
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY n_votes DESC, label ASC) AS vr
+      FROM votes) WHERE vr = 1
 """
 
 _ORACLES["t18_heavy_hitter_tokens"] = f"""

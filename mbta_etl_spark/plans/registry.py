@@ -2966,6 +2966,55 @@ def d15_dup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ACF_LAGS = (1, 7)
+
+
+def ts16_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily means per series at lags 1 and 7
+    — the quantitative companion to ts15's decomposition (lag-7 ACF
+    high = weekly seasonality is real). One daily aggregate, one lag
+    window per lag over the post-aggregate table, then the explicit
+    product-moment formula over 6dp-floored sums (never engine corr(),
+    whose accumulation order differs across engines)."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    b = F.date_trunc("day", F.col("ts")).cast("timestamp_ntz")
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", b.alias("day"))
+        .agg(r6(F.avg("value")).alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = None
+    for lag in ACF_LAGS:
+        part = (
+            daily.withColumn("y", F.lag("x", lag).over(w))
+            .filter(F.col("y").isNotNull())
+            .select("event_type", F.lit(lag).alias("lag"), "x", "y")
+        )
+        lagged = part if lagged is None else lagged.unionByName(part)
+    sums = lagged.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        r6(F.sum("x")).alias("sx"),
+        r6(F.sum("y")).alias("sy"),
+        r6(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+        r6(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+        r6(F.sum(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    denom = F.sqrt(vx) * F.sqrt(vy)
+    return sums.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        F.when(denom > 0, r6(cov / denom)).alias("acf"),
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -4378,6 +4427,41 @@ def _v11_oracle() -> str:
 
 _ORACLES["v11_warehouse_scorecard"] = _v11_oracle()
 
+_ORACLES["ts16_acf"] = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             FLOOR(AVG(value) * 1e6 + 0.5) / 1e6 AS x
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT event_type, 1 AS lag, x,
+             lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS y
+      FROM daily
+      UNION ALL
+      SELECT event_type, 7 AS lag, x,
+             lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS y
+      FROM daily),
+    sums AS (
+      SELECT event_type, lag,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             FLOOR(SUM(x) * 1e6 + 0.5) / 1e6 AS sx,
+             FLOOR(SUM(y) * 1e6 + 0.5) / 1e6 AS sy,
+             FLOOR(SUM(x * y) * 1e6 + 0.5) / 1e6 AS sxy,
+             FLOOR(SUM(x * x) * 1e6 + 0.5) / 1e6 AS sxx,
+             FLOOR(SUM(y * y) * 1e6 + 0.5) / 1e6 AS syy
+      FROM lagged WHERE y IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT event_type, lag, n_pairs,
+           CASE WHEN sqrt(n_pairs * sxx - sx * sx)
+                     * sqrt(n_pairs * syy - sy * sy) > 0
+                THEN FLOOR((n_pairs * sxy - sx * sy)
+                           / (sqrt(n_pairs * sxx - sx * sx)
+                              * sqrt(n_pairs * syy - sy * sy))
+                           * 1e6 + 0.5) / 1e6
+           END AS acf
+    FROM sums
+"""
+
 _ORACLES["d15_dup_by_source"] = """
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -4871,6 +4955,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts15_seasonal_decompose": ts15_seasonal_decompose,
             "v11_warehouse_scorecard": v11_warehouse_scorecard,
             "d15_dup_by_source": d15_dup_by_source,
+            "ts16_acf": ts16_acf,
+            "c15_split_leakage_audit": llm_registry.c15_split_leakage_audit,
+            "s14_knn_classify": llm_registry.s14_knn_classify,
         }
     )
     return out

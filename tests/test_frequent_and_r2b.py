@@ -521,3 +521,36 @@ def test_d15_per_source_consistency(spark):
     for r in rows:
         assert 1 <= r.n_unique <= r.n_docs
         assert 0.0 <= r.dup_frac < 1.0
+
+
+# --- ACF / leakage audit / kNN ----------------------------------------------
+
+
+def test_ts16_acf_bounded_and_both_lags(spark):
+    rows = registry.ts16_acf(spark, SF_DIR_SMALL).collect()
+    assert {r.lag for r in rows} == {1, 7}
+    for r in rows:
+        if r.acf is not None:
+            assert -1.0 - 1e-6 <= r.acf <= 1.0 + 1e-6
+        assert r.n_pairs > 0
+
+
+def test_c15_leakage_counts_consistent(spark):
+    r = llm_registry.c15_split_leakage_audit(spark, SF_DIR_SMALL).collect()[0]
+    assert r.n_leaking_shas <= r.n_shas
+    assert r.n_train_test_leaks <= r.n_leaking_shas
+    # each leaking sha spans >=2 docs by definition
+    assert r.n_docs_in_leaking >= 2 * r.n_leaking_shas
+
+
+def test_s14_knn_votes_and_tiebreak(spark):
+    rows = llm_registry.s14_knn_classify(spark, SF_DIR_SMALL).collect()
+    assert rows
+    emb = spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet")
+    n_queries = emb.filter(
+        (F.col("vec_id") % llm_registry.KNN_QUERY_MOD) == 0
+    ).count()
+    assert len(rows) == n_queries  # one prediction per query
+    for r in rows:
+        assert 1 <= r.n_votes <= llm_registry.KNN_K
+        assert r.correct == (r.predicted_label == r.true_label)
