@@ -791,3 +791,99 @@ def normalized_dedup_groups(
             F.min("_id").alias("keep_doc_id"),
         )
     )
+
+
+def minhash_estimate_audit(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    k: int = 3,
+    n_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Sketch-trust audit for the MinHash ESTIMATE itself: over the LSH
+    candidate pairs, compare the signature-agreement estimate
+    (matching seeds / n_hashes) against exact Jaccard — one summary row
+    (n_pairs, MAE, max error, mean bias). d13 audits the BANDING's
+    recall; this audits the ESTIMATOR's accuracy, the other half of
+    trusting a sketch at 100 TB. Zero-intersection candidates (pure
+    band-hash collisions) are kept via a left join — they are exactly
+    the worst-case estimate errors an inner join would hide."""
+    sh = _shingle_table(df, text, id_col, k).persist()
+    sh.count()
+    wide = _minhash_wide(sh, n_hashes)
+    n_bands = n_hashes // band_size
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh{b * band_size + r}") for r in range(band_size)],
+            )
+        ).alias(f"bk{b}")
+        for b in range(n_bands)
+    ]
+    stack_args = ", ".join(f"{b}, bk{b}" for b in range(n_bands))
+    bands = wide.select("doc_id", *band_keys).select(
+        "doc_id",
+        F.expr(f"stack({n_bands}, {stack_args}) AS (band, band_key)"),
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(bb, ["band", "band_key"])
+        .filter(F.col("ba.doc_id") < F.col("bb.doc_id"))
+        .select(
+            F.col("ba.doc_id").alias("doc_a"),
+            F.col("bb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(n_hashes)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(n_hashes)],
+    )
+    n_agree = sum(
+        (F.col(f"a{s}") == F.col(f"b{s}")).cast("int")
+        for s in range(n_hashes)
+    )
+    est = n_agree.cast("double") / F.lit(float(n_hashes))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "sh64")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "sh64")
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "sh64"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
+    )
+    tru = F.coalesce(F.col("n_inter"), F.lit(0)).cast("double") / (
+        F.col("size_a")
+        + F.col("size_b")
+        - F.coalesce(F.col("n_inter"), F.lit(0))
+    )
+    pairs = (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est"))
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "est", tru.alias("tru"))
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    err = F.col("est") - F.col("tru")
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        r6(F.avg(F.abs(err))).alias("mae"),
+        r6(F.max(F.abs(err))).alias("max_err"),
+        r6(F.avg(err)).alias("mean_bias"),
+    )

@@ -1256,6 +1256,15 @@ def s14_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d16_minhash_est_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator accuracy over the LSH candidate pairs (MAE /
+    max error / bias of signature agreement vs exact Jaccard) — d13
+    audits the banding's recall, this audits the estimate itself."""
+    return dedup.minhash_estimate_audit(
+        _docs(spark, sf_dir), F.col("text"), F.col("doc_id"), k=JACCARD_K
+    )
+
+
 _ORACLES: dict[str, str] = {
     "t01_token_stats": """
         SELECT doc_id,
@@ -2353,6 +2362,53 @@ _ORACLES["c13_pack_efficiency"] = f"""
            CAST(SUM(CASE WHEN bt > {PACK_CAP} THEN 1 ELSE 0 END) AS BIGINT)
              AS n_oversize_bins
     FROM bins GROUP BY source
+"""
+
+_ORACLES["d16_minhash_est_audit"] = f"""
+    WITH {_SHINGLE_CTE},
+    seeds AS (SELECT unnest(range(0, {dedup.NUM_HASHES})) AS seed),
+    mh AS (
+      SELECT doc_id, seed,
+             MIN(((1000003 * seed + 12345) *
+                  CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT)
+                  + 7919 * seed + 17) % 4294967311) AS mh
+      FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // {dedup.BAND_SIZE} AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+      FROM mh GROUP BY doc_id, seed // {dedup.BAND_SIZE}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b USING (band, band_key)
+      WHERE a.doc_id < b.doc_id),
+    agree AS (
+      SELECT c.doc_a, c.doc_b,
+             COUNT(CASE WHEN a.mh = b.mh THEN 1 END) AS n_agree
+      FROM cand c
+      JOIN mh a ON a.doc_id = c.doc_a
+      JOIN mh b ON b.doc_id = c.doc_b AND b.seed = a.seed
+      GROUP BY 1, 2),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT g.doc_a, g.doc_b,
+             g.n_agree / {dedup.NUM_HASHES}.0 AS est,
+             CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+               / (sa.set_size + sb.set_size - COALESCE(i.n_inter, 0))
+               AS tru
+      FROM agree g
+      LEFT JOIN inter i ON g.doc_a = i.doc_a AND g.doc_b = i.doc_b
+      JOIN sizes sa ON sa.doc_id = g.doc_a
+      JOIN sizes sb ON sb.doc_id = g.doc_b)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           FLOOR(AVG(ABS(est - tru)) * 1e6 + 0.5) / 1e6 AS mae,
+           FLOOR(MAX(ABS(est - tru)) * 1e6 + 0.5) / 1e6 AS max_err,
+           FLOOR(AVG(est - tru) * 1e6 + 0.5) / 1e6 AS mean_bias
+    FROM pairs
 """
 
 _ORACLES["c15_split_leakage_audit"] = f"""

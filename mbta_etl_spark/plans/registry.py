@@ -3015,6 +3015,69 @@ def ts16_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q72_top5_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 users by event count with everyone else folded into one
+    'Other' bucket — the BI idiom that keeps dashboards readable
+    without dropping the tail's mass. Ranking runs on the USER
+    aggregate (not the fact table); the re-group after labeling is a
+    6-key aggregate."""
+    from pyspark.sql import Window
+
+    counts = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("user_id"))
+    labeled = counts.select(
+        F.when(
+            F.row_number().over(w) <= 5, F.col("user_id").cast("string")
+        )
+        .otherwise("Other")
+        .alias("who"),
+        "n",
+    )
+    return labeled.groupBy("who").agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+
+
+def ts17_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per series (TWAP): each observation
+    weighted by its holding duration until the next one — the correct
+    mean for irregularly-sampled telemetry, where the plain AVG
+    over-weights bursts. Emitted beside the plain average so the
+    sampling bias is visible. One lead window + one aggregate, both on
+    the series key; weighted sums 6dp-floored before the division."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    ev = _events(spark, sf_dir).select(
+        "event_type", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    staged = ev.withColumn("_next", F.lead("ts").over(w)).withColumn(
+        "dur_s",
+        F.expr("CAST(timestampdiff(MICROSECOND, ts, _next) AS DOUBLE)")
+        / F.lit(1e6),
+    )
+    held = staged.filter(F.col("_next").isNotNull())
+    return held.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_held"),
+        r6(F.avg("value")).alias("plain_avg"),
+        (
+            r6(F.sum(F.col("value") * F.col("dur_s")))
+            / r6(F.sum("dur_s"))
+        ).alias("_twap_raw"),
+    ).select(
+        "event_type",
+        "n_held",
+        "plain_avg",
+        r6(F.col("_twap_raw")).alias("twap"),
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -4427,6 +4490,38 @@ def _v11_oracle() -> str:
 
 _ORACLES["v11_warehouse_scorecard"] = _v11_oracle()
 
+_ORACLES["q72_top5_plus_other"] = """
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    labeled AS (
+      SELECT CASE WHEN row_number() OVER (
+                    ORDER BY n DESC, user_id ASC) <= 5
+                  THEN CAST(user_id AS VARCHAR) ELSE 'Other' END AS who,
+             n
+      FROM counts)
+    SELECT who, CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM labeled GROUP BY who
+"""
+
+_ORACLES["ts17_twap"] = """
+    WITH staged AS (
+      SELECT event_type, value,
+             CAST(date_diff('microsecond', ts,
+                    lead(ts) OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id)) AS DOUBLE)
+               / 1e6 AS dur_s
+      FROM events),
+    held AS (SELECT * FROM staged WHERE dur_s IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_held,
+           FLOOR(AVG(value) * 1e6 + 0.5) / 1e6 AS plain_avg,
+           FLOOR((FLOOR(SUM(value * dur_s) * 1e6 + 0.5) / 1e6)
+                 / (FLOOR(SUM(dur_s) * 1e6 + 0.5) / 1e6)
+                 * 1e6 + 0.5) / 1e6 AS twap
+    FROM held GROUP BY event_type
+"""
+
 _ORACLES["ts16_acf"] = """
     WITH daily AS (
       SELECT event_type,
@@ -4958,6 +5053,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts16_acf": ts16_acf,
             "c15_split_leakage_audit": llm_registry.c15_split_leakage_audit,
             "s14_knn_classify": llm_registry.s14_knn_classify,
+            "q72_top5_plus_other": q72_top5_plus_other,
+            "ts17_twap": ts17_twap,
+            "d16_minhash_est_audit": llm_registry.d16_minhash_est_audit,
         }
     )
     return out

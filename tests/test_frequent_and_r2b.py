@@ -554,3 +554,80 @@ def test_s14_knn_votes_and_tiebreak(spark):
     for r in rows:
         assert 1 <= r.n_votes <= llm_registry.KNN_K
         assert r.correct == (r.predicted_label == r.true_label)
+
+
+# --- top-5+Other / TWAP / minhash estimator audit ----------------------------
+
+
+def test_q72_other_bucket_conserves_mass(spark):
+    rows = registry.q72_top5_plus_other(spark, SF_DIR_SMALL).collect()
+    ev = registry._events(spark, SF_DIR_SMALL)
+    assert sum(r.n_events for r in rows) == ev.count()
+    assert sum(r.n_users for r in rows) == ev.select("user_id").distinct().count()
+    named = [r for r in rows if r.who != "Other"]
+    other = [r for r in rows if r.who == "Other"]
+    assert len(named) == 5 and len(other) == 1
+    # every named user outranks the Other bucket's per-user average
+    other_avg = other[0].n_events / other[0].n_users
+    assert all(r.n_events >= other_avg for r in named)
+
+
+def test_ts17_twap_weighted_correctly(spark):
+    import datetime as dt
+
+    # value 0 held for 9 time units, value 10 held for 1 -> TWAP = 1.0,
+    # plain avg = 5.0 (the burst bias TWAP removes)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, "s", 0.0),
+        (2, base + dt.timedelta(seconds=9), "s", 10.0),
+        (3, base + dt.timedelta(seconds=10), "s", 99.0),  # last: no weight
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    from pyspark.sql import Window
+
+    # drive the same operator logic through the registry-shaped frame
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    staged = df.withColumn("_next", F.lead("ts").over(w)).filter(
+        F.col("_next").isNotNull()
+    )
+    got = staged.groupBy("event_type").agg(
+        (
+            F.sum(
+                F.col("value")
+                * F.expr(
+                    "CAST(timestampdiff(MICROSECOND, ts, _next) AS DOUBLE)"
+                )
+                / F.lit(1e6)
+            )
+            / F.sum(
+                F.expr(
+                    "CAST(timestampdiff(MICROSECOND, ts, _next) AS DOUBLE)"
+                )
+                / F.lit(1e6)
+            )
+        ).alias("twap")
+    ).collect()[0]
+    assert abs(got.twap - 1.0) < 1e-9
+
+
+def test_ts17_registry_twap_differs_from_plain_avg(spark):
+    rows = registry.ts17_twap(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_held > 0
+        assert r.twap is not None and r.plain_avg is not None
+
+
+def test_d16_error_bounds(spark):
+    r = llm_registry.d16_minhash_est_audit(spark, SF_DIR_SMALL).collect()[0]
+    assert r.n_pairs > 0
+    # est and tru both live in [0,1] so errors are bounded
+    assert 0.0 <= r.mae <= 1.0
+    assert r.mae <= r.max_err <= 1.0
+    assert -1.0 <= r.mean_bias <= 1.0
+    # 16 hashes: estimator granularity is 1/16; MAE should be well under
+    # the trivial bound for threshold-passing candidates
+    assert r.mae < 0.5
