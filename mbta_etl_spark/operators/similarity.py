@@ -686,3 +686,65 @@ def int8_quant_distortion(
         F.col("_lo").alias("v_lo"),
         F.col("_hi").alias("v_hi"),
     )
+
+
+PCA_TOP_K = 8
+
+
+def pca_eigen(df: DataFrame, vec_col: str, top_k: int = PCA_TOP_K):
+    """Distributed PCA: eigenvalues of the sample covariance matrix via
+    ONE distributed pass that reduces the corpus to O(d^2) state.
+
+    Phase 1 (distributed): mapInPandas computes per-batch partials —
+    the Gram matrix X^T X (numpy BLAS), the column sum, and the row
+    count — emitted as flattened (i, j, v) cells; a single groupBy(i,j)
+    sums them. Shuffled bytes are d^2 + d + 1 PER PARTITION, never rows
+    — the treeAggregate shape expressed relationally, the standard way
+    to fit covariance/PCA/linear models at 100 TB (d=64 -> 4096 cells).
+    Phase 2 (driver): assemble cov = (G - n*mu*mu^T)/(n-1) — O(d^2)
+    driver memory, independent of corpus size — and eigh it.
+
+    Returns (eigenvalues_desc ndarray, n_rows). Eigensum == trace(cov)
+    == sum of per-dimension sample variances (s12), which is what the
+    tests pin. Real deployments persist the rotation for reuse; serving
+    the projection is a broadcast matmul (s03's tier).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _partials(batches):
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            g = mat.T @ mat
+            s = mat.sum(axis=0)
+            d = g.shape[0]
+            i, j = np.meshgrid(range(d), range(d), indexing="ij")
+            cells = pd.DataFrame(
+                {"i": i.ravel(), "j": j.ravel(), "v": g.ravel()}
+            )
+            sums = pd.DataFrame({"i": range(d), "j": [-1] * d, "v": s})
+            cnt = pd.DataFrame({"i": [-1], "j": [-1], "v": [float(len(mat))]})
+            yield pd.concat([cells, sums, cnt], ignore_index=True)
+
+    cells = (
+        df.select(F.col(vec_col).cast("array<double>").alias(vec_col))
+        .mapInPandas(_partials, schema="i int, j int, v double")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+        .collect()  # O(d^2) rows — driver state independent of corpus size
+    )
+    n = next(r.v for r in cells if r.i == -1 and r.j == -1)
+    d = max(r.i for r in cells) + 1
+    g = np.zeros((d, d))
+    s = np.zeros(d)
+    for r in cells:
+        if r.i == -1:
+            continue
+        if r.j == -1:
+            s[r.i] = r.v
+        else:
+            g[r.i, r.j] = r.v
+    mu = s / n
+    cov = (g - n * np.outer(mu, mu)) / (n - 1.0)
+    eig = np.linalg.eigvalsh(cov)[::-1]  # descending
+    return eig[:top_k], int(n), float(np.trace(cov))

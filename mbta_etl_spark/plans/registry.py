@@ -5056,6 +5056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q72_top5_plus_other": q72_top5_plus_other,
             "ts17_twap": ts17_twap,
             "d16_minhash_est_audit": llm_registry.d16_minhash_est_audit,
+            "s15_pca_eigen": llm_registry.s15_pca_eigen,
         }
     )
     return out
