@@ -3078,6 +3078,56 @@ def ts17_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q73_semi_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-additive measure: end-of-day "balance" per day = sum over
+    users of each user's LAST value that day (max_by on the event
+    ordering) — the warehouse pattern for balances/inventory where
+    summing every reading double-counts. One (user, day) last-value
+    aggregate, then a day rollup — both partial-agg shuffles; no
+    window over the fact table."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "value",
+        F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day"),
+    )
+    last_per_user = ev.groupBy("user_id", "day").agg(
+        F.expr("max_by(value, struct(ts, event_id))").alias("last_value")
+    )
+    return last_per_user.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        r6(F.sum("last_value")).alias("eod_balance"),
+    )
+
+
+def q74_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into new (first-ever activity today) vs
+    returning — the growth-accounting staple. One (user, day) distinct
+    aggregate, a per-user min-day (same shuffle key), then the daily
+    rollup; first-seen is an aggregate, not a window over the fact
+    table, so the plan stays partial-agg combinable end-to-end."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day"),
+    )
+    user_days = ev.distinct()
+    first_seen = user_days.groupBy("user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    return (
+        user_days.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.count(F.when(F.col("day") == F.col("first_day"), 1)).alias(
+                "new_users"
+            ),
+            F.count(F.when(F.col("day") != F.col("first_day"), 1)).alias(
+                "returning_users"
+            ),
+        )
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -4490,6 +4540,39 @@ def _v11_oracle() -> str:
 
 _ORACLES["v11_warehouse_scorecard"] = _v11_oracle()
 
+_ORACLES["q73_semi_additive"] = """
+    WITH ranked AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value,
+             row_number() OVER (
+               PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    last_per_user AS (
+      SELECT user_id, day, value AS last_value FROM ranked WHERE rn = 1)
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           FLOOR(SUM(last_value) * 1e6 + 0.5) / 1e6 AS eod_balance
+    FROM last_per_user GROUP BY day
+"""
+
+_ORACLES["q74_new_vs_returning"] = """
+    WITH user_days AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events),
+    first_seen AS (
+      SELECT user_id, MIN(day) AS first_day FROM user_days GROUP BY 1)
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS active_users,
+           CAST(COUNT(CASE WHEN day = first_day THEN 1 END) AS BIGINT)
+             AS new_users,
+           CAST(COUNT(CASE WHEN day <> first_day THEN 1 END) AS BIGINT)
+             AS returning_users
+    FROM user_days JOIN first_seen USING (user_id)
+    GROUP BY day
+"""
+
 _ORACLES["q72_top5_plus_other"] = """
     WITH counts AS (
       SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
@@ -5057,6 +5140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts17_twap": ts17_twap,
             "d16_minhash_est_audit": llm_registry.d16_minhash_est_audit,
             "s15_pca_eigen": llm_registry.s15_pca_eigen,
+            "q73_semi_additive": q73_semi_additive,
+            "q74_new_vs_returning": q74_new_vs_returning,
         }
     )
     return out

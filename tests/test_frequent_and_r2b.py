@@ -660,3 +660,52 @@ def test_s15_registry_rows(spark):
     fracs = [r.explained_frac for r in rows]
     assert all(0.0 <= f <= 1.0 for f in fracs)
     assert fracs == sorted(fracs, reverse=True)
+
+
+# --- semi-additive / new-vs-returning ----------------------------------------
+
+
+def test_q73_last_value_semantics(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 8)
+    rows = [
+        (1, base, 1, 100.0),
+        (2, base + dt.timedelta(hours=2), 1, 250.0),  # user 1 last = 250
+        (3, base + dt.timedelta(hours=1), 2, 40.0),   # user 2 last = 40
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = (
+        df.groupBy(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day"),
+        )
+        .agg(F.expr("max_by(value, struct(ts, event_id))").alias("lv"))
+        .groupBy("day")
+        .agg(F.sum("lv").alias("bal"))
+        .collect()[0]
+    )
+    assert got.bal == 290.0  # 250 + 40, NOT the 390 a plain sum gives
+
+
+def test_q74_growth_accounting_identities(spark):
+    rows = (
+        registry.q74_new_vs_returning(spark, SF_DIR_SMALL)
+        .orderBy("day")
+        .collect()
+    )
+    assert rows
+    # day 1: everyone active is new
+    assert rows[0].new_users == rows[0].active_users
+    total_users = (
+        registry._events(spark, SF_DIR_SMALL)
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    # each user is "new" on exactly one day
+    assert sum(r.new_users for r in rows) == total_users
+    for r in rows:
+        assert r.new_users + r.returning_users == r.active_users
