@@ -3128,6 +3128,66 @@ def q74_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRIM_FRAC = 0.05
+
+
+def q75_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean per event type beside the plain mean — the
+    robust-location estimator between q04's mean and q57's median.
+    Exact-parity tier: one rank window per type with the deterministic
+    (value, event_id) tie-break, then a conditional aggregate; at
+    100 TB the declared swap is approx_percentile cutoffs + a filtered
+    recount (the q09/q09a trade), which avoids ranking the fact
+    table."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    ev = _events(spark, sf_dir).select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    cut = F.floor(F.col("n") * F.lit(TRIM_FRAC)).cast("long")
+    kept = (F.col("rk") > cut) & (F.col("rk") <= F.col("n") - cut)
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n_rows"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        r6(F.avg("value")).alias("plain_mean"),
+        r6(F.avg(F.when(kept, F.col("value")))).alias("trimmed_mean"),
+    )
+
+
+def q76_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users over time: per-user first-seen day
+    (aggregate, not a fact-table window), daily new-user counts, and a
+    running total over the tiny day table — how 'count distinct over
+    an ever-growing window' is computed WITHOUT an ever-growing
+    distinct state."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day"),
+    )
+    from pyspark.sql import Window
+
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -4540,6 +4600,42 @@ def _v11_oracle() -> str:
 
 _ORACLES["v11_warehouse_scorecard"] = _v11_oracle()
 
+_ORACLES["q75_trimmed_mean"] = f"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events)
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN rk > FLOOR(n * {TRIM_FRAC})
+                            AND rk <= n - FLOOR(n * {TRIM_FRAC})
+                           THEN 1 END) AS BIGINT) AS n_kept,
+           FLOOR(AVG(value) * 1e6 + 0.5) / 1e6 AS plain_mean,
+           FLOOR(AVG(CASE WHEN rk > FLOOR(n * {TRIM_FRAC})
+                           AND rk <= n - FLOOR(n * {TRIM_FRAC})
+                          THEN value END) * 1e6 + 0.5) / 1e6
+             AS trimmed_mean
+    FROM ranked GROUP BY event_type
+"""
+
+_ORACLES["q76_cumulative_uniques"] = """
+    WITH first_seen AS (
+      SELECT user_id,
+             MIN(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS first_day
+      FROM events GROUP BY 1),
+    per_day AS (
+      SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY 1)
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (
+             ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_users
+    FROM per_day
+"""
+
 _ORACLES["q73_semi_additive"] = """
     WITH ranked AS (
       SELECT user_id,
@@ -5142,6 +5238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s15_pca_eigen": llm_registry.s15_pca_eigen,
             "q73_semi_additive": q73_semi_additive,
             "q74_new_vs_returning": q74_new_vs_returning,
+            "q75_trimmed_mean": q75_trimmed_mean,
+            "q76_cumulative_uniques": q76_cumulative_uniques,
         }
     )
     return out

@@ -709,3 +709,33 @@ def test_q74_growth_accounting_identities(spark):
     assert sum(r.new_users for r in rows) == total_users
     for r in rows:
         assert r.new_users + r.returning_users == r.active_users
+
+
+# --- trimmed mean / cumulative uniques ---------------------------------------
+
+
+def test_q75_trim_removes_tail_mass(spark):
+    rows = registry.q75_trimmed_mean(spark, SF_DIR_SMALL).collect()
+    for r in rows:
+        cut = int(r.n_rows * registry.TRIM_FRAC)
+        assert r.n_kept == r.n_rows - 2 * cut
+        # trimming a right-skewed positive distribution pulls the mean down
+        assert r.trimmed_mean <= r.plain_mean + 1e-6
+
+
+def test_q76_cumulative_monotone_and_total(spark):
+    rows = (
+        registry.q76_cumulative_uniques(spark, SF_DIR_SMALL)
+        .orderBy("day")
+        .collect()
+    )
+    cums = [r.cum_users for r in rows]
+    assert all(b > a for a, b in zip(cums, cums[1:]))
+    total = (
+        registry._events(spark, SF_DIR_SMALL)
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert cums[-1] == total
+    assert sum(r.new_users for r in rows) == total
