@@ -126,6 +126,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """All-pairs token-k-gram Jaccard similarity ≥ threshold.
 
@@ -133,12 +134,18 @@ def ngram_jaccard_pairs(
     |A∩B| from the pair-count and |A∪B| = |A|+|B|−|A∩B|.
     ``max_shingle_df`` drops shingles present in more than N docs before
     the join (cap the quadratic term; None = exact all-pairs).
+    ``shingles`` lets a caller that already materialized the (doc_id,
+    sh64) table (e.g. d13 running this AND the LSH pipeline on the same
+    corpus) share it instead of re-scanning the text.
     """
     # the shingle table feeds three plan branches (sizes, join-left,
     # join-right); persist AND materialize eagerly — lazily-persisted
     # branches within one action each recompute before the cache fills
-    sh = _shingle_table(df, text, id_col, k).persist()
-    sh.count()
+    if shingles is not None:
+        sh = shingles
+    else:
+        sh = _shingle_table(df, text, id_col, k).persist()
+        sh.count()
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("sh64")
@@ -298,6 +305,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     n_hashes: int = NUM_HASHES,
     band_size: int = BAND_SIZE,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with true Jaccard ≥ threshold.
 
@@ -305,12 +313,16 @@ def minhash_lsh_pairs(
     seed order) → candidate pairs = docs sharing any band key → exact
     Jaccard verification of candidates only. This is the sub-quadratic
     path for 100 TB near-dedup; the verification join only touches
-    candidate pairs."""
+    candidate pairs. ``shingles`` shares a caller-materialized
+    (doc_id, sh64) table (see ngram_jaccard_pairs)."""
     # shingle generation feeds 4 plan branches (signatures, sizes, and
     # both sides of the verification join) — persist + eager materialize
     # so it is computed once
-    sh = _shingle_table(df, text, id_col, k).persist()
-    sh.count()
+    if shingles is not None:
+        sh = shingles
+    else:
+        sh = _shingle_table(df, text, id_col, k).persist()
+        sh.count()
     # band keys straight from the wide signature: one aggregation, then a
     # stack to (doc_id, band, band_key) rows for the collision join — no
     # per-(doc,seed) shuffle, no collect_list

@@ -415,6 +415,13 @@ def d13_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and d04's band recall each drop pairs the other keeps). Output is
     one row; the heavy lifting is the two existing pair pipelines."""
     docs = _docs(spark, sf_dir)
+    # both sub-pipelines consume the same (doc_id, sh64) shingle table:
+    # materialize it ONCE and share — halves the text scans + shingle
+    # explosions of the audit (the dominant cost at bench scale)
+    sh = dedup._shingle_table(
+        docs, F.col("text"), F.col("doc_id"), JACCARD_K
+    ).persist()
+    sh.count()
     exact = dedup.ngram_jaccard_pairs(
         docs,
         F.col("text"),
@@ -422,6 +429,7 @@ def d13_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=JACCARD_K,
         threshold=JACCARD_THRESHOLD,
         max_shingle_df=JACCARD_MAX_SHINGLE_DF,
+        shingles=sh,
     ).select("doc_a", "doc_b")
     lsh = dedup.minhash_lsh_pairs(
         docs,
@@ -429,6 +437,7 @@ def d13_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"),
         k=JACCARD_K,
         threshold=JACCARD_THRESHOLD,
+        shingles=sh,
     ).select("doc_a", "doc_b")
     ne = exact.agg(F.count("*").alias("n_exact"))
     nl = lsh.agg(F.count("*").alias("n_lsh"))
