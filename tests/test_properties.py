@@ -238,3 +238,78 @@ def test_chunk_pack_tiles_stream_exactly(spark, tokens, cap):
         assert r["chunk_last"] == (expect_start + n - 1) // cap
         assert r["n_chunks"] == r["chunk_last"] - r["chunk_first"] + 1
         expect_start += n
+
+
+@given(
+    keys=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=1,
+        max_size=120,
+    ),
+    phi_denom=st.integers(min_value=2, max_value=6),
+)
+@_settings
+def test_heavy_hitters_match_python_counter(spark, keys, phi_denom):
+    """Two-pass Misra–Gries == exact Counter filtering for ANY input and
+    threshold: the sketch only nominates candidates; the recount makes
+    the final answer exact by construction."""
+    from collections import Counter
+
+    from mbta_etl_spark.operators import frequent
+
+    phi = 1.0 / phi_denom
+    df = spark.createDataFrame([(k,) for k in keys], "k string").repartition(3)
+    got = {
+        r.k: r.n_occurrences
+        for r in frequent.heavy_hitters_exact(df, "k", phi).collect()
+    }
+    n = len(keys)
+    want = {k: c for k, c in Counter(keys).items() if c > phi * n}
+    assert got == want
+
+
+@given(
+    xs=st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False),
+        min_size=2,
+        max_size=25,
+    ),
+)
+@_settings
+def test_cusum_matches_python_recursion(spark, xs):
+    """cusum_drift == the straight-line Python recursion on any series
+    (one bucket per day, so bucket means are the raw values)."""
+    import datetime as dt
+    import math as m
+
+    from mbta_etl_spark.operators import timeseries
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(days=i), "s", float(x)) for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, key string, value double")
+    got = [
+        (r.cusum, r.alarm)
+        for r in timeseries.cusum_drift(df, ["key"], "ts", "value")
+        .orderBy("bucket")
+        .collect()
+    ]
+
+    def r6(v):
+        return m.floor(v * 1e6 + 0.5) / 1e6
+
+    vals = [r6(x) for x in xs]
+    mu = r6(sum(vals) / len(vals))
+    nv = len(vals)
+    var = sum((v - mu) ** 2 for v in vals) / (nv - 1)
+    sd = r6(m.sqrt(var))
+    k, h = 0.5 * sd, 4.0 * sd
+    s = 0.0
+    want = []
+    for x in vals:
+        s = max(0.0, s + x - mu - k)
+        want.append((r6(s), r6(s) > h))
+    assert [w[1] for w in want] == [g[1] for g in got]
+    for (wc, _), (gc, _) in zip(want, got):
+        assert abs(wc - gc) < 1e-5  # stddev accumulation-order tolerance
