@@ -1306,6 +1306,21 @@ def s15_pca_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m08_modality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality census over the sniffed payload table (m06's
+    router grouped): count, total and mean bytes per detected MIME —
+    the capacity-planning readout before a decode fan-out (how many
+    image-kernel vs audio-kernel tasks a batch needs)."""
+    binary = multimodal.to_binary_table(_docs(spark, sf_dir), "text", "doc_id")
+    sniffed = multimodal.sniff_types(binary)
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return sniffed.groupBy("sniffed_mime").agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.sum("n_bytes").alias("total_bytes"),
+        r6(F.avg("n_bytes")).alias("avg_bytes"),
+    )
+
+
 _ORACLES: dict[str, str] = {
     "t01_token_stats": """
         SELECT doc_id,
@@ -2403,6 +2418,15 @@ _ORACLES["c13_pack_efficiency"] = f"""
            CAST(SUM(CASE WHEN bt > {PACK_CAP} THEN 1 ELSE 0 END) AS BIGINT)
              AS n_oversize_bins
     FROM bins GROUP BY source
+"""
+
+_ORACLES["m08_modality_census"] = f"""
+    WITH sniffed AS ({_ORACLES["m06_sniff_router"]})
+    SELECT sniffed_mime,
+           CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           FLOOR(AVG(n_bytes) * 1e6 + 0.5) / 1e6 AS avg_bytes
+    FROM sniffed GROUP BY sniffed_mime
 """
 
 _ORACLES["d16_minhash_est_audit"] = f"""

@@ -3188,6 +3188,69 @@ def q76_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ABC_CUT_A, ABC_CUT_B = 0.8, 0.95
+
+
+def q77_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification of parts by lineitem
+    revenue: rank parts by revenue, classify A (first 80% of cumulative
+    share), B (to 95%), C (tail), report class rollups. The ranking
+    and cumulative window run on the PART aggregate; per-part revenue
+    is 6dp-floored first so both engines walk the identical cumulative
+    sequence."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        r6(
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            )
+        ).alias("rev")
+    )
+    total = per_part.agg(r6(F.sum("rev")).alias("_t"))
+    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    classed = (
+        per_part.crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            "rev",
+            (r6(F.sum("rev").over(w)) / F.col("_t")).alias("cum_share"),
+        )
+        .select(
+            "l_partkey",
+            "rev",
+            F.when(F.col("cum_share") <= ABC_CUT_A, "A")
+            .when(F.col("cum_share") <= ABC_CUT_B, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        r6(F.sum("rev")).alias("class_revenue"),
+    )
+
+
+def d17_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of exact-duplicate group sizes: how many content
+    groups have 1, 2, 3... copies — the shape report that decides
+    whether dedup keeps one-per-group (long tail of pairs) or needs
+    cluster-aware sampling (giant groups). Two keyed aggregates, each
+    partial-combinable; the second runs on the group table."""
+    d = load_table(spark, sf_dir, "documents")
+    groups = d.groupBy(F.sha2(F.col("text"), 256).alias("sha")).agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return groups.groupBy("group_size").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        (F.col("group_size") * F.count(F.lit(1))).alias("n_docs"),
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -4600,6 +4663,43 @@ def _v11_oracle() -> str:
 
 _ORACLES["v11_warehouse_scorecard"] = _v11_oracle()
 
+_ORACLES["q77_abc_classification"] = f"""
+    WITH per_part AS (
+      SELECT l_partkey,
+             FLOOR(SUM(l_extendedprice * (1.0 - l_discount))
+                   * 1e6 + 0.5) / 1e6 AS rev
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT FLOOR(SUM(rev) * 1e6 + 0.5) / 1e6 AS t FROM per_part),
+    classed AS (
+      SELECT l_partkey, rev,
+             CASE WHEN (FLOOR(SUM(rev) OVER (
+                          ORDER BY rev DESC, l_partkey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) * 1e6 + 0.5) / 1e6) / tot.t
+                       <= {ABC_CUT_A} THEN 'A'
+                  WHEN (FLOOR(SUM(rev) OVER (
+                          ORDER BY rev DESC, l_partkey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) * 1e6 + 0.5) / 1e6) / tot.t
+                       <= {ABC_CUT_B} THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM per_part CROSS JOIN tot)
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           FLOOR(SUM(rev) * 1e6 + 0.5) / 1e6 AS class_revenue
+    FROM classed GROUP BY abc_class
+"""
+
+_ORACLES["d17_dup_size_histogram"] = """
+    WITH groups AS (
+      SELECT sha256(text) AS sha, COUNT(*) AS group_size
+      FROM documents GROUP BY 1)
+    SELECT group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(group_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM groups GROUP BY group_size
+"""
+
 _ORACLES["q75_trimmed_mean"] = f"""
     WITH ranked AS (
       SELECT event_type, value,
@@ -5240,6 +5340,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q74_new_vs_returning": q74_new_vs_returning,
             "q75_trimmed_mean": q75_trimmed_mean,
             "q76_cumulative_uniques": q76_cumulative_uniques,
+            "q77_abc_classification": q77_abc_classification,
+            "d17_dup_size_histogram": d17_dup_size_histogram,
+            "m08_modality_census": llm_registry.m08_modality_census,
         }
     )
     return out

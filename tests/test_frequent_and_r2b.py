@@ -739,3 +739,42 @@ def test_q76_cumulative_monotone_and_total(spark):
     )
     assert cums[-1] == total
     assert sum(r.new_users for r in rows) == total
+
+
+# --- ABC classification / dup histogram / modality census --------------------
+
+
+def test_q77_classes_conserve_revenue(spark):
+    rows = {
+        r.abc_class: r
+        for r in registry.q77_abc_classification(spark, SF_DIR_SMALL).collect()
+    }
+    assert set(rows) <= {"A", "B", "C"} and "A" in rows
+    n_parts_total = sum(r.n_parts for r in rows.values())
+    distinct_parts = (
+        registry.load_table(spark, SF_DIR_SMALL, "lineitem")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert n_parts_total == distinct_parts
+    if "C" in rows:
+        # A-parts carry more revenue per part than C-parts by construction
+        a, c = rows["A"], rows["C"]
+        assert a.class_revenue / a.n_parts > c.class_revenue / c.n_parts
+
+
+def test_d17_histogram_accounts_every_doc(spark):
+    rows = registry.d17_dup_size_histogram(spark, SF_DIR_SMALL).collect()
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert r.n_docs == r.group_size * r.n_groups
+
+
+def test_m08_census_routes_all_ascii_to_text(spark):
+    rows = llm_registry.m08_modality_census(spark, SF_DIR_SMALL).collect()
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    assert sum(r.n_payloads for r in rows) == docs.count()
+    # synthetic corpus is printable ASCII: one bucket, text/plain
+    assert [r.sniffed_mime for r in rows] == ["text/plain"]
