@@ -3251,6 +3251,86 @@ def d17_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RECON_TOL = 0.01
+
+
+def v12_header_line_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation: each order's header total
+    against the sum of its line extended amounts — the
+    fact-to-its-own-detail audit every finance pipeline runs nightly.
+    One order-keyed line aggregate, one left join from headers
+    (orders with no lines stay visible), one summary row with the
+    within-1% match rate. The join is the orders-lineitem standing
+    join; at 100 TB it rides the bucketed layout (SCALE §3)."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        r6(F.sum(F.col("l_extendedprice"))).alias("line_total"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    joined = o.join(
+        lines, o["o_orderkey"] == lines["l_orderkey"], "left"
+    ).select(
+        "o_totalprice",
+        F.col("n_lines").isNotNull().alias("has_lines"),
+        (
+            F.abs(
+                F.col("o_totalprice")
+                - F.coalesce(F.col("line_total"), F.lit(0.0))
+            )
+            / F.col("o_totalprice")
+        ).alias("rel_diff"),
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("has_lines"), 1)).alias("n_with_lines"),
+        F.count(
+            F.when(F.col("rel_diff") <= F.lit(RECON_TOL), 1)
+        ).alias("n_within_tol"),
+        r6(F.avg("rel_diff")).alias("avg_rel_diff"),
+    )
+
+
+INTERLEAVE_BATCH = 32
+
+
+def c16_batch_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch interleave audit: shuffle docs deterministically
+    (md5 order, the c07 convention), tile into batches of 32, and
+    report how source-diverse the batches came out (min/avg/max
+    distinct sources per batch) — the check that batch construction
+    didn't accidentally serialize one source. Exact-parity tier: the
+    global row_number is the same declared swap as q68 (hash-range
+    partitioned assignment at scale)."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    key = F.md5(F.concat(F.lit("b0"), F.col("doc_id").cast("string")))
+    w = Window.orderBy(key.asc(), F.col("doc_id").asc())
+    batched = d.select(
+        "source",
+        F.floor(
+            (F.row_number().over(w) - 1) / F.lit(float(INTERLEAVE_BATCH))
+        )
+        .cast("long")
+        .alias("batch"),
+    )
+    per_batch = batched.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return per_batch.agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.min("n_sources").alias("min_sources"),
+        r6(F.avg("n_sources")).alias("avg_sources"),
+        F.max("n_sources").alias("max_sources"),
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -4663,6 +4743,46 @@ def _v11_oracle() -> str:
 
 _ORACLES["v11_warehouse_scorecard"] = _v11_oracle()
 
+_ORACLES["v12_header_line_reconcile"] = f"""
+    WITH lines AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_lines,
+             FLOOR(SUM(l_extendedprice) * 1e6 + 0.5) / 1e6 AS line_total
+      FROM lineitem GROUP BY 1),
+    joined AS (
+      SELECT o.o_totalprice,
+             l.n_lines IS NOT NULL AS has_lines,
+             ABS(o.o_totalprice - COALESCE(l.line_total, 0.0))
+               / o.o_totalprice AS rel_diff
+      FROM orders o LEFT JOIN lines l ON o.o_orderkey = l.l_orderkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(CASE WHEN has_lines THEN 1 END) AS BIGINT)
+             AS n_with_lines,
+           CAST(COUNT(CASE WHEN rel_diff <= {RECON_TOL} THEN 1 END)
+                AS BIGINT) AS n_within_tol,
+           FLOOR(AVG(rel_diff) * 1e6 + 0.5) / 1e6 AS avg_rel_diff
+    FROM joined
+"""
+
+_ORACLES["c16_batch_interleave"] = f"""
+    WITH batched AS (
+      SELECT source,
+             CAST(FLOOR((row_number() OVER (
+                     ORDER BY md5('b0' || CAST(doc_id AS VARCHAR)) ASC,
+                              doc_id ASC) - 1)
+                  / {INTERLEAVE_BATCH}.0) AS BIGINT) AS batch
+      FROM documents),
+    per_batch AS (
+      SELECT batch, COUNT(*) AS n_docs,
+             COUNT(DISTINCT source) AS n_sources
+      FROM batched GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(MIN(n_sources) AS BIGINT) AS min_sources,
+           FLOOR(AVG(n_sources) * 1e6 + 0.5) / 1e6 AS avg_sources,
+           CAST(MAX(n_sources) AS BIGINT) AS max_sources
+    FROM per_batch
+"""
+
 _ORACLES["q77_abc_classification"] = f"""
     WITH per_part AS (
       SELECT l_partkey,
@@ -5343,6 +5463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q77_abc_classification": q77_abc_classification,
             "d17_dup_size_histogram": d17_dup_size_histogram,
             "m08_modality_census": llm_registry.m08_modality_census,
+            "v12_header_line_reconcile": v12_header_line_reconcile,
+            "c16_batch_interleave": c16_batch_interleave,
         }
     )
     return out

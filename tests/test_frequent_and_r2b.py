@@ -778,3 +778,27 @@ def test_m08_census_routes_all_ascii_to_text(spark):
     assert sum(r.n_payloads for r in rows) == docs.count()
     # synthetic corpus is printable ASCII: one bucket, text/plain
     assert [r.sniffed_mime for r in rows] == ["text/plain"]
+
+
+# --- reconciliation / batch interleave ---------------------------------------
+
+
+def test_v12_counts_and_tolerance_logic(spark):
+    r = registry.v12_header_line_reconcile(spark, SF_DIR_SMALL).collect()[0]
+    n_orders = registry.load_table(spark, SF_DIR_SMALL, "orders").count()
+    assert r.n_orders == n_orders
+    assert 0 <= r.n_within_tol <= r.n_orders
+    assert r.n_with_lines <= r.n_orders
+    assert r.avg_rel_diff >= 0.0
+
+
+def test_c16_batches_tile_and_diversity_bounded(spark):
+    r = registry.c16_batch_interleave(spark, SF_DIR_SMALL).collect()[0]
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    n = docs.count()
+    assert r.n_batches == -(-n // registry.INTERLEAVE_BATCH)  # ceil
+    n_sources = docs.select("source").distinct().count()
+    assert 1 <= r.min_sources <= r.avg_sources <= r.max_sources
+    assert r.max_sources <= min(n_sources, registry.INTERLEAVE_BATCH)
+    # hash interleave should mix well: average diversity near the cap
+    assert r.avg_sources > min(n_sources, registry.INTERLEAVE_BATCH) * 0.5
