@@ -3331,6 +3331,88 @@ def c16_batch_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g03_degree_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node degree profile of the directed transition graph plus
+    reciprocity (does the reverse edge exist?): out-degree, in-degree,
+    and how many outgoing edges are reciprocated — the structural
+    census read before interpreting g01's ranks. Self-loops excluded
+    (as in g02). All joins run on the O(|types|^2) aggregated edge
+    table."""
+    e = (
+        _pagerank_edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    out_deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_deg = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = (
+        e.join(rev, ["src", "dst"], "left_semi")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("reciprocated"))
+    )
+    return (
+        out_deg.join(in_deg, "node", "full_outer")
+        .join(recip, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("reciprocated", F.lit(0)).alias("reciprocated"),
+        )
+    )
+
+
+SLA_GAP_S = 7200  # observations further apart than this count as downtime
+
+
+def ts18_uptime_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uptime/SLA percentage per series: fraction of the observed span
+    NOT spent inside gaps longer than the 2h threshold — ts09's gap
+    list folded into the one number an SLA dashboard shows. One lead
+    window + one aggregate on the series key; exact integer microsecond
+    arithmetic until the final rounded percentage."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    ev = _events(spark, sf_dir).select("event_type", "ts", "event_id")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gap_us = F.expr(
+        "CAST(timestampdiff(MICROSECOND, ts, lead(ts) OVER ("
+        "PARTITION BY event_type ORDER BY ts, event_id)) AS BIGINT)"
+    )
+    staged = ev.select("event_type", "ts", gap_us.alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    thresh = SLA_GAP_S * 1_000_000
+    return staged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("gap_us").alias("span_us"),
+        F.count(F.when(F.col("gap_us") > thresh, 1)).alias("n_gaps"),
+        F.sum(
+            F.when(F.col("gap_us") > thresh, F.col("gap_us")).otherwise(
+                F.lit(0)
+            )
+        ).alias("down_us"),
+    ).select(
+        "event_type",
+        "n_intervals",
+        "n_gaps",
+        r6(
+            (F.col("span_us") - F.col("down_us"))
+            / F.col("span_us").cast("double")
+            * F.lit(100.0)
+        ).alias("uptime_pct"),
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -4743,6 +4825,53 @@ def _v11_oracle() -> str:
 
 _ORACLES["v11_warehouse_scorecard"] = _v11_oracle()
 
+_ORACLES["g03_degree_reciprocity"] = """
+    WITH pairs AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM events),
+    e AS (
+        SELECT DISTINCT src, dst FROM pairs
+        WHERE dst IS NOT NULL AND src <> dst),
+    od AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_degree
+           FROM e GROUP BY 1),
+    idg AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS in_degree
+            FROM e GROUP BY 1),
+    rec AS (
+        SELECT a.src AS node, CAST(COUNT(*) AS BIGINT) AS reciprocated
+        FROM e a WHERE EXISTS (
+          SELECT 1 FROM e b WHERE b.src = a.dst AND b.dst = a.src)
+        GROUP BY 1)
+    SELECT COALESCE(od.node, idg.node, rec.node) AS node,
+           COALESCE(out_degree, 0) AS out_degree,
+           COALESCE(in_degree, 0) AS in_degree,
+           COALESCE(reciprocated, 0) AS reciprocated
+    FROM od
+    FULL OUTER JOIN idg ON od.node = idg.node
+    FULL OUTER JOIN rec ON COALESCE(od.node, idg.node) = rec.node
+"""
+
+_ORACLES["ts18_uptime_sla"] = f"""
+    WITH staged AS (
+      SELECT event_type,
+             CAST(date_diff('microsecond', ts,
+                    lead(ts) OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id)) AS BIGINT)
+               AS gap_us
+      FROM events),
+    held AS (SELECT * FROM staged WHERE gap_us IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(COUNT(CASE WHEN gap_us > {SLA_GAP_S * 1_000_000}
+                           THEN 1 END) AS BIGINT) AS n_gaps,
+           FLOOR((SUM(gap_us) - SUM(CASE WHEN gap_us > {SLA_GAP_S * 1_000_000}
+                                         THEN gap_us ELSE 0 END))
+                 / CAST(SUM(gap_us) AS DOUBLE) * 100.0
+                 * 1e6 + 0.5) / 1e6 AS uptime_pct
+    FROM held GROUP BY event_type
+"""
+
 _ORACLES["v12_header_line_reconcile"] = f"""
     WITH lines AS (
       SELECT l_orderkey,
@@ -5465,6 +5594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "m08_modality_census": llm_registry.m08_modality_census,
             "v12_header_line_reconcile": v12_header_line_reconcile,
             "c16_batch_interleave": c16_batch_interleave,
+            "g03_degree_reciprocity": g03_degree_reciprocity,
+            "ts18_uptime_sla": ts18_uptime_sla,
         }
     )
     return out

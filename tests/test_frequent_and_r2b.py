@@ -802,3 +802,29 @@ def test_c16_batches_tile_and_diversity_bounded(spark):
     assert r.max_sources <= min(n_sources, registry.INTERLEAVE_BATCH)
     # hash interleave should mix well: average diversity near the cap
     assert r.avg_sources > min(n_sources, registry.INTERLEAVE_BATCH) * 0.5
+
+
+# --- degree/reciprocity / uptime SLA -----------------------------------------
+
+
+def test_g03_degree_identities(spark):
+    rows = registry.g03_degree_reciprocity(spark, SF_DIR_SMALL).collect()
+    # handshake identity: total out-degree == total in-degree == |E|
+    total_out = sum(r.out_degree for r in rows)
+    total_in = sum(r.in_degree for r in rows)
+    assert total_out == total_in
+    for r in rows:
+        assert 0 <= r.reciprocated <= r.out_degree
+    # reciprocity is symmetric in aggregate: sum of reciprocated edges
+    # counts each mutual pair once in each direction -> even total
+    assert sum(r.reciprocated for r in rows) % 2 == 0
+
+
+def test_ts18_uptime_bounded(spark):
+    rows = registry.ts18_uptime_sla(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.uptime_pct <= 100.0
+        assert r.n_gaps <= r.n_intervals
+        if r.n_gaps == 0:
+            assert r.uptime_pct == 100.0
