@@ -3413,6 +3413,130 @@ def ts18_uptime_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q78_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): one conjunctive
+    filter + one global sum — ships as a pure scan-side query (every
+    predicate reaches PushedFilters; the aggregate is a single partial
+    state). The canonical 'how fast is your scan' probe."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            r6(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue_delta"
+            ),
+        )
+    )
+
+
+def q79_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit) adapted to this schema
+    (no partsupp, so profit = discounted revenue): red-part profit per
+    supplier nation per order year, through lineitem-part-supplier-
+    nation-orders. Part filter applied BEFORE its broadcast; one
+    fact-side shuffle per key join; final aggregate 25 x |years|."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("nation", "o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            r6(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                )
+            ).alias("profit"),
+        )
+    )
+
+
+def q80_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): supplier revenue over one
+    quarter, returning every supplier tied at the maximum (the WITH
+    ties semantics Q15's view+subquery encodes). Revenue aggregate on
+    the supplier key; the max arrives via a broadcast 1-row aggregate
+    instead of a correlated subquery rescan."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        r6(
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            )
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(sup), rev["l_suppkey"] == sup["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q81_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, OR-of-ANDs): three
+    brand-specific quantity bands unioned by a disjunctive predicate
+    evaluated INSIDE one join — the optimizer-stress query whose naive
+    plan turns into three scans. Here it stays one lineitem-part join
+    (part broadcast) with the disjunction as the join's residual
+    condition, plus one global aggregate."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            r6(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                )
+            ).alias("revenue"),
+        )
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -4825,6 +4949,55 @@ def _v11_oracle() -> str:
 
 _ORACLES["v11_warehouse_scorecard"] = _v11_oracle()
 
+_ORACLES["q78_discount_revenue"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           FLOOR(SUM(l_extendedprice * l_discount) * 1e6 + 0.5) / 1e6
+             AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+_ORACLES["q79_profit_by_nation"] = """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           FLOOR(SUM(l.l_extendedprice * (1.0 - l.l_discount))
+                 * 1e6 + 0.5) / 1e6 AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+"""
+
+_ORACLES["q80_top_supplier"] = """
+    WITH rev AS (
+      SELECT l_suppkey,
+             FLOOR(SUM(l_extendedprice * (1.0 - l_discount))
+                   * 1e6 + 0.5) / 1e6 AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1996-04-01'
+      GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+_ORACLES["q81_disjunctive_filter"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           FLOOR(SUM(l.l_extendedprice * (1.0 - l.l_discount))
+                 * 1e6 + 0.5) / 1e6 AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
 _ORACLES["g03_degree_reciprocity"] = """
     WITH pairs AS (
         SELECT event_type AS src,
@@ -5596,6 +5769,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "c16_batch_interleave": c16_batch_interleave,
             "g03_degree_reciprocity": g03_degree_reciprocity,
             "ts18_uptime_sla": ts18_uptime_sla,
+            "q78_discount_revenue": q78_discount_revenue,
+            "q79_profit_by_nation": q79_profit_by_nation,
+            "q80_top_supplier": q80_top_supplier,
+            "q81_disjunctive_filter": q81_disjunctive_filter,
         }
     )
     return out

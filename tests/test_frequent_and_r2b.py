@@ -828,3 +828,46 @@ def test_ts18_uptime_bounded(spark):
         assert r.n_gaps <= r.n_intervals
         if r.n_gaps == 0:
             assert r.uptime_pct == 100.0
+
+
+# --- TPC-H Q6/Q9/Q15/Q19 shapes ----------------------------------------------
+
+
+def test_q78_filter_subsets_fact(spark):
+    r = registry.q78_discount_revenue(spark, SF_DIR_SMALL).collect()[0]
+    li = registry.load_table(spark, SF_DIR_SMALL, "lineitem")
+    assert 0 < r.n_items < li.count()
+    assert r.revenue_delta > 0
+
+
+def test_q79_year_nation_grid(spark):
+    rows = registry.q79_profit_by_nation(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.profit > 0 and r.n_items > 0
+        assert 1995 <= r.o_year <= 2001
+
+
+def test_q80_ties_kept_at_max(spark):
+    rows = registry.q80_top_supplier(spark, SF_DIR_SMALL).collect()
+    assert rows
+    revs = {r.total_revenue for r in rows}
+    assert len(revs) == 1  # every returned supplier is tied at the max
+
+
+def test_q81_disjunction_counts_match_union(spark):
+    r = registry.q81_disjunctive_filter(spark, SF_DIR_SMALL).collect()[0]
+    li = registry.load_table(spark, SF_DIR_SMALL, "lineitem")
+    p = registry.load_table(spark, SF_DIR_SMALL, "part")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    total = 0
+    for brand, lo, hi in (
+        ("Brand#1", 1, 11),
+        ("Brand#2", 10, 20),
+        ("Brand#3", 20, 30),
+    ):
+        total += j.filter(
+            (F.col("p_brand") == brand)
+            & F.col("l_quantity").between(lo, hi)
+        ).count()
+    assert r.n_items == total  # brand arms are disjoint, union == sum
