@@ -1321,6 +1321,30 @@ def m08_modality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SWEEP_MIN_J = 0.1
+
+
+def d18_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity sweep for near-dedup: pair counts per
+    0.1-wide Jaccard band above 0.1 — the table you read before
+    committing to d03/d04's 0.5 cutoff (a cliff between bands means
+    the threshold choice is load-bearing). Same cost as d03: the
+    band grouping happens after the pair pipeline, on the tiny pair
+    set."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        F.col("text"),
+        F.col("doc_id"),
+        k=JACCARD_K,
+        threshold=SWEEP_MIN_J,
+        max_shingle_df=JACCARD_MAX_SHINGLE_DF,
+    )
+    band = F.floor(F.col("jaccard") * 10) / 10
+    return pairs.groupBy(band.alias("j_band")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
 _ORACLES: dict[str, str] = {
     "t01_token_stats": """
         SELECT doc_id,
@@ -2427,6 +2451,31 @@ _ORACLES["m08_modality_census"] = f"""
            CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
            FLOOR(AVG(n_bytes) * 1e6 + 0.5) / 1e6 AS avg_bytes
     FROM sniffed GROUP BY sniffed_mime
+"""
+
+_ORACLES["d18_jaccard_threshold_sweep"] = f"""
+    WITH {_SHINGLE_CTE},
+    rare AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING COUNT(*) <= {JACCARD_MAX_SHINGLE_DF}),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    csizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shc GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM shc a JOIN shc b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6)
+               AS jaccard
+      FROM inter
+      JOIN csizes sa ON sa.doc_id = doc_a
+      JOIN csizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6)
+            >= {SWEEP_MIN_J})
+    SELECT FLOOR(jaccard * 10) / 10 AS j_band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1
 """
 
 _ORACLES["d16_minhash_est_audit"] = f"""

@@ -3537,6 +3537,64 @@ def q81_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v13_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per event type between
+    the A/B halves (v09's companion: v09 compares MEANS, KS compares
+    the whole distribution). ECDFs as RANGE-frame running counts over
+    the value ordering — the RANGE frame (not ROWS) makes tied values
+    contribute all their mass before the sup-difference is taken, so no
+    tie-ordering ambiguity exists between engines. Exact-parity tier:
+    one value-ordered window per type; at 100 TB the declared swap is
+    a binned ECDF (fixed-width histogram then running sum over the
+    bin table). Flagged at the 95% two-sample critical value."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        (F.col("event_id") % 2).alias("grp"),
+        "value",
+    )
+    totals = ev.groupBy("event_type").agg(
+        F.count(F.when(F.col("grp") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("grp") == 1, 1)).alias("n_b"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = ev.select(
+        "event_type",
+        F.count(F.when(F.col("grp") == 0, 1)).over(w).alias("cum_a"),
+        F.count(F.when(F.col("grp") == 1, 1)).over(w).alias("cum_b"),
+    )
+    diffs = staged.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a") / F.col("n_a").cast("double")
+            - F.col("cum_b") / F.col("n_b").cast("double")
+        ).alias("d"),
+    )
+    crit = F.lit(1.36) * F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    return (
+        diffs.groupBy("event_type", "n_a", "n_b")
+        .agg(F.max("d").alias("_ks"))
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            r6(F.col("_ks")).alias("ks_stat"),
+            (F.col("_ks") > crit).alias("significant"),
+        )
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -4949,6 +5007,36 @@ def _v11_oracle() -> str:
 
 _ORACLES["v11_warehouse_scorecard"] = _v11_oracle()
 
+_ORACLES["v13_ks_test"] = """
+    WITH ev AS (
+      SELECT event_type, event_id % 2 AS grp, value FROM events),
+    totals AS (
+      SELECT event_type,
+             COUNT(CASE WHEN grp = 0 THEN 1 END) AS n_a,
+             COUNT(CASE WHEN grp = 1 THEN 1 END) AS n_b
+      FROM ev GROUP BY 1),
+    staged AS (
+      SELECT event_type,
+             COUNT(CASE WHEN grp = 0 THEN 1 END) OVER w AS cum_a,
+             COUNT(CASE WHEN grp = 1 THEN 1 END) OVER w AS cum_b
+      FROM ev
+      WINDOW w AS (PARTITION BY event_type ORDER BY value
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    diffs AS (
+      SELECT s.event_type, t.n_a, t.n_b,
+             ABS(s.cum_a / CAST(t.n_a AS DOUBLE)
+                 - s.cum_b / CAST(t.n_b AS DOUBLE)) AS d
+      FROM staged s JOIN totals t USING (event_type))
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           FLOOR(MAX(d) * 1e6 + 0.5) / 1e6 AS ks_stat,
+           MAX(d) > 1.36 * sqrt(CAST(n_a + n_b AS DOUBLE)
+                                / CAST(n_a * n_b AS DOUBLE))
+             AS significant
+    FROM diffs GROUP BY event_type, n_a, n_b
+"""
+
 _ORACLES["q78_discount_revenue"] = """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
            FLOOR(SUM(l_extendedprice * l_discount) * 1e6 + 0.5) / 1e6
@@ -5773,6 +5861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q79_profit_by_nation": q79_profit_by_nation,
             "q80_top_supplier": q80_top_supplier,
             "q81_disjunctive_filter": q81_disjunctive_filter,
+            "v13_ks_test": v13_ks_test,
+            "d18_jaccard_threshold_sweep": llm_registry.d18_jaccard_threshold_sweep,
         }
     )
     return out

@@ -871,3 +871,46 @@ def test_q81_disjunction_counts_match_union(spark):
             & F.col("l_quantity").between(lo, hi)
         ).count()
     assert r.n_items == total  # brand arms are disjoint, union == sum
+
+
+# --- KS test / threshold sweep -----------------------------------------------
+
+
+def test_v13_ks_identical_distribution_is_small(spark):
+    # A/B split by event_id parity over the same generator: KS should be
+    # small and bounded in [0, 1]
+    rows = registry.v13_ks_test(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.ks_stat <= 1.0
+        assert r.n_a > 0 and r.n_b > 0
+
+
+def test_v13_ks_detects_shifted_distribution(spark):
+    from pyspark.sql import Window
+
+    # same windowed computation on a constructed frame where group 1 is
+    # shifted far right: KS must approach 1
+    rows = [(i, i % 2, float(i % 2) * 1000.0 + (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "event_id long, grp long, value double")
+    w = Window.orderBy("value").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    staged = df.select(
+        F.count(F.when(F.col("grp") == 0, 1)).over(w).alias("ca"),
+        F.count(F.when(F.col("grp") == 1, 1)).over(w).alias("cb"),
+    )
+    ks = staged.agg(
+        F.max(F.abs(F.col("ca") / 100.0 - F.col("cb") / 100.0)).alias("ks")
+    ).collect()[0].ks
+    assert ks == 1.0  # fully separated supports
+
+
+def test_d18_bands_superset_of_d03(spark):
+    rows = llm_registry.d18_jaccard_threshold_sweep(
+        spark, SF_DIR_SMALL
+    ).collect()
+    assert rows
+    total_above_half = sum(r.n_pairs for r in rows if r.j_band >= 0.5)
+    d03_n = llm_registry.d03_ngram_jaccard_pairs(spark, SF_DIR_SMALL).count()
+    assert total_above_half == d03_n  # sweep bands tile d03's cutoff
