@@ -3595,6 +3595,65 @@ def v13_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts19_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily value per series — the
+    running-peak-to-trough risk metric (finance's max drawdown, an
+    ops dashboard's worst cumulative regression). Daily sums are
+    6dp-floored, then BOTH running aggregates (cumulative sum, running
+    max) evaluate in day order on identical doubles, so the engines
+    walk the same sequence; one window pass on the post-aggregate
+    daily table."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    b = F.date_trunc("day", F.col("ts")).cast("timestamp_ntz")
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", b.alias("day"))
+        .agg(r6(F.sum("value")).alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = daily.select(
+        "event_type",
+        "day",
+        F.sum("x").over(w).alias("cum"),
+    ).select(
+        "event_type",
+        (F.max("cum").over(w.rowsBetween(Window.unboundedPreceding, 0))
+         - F.col("cum")).alias("dd"),
+    )
+    return staged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        r6(F.max("dd")).alias("max_drawdown"),
+    )
+
+
+def d19_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every exact-dup content
+    group spanning >1 source, which (source, source) pairs share
+    content and in how many groups — the provenance signal that
+    exposes mirror/scraper relationships between feeds. The self-join
+    runs on the DISTINCT (sha, source) table (bounded by groups x
+    sources), never the doc table."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.sha2(F.col("text"), 256).alias("sha"), "source"
+    ).distinct()
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, "sha")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_groups"))
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -5007,6 +5066,39 @@ def _v11_oracle() -> str:
 
 _ORACLES["v11_warehouse_scorecard"] = _v11_oracle()
 
+_ORACLES["ts19_max_drawdown"] = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             FLOOR(SUM(value) * 1e6 + 0.5) / 1e6 AS x
+      FROM events GROUP BY 1, 2),
+    cums AS (
+      SELECT event_type, day,
+             SUM(x) OVER w AS cum
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    dd AS (
+      SELECT event_type,
+             MAX(cum) OVER w - cum AS dd
+      FROM cums
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           FLOOR(MAX(dd) * 1e6 + 0.5) / 1e6 AS max_drawdown
+    FROM dd GROUP BY event_type
+"""
+
+_ORACLES["d19_cross_source_dups"] = """
+    WITH d AS (
+      SELECT DISTINCT sha256(text) AS sha, source FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_groups
+    FROM d a JOIN d b ON a.sha = b.sha AND a.source < b.source
+    GROUP BY 1, 2
+"""
+
 _ORACLES["v13_ks_test"] = """
     WITH ev AS (
       SELECT event_type, event_id % 2 AS grp, value FROM events),
@@ -5863,6 +5955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q81_disjunctive_filter": q81_disjunctive_filter,
             "v13_ks_test": v13_ks_test,
             "d18_jaccard_threshold_sweep": llm_registry.d18_jaccard_threshold_sweep,
+            "ts19_max_drawdown": ts19_max_drawdown,
+            "d19_cross_source_dups": d19_cross_source_dups,
         }
     )
     return out

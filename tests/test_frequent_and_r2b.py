@@ -914,3 +914,57 @@ def test_d18_bands_superset_of_d03(spark):
     total_above_half = sum(r.n_pairs for r in rows if r.j_band >= 0.5)
     d03_n = llm_registry.d03_ngram_jaccard_pairs(spark, SF_DIR_SMALL).count()
     assert total_above_half == d03_n  # sweep bands tile d03's cutoff
+
+
+# --- max drawdown / cross-source dups ----------------------------------------
+
+
+def test_ts19_drawdown_hand_computed(spark):
+    import datetime as dt
+
+    # daily sums 10, -4, +2, -7: cum = 10,6,8,1 ; peaks 10,10,10,10 ;
+    # drawdowns 0,4,2,9 -> max 9
+    base = dt.datetime(2024, 1, 1)
+    vals = [10.0, -4.0, 2.0, -7.0]
+    rows = [
+        (i, base + dt.timedelta(days=i), "s", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    from pyspark.sql import Window
+
+    # the registry computation shape on the constructed frame
+    daily = df.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day"),
+    ).agg(F.sum("value").alias("x"))
+    w2 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        daily.select("event_type", "day", F.sum("x").over(w2).alias("cum"))
+        .select(
+            "event_type",
+            (F.max("cum").over(w2) - F.col("cum")).alias("dd"),
+        )
+        .agg(F.max("dd").alias("mdd"))
+        .collect()[0]
+    )
+    assert out.mdd == 9.0
+
+
+def test_ts19_registry_nonnegative(spark):
+    rows = registry.ts19_max_drawdown(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.max_drawdown >= 0.0 and r.n_days > 0
+
+
+def test_d19_matrix_is_upper_triangular(spark):
+    rows = registry.d19_cross_source_dups(spark, SF_DIR_SMALL).collect()
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert r.n_shared_groups >= 1
