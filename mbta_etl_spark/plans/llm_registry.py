@@ -1321,6 +1321,31 @@ def m08_modality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t20_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word (t05's two budgets reduced to the ratio LLM teams actually
+    watch — fertility >> 1 for a language means the tokenizer
+    fragments it and that language pays more compute per word). One
+    projection + one lang-keyed aggregate; ratios 6dp-floored per doc
+    before averaging."""
+    from mbta_etl_spark.functions import token_count_bpe
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    per_doc = _docs(spark, sf_dir).select(
+        "lang",
+        r6(
+            token_count_bpe(F.col("text")).cast("double")
+            / F.size(F.split(F.col("text"), " ")).cast("double")
+        ).alias("fertility"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r6(F.avg("fertility")).alias("avg_fertility"),
+        F.min("fertility").alias("min_fertility"),
+        F.max("fertility").alias("max_fertility"),
+    )
+
+
 SWEEP_MIN_J = 0.1
 
 
@@ -2451,6 +2476,22 @@ _ORACLES["m08_modality_census"] = f"""
            CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
            FLOOR(AVG(n_bytes) * 1e6 + 0.5) / 1e6 AS avg_bytes
     FROM sniffed GROUP BY sniffed_mime
+"""
+
+_ORACLES["t20_tokenizer_fertility"] = """
+    WITH per_doc AS (
+      SELECT lang,
+             FLOOR(len(regexp_extract_all(
+                       text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 AS fertility
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           FLOOR(AVG(fertility) * 1e6 + 0.5) / 1e6 AS avg_fertility,
+           MIN(fertility) AS min_fertility,
+           MAX(fertility) AS max_fertility
+    FROM per_doc GROUP BY lang
 """
 
 _ORACLES["d18_jaccard_threshold_sweep"] = f"""

@@ -3654,6 +3654,20 @@ def d19_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q82_lines_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of lineitems per order (the fact table's fan-out
+    histogram) — the shape statistic that sizes the orders-lineitem
+    join's skew exposure and the q35-style per-order aggregations.
+    Two partial-agg shuffles, the second over the tiny histogram."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    return per_order.groupBy("n_lines").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -5066,6 +5080,15 @@ def _v11_oracle() -> str:
 
 _ORACLES["v11_warehouse_scorecard"] = _v11_oracle()
 
+_ORACLES["q82_lines_per_order"] = """
+    WITH per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines
+      FROM lineitem GROUP BY 1)
+    SELECT CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM per_order GROUP BY n_lines
+"""
+
 _ORACLES["ts19_max_drawdown"] = """
     WITH daily AS (
       SELECT event_type,
@@ -5957,6 +5980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d18_jaccard_threshold_sweep": llm_registry.d18_jaccard_threshold_sweep,
             "ts19_max_drawdown": ts19_max_drawdown,
             "d19_cross_source_dups": d19_cross_source_dups,
+            "t20_tokenizer_fertility": llm_registry.t20_tokenizer_fertility,
+            "q82_lines_per_order": q82_lines_per_order,
         }
     )
     return out

@@ -968,3 +968,26 @@ def test_d19_matrix_is_upper_triangular(spark):
     for r in rows:
         assert r.source_a < r.source_b
         assert r.n_shared_groups >= 1
+
+
+# --- tokenizer fertility / fan-out histogram ---------------------------------
+
+
+def test_t20_fertility_at_least_one(spark):
+    rows = llm_registry.t20_tokenizer_fertility(spark, SF_DIR_SMALL).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        # BPE-ish pre-tokenizer never merges across whitespace, so it
+        # produces at least one token per word
+        assert r.min_fertility >= 1.0 - 1e-6
+        assert r.min_fertility <= r.avg_fertility <= r.max_fertility
+
+
+def test_q82_histogram_accounts_every_line(spark):
+    rows = registry.q82_lines_per_order(spark, SF_DIR_SMALL).collect()
+    li = registry.load_table(spark, SF_DIR_SMALL, "lineitem")
+    assert sum(r.n_lines * r.n_orders for r in rows) == li.count()
+    n_orders = li.select("l_orderkey").distinct().count()
+    assert sum(r.n_orders for r in rows) == n_orders
