@@ -1346,6 +1346,53 @@ def t20_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s16_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-class separation matrix: cosine similarity between label
+    CENTROIDS for every label pair — the k-means-free audit of whether
+    labels occupy distinct regions (low centroid cosine = separable;
+    near 1 = the labels blur). Centroids are dim-wise means via
+    posexplode (one shuffle keyed on label x dim, O(labels·d) state);
+    the pairwise matrix is a self-join of the tiny centroid table.
+    Per-dim centroid coordinates are 6dp-floored before any product so
+    both engines multiply identical doubles."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    cent = (
+        _emb(spark, sf_dir)
+        .select(
+            "label", F.posexplode(F.col("embedding")).alias("dim", "val")
+        )
+        .groupBy("label", "dim")
+        .agg(r6(F.avg(F.col("val").cast("double"))).alias("c"))
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        "dim",
+        F.col("c").alias("ca"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        "dim",
+        F.col("c").alias("cb"),
+    )
+    pairs = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            r6(F.sum(F.col("ca") * F.col("cb"))).alias("_dot"),
+            r6(F.sum(F.col("ca") * F.col("ca"))).alias("_na"),
+            r6(F.sum(F.col("cb") * F.col("cb"))).alias("_nb"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        r6(
+            F.col("_dot") / (F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb")))
+        ).alias("centroid_cosine"),
+    )
+
+
 SWEEP_MIN_J = 0.1
 
 
@@ -2476,6 +2523,29 @@ _ORACLES["m08_modality_census"] = f"""
            CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
            FLOOR(AVG(n_bytes) * 1e6 + 0.5) / 1e6 AS avg_bytes
     FROM sniffed GROUP BY sniffed_mime
+"""
+
+_ORACLES["s16_centroid_separation"] = """
+    WITH ex AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings),
+    cent AS (
+      SELECT label, dim,
+             FLOOR(AVG(val) * 1e6 + 0.5) / 1e6 AS c
+      FROM ex GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             FLOOR(SUM(a.c * b.c) * 1e6 + 0.5) / 1e6 AS dot,
+             FLOOR(SUM(a.c * a.c) * 1e6 + 0.5) / 1e6 AS na,
+             FLOOR(SUM(b.c * b.c) * 1e6 + 0.5) / 1e6 AS nb
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY 1, 2)
+    SELECT label_a, label_b,
+           FLOOR(dot / (sqrt(na) * sqrt(nb)) * 1e6 + 0.5) / 1e6
+             AS centroid_cosine
+    FROM pairs
 """
 
 _ORACLES["t20_tokenizer_fertility"] = """

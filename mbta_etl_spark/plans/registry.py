@@ -3668,6 +3668,26 @@ def q82_lines_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q83_above_avg_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING against a scalar subquery: customers whose order count
+    exceeds the average order count per customer — the relational
+    idiom where the cutoff is itself an aggregate. The scalar arrives
+    by broadcast 1-row cross join (never a correlated rescan); both
+    aggregates share the custkey shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    avg_n = per_cust.agg(
+        (F.sum("n_orders") / F.count(F.lit(1))).alias("_avg")
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(avg_n))
+        .filter(F.col("n_orders") > F.col("_avg"))
+        .select("o_custkey", "n_orders")
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -5080,6 +5100,15 @@ def _v11_oracle() -> str:
 
 _ORACLES["v11_warehouse_scorecard"] = _v11_oracle()
 
+_ORACLES["q83_above_avg_groups"] = """
+    WITH per_cust AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT o_custkey, n_orders
+    FROM per_cust
+    WHERE n_orders > (SELECT SUM(n_orders) * 1.0 / COUNT(*) FROM per_cust)
+"""
+
 _ORACLES["q82_lines_per_order"] = """
     WITH per_order AS (
       SELECT l_orderkey, COUNT(*) AS n_lines
@@ -5982,6 +6011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d19_cross_source_dups": d19_cross_source_dups,
             "t20_tokenizer_fertility": llm_registry.t20_tokenizer_fertility,
             "q82_lines_per_order": q82_lines_per_order,
+            "s16_centroid_separation": llm_registry.s16_centroid_separation,
+            "q83_above_avg_groups": q83_above_avg_groups,
         }
     )
     return out

@@ -991,3 +991,25 @@ def test_q82_histogram_accounts_every_line(spark):
     assert sum(r.n_lines * r.n_orders for r in rows) == li.count()
     n_orders = li.select("l_orderkey").distinct().count()
     assert sum(r.n_orders for r in rows) == n_orders
+
+
+# --- centroid separation / above-average groups ------------------------------
+
+
+def test_s16_matrix_shape_and_bounds(spark):
+    rows = llm_registry.s16_centroid_separation(spark, SF_DIR_SMALL).collect()
+    emb = spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet")
+    n_labels = emb.select("label").distinct().count()
+    assert len(rows) == n_labels * (n_labels - 1) // 2
+    for r in rows:
+        assert r.label_a < r.label_b
+        assert -1.0 - 1e-6 <= r.centroid_cosine <= 1.0 + 1e-6
+
+
+def test_q83_cutoff_is_population_mean(spark):
+    rows = registry.q83_above_avg_groups(spark, SF_DIR_SMALL).collect()
+    o = registry.load_table(spark, SF_DIR_SMALL, "orders")
+    per = o.groupBy("o_custkey").count().collect()
+    avg = sum(r["count"] for r in per) / len(per)
+    want = {r.o_custkey for r in per if r["count"] > avg}
+    assert {r.o_custkey for r in rows} == want
