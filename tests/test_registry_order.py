@@ -66,7 +66,7 @@ def test_every_query_has_oracle_or_documented_exception():
     oracles = set(entrymod.oracle_sql())
     rows_only = qs - oracles
     assert rows_only == {"q09a_percentiles_approx", "q24a_distinct_approx",
-                         "r02_sketch_rollup"}, (
+                         "r02_sketch_rollup", "s15_pca_eigen"}, (
         f"unexpected rows-only entries: {sorted(rows_only)}"
     )
     assert not (oracles - qs), "orphan oracles with no query entry"
