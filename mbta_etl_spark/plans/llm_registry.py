@@ -1393,6 +1393,19 @@ def s16_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d20_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance histogram over d09's SimHash near-dup pairs
+    (0..3 bits): the tightness profile of the cheap dedup tier — mass
+    at 0 means byte-dup-dominated, mass at 3 means the threshold is
+    doing real work. Costs d09 plus one 4-row aggregate."""
+    pairs = dedup.simhash_band_pairs(
+        _docs(spark, sf_dir), F.col("text"), F.col("doc_id")
+    )
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
 SWEEP_MIN_J = 0.1
 
 
@@ -2523,6 +2536,12 @@ _ORACLES["m08_modality_census"] = f"""
            CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
            FLOOR(AVG(n_bytes) * 1e6 + 0.5) / 1e6 AS avg_bytes
     FROM sniffed GROUP BY sniffed_mime
+"""
+
+_ORACLES["d20_hamming_histogram"] = f"""
+    WITH d09 AS ({_simhash_band_pairs_oracle()})
+    SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM d09 GROUP BY hamming
 """
 
 _ORACLES["s16_centroid_separation"] = """

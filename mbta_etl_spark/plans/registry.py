@@ -3688,6 +3688,47 @@ def q83_above_avg_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q84_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent in a dimension hierarchy: each nation's share
+    of its REGION's revenue (customer-side attribution) — the
+    drill-down ratio every BI hierarchy renders. The share window runs
+    on the 25-row nation aggregate partitioned by region; the heavy
+    work is one orders-customer join with both dims broadcast."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dims = n.join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    ).select(
+        "n_nationkey",
+        F.col("n_name").alias("nation"),
+        F.col("r_name").alias("region"),
+    )
+    per_nation = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(dims), c["c_nationkey"] == dims["n_nationkey"])
+        .groupBy("region", "nation")
+        .agg(r6(F.sum("o_totalprice")).alias("revenue"))
+    )
+    w = Window.partitionBy("region")
+    return per_nation.select(
+        "region",
+        "nation",
+        "revenue",
+        r6(F.col("revenue") / r6(F.sum("revenue").over(w))).alias(
+            "pct_of_region"
+        ),
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -5100,6 +5141,23 @@ def _v11_oracle() -> str:
 
 _ORACLES["v11_warehouse_scorecard"] = _v11_oracle()
 
+_ORACLES["q84_percent_of_parent"] = """
+    WITH per_nation AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             FLOOR(SUM(o.o_totalprice) * 1e6 + 0.5) / 1e6 AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2)
+    SELECT region, nation, revenue,
+           FLOOR(revenue
+                 / (FLOOR(SUM(revenue) OVER (PARTITION BY region)
+                          * 1e6 + 0.5) / 1e6)
+                 * 1e6 + 0.5) / 1e6 AS pct_of_region
+    FROM per_nation
+"""
+
 _ORACLES["q83_above_avg_groups"] = """
     WITH per_cust AS (
       SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
@@ -6013,6 +6071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q82_lines_per_order": q82_lines_per_order,
             "s16_centroid_separation": llm_registry.s16_centroid_separation,
             "q83_above_avg_groups": q83_above_avg_groups,
+            "q84_percent_of_parent": q84_percent_of_parent,
+            "d20_hamming_histogram": llm_registry.d20_hamming_histogram,
         }
     )
     return out

@@ -1013,3 +1013,26 @@ def test_q83_cutoff_is_population_mean(spark):
     avg = sum(r["count"] for r in per) / len(per)
     want = {r.o_custkey for r in per if r["count"] > avg}
     assert {r.o_custkey for r in rows} == want
+
+
+# --- percent of parent / hamming histogram -----------------------------------
+
+
+def test_q84_shares_normalize_per_region(spark):
+    from collections import defaultdict
+
+    rows = registry.q84_percent_of_parent(spark, SF_DIR_SMALL).collect()
+    assert len(rows) == 25  # every nation appears
+    by_region = defaultdict(float)
+    for r in rows:
+        assert 0.0 < r.pct_of_region <= 1.0
+        by_region[r.region] += r.pct_of_region
+    for region, s in by_region.items():
+        assert abs(s - 1.0) < 1e-4, (region, s)
+
+
+def test_d20_histogram_totals_match_d09(spark):
+    rows = llm_registry.d20_hamming_histogram(spark, SF_DIR_SMALL).collect()
+    d09_n = llm_registry.d09_simhash_band_pairs(spark, SF_DIR_SMALL).count()
+    assert sum(r.n_pairs for r in rows) == d09_n
+    assert all(0 <= r.hamming <= 3 for r in rows)
