@@ -3729,6 +3729,87 @@ def q84_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: j13's irregular value-band dimension: (band, lo, hi) half-open.
+J13_BANDS = (
+    ("tiny", 0.0, 10.0),
+    ("small", 10.0, 50.0),
+    ("medium", 50.0, 200.0),
+    ("large", 200.0, 1000.0),
+    ("huge", 1000.0, 1e18),
+)
+
+
+def j13_range_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi join against an IRREGULAR band dimension (lo <= v < hi)
+    — the generic binning join q29's fixed-width arithmetic can't
+    express. The 5-row dim is built JVM-side and broadcast, so the
+    plan is a BroadcastNestedLoopJoin that's really a map-side band
+    lookup; at huge band counts the swap is a sorted-boundary
+    binary-search expression (Bucketizer shape). Exhaustive +
+    disjoint bands, so the aggregate conserves the row count
+    (tested)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("band"),
+                F.lit(lo).alias("lo"),
+                F.lit(hi).alias("hi"),
+            )
+            for n, lo, hi in J13_BANDS
+        ]
+    )
+    dim = (
+        spark.range(1)
+        .select(F.explode(bands).alias("b"))
+        .select("b.band", "b.lo", "b.hi")
+    )
+    ev = _events(spark, sf_dir).select("value")
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        ev.join(
+            F.broadcast(dim),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r6(F.avg("value")).alias("mean_value"),
+        )
+    )
+
+
+def v14_ordering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-ordering audit: walking events in event_id order per
+    type, how often does the timestamp go BACKWARDS (out-of-order
+    ingestion) and by how much at worst — the check that decides
+    whether downstream as-of joins need a reorder pass or can trust
+    arrival order. One lag window on the (type, event_id) ordering."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    ev = _events(spark, sf_dir).select("event_type", "event_id", "ts")
+    staged = ev.withColumn("_prev_ts", F.lag("ts").over(w)).filter(
+        F.col("_prev_ts").isNotNull()
+    )
+    back_us = F.expr(
+        "CAST(timestampdiff(MICROSECOND, ts, _prev_ts) AS BIGINT)"
+    )
+    return staged.select(
+        "event_type", back_us.alias("back_us")
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count(F.when(F.col("back_us") > 0, 1)).alias("n_inversions"),
+        r6(
+            F.count(F.when(F.col("back_us") > 0, 1))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("inversion_frac"),
+        F.max(F.greatest(F.col("back_us"), F.lit(0))).alias(
+            "worst_backstep_us"
+        ),
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -5141,6 +5222,43 @@ def _v11_oracle() -> str:
 
 _ORACLES["v11_warehouse_scorecard"] = _v11_oracle()
 
+def _j13_oracle() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT '{n}' AS band, {lo} AS lo, {hi} AS hi"
+        for n, lo, hi in J13_BANDS
+    )
+    return f"""
+    WITH dim AS ({arms})
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           FLOOR(AVG(value) * 1e6 + 0.5) / 1e6 AS mean_value
+    FROM events e JOIN dim d ON e.value >= d.lo AND e.value < d.hi
+    GROUP BY band
+"""
+
+
+_ORACLES["j13_range_bucket_join"] = _j13_oracle()
+
+_ORACLES["v14_ordering_audit"] = """
+    WITH staged AS (
+      SELECT event_type,
+             CAST(date_diff('microsecond', ts,
+                    lag(ts) OVER (PARTITION BY event_type
+                                  ORDER BY event_id)) AS BIGINT)
+               AS back_us
+      FROM events),
+    held AS (SELECT * FROM staged WHERE back_us IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(CASE WHEN back_us > 0 THEN 1 END) AS BIGINT)
+             AS n_inversions,
+           FLOOR(COUNT(CASE WHEN back_us > 0 THEN 1 END)
+                 / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS inversion_frac,
+           CAST(MAX(GREATEST(back_us, 0)) AS BIGINT) AS worst_backstep_us
+    FROM held GROUP BY event_type
+"""
+
 _ORACLES["q84_percent_of_parent"] = """
     WITH per_nation AS (
       SELECT r.r_name AS region, n.n_name AS nation,
@@ -6073,6 +6191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q83_above_avg_groups": q83_above_avg_groups,
             "q84_percent_of_parent": q84_percent_of_parent,
             "d20_hamming_histogram": llm_registry.d20_hamming_histogram,
+            "j13_range_bucket_join": j13_range_bucket_join,
+            "v14_ordering_audit": v14_ordering_audit,
         }
     )
     return out

@@ -1036,3 +1036,31 @@ def test_d20_histogram_totals_match_d09(spark):
     d09_n = llm_registry.d09_simhash_band_pairs(spark, SF_DIR_SMALL).count()
     assert sum(r.n_pairs for r in rows) == d09_n
     assert all(0 <= r.hamming <= 3 for r in rows)
+
+
+# --- range-bucket join / ordering audit --------------------------------------
+
+
+def test_j13_bands_conserve_rows(spark):
+    rows = registry.j13_range_bucket_join(spark, SF_DIR_SMALL).collect()
+    ev = registry._events(spark, SF_DIR_SMALL)
+    n_nonneg = ev.filter(F.col("value") >= 0).count()
+    # bands are exhaustive over [0, inf) and disjoint
+    assert sum(r.n_events for r in rows) == n_nonneg
+    for r in rows:
+        lo, hi = {
+            n: (lo, hi) for n, lo, hi in registry.J13_BANDS
+        }[r.band]
+        assert lo <= r.mean_value < hi
+
+
+def test_v14_inversion_bounds(spark):
+    rows = registry.v14_ordering_audit(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_inversions <= r.n_pairs
+        assert 0.0 <= r.inversion_frac <= 1.0
+        if r.n_inversions == 0:
+            assert r.worst_backstep_us == 0
+        else:
+            assert r.worst_backstep_us > 0
