@@ -1406,6 +1406,45 @@ def d20_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_BAND_RARE = 5
+
+
+def t21_vocab_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency-band census: hapax (df=1), rare (2..5) and
+    common (>5) types, with each band's share of total TOKEN mass —
+    the Zipf-tail summary (t13 gives the full spectrum) that sizes
+    vocabulary pruning: dropping hapax types usually costs almost no
+    token mass. One token-keyed aggregate then a 3-row rollup."""
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    per_tok = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    band = (
+        F.when(F.col("n") == 1, "hapax")
+        .when(F.col("n") <= VOCAB_BAND_RARE, "rare")
+        .otherwise("common")
+    )
+    banded = per_tok.select(band.alias("band"), "n")
+    total = banded.agg(F.sum("n").alias("_total"))
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("n").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "band",
+            "n_types",
+            "n_tokens",
+            r6(
+                F.col("n_tokens") / F.col("_total").cast("double")
+            ).alias("token_mass_share"),
+        )
+    )
+
+
 SWEEP_MIN_J = 0.1
 
 
@@ -2536,6 +2575,27 @@ _ORACLES["m08_modality_census"] = f"""
            CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
            FLOOR(AVG(n_bytes) * 1e6 + 0.5) / 1e6 AS avg_bytes
     FROM sniffed GROUP BY sniffed_mime
+"""
+
+_ORACLES["t21_vocab_bands"] = f"""
+    WITH per_tok AS (
+      SELECT tok, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok),
+    banded AS (
+      SELECT CASE WHEN n = 1 THEN 'hapax'
+                  WHEN n <= {VOCAB_BAND_RARE} THEN 'rare'
+                  ELSE 'common' END AS band,
+             n
+      FROM per_tok),
+    tot AS (SELECT SUM(n) AS t FROM banded)
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           FLOOR(SUM(n) / CAST(MAX(tot.t) AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS token_mass_share
+    FROM banded CROSS JOIN tot
+    GROUP BY band
 """
 
 _ORACLES["d20_hamming_histogram"] = f"""

@@ -3810,6 +3810,39 @@ def v14_ordering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHURN_CUTOFF = "2000-01-01"
+
+
+def q85_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn census: customers with orders BEFORE the cutoff and none
+    after — EXISTS and NOT EXISTS combined on one pass over orders
+    (conditional counts per customer, no separate semi/anti joins),
+    then one summary row beside the still-active and new-only
+    cohorts. The single-aggregate form is the 100 TB shape: two
+    boolean flags per customer instead of two join passes."""
+    cutoff = F.lit(CHURN_CUTOFF).cast("date")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_orderdate") < cutoff).alias("before"),
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("before"), 1).otherwise(0)).alias("has_before"),
+        F.max(F.when(~F.col("before"), 1).otherwise(0)).alias("has_after"),
+    )
+    return per_cust.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count(
+            F.when((F.col("has_before") == 1) & (F.col("has_after") == 0), 1)
+        ).alias("n_churned"),
+        F.count(
+            F.when((F.col("has_before") == 1) & (F.col("has_after") == 1), 1)
+        ).alias("n_retained"),
+        F.count(
+            F.when((F.col("has_before") == 0) & (F.col("has_after") == 1), 1)
+        ).alias("n_new_only"),
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -5222,6 +5255,25 @@ def _v11_oracle() -> str:
 
 _ORACLES["v11_warehouse_scorecard"] = _v11_oracle()
 
+_ORACLES["q85_churned_customers"] = f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN o_orderdate < DATE '{CHURN_CUTOFF}'
+                      THEN 1 ELSE 0 END) AS has_before,
+             MAX(CASE WHEN o_orderdate >= DATE '{CHURN_CUTOFF}'
+                      THEN 1 ELSE 0 END) AS has_after
+      FROM orders GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(COUNT(CASE WHEN has_before = 1 AND has_after = 0
+                           THEN 1 END) AS BIGINT) AS n_churned,
+           CAST(COUNT(CASE WHEN has_before = 1 AND has_after = 1
+                           THEN 1 END) AS BIGINT) AS n_retained,
+           CAST(COUNT(CASE WHEN has_before = 0 AND has_after = 1
+                           THEN 1 END) AS BIGINT) AS n_new_only
+    FROM per_cust
+"""
+
+
 def _j13_oracle() -> str:
     arms = " UNION ALL ".join(
         f"SELECT '{n}' AS band, {lo} AS lo, {hi} AS hi"
@@ -6193,6 +6245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d20_hamming_histogram": llm_registry.d20_hamming_histogram,
             "j13_range_bucket_join": j13_range_bucket_join,
             "v14_ordering_audit": v14_ordering_audit,
+            "q85_churned_customers": q85_churned_customers,
+            "t21_vocab_bands": llm_registry.t21_vocab_bands,
         }
     )
     return out

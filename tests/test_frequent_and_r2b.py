@@ -1064,3 +1064,29 @@ def test_v14_inversion_bounds(spark):
             assert r.worst_backstep_us == 0
         else:
             assert r.worst_backstep_us > 0
+
+
+# --- churn census / vocab bands ----------------------------------------------
+
+
+def test_q85_cohorts_partition_customers(spark):
+    r = registry.q85_churned_customers(spark, SF_DIR_SMALL).collect()[0]
+    n = (
+        registry.load_table(spark, SF_DIR_SMALL, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert r.n_customers == n
+    assert r.n_churned + r.n_retained + r.n_new_only == n
+
+
+def test_t21_bands_partition_vocab(spark):
+    rows = {
+        r.band: r
+        for r in llm_registry.t21_vocab_bands(spark, SF_DIR_SMALL).collect()
+    }
+    assert set(rows) <= {"hapax", "rare", "common"} and "common" in rows
+    assert abs(sum(r.token_mass_share for r in rows.values()) - 1.0) < 1e-4
+    if "hapax" in rows:
+        assert rows["hapax"].n_types == rows["hapax"].n_tokens  # df=1
