@@ -1406,6 +1406,31 @@ def d20_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d21_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI: bytes (n_chars) saved by keeping one doc per exact
+    content group — corpus bytes, surviving bytes, saved bytes and the
+    saved fraction in one row. The business-case number attached to
+    d01; a single sha-keyed aggregate then a 1-row rollup."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    d = load_table(spark, sf_dir, "documents").select(
+        F.sha2(F.col("text"), 256).alias("sha"), "n_chars"
+    )
+    groups = d.groupBy("sha").agg(
+        F.sum("n_chars").alias("group_bytes"),
+        F.min("n_chars").alias("kept_bytes"),
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("group_bytes").alias("total_bytes"),
+        F.sum("kept_bytes").alias("kept_bytes"),
+        (F.sum("group_bytes") - F.sum("kept_bytes")).alias("saved_bytes"),
+        r6(
+            (F.sum("group_bytes") - F.sum("kept_bytes"))
+            / F.sum("group_bytes").cast("double")
+        ).alias("saved_frac"),
+    )
+
+
 VOCAB_BAND_RARE = 5
 
 
@@ -2575,6 +2600,23 @@ _ORACLES["m08_modality_census"] = f"""
            CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
            FLOOR(AVG(n_bytes) * 1e6 + 0.5) / 1e6 AS avg_bytes
     FROM sniffed GROUP BY sniffed_mime
+"""
+
+_ORACLES["d21_dedup_savings"] = """
+    WITH groups AS (
+      SELECT sha256(text) AS sha,
+             SUM(n_chars) AS group_bytes,
+             MIN(n_chars) AS kept_bytes
+      FROM documents GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(group_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(kept_bytes) AS BIGINT) AS kept_bytes,
+           CAST(SUM(group_bytes) - SUM(kept_bytes) AS BIGINT)
+             AS saved_bytes,
+           FLOOR((SUM(group_bytes) - SUM(kept_bytes))
+                 / CAST(SUM(group_bytes) AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS saved_frac
+    FROM groups
 """
 
 _ORACLES["t21_vocab_bands"] = f"""

@@ -3843,6 +3843,39 @@ def q85_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q86_interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval stats: days between a customer's
+    consecutive orders (lag window on the customer's order sequence),
+    rolled up to mean/min/max interval and repeat-customer count —
+    the retention cadence metric behind q61's recency score. The lag
+    runs per customer (bounded partitions), then one global
+    aggregate."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.withColumn("_prev", F.lag("o_orderdate").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "o_custkey",
+            F.expr(
+                "CAST(timestampdiff(DAY, _prev, o_orderdate) AS BIGINT)"
+            ).alias("gap_days"),
+        )
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.countDistinct("o_custkey").alias("n_repeat_customers"),
+        r6(F.avg("gap_days")).alias("avg_gap_days"),
+        F.min("gap_days").alias("min_gap_days"),
+        F.max("gap_days").alias("max_gap_days"),
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -5255,6 +5288,25 @@ def _v11_oracle() -> str:
 
 _ORACLES["v11_warehouse_scorecard"] = _v11_oracle()
 
+_ORACLES["q86_interpurchase_time"] = """
+    WITH gaps AS (
+      SELECT o_custkey,
+             CAST(date_diff('day',
+                    lag(o_orderdate) OVER (
+                      PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey),
+                    o_orderdate) AS BIGINT) AS gap_days
+      FROM orders),
+    held AS (SELECT * FROM gaps WHERE gap_days IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+             AS n_repeat_customers,
+           FLOOR(AVG(gap_days) * 1e6 + 0.5) / 1e6 AS avg_gap_days,
+           CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+    FROM held
+"""
+
 _ORACLES["q85_churned_customers"] = f"""
     WITH per_cust AS (
       SELECT o_custkey,
@@ -6247,6 +6299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "v14_ordering_audit": v14_ordering_audit,
             "q85_churned_customers": q85_churned_customers,
             "t21_vocab_bands": llm_registry.t21_vocab_bands,
+            "q86_interpurchase_time": q86_interpurchase_time,
+            "d21_dedup_savings": llm_registry.d21_dedup_savings,
         }
     )
     return out

@@ -1090,3 +1090,25 @@ def test_t21_bands_partition_vocab(spark):
     assert abs(sum(r.token_mass_share for r in rows.values()) - 1.0) < 1e-4
     if "hapax" in rows:
         assert rows["hapax"].n_types == rows["hapax"].n_tokens  # df=1
+
+
+# --- inter-purchase time / dedup savings -------------------------------------
+
+
+def test_q86_gap_bounds(spark):
+    r = registry.q86_interpurchase_time(spark, SF_DIR_SMALL).collect()[0]
+    assert r.n_intervals > 0 and r.n_repeat_customers > 0
+    assert 0 <= r.min_gap_days <= r.avg_gap_days <= r.max_gap_days
+    # each repeat customer contributes >= 1 interval
+    assert r.n_intervals >= r.n_repeat_customers
+
+
+def test_d21_savings_consistent(spark):
+    r = llm_registry.d21_dedup_savings(spark, SF_DIR_SMALL).collect()[0]
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    from pyspark.sql import functions as SF
+
+    total = docs.agg(SF.sum("n_chars")).collect()[0][0]
+    assert r.total_bytes == total
+    assert r.kept_bytes + r.saved_bytes == r.total_bytes
+    assert 0.0 <= r.saved_frac < 1.0
