@@ -3876,6 +3876,112 @@ def q86_interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v15_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test on the market-segment x
+    order-status contingency table: observed counts, expected counts
+    under independence (row_total * col_total / n), and the chi-square
+    statistic with degrees of freedom — the categorical association
+    audit beside v09's means and v13's distributions. One joined
+    aggregate builds the table; the margins come from windows over the
+    TINY contingency table (|segments| x |statuses| rows)."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cells = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    w_row = Window.partitionBy("c_mktsegment")
+    w_col = Window.partitionBy("o_orderstatus")
+    w_all = Window.partitionBy()
+    staged = cells.select(
+        "c_mktsegment",
+        "o_orderstatus",
+        "observed",
+        (
+            F.sum("observed").over(w_row)
+            * F.sum("observed").over(w_col)
+            / F.sum("observed").over(w_all).cast("double")
+        ).alias("_exp"),
+        F.count(F.lit(1)).over(w_row).alias("_ncols"),
+        F.count(F.lit(1)).over(w_col).alias("_nrows"),
+    )
+    contrib = (
+        (F.col("observed") - F.col("_exp"))
+        * (F.col("observed") - F.col("_exp"))
+        / F.col("_exp")
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        r6(F.sum(contrib)).alias("chi2"),
+        (
+            (F.max("_nrows") - F.lit(1)) * (F.max("_ncols") - F.lit(1))
+        ).cast("long").alias("dof"),
+    )
+
+
+RANK_YEAR_A, RANK_YEAR_B = 1996, 1999
+
+
+def q87_rank_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard movement: nations ranked by customer-side revenue in
+    1996 vs 1999 with the rank delta — the period-over-period
+    standings view (who rose, who fell). Both rank windows run on the
+    25-row nation aggregate; one fact pass computes both years via
+    conditional sums (no second scan)."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        F.year("o_orderdate").alias("yr"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    per_nation = (
+        o.filter(F.col("yr").isin(RANK_YEAR_A, RANK_YEAR_B))
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("nation")
+        .agg(
+            r6(
+                F.sum(
+                    F.when(F.col("yr") == RANK_YEAR_A, F.col("o_totalprice"))
+                )
+            ).alias("rev_a"),
+            r6(
+                F.sum(
+                    F.when(F.col("yr") == RANK_YEAR_B, F.col("o_totalprice"))
+                )
+            ).alias("rev_b"),
+        )
+    )
+    wa = Window.orderBy(F.desc("rev_a"), F.asc("nation"))
+    wb = Window.orderBy(F.desc("rev_b"), F.asc("nation"))
+    return per_nation.select(
+        "nation",
+        "rev_a",
+        "rev_b",
+        F.rank().over(wa).alias("rank_a"),
+        F.rank().over(wb).alias("rank_b"),
+    ).select(
+        "*",
+        (F.col("rank_a") - F.col("rank_b")).alias("rank_delta"),
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -5288,6 +5394,49 @@ def _v11_oracle() -> str:
 
 _ORACLES["v11_warehouse_scorecard"] = _v11_oracle()
 
+_ORACLES["v15_chi2_independence"] = """
+    WITH cells AS (
+      SELECT c.c_mktsegment, o.o_orderstatus, COUNT(*) AS observed
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    staged AS (
+      SELECT observed,
+             SUM(observed) OVER (PARTITION BY c_mktsegment)
+               * SUM(observed) OVER (PARTITION BY o_orderstatus)
+               / CAST(SUM(observed) OVER () AS DOUBLE) AS exp,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS ncols,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS nrows
+      FROM cells)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           FLOOR(SUM((observed - exp) * (observed - exp) / exp)
+                 * 1e6 + 0.5) / 1e6 AS chi2,
+           CAST((MAX(nrows) - 1) * (MAX(ncols) - 1) AS BIGINT) AS dof
+    FROM staged
+"""
+
+_ORACLES["q87_rank_change"] = f"""
+    WITH per_nation AS (
+      SELECT n.n_name AS nation,
+             FLOOR(SUM(CASE WHEN year(o.o_orderdate) = {RANK_YEAR_A}
+                            THEN o.o_totalprice END) * 1e6 + 0.5) / 1e6
+               AS rev_a,
+             FLOOR(SUM(CASE WHEN year(o.o_orderdate) = {RANK_YEAR_B}
+                            THEN o.o_totalprice END) * 1e6 + 0.5) / 1e6
+               AS rev_b
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE year(o.o_orderdate) IN ({RANK_YEAR_A}, {RANK_YEAR_B})
+      GROUP BY 1)
+    SELECT nation, rev_a, rev_b,
+           rank() OVER (ORDER BY rev_a DESC, nation ASC) AS rank_a,
+           rank() OVER (ORDER BY rev_b DESC, nation ASC) AS rank_b,
+           CAST(rank() OVER (ORDER BY rev_a DESC, nation ASC) AS BIGINT)
+             - CAST(rank() OVER (ORDER BY rev_b DESC, nation ASC)
+                    AS BIGINT) AS rank_delta
+    FROM per_nation
+"""
+
 _ORACLES["q86_interpurchase_time"] = """
     WITH gaps AS (
       SELECT o_custkey,
@@ -6301,6 +6450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t21_vocab_bands": llm_registry.t21_vocab_bands,
             "q86_interpurchase_time": q86_interpurchase_time,
             "d21_dedup_savings": llm_registry.d21_dedup_savings,
+            "v15_chi2_independence": v15_chi2_independence,
+            "q87_rank_change": q87_rank_change,
         }
     )
     return out

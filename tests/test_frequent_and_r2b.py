@@ -1112,3 +1112,25 @@ def test_d21_savings_consistent(spark):
     assert r.total_bytes == total
     assert r.kept_bytes + r.saved_bytes == r.total_bytes
     assert 0.0 <= r.saved_frac < 1.0
+
+
+# --- chi-square independence / rank change -----------------------------------
+
+
+def test_v15_chi2_shape(spark):
+    r = registry.v15_chi2_independence(spark, SF_DIR_SMALL).collect()[0]
+    assert r.chi2 >= 0.0
+    assert r.dof >= 1
+    # full grid: 5 segments x 3 statuses when all cells occur
+    assert r.n_cells <= 15
+    assert r.dof == (5 - 1) * (3 - 1) or r.n_cells < 15
+
+
+def test_q87_rank_deltas_sum_to_zero_when_dense(spark):
+    rows = registry.q87_rank_change(spark, SF_DIR_SMALL).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert 1 <= r.rank_a <= 25 and 1 <= r.rank_b <= 25
+        assert r.rank_delta == r.rank_a - r.rank_b
+    # dense ranks over the same population: deltas cancel
+    assert sum(r.rank_delta for r in rows) == 0
