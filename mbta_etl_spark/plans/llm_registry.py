@@ -1431,6 +1431,52 @@ def d21_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d22_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-bucket occupancy histogram: how many (band, key)
+    buckets hold 1, 2, 3... docs, and how many candidate pairs each
+    size class contributes (size*(size-1)/2 per bucket) — the skew
+    audit for d04's collision join: one hot bucket of size B costs
+    B^2/2 candidate verifications, so this table IS the join's cost
+    model. Reuses the signature/banding pipeline; the histogram is
+    two tiny aggregates on top."""
+    sh = dedup._shingle_table(
+        _docs(spark, sf_dir), F.col("text"), F.col("doc_id"), JACCARD_K
+    )
+    wide = dedup._minhash_wide(sh)
+    n_bands = dedup.NUM_HASHES // dedup.BAND_SIZE
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"mh{b * dedup.BAND_SIZE + r}")
+                    for r in range(dedup.BAND_SIZE)
+                ],
+            )
+        ).alias(f"bk{b}")
+        for b in range(n_bands)
+    ]
+    stack_args = ", ".join(f"{b}, bk{b}" for b in range(n_bands))
+    bands = wide.select("doc_id", *band_keys).select(
+        "doc_id",
+        F.expr(f"stack({n_bands}, {stack_args}) AS (band, band_key)"),
+    )
+    buckets = bands.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return buckets.groupBy("bucket_size").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        (
+            F.count(F.lit(1))
+            * F.col("bucket_size")
+            * (F.col("bucket_size") - 1)
+            / F.lit(2)
+        )
+        .cast("long")
+        .alias("candidate_pairs"),
+    )
+
+
 VOCAB_BAND_RARE = 5
 
 
@@ -2600,6 +2646,29 @@ _ORACLES["m08_modality_census"] = f"""
            CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
            FLOOR(AVG(n_bytes) * 1e6 + 0.5) / 1e6 AS avg_bytes
     FROM sniffed GROUP BY sniffed_mime
+"""
+
+_ORACLES["d22_band_occupancy"] = f"""
+    WITH {_SHINGLE_CTE},
+    seeds AS (SELECT unnest(range(0, {dedup.NUM_HASHES})) AS seed),
+    mh AS (
+      SELECT doc_id, seed,
+             MIN(((1000003 * seed + 12345) *
+                  CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT)
+                  + 7919 * seed + 17) % 4294967311) AS mh
+      FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // {dedup.BAND_SIZE} AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+      FROM mh GROUP BY doc_id, seed // {dedup.BAND_SIZE}),
+    buckets AS (
+      SELECT band, band_key, COUNT(*) AS bucket_size
+      FROM bands GROUP BY 1, 2)
+    SELECT CAST(bucket_size AS BIGINT) AS bucket_size,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(COUNT(*) * bucket_size * (bucket_size - 1) / 2 AS BIGINT)
+             AS candidate_pairs
+    FROM buckets GROUP BY bucket_size
 """
 
 _ORACLES["d21_dedup_savings"] = """

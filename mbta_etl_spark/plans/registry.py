@@ -3982,6 +3982,33 @@ def q87_rank_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts20_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak activity hour per series: the hour-of-day with the highest
+    mean value (plus that mean and its event count) — the staffing/
+    capacity readout of q67's weekly grid collapsed to its argmax.
+    One 24x|types| aggregate, then a rank window on that tiny table;
+    ties break to the earlier hour."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.hour("ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r6(F.avg("value")).alias("mean_value"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("mean_value"), F.asc("hour")
+    )
+    return (
+        hourly.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", "hour", "n_events", "mean_value")
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -5394,6 +5421,21 @@ def _v11_oracle() -> str:
 
 _ORACLES["v11_warehouse_scorecard"] = _v11_oracle()
 
+_ORACLES["ts20_peak_hour"] = """
+    WITH hourly AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             FLOOR(AVG(value) * 1e6 + 0.5) / 1e6 AS mean_value
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, hour, n_events, mean_value
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY mean_value DESC, hour ASC) AS rn
+      FROM hourly)
+    WHERE rn = 1
+"""
+
 _ORACLES["v15_chi2_independence"] = """
     WITH cells AS (
       SELECT c.c_mktsegment, o.o_orderstatus, COUNT(*) AS observed
@@ -6452,6 +6494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d21_dedup_savings": llm_registry.d21_dedup_savings,
             "v15_chi2_independence": v15_chi2_independence,
             "q87_rank_change": q87_rank_change,
+            "ts20_peak_hour": ts20_peak_hour,
+            "d22_band_occupancy": llm_registry.d22_band_occupancy,
         }
     )
     return out

@@ -1134,3 +1134,26 @@ def test_q87_rank_deltas_sum_to_zero_when_dense(spark):
         assert r.rank_delta == r.rank_a - r.rank_b
     # dense ranks over the same population: deltas cancel
     assert sum(r.rank_delta for r in rows) == 0
+
+
+# --- peak hour / band occupancy ----------------------------------------------
+
+
+def test_ts20_one_peak_per_series(spark):
+    rows = registry.ts20_peak_hour(spark, SF_DIR_SMALL).collect()
+    types = {r.event_type for r in rows}
+    assert len(rows) == len(types)  # exactly one argmax row per series
+    for r in rows:
+        assert 0 <= r.hour <= 23 and r.n_events > 0
+
+
+def test_d22_occupancy_accounts_all_band_rows(spark):
+    rows = llm_registry.d22_band_occupancy(spark, SF_DIR_SMALL).collect()
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    from mbta_etl_spark.operators.dedup import BAND_SIZE, NUM_HASHES
+
+    n_band_rows = docs.count() * (NUM_HASHES // BAND_SIZE)
+    assert sum(r.bucket_size * r.n_buckets for r in rows) == n_band_rows
+    for r in rows:
+        expect = r.n_buckets * r.bucket_size * (r.bucket_size - 1) // 2
+        assert r.candidate_pairs == expect
