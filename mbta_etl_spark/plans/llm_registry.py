@@ -1477,6 +1477,31 @@ def d22_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PREFIX_LEN = 40
+PREFIX_MIN_DOCS = 3
+
+
+def t22_template_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection by shared document PREFIX: groups
+    of >= 3 docs opening with the same 40 characters — the cheap
+    screen for form letters, scraped templates and licence headers
+    that full shingling (t12) treats as ordinary overlap. One prefix-
+    keyed aggregate; at 100 TB the prefix key is tiny and hash-
+    partitions evenly unless templates dominate, which is exactly the
+    finding."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            F.substring(F.col("text"), 1, PREFIX_LEN).alias("prefix")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("example_doc_id"),
+        )
+        .filter(F.col("n_docs") >= PREFIX_MIN_DOCS)
+    )
+
+
 VOCAB_BAND_RARE = 5
 
 
@@ -2646,6 +2671,15 @@ _ORACLES["m08_modality_census"] = f"""
            CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
            FLOOR(AVG(n_bytes) * 1e6 + 0.5) / 1e6 AS avg_bytes
     FROM sniffed GROUP BY sniffed_mime
+"""
+
+_ORACLES["t22_template_prefixes"] = f"""
+    SELECT substr(text, 1, {PREFIX_LEN}) AS prefix,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS example_doc_id
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) >= {PREFIX_MIN_DOCS}
 """
 
 _ORACLES["d22_band_occupancy"] = f"""

@@ -4009,6 +4009,34 @@ def ts20_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts21_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality strength per series: 1 - var(residual)/var(detrended)
+    over ts15's decomposition (Hyndman's F_s statistic) — the single
+    number that says whether the weekly pattern is signal or noise,
+    beside ts16's lag-7 ACF. One aggregate over the decomposition's
+    output; variances 6dp-floored before the ratio."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    dec = ts15_seasonal_decompose(spark, sf_dir).select(
+        "event_type",
+        (F.col("x") - F.col("trend")).alias("det"),
+        "residual",
+    )
+    agg = dec.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        r6(F.var_samp("det")).alias("_vd"),
+        r6(F.var_samp("residual")).alias("_vr"),
+    )
+    return agg.select(
+        "event_type",
+        "n_days",
+        r6(
+            F.greatest(
+                F.lit(0.0), F.lit(1.0) - F.col("_vr") / F.col("_vd")
+            )
+        ).alias("strength"),
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -6068,6 +6096,20 @@ _ORACLES["ts15_seasonal_decompose"] = """
       ON d.event_type = s.event_type AND d.dow = s.dow
 """
 
+_ORACLES["ts21_seasonality_strength"] = f"""
+    WITH dec AS ({_ORACLES["ts15_seasonal_decompose"]}),
+    agg AS (
+      SELECT event_type, COUNT(*) AS n_days,
+             FLOOR(VAR_SAMP(x - trend) * 1e6 + 0.5) / 1e6 AS vd,
+             FLOOR(VAR_SAMP(residual) * 1e6 + 0.5) / 1e6 AS vr
+      FROM dec GROUP BY 1)
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           FLOOR(GREATEST(0.0, 1.0 - vr / vd) * 1e6 + 0.5) / 1e6
+             AS strength
+    FROM agg
+"""
+
 _ORACLES["q69_trade_matrix"] = """
     SELECT cn.n_name AS cust_nation,
            sn.n_name AS supp_nation,
@@ -6496,6 +6538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q87_rank_change": q87_rank_change,
             "ts20_peak_hour": ts20_peak_hour,
             "d22_band_occupancy": llm_registry.d22_band_occupancy,
+            "t22_template_prefixes": llm_registry.t22_template_prefixes,
+            "ts21_seasonality_strength": ts21_seasonality_strength,
         }
     )
     return out

@@ -1157,3 +1157,21 @@ def test_d22_occupancy_accounts_all_band_rows(spark):
     for r in rows:
         expect = r.n_buckets * r.bucket_size * (r.bucket_size - 1) // 2
         assert r.candidate_pairs == expect
+
+
+# --- template prefixes / seasonality strength --------------------------------
+
+
+def test_t22_prefix_groups_meet_threshold(spark):
+    rows = llm_registry.t22_template_prefixes(spark, SF_DIR_SMALL).collect()
+    for r in rows:
+        assert r.n_docs >= llm_registry.PREFIX_MIN_DOCS
+        assert len(r.prefix) <= llm_registry.PREFIX_LEN
+
+
+def test_ts21_strength_bounded(spark):
+    rows = registry.ts21_seasonality_strength(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.strength <= 1.0
+        assert r.n_days > 7
