@@ -1502,6 +1502,37 @@ def t22_template_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c17_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation between t02's quality score and document length —
+    the confound check before using either as a filter (a high
+    correlation means 'quality' filtering is mostly length
+    filtering). Explicit product-moment formula over 6dp-pinned sums
+    (the ts16 discipline), one scan + one scalar aggregate."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    q = text.quality_score(
+        _docs(spark, sf_dir), F.col("text"), F.col("doc_id")
+    ).select(
+        F.col("quality").alias("x"),
+        F.col("n_tokens").cast("double").alias("y"),
+    )
+    sums = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(F.sum("x")).alias("sx"),
+        r6(F.sum("y")).alias("sy"),
+        r6(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+        r6(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+        r6(F.sum(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    nn = F.col("n").cast("double")
+    cov = nn * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = nn * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.select(
+        F.col("n").alias("n_docs"),
+        r6(cov / (F.sqrt(vx) * F.sqrt(vy))).alias("quality_length_corr"),
+    )
+
+
 VOCAB_BAND_RARE = 5
 
 
@@ -2672,6 +2703,28 @@ _ORACLES["m08_modality_census"] = f"""
            FLOOR(AVG(n_bytes) * 1e6 + 0.5) / 1e6 AS avg_bytes
     FROM sniffed GROUP BY sniffed_mime
 """
+
+def _c17_oracle() -> str:
+    return f"""
+    WITH q AS ({_ORACLES["t02_quality_score"]}),
+    pairs AS (SELECT quality AS x, CAST(n_tokens AS DOUBLE) AS y FROM q),
+    sums AS (
+      SELECT COUNT(*) AS n,
+             FLOOR(SUM(x) * 1e6 + 0.5) / 1e6 AS sx,
+             FLOOR(SUM(y) * 1e6 + 0.5) / 1e6 AS sy,
+             FLOOR(SUM(x * y) * 1e6 + 0.5) / 1e6 AS sxy,
+             FLOOR(SUM(x * x) * 1e6 + 0.5) / 1e6 AS sxx,
+             FLOOR(SUM(y * y) * 1e6 + 0.5) / 1e6 AS syy
+      FROM pairs)
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           FLOOR((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                 * 1e6 + 0.5) / 1e6 AS quality_length_corr
+    FROM sums
+"""
+
+
+_ORACLES["c17_quality_length_corr"] = _c17_oracle()
 
 _ORACLES["t22_template_prefixes"] = f"""
     SELECT substr(text, 1, {PREFIX_LEN}) AS prefix,

@@ -4037,6 +4037,44 @@ def ts21_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v16_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily VOLUME anomaly census per series: days whose event count
+    exceeds mean + 3*sd of that series' daily counts — the ingest-
+    volume monitor (ts04 watches values, ts13 watches means; this
+    watches row counts, the first thing that breaks when an upstream
+    feed double-publishes). Two aggregates over the tiny daily-count
+    table; mean/sd 6dp-floored before the threshold compare."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    b = F.date_trunc("day", F.col("ts")).cast("timestamp_ntz")
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", b.alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        r6(F.avg("n")).alias("mean_n"),
+        r6(F.stddev_samp("n")).alias("sd_n"),
+    )
+    flagged = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "n",
+        "mean_n",
+        "sd_n",
+        (
+            F.col("n")
+            > F.col("mean_n") + F.lit(3.0) * F.col("sd_n")
+        ).alias("is_spike"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.count(F.when(F.col("is_spike"), 1)).alias("n_spike_days"),
+        F.max("n").alias("max_daily_count"),
+        r6(F.max("mean_n") + F.lit(3.0) * F.max("sd_n")).alias(
+            "threshold"
+        ),
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -5449,6 +5487,28 @@ def _v11_oracle() -> str:
 
 _ORACLES["v11_warehouse_scorecard"] = _v11_oracle()
 
+_ORACLES["v16_volume_anomalies"] = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type,
+             FLOOR(AVG(n) * 1e6 + 0.5) / 1e6 AS mean_n,
+             FLOOR(STDDEV_SAMP(n) * 1e6 + 0.5) / 1e6 AS sd_n
+      FROM daily GROUP BY 1)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(COUNT(CASE WHEN d.n > s.mean_n + 3.0 * s.sd_n
+                           THEN 1 END) AS BIGINT) AS n_spike_days,
+           CAST(MAX(d.n) AS BIGINT) AS max_daily_count,
+           FLOOR((MAX(s.mean_n) + 3.0 * MAX(s.sd_n)) * 1e6 + 0.5) / 1e6
+             AS threshold
+    FROM daily d JOIN stats s USING (event_type)
+    GROUP BY d.event_type
+"""
+
 _ORACLES["ts20_peak_hour"] = """
     WITH hourly AS (
       SELECT event_type, CAST(hour(ts) AS INT) AS hour,
@@ -6540,6 +6600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d22_band_occupancy": llm_registry.d22_band_occupancy,
             "t22_template_prefixes": llm_registry.t22_template_prefixes,
             "ts21_seasonality_strength": ts21_seasonality_strength,
+            "c17_quality_length_corr": llm_registry.c17_quality_length_corr,
+            "v16_volume_anomalies": v16_volume_anomalies,
         }
     )
     return out

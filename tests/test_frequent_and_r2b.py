@@ -1175,3 +1175,27 @@ def test_ts21_strength_bounded(spark):
     for r in rows:
         assert 0.0 <= r.strength <= 1.0
         assert r.n_days > 7
+
+
+# --- quality-length correlation / volume anomalies ---------------------------
+
+
+def test_c17_corr_bounded_and_positive_by_construction(spark):
+    r = llm_registry.c17_quality_length_corr(spark, SF_DIR_SMALL).collect()[0]
+    assert -1.0 - 1e-6 <= r.quality_length_corr <= 1.0 + 1e-6
+    # quality contains a 0.5*min(1, n/100) length term, so the
+    # association with length must come out positive on this corpus
+    assert r.quality_length_corr > 0.0
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    assert r.n_docs == docs.count()
+
+
+def test_v16_threshold_consistency(spark):
+    rows = registry.v16_volume_anomalies(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_spike_days <= r.n_days
+        if r.max_daily_count <= r.threshold:
+            assert r.n_spike_days == 0
+        else:
+            assert r.n_spike_days >= 1
