@@ -1533,6 +1533,93 @@ def c17_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s17_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anisotropy: |mean vector|^2 / mean |v|^2 — the
+    closed-form expected cosine between random vectors (Ethayarajh'19's
+    diagnosis statistic: near 0 = directions spread; near 1 = a
+    dominant common direction, which degrades cosine retrieval). Two
+    aggregates: per-dim means (s12's shuffle) and the per-row squared
+    norm average; the ratio is O(1) driver-free arithmetic."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    emb = _emb(spark, sf_dir)
+    mu = (
+        emb.select(F.posexplode(F.col("embedding")).alias("dim", "val"))
+        .groupBy("dim")
+        .agg(r6(F.avg(F.col("val").cast("double"))).alias("m"))
+    )
+    mu_norm = mu.agg(
+        r6(F.sum(F.col("m") * F.col("m"))).alias("mu_norm_sq")
+    )
+    sq = F.expr(
+        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"
+    )
+    norms = emb.select(sq.alias("nsq")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        r6(F.avg("nsq")).alias("mean_norm_sq"),
+    )
+    return norms.crossJoin(F.broadcast(mu_norm)).select(
+        "n_vectors",
+        "mu_norm_sq",
+        "mean_norm_sq",
+        r6(F.col("mu_norm_sq") / F.col("mean_norm_sq")).alias(
+            "anisotropy"
+        ),
+    )
+
+
+def c18_mixture_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture fidelity audit: c02's ACHIEVED per-source share vs the
+    TARGET share implied by the declared weights (weight x corpus
+    count, normalized) with the absolute deviation — the check that
+    the hash-fractional replication actually lands the recipe.
+    Deviation comes only from fractional-weight hash rounding, so it
+    shrinks with corpus size. Two source-keyed aggregates; dropped
+    strata (weight 0) excluded on both sides."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    mixed = c02_corpus_mix(spark, sf_dir)
+    achieved = mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("achieved_rows")
+    )
+    wexpr = None
+    for s, w in sorted(MIX_WEIGHTS.items()):
+        cond = F.when(F.col("source") == s, F.lit(float(w)))
+        wexpr = cond if wexpr is None else wexpr.when(
+            F.col("source") == s, F.lit(float(w))
+        )
+    wexpr = wexpr.otherwise(F.lit(0.0))
+    base = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select("source", (wexpr * F.col("n_docs")).alias("target_mass"))
+        .filter(F.col("target_mass") > 0)
+    )
+    joined = base.join(achieved, "source", "left").select(
+        "source",
+        F.coalesce("achieved_rows", F.lit(0)).alias("achieved_rows"),
+        "target_mass",
+    )
+    totals = joined.agg(
+        F.sum("achieved_rows").alias("_ta"),
+        F.sum("target_mass").alias("_tm"),
+    )
+    shared = joined.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "achieved_rows",
+        r6(F.col("achieved_rows") / F.col("_ta").cast("double")).alias(
+            "achieved_share"
+        ),
+        r6(F.col("target_mass") / F.col("_tm")).alias("target_share"),
+    )
+    return shared.select(
+        "*",
+        r6(
+            F.abs(F.col("achieved_share") - F.col("target_share"))
+        ).alias("abs_dev"),
+    )
+
+
 VOCAB_BAND_RARE = 5
 
 
@@ -2725,6 +2812,73 @@ def _c17_oracle() -> str:
 
 
 _ORACLES["c17_quality_length_corr"] = _c17_oracle()
+
+_ORACLES["s17_anisotropy"] = """
+    WITH ex AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings),
+    mu AS (
+      SELECT dim, FLOOR(AVG(val) * 1e6 + 0.5) / 1e6 AS m
+      FROM ex GROUP BY dim),
+    mn AS (
+      SELECT FLOOR(SUM(m * m) * 1e6 + 0.5) / 1e6 AS mu_norm_sq FROM mu),
+    norms AS (
+      SELECT COUNT(*) AS n_vectors,
+             FLOOR(AVG(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * 1e6 + 0.5) / 1e6 AS mean_norm_sq
+      FROM embeddings)
+    SELECT CAST(n_vectors AS BIGINT) AS n_vectors,
+           mu_norm_sq, mean_norm_sq,
+           FLOOR(mu_norm_sq / mean_norm_sq * 1e6 + 0.5) / 1e6
+             AS anisotropy
+    FROM norms CROSS JOIN mn
+"""
+
+
+def _c18_oracle() -> str:
+    int_arms = " ".join(
+        f"WHEN '{s}' THEN {int(w)}" for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    frac_arms = " ".join(
+        f"WHEN '{s}' THEN {int(round((w - int(w)) * 10000))}"
+        for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    w_arms = " ".join(
+        f"WHEN '{s}' THEN {float(w)}" for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             (CASE source {int_arms} ELSE 0 END)
+             + (CASE WHEN {_bucket_sql('doc_id', 'mix')}
+                      < (CASE source {frac_arms} ELSE 0 END)
+                     THEN 1 ELSE 0 END) AS n_copies
+      FROM documents),
+    per AS (
+      SELECT source,
+             SUM(n_copies) AS achieved_rows,
+             (CASE source {w_arms} ELSE 0.0 END) * COUNT(*)
+               AS target_mass
+      FROM w GROUP BY source),
+    kept AS (SELECT * FROM per WHERE target_mass > 0),
+    tot AS (
+      SELECT SUM(achieved_rows) AS ta, SUM(target_mass) AS tm FROM kept)
+    SELECT source,
+           CAST(achieved_rows AS BIGINT) AS achieved_rows,
+           FLOOR(achieved_rows / CAST(tot.ta AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS achieved_share,
+           FLOOR(target_mass / tot.tm * 1e6 + 0.5) / 1e6 AS target_share,
+           FLOOR(ABS((FLOOR(achieved_rows / CAST(tot.ta AS DOUBLE)
+                            * 1e6 + 0.5) / 1e6)
+                     - (FLOOR(target_mass / tot.tm * 1e6 + 0.5) / 1e6))
+                 * 1e6 + 0.5) / 1e6 AS abs_dev
+    FROM kept CROSS JOIN tot
+"""
+
+
+_ORACLES["c18_mixture_fidelity"] = _c18_oracle()
 
 _ORACLES["t22_template_prefixes"] = f"""
     SELECT substr(text, 1, {PREFIX_LEN}) AS prefix,

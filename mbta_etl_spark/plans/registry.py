@@ -6602,6 +6602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts21_seasonality_strength": ts21_seasonality_strength,
             "c17_quality_length_corr": llm_registry.c17_quality_length_corr,
             "v16_volume_anomalies": v16_volume_anomalies,
+            "s17_anisotropy": llm_registry.s17_anisotropy,
+            "c18_mixture_fidelity": llm_registry.c18_mixture_fidelity,
         }
     )
     return out

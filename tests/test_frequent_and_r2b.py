@@ -1199,3 +1199,37 @@ def test_v16_threshold_consistency(spark):
             assert r.n_spike_days == 0
         else:
             assert r.n_spike_days >= 1
+
+
+# --- anisotropy / mixture fidelity -------------------------------------------
+
+
+def test_s17_anisotropy_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{SF_DIR_SMALL}/embeddings.parquet")
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    want = (np.linalg.norm(mat.mean(axis=0)) ** 2) / (
+        (mat**2).sum(axis=1).mean()
+    )
+    r = llm_registry.s17_anisotropy(spark, SF_DIR_SMALL).collect()[0]
+    assert 0.0 <= r.anisotropy <= 1.0 + 1e-6
+    assert abs(r.anisotropy - want) < 1e-4
+    assert r.n_vectors == len(mat)
+
+
+def test_c18_shares_normalize_and_weights_steer(spark):
+    rows = {
+        r.source: r
+        for r in llm_registry.c18_mixture_fidelity(
+            spark, SF_DIR_SMALL
+        ).collect()
+    }
+    assert len(rows) == 15  # weighted strata only; dropped sources absent
+    assert abs(sum(r.achieved_share for r in rows.values()) - 1.0) < 1e-4
+    assert abs(sum(r.target_share for r in rows.values()) - 1.0) < 1e-4
+    for r in rows.values():
+        assert r.abs_dev < 0.05  # hash-fractional rounding stays small
+    # a 2.5x source must out-share a 0.5x source
+    assert rows["src0"].achieved_share > rows["src10"].achieved_share
