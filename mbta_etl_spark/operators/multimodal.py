@@ -385,3 +385,47 @@ def fake_audio_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_fake, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def byte_entropy(df: DataFrame) -> DataFrame:
+    """Shannon byte-entropy per payload (bits/byte): near 8 means
+    compressed/encrypted content, low means structured text — the
+    screening signal a multimodal intake uses to route payloads that
+    lied about their MIME (pairs with sniff_types). Arrow-batched
+    mapInPandas kernel, one histogram per row, no shuffle; entropy
+    6dp-floored so the DuckDB oracle (character replay of the same
+    histogram) matches despite summation-order ulps."""
+    import math
+    from collections import Counter
+
+    def _entropy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                t = len(raw)
+                if t == 0:
+                    out.append((int(doc_id), 0, 0, 0.0))
+                    continue
+                counts = Counter(raw)
+                h = -sum(
+                    (n / t) * math.log2(n / t) for n in counts.values()
+                )
+                out.append(
+                    (
+                        int(doc_id),
+                        t,
+                        len(counts),
+                        math.floor(h * 1e6 + 0.5) / 1e6,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_bytes", "n_distinct_bytes", "entropy"],
+            )
+
+    return df.mapInPandas(
+        _entropy,
+        schema="doc_id long, n_bytes long, n_distinct_bytes long, "
+        "entropy double",
+    )

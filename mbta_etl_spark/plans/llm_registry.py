@@ -1620,6 +1620,16 @@ def c18_mixture_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m09_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-entropy screening over the payload table: bits/byte per
+    payload via the Arrow mapInPandas histogram kernel
+    (multimodal.byte_entropy) — near-8 payloads are compressed or
+    encrypted regardless of claimed MIME. ASCII corpus => the oracle
+    replays the identical histogram over characters."""
+    binary = multimodal.to_binary_table(_docs(spark, sf_dir), "text", "doc_id")
+    return multimodal.byte_entropy(binary)
+
+
 VOCAB_BAND_RARE = 5
 
 
@@ -2812,6 +2822,25 @@ def _c17_oracle() -> str:
 
 
 _ORACLES["c17_quality_length_corr"] = _c17_oracle()
+
+_ORACLES["m09_byte_entropy"] = """
+    WITH chars AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+      FROM documents),
+    cnt AS (
+      SELECT doc_id, ch, COUNT(*) AS n FROM chars GROUP BY 1, 2),
+    tot AS (
+      SELECT doc_id, SUM(n) AS t, COUNT(*) AS distincts
+      FROM cnt GROUP BY 1)
+    SELECT c.doc_id,
+           CAST(MAX(t.t) AS BIGINT) AS n_bytes,
+           CAST(MAX(t.distincts) AS BIGINT) AS n_distinct_bytes,
+           FLOOR(-SUM((c.n / CAST(t.t AS DOUBLE))
+                      * log2(c.n / CAST(t.t AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS entropy
+    FROM cnt c JOIN tot t USING (doc_id)
+    GROUP BY c.doc_id
+"""
 
 _ORACLES["s17_anisotropy"] = """
     WITH ex AS (

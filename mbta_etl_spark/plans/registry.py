@@ -4075,6 +4075,67 @@ def v16_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOPK_OVERLAP_K = 100
+
+
+def q88_topk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard stability: Jaccard overlap between the top-100
+    customers by revenue in 1996 vs 1999 — q87's rank deltas reduced
+    to one churn number (1 = same elite set, 0 = full turnover). One
+    fact pass computes both years' per-customer revenue; the two rank
+    windows and the set intersection run on the customer aggregate."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        F.year("o_orderdate").alias("yr"),
+    )
+    per_cust = (
+        o.filter(F.col("yr").isin(RANK_YEAR_A, RANK_YEAR_B))
+        .groupBy("o_custkey")
+        .agg(
+            r6(
+                F.sum(
+                    F.when(F.col("yr") == RANK_YEAR_A, F.col("o_totalprice"))
+                )
+            ).alias("rev_a"),
+            r6(
+                F.sum(
+                    F.when(F.col("yr") == RANK_YEAR_B, F.col("o_totalprice"))
+                )
+            ).alias("rev_b"),
+        )
+    )
+    wa = Window.orderBy(
+        F.desc_nulls_last("rev_a"), F.asc("o_custkey")
+    )
+    wb = Window.orderBy(
+        F.desc_nulls_last("rev_b"), F.asc("o_custkey")
+    )
+    ranked = per_cust.select(
+        "o_custkey",
+        (F.row_number().over(wa) <= TOPK_OVERLAP_K).alias("in_a"),
+        (F.row_number().over(wb) <= TOPK_OVERLAP_K).alias("in_b"),
+    )
+    return ranked.agg(
+        F.count(F.when(F.col("in_a"), 1)).alias("n_top_a"),
+        F.count(F.when(F.col("in_b"), 1)).alias("n_top_b"),
+        F.count(F.when(F.col("in_a") & F.col("in_b"), 1)).alias("n_both"),
+    ).select(
+        "n_top_a",
+        "n_top_b",
+        "n_both",
+        r6(
+            F.col("n_both")
+            / (
+                F.col("n_top_a") + F.col("n_top_b") - F.col("n_both")
+            ).cast("double")
+        ).alias("jaccard"),
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -5487,6 +5548,40 @@ def _v11_oracle() -> str:
 
 _ORACLES["v11_warehouse_scorecard"] = _v11_oracle()
 
+_ORACLES["q88_topk_overlap"] = f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             FLOOR(SUM(CASE WHEN year(o_orderdate) = {RANK_YEAR_A}
+                            THEN o_totalprice END) * 1e6 + 0.5) / 1e6
+               AS rev_a,
+             FLOOR(SUM(CASE WHEN year(o_orderdate) = {RANK_YEAR_B}
+                            THEN o_totalprice END) * 1e6 + 0.5) / 1e6
+               AS rev_b
+      FROM orders
+      WHERE year(o_orderdate) IN ({RANK_YEAR_A}, {RANK_YEAR_B})
+      GROUP BY 1),
+    ranked AS (
+      SELECT o_custkey,
+             row_number() OVER (
+               ORDER BY rev_a DESC NULLS LAST, o_custkey ASC)
+               <= {TOPK_OVERLAP_K} AS in_a,
+             row_number() OVER (
+               ORDER BY rev_b DESC NULLS LAST, o_custkey ASC)
+               <= {TOPK_OVERLAP_K} AS in_b
+      FROM per_cust),
+    agg AS (
+      SELECT COUNT(CASE WHEN in_a THEN 1 END) AS n_top_a,
+             COUNT(CASE WHEN in_b THEN 1 END) AS n_top_b,
+             COUNT(CASE WHEN in_a AND in_b THEN 1 END) AS n_both
+      FROM ranked)
+    SELECT CAST(n_top_a AS BIGINT) AS n_top_a,
+           CAST(n_top_b AS BIGINT) AS n_top_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           FLOOR(n_both / CAST(n_top_a + n_top_b - n_both AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS jaccard
+    FROM agg
+"""
+
 _ORACLES["v16_volume_anomalies"] = """
     WITH daily AS (
       SELECT event_type,
@@ -6604,6 +6699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "v16_volume_anomalies": v16_volume_anomalies,
             "s17_anisotropy": llm_registry.s17_anisotropy,
             "c18_mixture_fidelity": llm_registry.c18_mixture_fidelity,
+            "m09_byte_entropy": llm_registry.m09_byte_entropy,
+            "q88_topk_overlap": q88_topk_overlap,
         }
     )
     return out

@@ -1233,3 +1233,39 @@ def test_c18_shares_normalize_and_weights_steer(spark):
         assert r.abs_dev < 0.05  # hash-fractional rounding stays small
     # a 2.5x source must out-share a 0.5x source
     assert rows["src0"].achieved_share > rows["src10"].achieved_share
+
+
+# --- byte entropy / top-k overlap --------------------------------------------
+
+
+def test_m09_entropy_hand_computed(spark):
+    from mbta_etl_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], "doc_id long, text string"
+    )
+    binary = multimodal.to_binary_table(df, "text", "doc_id")
+    got = {
+        r.doc_id: r for r in multimodal.byte_entropy(binary).collect()
+    }
+    assert got[1].entropy == 0.0          # single symbol
+    assert abs(got[2].entropy - 1.0) < 1e-6   # two equiprobable symbols
+    assert abs(got[3].entropy - 2.0) < 1e-6   # four equiprobable symbols
+    assert got[3].n_distinct_bytes == 4
+
+
+def test_m09_registry_bounded(spark):
+    rows = llm_registry.m09_byte_entropy(spark, SF_DIR_SMALL).collect()
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    assert len(rows) == docs.count()
+    for r in rows[:200]:
+        assert 0.0 <= r.entropy <= 8.0
+        assert 1 <= r.n_distinct_bytes <= min(r.n_bytes, 256)
+
+
+def test_q88_overlap_bounds(spark):
+    r = registry.q88_topk_overlap(spark, SF_DIR_SMALL).collect()[0]
+    k = registry.TOPK_OVERLAP_K
+    assert r.n_top_a == r.n_top_b == k
+    assert 0 <= r.n_both <= k
+    assert 0.0 <= r.jaccard <= 1.0
