@@ -1630,6 +1630,87 @@ def m09_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.byte_entropy(binary)
 
 
+def d23_shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency spectrum: how many k-gram shingles
+    appear in 1, 2, ... N docs — the distribution that justifies
+    d03's df-cap (sum of df^2 over surviving shingles bounds the
+    candidate-join cost, and this table shows where that mass lives).
+    One shingle-keyed aggregate then a df histogram."""
+    sh = dedup._shingle_table(
+        _docs(spark, sf_dir), F.col("text"), F.col("doc_id"), JACCARD_K
+    )
+    dfreq = sh.groupBy("sh64").agg(F.count(F.lit(1)).alias("df"))
+    return dfreq.groupBy("df").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        (F.count(F.lit(1)) * F.col("df") * F.col("df"))
+        .cast("long")
+        .alias("join_cost_contrib"),
+    )
+
+
+METRIC_AGREE_K = 10
+
+
+def s18_metric_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-vs-Euclidean retrieval agreement: for the standard query
+    vector, the overlap between the top-10 sets under the two metrics
+    — near 1 when vectors are norm-concentrated (metrics coincide),
+    low when norm variance makes the choice load-bearing. Both
+    orderings come from ONE scored pass (dot, norms and distance share
+    subexpressions); set logic on the k-row heads."""
+    from pyspark.sql import Window
+
+    from mbta_etl_spark.operators.similarity import _as_double
+
+    def dot(a: Column, b: Column) -> Column:
+        prods = F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y)
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(
+            dot(F.col("embedding"), F.col("q_emb"))
+            / (
+                F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                * F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
+            ),
+            6,
+        ).alias("cosine"),
+        F.round(
+            F.sqrt(
+                dot(F.col("embedding"), F.col("embedding"))
+                - 2 * dot(F.col("embedding"), F.col("q_emb"))
+                + dot(F.col("q_emb"), F.col("q_emb"))
+            ),
+            6,
+        ).alias("euclid"),
+    )
+    wc = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    we = Window.orderBy(F.asc("euclid"), F.asc("vec_id"))
+    flagged = scored.select(
+        "vec_id",
+        (F.row_number().over(wc) <= METRIC_AGREE_K).alias("in_cos"),
+        (F.row_number().over(we) <= METRIC_AGREE_K).alias("in_euc"),
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return flagged.agg(
+        F.count(F.when(F.col("in_cos") & F.col("in_euc"), 1)).alias(
+            "n_both"
+        )
+    ).select(
+        F.lit(METRIC_AGREE_K).alias("k"),
+        "n_both",
+        r6(F.col("n_both") / F.lit(float(METRIC_AGREE_K))).alias(
+            "overlap_at_k"
+        ),
+    )
+
+
 VOCAB_BAND_RARE = 5
 
 
@@ -2822,6 +2903,45 @@ def _c17_oracle() -> str:
 
 
 _ORACLES["c17_quality_length_corr"] = _c17_oracle()
+
+_ORACLES["d23_shingle_df_spectrum"] = f"""
+    WITH {_SHINGLE_CTE},
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+    SELECT CAST(df AS BIGINT) AS df,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) * df * df AS BIGINT) AS join_cost_contrib
+    FROM dfreq GROUP BY df
+"""
+
+_ORACLES["s18_metric_agreement"] = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+      SELECT e.vec_id,
+             ROUND({_dot('e.v', 'q.qv')}
+                   / (sqrt({_dot('e.v', 'e.v')})
+                      * sqrt({_dot('q.qv', 'q.qv')})), 6) AS cosine,
+             ROUND(sqrt({_dot('e.v', 'e.v')}
+                        - 2 * {_dot('e.v', 'q.qv')}
+                        + {_dot('q.qv', 'q.qv')}), 6) AS euclid
+      FROM e CROSS JOIN q
+      WHERE e.vec_id <> {QUERY_VEC_ID}),
+    flagged AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY cosine DESC, vec_id ASC)
+               <= {METRIC_AGREE_K} AS in_cos,
+             row_number() OVER (ORDER BY euclid ASC, vec_id ASC)
+               <= {METRIC_AGREE_K} AS in_euc
+      FROM scored)
+    SELECT {METRIC_AGREE_K} AS k,
+           CAST(COUNT(CASE WHEN in_cos AND in_euc THEN 1 END) AS BIGINT)
+             AS n_both,
+           FLOOR(COUNT(CASE WHEN in_cos AND in_euc THEN 1 END)
+                 / {METRIC_AGREE_K}.0 * 1e6 + 0.5) / 1e6
+             AS overlap_at_k
+    FROM flagged
+"""
 
 _ORACLES["m09_byte_entropy"] = """
     WITH chars AS (

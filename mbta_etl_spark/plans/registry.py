@@ -6701,6 +6701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "c18_mixture_fidelity": llm_registry.c18_mixture_fidelity,
             "m09_byte_entropy": llm_registry.m09_byte_entropy,
             "q88_topk_overlap": q88_topk_overlap,
+            "d23_shingle_df_spectrum": llm_registry.d23_shingle_df_spectrum,
+            "s18_metric_agreement": llm_registry.s18_metric_agreement,
         }
     )
     return out

@@ -1269,3 +1269,22 @@ def test_q88_overlap_bounds(spark):
     assert r.n_top_a == r.n_top_b == k
     assert 0 <= r.n_both <= k
     assert 0.0 <= r.jaccard <= 1.0
+
+
+# --- shingle df spectrum / metric agreement ----------------------------------
+
+
+def test_d23_spectrum_cost_arithmetic(spark):
+    rows = llm_registry.d23_shingle_df_spectrum(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.join_cost_contrib == r.n_shingles * r.df * r.df
+    # the df-cap must actually bite somewhere on this corpus
+    assert any(r.df > llm_registry.JACCARD_MAX_SHINGLE_DF for r in rows)
+
+
+def test_s18_overlap_bounds(spark):
+    r = llm_registry.s18_metric_agreement(spark, SF_DIR_SMALL).collect()[0]
+    assert r.k == llm_registry.METRIC_AGREE_K
+    assert 0 <= r.n_both <= r.k
+    assert abs(r.overlap_at_k - r.n_both / r.k) < 1e-6
