@@ -4136,6 +4136,41 @@ def q88_topk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: v17 inventory: table -> primary-key column.
+V17_TABLES = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def v17_table_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse inventory: row count, distinct primary-key count, and
+    a pk-unique flag for every keyed table in one report — the first
+    sanity sweep on a fresh environment (and the census the other
+    v-entries assume). One scan per table; the union is plan-level."""
+    out = None
+    for tbl, pk in V17_TABLES.items():
+        df = load_table(spark, sf_dir, tbl)
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(pk).alias("n_distinct_pk"),
+        ).select(
+            F.lit(tbl).alias("tbl"),
+            "n_rows",
+            "n_distinct_pk",
+            (F.col("n_rows") == F.col("n_distinct_pk")).alias("pk_unique"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -5548,6 +5583,21 @@ def _v11_oracle() -> str:
 
 _ORACLES["v11_warehouse_scorecard"] = _v11_oracle()
 
+def _v17_oracle() -> str:
+    arms = " UNION ALL ".join(
+        f"""
+        SELECT '{tbl}' AS tbl,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT {pk}) AS BIGINT) AS n_distinct_pk,
+               COUNT(*) = COUNT(DISTINCT {pk}) AS pk_unique
+        FROM {tbl}"""
+        for tbl, pk in V17_TABLES.items()
+    )
+    return arms
+
+
+_ORACLES["v17_table_inventory"] = _v17_oracle()
+
 _ORACLES["q88_topk_overlap"] = f"""
     WITH per_cust AS (
       SELECT o_custkey,
@@ -6703,6 +6753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q88_topk_overlap": q88_topk_overlap,
             "d23_shingle_df_spectrum": llm_registry.d23_shingle_df_spectrum,
             "s18_metric_agreement": llm_registry.s18_metric_agreement,
+            "v17_table_inventory": v17_table_inventory,
         }
     )
     return out

@@ -1288,3 +1288,19 @@ def test_s18_overlap_bounds(spark):
     assert r.k == llm_registry.METRIC_AGREE_K
     assert 0 <= r.n_both <= r.k
     assert abs(r.overlap_at_k - r.n_both / r.k) < 1e-6
+
+
+# --- table inventory ---------------------------------------------------------
+
+
+def test_v17_inventory_covers_keyed_tables(spark):
+    rows = {
+        r.tbl: r
+        for r in registry.v17_table_inventory(spark, SF_DIR_SMALL).collect()
+    }
+    assert set(rows) == set(registry.V17_TABLES)
+    for tbl, r in rows.items():
+        assert r.n_distinct_pk <= r.n_rows
+        assert r.pk_unique == (r.n_distinct_pk == r.n_rows)
+    # the declared PKs really are unique on this testdata
+    assert all(r.pk_unique for r in rows.values())
