@@ -4171,6 +4171,99 @@ def v17_table_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def ts22_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend: slope/intercept/R^2 of daily means against
+    the day index, from closed-form power sums — the regression
+    primitive (is the series drifting, and how fast) computed without
+    any ML library. Day index is the ROW NUMBER of the day within the
+    series (integer, engine-identical); all sums 6dp-floored before
+    the closed-form arithmetic (ts16 discipline)."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    b = F.date_trunc("day", F.col("ts")).cast("timestamp_ntz")
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", b.alias("day"))
+        .agg(r6(F.avg("value")).alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    pts = daily.select(
+        "event_type",
+        (F.row_number().over(w) - 1).cast("double").alias("x"),
+        "y",
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(F.sum("x")).alias("sx"),
+        r6(F.sum("y")).alias("sy"),
+        r6(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+        r6(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+        r6(F.sum(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    nn = F.col("n").cast("double")
+    cov = nn * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = nn * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / vx
+    intercept = (F.col("sy") - slope * F.col("sx")) / nn
+    r2 = (cov * cov) / (vx * vy)
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        r6(slope).alias("slope_per_day"),
+        r6(intercept).alias("intercept"),
+        r6(r2).alias("r_squared"),
+    )
+
+
+def q89_moment_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment battery per event type: mean, sample variance,
+    skewness and excess kurtosis from one pass of 6dp-pinned power
+    sums (s1..s4) — never engine skewness()/kurtosis(), whose
+    accumulation orders differ across engines. The distribution-shape
+    profile q04's mean/min/max can't see."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    v = F.col("value")
+    sums = (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r6(F.sum(v)).alias("s1"),
+            r6(F.sum(v * v)).alias("s2"),
+            r6(F.sum(v * v * v) / F.lit(1e6)).alias("s3m"),
+            r6(F.sum(v * v * v * v) / F.lit(1e9)).alias("s4g"),
+        )
+    )
+    nn = F.col("n").cast("double")
+    mean = F.col("s1") / nn
+    # central moments from raw power sums (s3/s4 pre-scaled to keep the
+    # 6dp floor meaningful at their magnitude)
+    m2 = F.col("s2") / nn - mean * mean
+    m3 = (
+        F.col("s3m") * F.lit(1e6) / nn
+        - F.lit(3.0) * mean * (F.col("s2") / nn)
+        + F.lit(2.0) * mean * mean * mean
+    )
+    m4 = (
+        F.col("s4g") * F.lit(1e9) / nn
+        - F.lit(4.0) * mean * (F.col("s3m") * F.lit(1e6) / nn)
+        + F.lit(6.0) * mean * mean * (F.col("s2") / nn)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    skew = m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2))
+    kurt = m4 / (m2 * m2) - F.lit(3.0)
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_rows"),
+        r6(mean).alias("mean"),
+        r6(m2 * nn / (nn - F.lit(1.0))).alias("var_samp"),
+        r6(skew).alias("skewness"),
+        r6(kurt).alias("excess_kurtosis"),
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -5598,6 +5691,77 @@ def _v17_oracle() -> str:
 
 _ORACLES["v17_table_inventory"] = _v17_oracle()
 
+_ORACLES["ts22_trend_slope"] = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             FLOOR(AVG(value) * 1e6 + 0.5) / 1e6 AS y
+      FROM events GROUP BY 1, 2),
+    pts AS (
+      SELECT event_type,
+             CAST(row_number() OVER (
+               PARTITION BY event_type ORDER BY day) - 1 AS DOUBLE) AS x,
+             y
+      FROM daily),
+    sums AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             FLOOR(SUM(x) * 1e6 + 0.5) / 1e6 AS sx,
+             FLOOR(SUM(y) * 1e6 + 0.5) / 1e6 AS sy,
+             FLOOR(SUM(x * y) * 1e6 + 0.5) / 1e6 AS sxy,
+             FLOOR(SUM(x * x) * 1e6 + 0.5) / 1e6 AS sxx,
+             FLOOR(SUM(y * y) * 1e6 + 0.5) / 1e6 AS syy
+      FROM pts GROUP BY 1),
+    d AS (
+      SELECT event_type, n,
+             n * sxy - sx * sy AS cov,
+             n * sxx - sx * sx AS vx,
+             n * syy - sy * sy AS vy,
+             sx, sy
+      FROM sums)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           FLOOR(cov / vx * 1e6 + 0.5) / 1e6 AS slope_per_day,
+           FLOOR((sy - cov / vx * sx) / n * 1e6 + 0.5) / 1e6
+             AS intercept,
+           FLOOR((cov * cov) / (vx * vy) * 1e6 + 0.5) / 1e6
+             AS r_squared
+    FROM d
+"""
+
+_ORACLES["q89_moment_battery"] = """
+    WITH sums AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             FLOOR(SUM(value) * 1e6 + 0.5) / 1e6 AS s1,
+             FLOOR(SUM(value * value) * 1e6 + 0.5) / 1e6 AS s2,
+             FLOOR(SUM(value * value * value) / 1e6 * 1e6 + 0.5) / 1e6
+               AS s3m,
+             FLOOR(SUM(value * value * value * value) / 1e9
+                   * 1e6 + 0.5) / 1e6 AS s4g
+      FROM events GROUP BY 1),
+    mo AS (
+      SELECT event_type, n, s1 / n AS mean, s2, s3m, s4g FROM sums),
+    cm AS (
+      SELECT event_type, n, mean,
+             s2 / n - mean * mean AS m2,
+             s3m * 1e6 / n - 3.0 * mean * (s2 / n)
+               + 2.0 * mean * mean * mean AS m3,
+             s4g * 1e9 / n - 4.0 * mean * (s3m * 1e6 / n)
+               + 6.0 * mean * mean * (s2 / n)
+               - 3.0 * mean * mean * mean * mean AS m4
+      FROM mo)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_rows,
+           FLOOR(mean * 1e6 + 0.5) / 1e6 AS mean,
+           FLOOR(m2 * n / (n - 1.0) * 1e6 + 0.5) / 1e6 AS var_samp,
+           FLOOR(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) * 1e6 + 0.5)
+             / 1e6 AS skewness,
+           FLOOR((m4 / (m2 * m2) - 3.0) * 1e6 + 0.5) / 1e6
+             AS excess_kurtosis
+    FROM cm
+"""
+
 _ORACLES["q88_topk_overlap"] = f"""
     WITH per_cust AS (
       SELECT o_custkey,
@@ -6754,6 +6918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d23_shingle_df_spectrum": llm_registry.d23_shingle_df_spectrum,
             "s18_metric_agreement": llm_registry.s18_metric_agreement,
             "v17_table_inventory": v17_table_inventory,
+            "ts22_trend_slope": ts22_trend_slope,
+            "q89_moment_battery": q89_moment_battery,
         }
     )
     return out

@@ -1304,3 +1304,58 @@ def test_v17_inventory_covers_keyed_tables(spark):
         assert r.pk_unique == (r.n_distinct_pk == r.n_rows)
     # the declared PKs really are unique on this testdata
     assert all(r.pk_unique for r in rows.values())
+
+
+# --- trend slope / moment battery --------------------------------------------
+
+
+def test_ts22_matches_numpy_polyfit(spark):
+    import numpy as np
+
+    rows = registry.ts22_trend_slope(spark, SF_DIR_SMALL).collect()
+    daily = (
+        registry._events(spark, SF_DIR_SMALL)
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("d"),
+        )
+        .agg(F.avg("value").alias("y"))
+        .orderBy("event_type", "d")
+        .collect()
+    )
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for r in daily:
+        series[r.event_type].append(r.y)
+    for r in rows:
+        ys = np.array(series[r.event_type])
+        xs = np.arange(len(ys), dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert abs(r.slope_per_day - slope) < 1e-3
+        assert abs(r.intercept - intercept) < 1e-2
+        assert 0.0 <= r.r_squared <= 1.0
+
+
+def test_q89_moments_match_scipy_style(spark):
+    import numpy as np
+
+    rows = registry.q89_moment_battery(spark, SF_DIR_SMALL).collect()
+    ev = registry._events(spark, SF_DIR_SMALL).select(
+        "event_type", "value"
+    ).collect()
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for r in ev:
+        vals[r.event_type].append(r.value)
+    for r in rows:
+        a = np.array(vals[r.event_type])
+        m = a.mean()
+        m2 = ((a - m) ** 2).mean()
+        skew = ((a - m) ** 3).mean() / m2**1.5
+        kurt = ((a - m) ** 4).mean() / m2**2 - 3.0
+        assert abs(r.mean - m) < 1e-4
+        assert abs(r.var_samp - a.var(ddof=1)) < 1e-2
+        assert abs(r.skewness - skew) < 1e-3
+        assert abs(r.excess_kurtosis - kurt) < 1e-2
