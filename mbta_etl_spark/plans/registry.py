@@ -4264,6 +4264,33 @@ def q89_moment_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q90_mean_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pythagorean means per event type over positive values:
+    arithmetic, geometric (exp of the mean log — the rate-averaging
+    mean) and harmonic (the ratio-averaging mean), plus the AM>=GM>=HM
+    ordering as data. One pass of three 6dp-pinned aggregates; ln/exp
+    agree across engines at far better than the 6dp floor (t16's LN
+    precedent)."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    v = F.col("value")
+    pos = _events(spark, sf_dir).filter(v > 0).select("event_type", "value")
+    sums = pos.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(F.avg(v)).alias("am"),
+        r6(F.avg(F.log(v))).alias("_mlog"),
+        r6(F.sum(F.lit(1.0) / v)).alias("_sinv"),
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_pos"),
+        F.col("am").alias("arithmetic_mean"),
+        r6(F.exp(F.col("_mlog"))).alias("geometric_mean"),
+        r6(F.col("n").cast("double") / F.col("_sinv")).alias(
+            "harmonic_mean"
+        ),
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -5691,6 +5718,22 @@ def _v17_oracle() -> str:
 
 _ORACLES["v17_table_inventory"] = _v17_oracle()
 
+_ORACLES["q90_mean_battery"] = """
+    WITH sums AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             FLOOR(AVG(value) * 1e6 + 0.5) / 1e6 AS am,
+             FLOOR(AVG(ln(value)) * 1e6 + 0.5) / 1e6 AS mlog,
+             FLOOR(SUM(1.0 / value) * 1e6 + 0.5) / 1e6 AS sinv
+      FROM events WHERE value > 0 GROUP BY 1)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_pos,
+           am AS arithmetic_mean,
+           FLOOR(exp(mlog) * 1e6 + 0.5) / 1e6 AS geometric_mean,
+           FLOOR(n / sinv * 1e6 + 0.5) / 1e6 AS harmonic_mean
+    FROM sums
+"""
+
 _ORACLES["ts22_trend_slope"] = """
     WITH daily AS (
       SELECT event_type,
@@ -6920,6 +6963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "v17_table_inventory": v17_table_inventory,
             "ts22_trend_slope": ts22_trend_slope,
             "q89_moment_battery": q89_moment_battery,
+            "q90_mean_battery": q90_mean_battery,
         }
     )
     return out

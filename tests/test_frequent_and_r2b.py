@@ -1359,3 +1359,16 @@ def test_q89_moments_match_scipy_style(spark):
         assert abs(r.var_samp - a.var(ddof=1)) < 1e-2
         assert abs(r.skewness - skew) < 1e-3
         assert abs(r.excess_kurtosis - kurt) < 1e-2
+
+
+# --- Pythagorean means -------------------------------------------------------
+
+
+def test_q90_am_gm_hm_ordering(spark):
+    rows = registry.q90_mean_battery(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        # AM >= GM >= HM for positive data, equality only when constant
+        assert r.arithmetic_mean >= r.geometric_mean - 1e-6
+        assert r.geometric_mean >= r.harmonic_mean - 1e-6
+        assert r.n_pos > 0 and r.harmonic_mean > 0
