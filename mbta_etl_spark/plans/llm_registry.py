@@ -1711,6 +1711,102 @@ def s18_metric_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d24_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity of the near-dup relation: global clustering
+    coefficient of d04's pair graph (3*triangles / wedges) — the
+    number that says whether near-duplication forms cliques (safe to
+    keep one per cluster) or chains (d07's connected components can
+    over-merge; a chain a~b~c with a!~c still collapses to one
+    cluster). Edge set is tiny (d04's output), so the triangle and
+    degree joins are broadcast-scale."""
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        F.col("text"),
+        F.col("doc_id"),
+        k=JACCARD_K,
+        threshold=JACCARD_THRESHOLD,
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    deg = (
+        pairs.select(F.col("a").alias("node"))
+        .union(pairs.select("b"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    wedges = deg.agg(
+        F.sum(
+            F.col("deg") * (F.col("deg") - 1) / F.lit(2)
+        ).cast("long").alias("n_wedges")
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a"))
+            & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        n_edges.crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                r6(
+                    F.lit(3.0)
+                    * F.col("n_triangles")
+                    / F.col("n_wedges").cast("double")
+                ),
+            ).alias("transitivity"),
+        )
+    )
+
+
+def t23_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit across c03's splits: what fraction of
+    val/test TOKEN OCCURRENCES use a type never seen in train — the
+    eval-prep number that predicts inflated perplexity on unseen
+    vocabulary. Train vocab is a left-anti probe (token-keyed), the
+    same shape as d08's decontamination; output one row per non-train
+    split."""
+    from mbta_etl_spark.operators import sampling
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    toks = sampling.split_assign(
+        _docs(spark, sf_dir).select("doc_id", "text"), F.col("doc_id")
+    ).select(
+        "split", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    train_vocab = (
+        toks.filter(F.col("split") == "train").select("tok").distinct()
+    )
+    other = toks.filter(F.col("split") != "train")
+    flagged = other.join(train_vocab, "tok", "left_anti").groupBy(
+        "split"
+    ).agg(F.count(F.lit(1)).alias("n_oov"))
+    totals = other.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    return (
+        totals.join(flagged, "split", "left")
+        .select(
+            "split",
+            "n_tokens",
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            r6(
+                F.coalesce("n_oov", F.lit(0))
+                / F.col("n_tokens").cast("double")
+            ).alias("oov_rate"),
+        )
+    )
+
+
 VOCAB_BAND_RARE = 5
 
 
@@ -2903,6 +2999,57 @@ def _c17_oracle() -> str:
 
 
 _ORACLES["c17_quality_length_corr"] = _c17_oracle()
+
+_ORACLES["d24_transitivity_audit"] = f"""
+    WITH d04 AS ({_ORACLES["d04_minhash_lsh_pairs"]}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM d04),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      GROUP BY 1),
+    w AS (
+      SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+                JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+    ne AS (SELECT COUNT(*) AS n_edges FROM e)
+    SELECT CAST(n_edges AS BIGINT) AS n_edges,
+           n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN FLOOR(3.0 * n_triangles
+                           / CAST(n_wedges AS DOUBLE) * 1e6 + 0.5) / 1e6
+           END AS transitivity
+    FROM ne CROSS JOIN w CROSS JOIN tri
+"""
+
+_ORACLES["t23_oov_rate"] = f"""
+    WITH assigned AS (
+      SELECT CASE WHEN {_bucket_sql('doc_id', 'split')} < 8000 THEN 'train'
+                  WHEN {_bucket_sql('doc_id', 'split')} < 9000 THEN 'val'
+                  ELSE 'test' END AS split,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    train_vocab AS (
+      SELECT DISTINCT tok FROM assigned WHERE split = 'train'),
+    other AS (SELECT * FROM assigned WHERE split <> 'train'),
+    totals AS (
+      SELECT split, COUNT(*) AS n_tokens FROM other GROUP BY 1),
+    oov AS (
+      SELECT split, COUNT(*) AS n_oov
+      FROM other o
+      WHERE NOT EXISTS (
+        SELECT 1 FROM train_vocab t WHERE t.tok = o.tok)
+      GROUP BY 1)
+    SELECT t.split,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(v.n_oov, 0) AS BIGINT) AS n_oov,
+           FLOOR(COALESCE(v.n_oov, 0) / CAST(t.n_tokens AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS oov_rate
+    FROM totals t LEFT JOIN oov v USING (split)
+"""
 
 _ORACLES["d23_shingle_df_spectrum"] = f"""
     WITH {_SHINGLE_CTE},

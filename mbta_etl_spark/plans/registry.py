@@ -6964,6 +6964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts22_trend_slope": ts22_trend_slope,
             "q89_moment_battery": q89_moment_battery,
             "q90_mean_battery": q90_mean_battery,
+            "t23_oov_rate": llm_registry.t23_oov_rate,
+            "d24_transitivity_audit": llm_registry.d24_transitivity_audit,
         }
     )
     return out

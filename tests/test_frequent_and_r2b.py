@@ -1372,3 +1372,24 @@ def test_q90_am_gm_hm_ordering(spark):
         assert r.arithmetic_mean >= r.geometric_mean - 1e-6
         assert r.geometric_mean >= r.harmonic_mean - 1e-6
         assert r.n_pos > 0 and r.harmonic_mean > 0
+
+
+# --- OOV rate / near-dup transitivity ----------------------------------------
+
+
+def test_t23_oov_splits_and_bounds(spark):
+    rows = {r.split: r for r in llm_registry.t23_oov_rate(
+        spark, SF_DIR_SMALL).collect()}
+    assert set(rows) == {"val", "test"}
+    for r in rows.values():
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert 0.0 <= r.oov_rate <= 1.0
+
+
+def test_d24_counts_consistent(spark):
+    r = llm_registry.d24_transitivity_audit(spark, SF_DIR_SMALL).collect()[0]
+    assert r.n_edges >= 0 and r.n_wedges >= 0
+    # each triangle closes exactly 3 wedges
+    assert 3 * r.n_triangles <= max(r.n_wedges, 0) or r.n_wedges == 0
+    if r.transitivity is not None:
+        assert 0.0 <= r.transitivity <= 1.0 + 1e-6
