@@ -4291,6 +4291,67 @@ def q90_mean_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CDF_POINTS = (50.0, 100.0, 500.0)
+
+
+def q91_cdf_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse percentile (CDF point query): for reference values 50 /
+    100 / 500, the fraction of each event type's distribution at or
+    below them — the dual of q09's percentile lookup ('what percentile
+    IS this SLA threshold'). All three points come from ONE
+    conditional aggregate per type; no sort, no window."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, p in enumerate(CDF_POINTS):
+        aggs.append(
+            F.count(F.when(F.col("value") <= F.lit(p), 1)).alias(f"_c{i}")
+        )
+    wide = ev.groupBy("event_type").agg(*aggs)
+    stack = ", ".join(
+        f"CAST({p} AS DOUBLE), _c{i}" for i, p in enumerate(CDF_POINTS)
+    )
+    return wide.select(
+        "event_type",
+        F.expr(
+            f"stack({len(CDF_POINTS)}, {stack}) AS (ref_value, n_at_or_below)"
+        ),
+        "n",
+    ).select(
+        "event_type",
+        "ref_value",
+        F.col("n_at_or_below").cast("long").alias("n_at_or_below"),
+        r6(
+            F.col("n_at_or_below") / F.col("n").cast("double")
+        ).alias("cdf"),
+    )
+
+
+def ts23_daily_intensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily engagement intensity: events per active user per day —
+    the normalization that separates 'more users' from 'users doing
+    more' (the DAU-normalized activity metric). One daily aggregate
+    computing both count and distinct users, then the ratio."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    b = F.date_trunc("day", F.col("ts")).cast("timestamp_ntz")
+    return (
+        _events(spark, sf_dir)
+        .groupBy(b.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            "day",
+            "n_events",
+            "n_users",
+            r6(
+                F.col("n_events") / F.col("n_users").cast("double")
+            ).alias("events_per_user"),
+        )
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -5718,6 +5779,32 @@ def _v17_oracle() -> str:
 
 _ORACLES["v17_table_inventory"] = _v17_oracle()
 
+def _q91_oracle() -> str:
+    arms = " UNION ALL ".join(
+        f"""
+        SELECT event_type, CAST({p} AS DOUBLE) AS ref_value,
+               CAST(COUNT(CASE WHEN value <= {p} THEN 1 END) AS BIGINT)
+                 AS n_at_or_below,
+               FLOOR(COUNT(CASE WHEN value <= {p} THEN 1 END)
+                     / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+                 AS cdf
+        FROM events GROUP BY event_type"""
+        for p in CDF_POINTS
+    )
+    return arms
+
+
+_ORACLES["q91_cdf_point"] = _q91_oracle()
+
+_ORACLES["ts23_daily_intensity"] = """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           FLOOR(COUNT(*) / CAST(COUNT(DISTINCT user_id) AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS events_per_user
+    FROM events GROUP BY 1
+"""
+
 _ORACLES["q90_mean_battery"] = """
     WITH sums AS (
       SELECT event_type,
@@ -6966,6 +7053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q90_mean_battery": q90_mean_battery,
             "t23_oov_rate": llm_registry.t23_oov_rate,
             "d24_transitivity_audit": llm_registry.d24_transitivity_audit,
+            "q91_cdf_point": q91_cdf_point,
+            "ts23_daily_intensity": ts23_daily_intensity,
         }
     )
     return out

@@ -1393,3 +1393,27 @@ def test_d24_counts_consistent(spark):
     assert 3 * r.n_triangles <= max(r.n_wedges, 0) or r.n_wedges == 0
     if r.transitivity is not None:
         assert 0.0 <= r.transitivity <= 1.0 + 1e-6
+
+
+# --- CDF point query / daily intensity ---------------------------------------
+
+
+def test_q91_cdf_monotone_in_ref_value(spark):
+    from collections import defaultdict
+
+    rows = registry.q91_cdf_point(spark, SF_DIR_SMALL).collect()
+    by_type = defaultdict(dict)
+    for r in rows:
+        assert 0.0 <= r.cdf <= 1.0
+        by_type[r.event_type][r.ref_value] = r.cdf
+    for et, pts in by_type.items():
+        vals = [pts[p] for p in sorted(pts)]
+        assert vals == sorted(vals)  # CDF is non-decreasing
+
+
+def test_ts23_intensity_at_least_one(spark):
+    rows = registry.ts23_daily_intensity(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.events_per_user >= 1.0  # every active user has >= 1 event
+        assert r.n_users <= r.n_events
