@@ -4352,6 +4352,61 @@ def ts23_daily_intensity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: v18's categorical columns: (table, column) pairs to profile.
+V18_COLUMNS = (
+    ("events", "event_type"),
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("customer", "c_mktsegment"),
+)
+
+
+def v18_categorical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-column entropy census: Shannon entropy and its
+    normalized form (H / ln k) for the key enum columns across tables
+    — near 1 means uniform usage, near 0 means one dominant value
+    (the profiling signal behind partition-key and dictionary-encoding
+    choices). One groupBy per column on tiny value domains; union is
+    plan-level."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    out = None
+    for tbl, col in V18_COLUMNS:
+        counts = (
+            load_table(spark, sf_dir, tbl)
+            .groupBy(F.col(col).alias("v"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        tot = counts.agg(
+            F.sum("n").alias("_t"), F.count(F.lit(1)).alias("_k")
+        )
+        ent = (
+            counts.crossJoin(F.broadcast(tot))
+            .select(
+                (
+                    (F.col("n") / F.col("_t").cast("double"))
+                    * F.log(F.col("n") / F.col("_t").cast("double"))
+                ).alias("term"),
+                "_k",
+            )
+            .groupBy("_k")
+            .agg(r6(-F.sum("term")).alias("entropy"))
+        )
+        row = ent.select(
+            F.lit(f"{tbl}.{col}").alias("column_name"),
+            F.col("_k").alias("n_values"),
+            "entropy",
+            F.when(
+                F.col("_k") > 1,
+                r6(
+                    F.col("entropy")
+                    / F.log(F.col("_k").cast("double"))
+                ),
+            ).alias("normalized_entropy"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -5779,6 +5834,33 @@ def _v17_oracle() -> str:
 
 _ORACLES["v17_table_inventory"] = _v17_oracle()
 
+def _v18_oracle() -> str:
+    arms = " UNION ALL ".join(
+        f"""
+        SELECT '{tbl}.{col}' AS column_name,
+               CAST(n_values AS BIGINT) AS n_values,
+               entropy,
+               CASE WHEN n_values > 1
+                    THEN FLOOR(entropy / ln(CAST(n_values AS DOUBLE))
+                               * 1e6 + 0.5) / 1e6
+               END AS normalized_entropy
+        FROM (
+          SELECT COUNT(*) AS n_values,
+                 FLOOR(-SUM((n / CAST(t AS DOUBLE))
+                            * ln(n / CAST(t AS DOUBLE)))
+                       * 1e6 + 0.5) / 1e6 AS entropy
+          FROM (
+            SELECT {col} AS v, COUNT(*) AS n,
+                   SUM(COUNT(*)) OVER () AS t
+            FROM {tbl} GROUP BY {col}))"""
+        for tbl, col in V18_COLUMNS
+    )
+    return arms
+
+
+_ORACLES["v18_categorical_entropy"] = _v18_oracle()
+
+
 def _q91_oracle() -> str:
     arms = " UNION ALL ".join(
         f"""
@@ -7055,6 +7137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d24_transitivity_audit": llm_registry.d24_transitivity_audit,
             "q91_cdf_point": q91_cdf_point,
             "ts23_daily_intensity": ts23_daily_intensity,
+            "v18_categorical_entropy": v18_categorical_entropy,
         }
     )
     return out

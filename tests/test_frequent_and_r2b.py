@@ -1417,3 +1417,20 @@ def test_ts23_intensity_at_least_one(spark):
     for r in rows:
         assert r.events_per_user >= 1.0  # every active user has >= 1 event
         assert r.n_users <= r.n_events
+
+
+# --- categorical entropy -----------------------------------------------------
+
+
+def test_v18_entropy_bounds(spark):
+    rows = registry.v18_categorical_entropy(spark, SF_DIR_SMALL).collect()
+    assert {r.column_name for r in rows} == {
+        f"{t}.{c}" for t, c in registry.V18_COLUMNS
+    }
+    import math as m
+
+    for r in rows:
+        assert r.entropy >= 0.0
+        if r.n_values > 1:
+            assert 0.0 <= r.normalized_entropy <= 1.0 + 1e-6
+            assert r.entropy <= m.log(r.n_values) + 1e-6
