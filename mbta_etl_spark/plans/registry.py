@@ -4407,6 +4407,43 @@ def v18_categorical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def ts24_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week change with WEEKDAY ALIGNMENT: each day's total
+    compared to the same weekday last week (lag 7 on the daily
+    series), which q66's calendar-month compare can't give — the
+    seasonality-safe growth readout. One daily aggregate + one lag
+    window per series key; emits rows only where the aligned prior
+    day exists."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    b = F.date_trunc("day", F.col("ts")).cast("timestamp_ntz")
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", b.alias("day"))
+        .agg(r6(F.sum("value")).alias("total"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("total", 7).over(w)
+    return (
+        daily.withColumn("prev_week", prev)
+        .filter(F.col("prev_week").isNotNull())
+        .select(
+            "event_type",
+            "day",
+            "total",
+            "prev_week",
+            F.when(
+                F.col("prev_week") != 0,
+                r6(
+                    (F.col("total") - F.col("prev_week"))
+                    / F.col("prev_week")
+                ),
+            ).alias("wow_change"),
+        )
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -5860,6 +5897,25 @@ def _v18_oracle() -> str:
 
 _ORACLES["v18_categorical_entropy"] = _v18_oracle()
 
+_ORACLES["ts24_wow_change"] = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             FLOOR(SUM(value) * 1e6 + 0.5) / 1e6 AS total
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT event_type, day, total,
+             lag(total, 7) OVER (
+               PARTITION BY event_type ORDER BY day) AS prev_week
+      FROM daily)
+    SELECT event_type, day, total, prev_week,
+           CASE WHEN prev_week <> 0
+                THEN FLOOR((total - prev_week) / prev_week * 1e6 + 0.5)
+                     / 1e6
+           END AS wow_change
+    FROM lagged WHERE prev_week IS NOT NULL
+"""
+
 
 def _q91_oracle() -> str:
     arms = " UNION ALL ".join(
@@ -7138,6 +7194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q91_cdf_point": q91_cdf_point,
             "ts23_daily_intensity": ts23_daily_intensity,
             "v18_categorical_entropy": v18_categorical_entropy,
+            "ts24_wow_change": ts24_wow_change,
         }
     )
     return out

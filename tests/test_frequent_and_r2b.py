@@ -1434,3 +1434,22 @@ def test_v18_entropy_bounds(spark):
         if r.n_values > 1:
             assert 0.0 <= r.normalized_entropy <= 1.0 + 1e-6
             assert r.entropy <= m.log(r.n_values) + 1e-6
+
+
+# --- week-over-week change ---------------------------------------------------
+
+
+def test_ts24_weekday_alignment(spark):
+    rows = registry.ts24_wow_change(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows[:100]:
+        if r.wow_change is not None:
+            expect = (r.total - r.prev_week) / r.prev_week
+            assert abs(r.wow_change - expect) < 2e-6
+    # lag-7 alignment: each emitted day's weekday equals its comparison's
+    import datetime as dt
+
+    days = {(r.event_type, r.day) for r in rows}
+    for r in rows[:50]:
+        prior = r.day - dt.timedelta(days=7)
+        assert r.day.weekday() == prior.weekday()
