@@ -1807,6 +1807,42 @@ def t23_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s19_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift between corpus halves (vec_id parity split):
+    cosine between the two halves' CENTROIDS plus their norm ratio —
+    the vector-space counterpart of v06's tabular profile drift (a new
+    embedding batch whose centroid swings away from the standing
+    corpus signals an encoder or domain change). Dim-wise means per
+    half from one posexplode aggregate; the comparison is O(d)."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    ex = _emb(spark, sf_dir).select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding")).alias("dim", "val"),
+    )
+    cent = ex.groupBy("dim").agg(
+        r6(
+            F.avg(F.when(F.col("half") == 0, F.col("val").cast("double")))
+        ).alias("ca"),
+        r6(
+            F.avg(F.when(F.col("half") == 1, F.col("val").cast("double")))
+        ).alias("cb"),
+    )
+    sums = cent.agg(
+        r6(F.sum(F.col("ca") * F.col("cb"))).alias("_dot"),
+        r6(F.sum(F.col("ca") * F.col("ca"))).alias("_na"),
+        r6(F.sum(F.col("cb") * F.col("cb"))).alias("_nb"),
+    )
+    return sums.select(
+        r6(
+            F.col("_dot")
+            / (F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb")))
+        ).alias("centroid_cosine"),
+        r6(F.sqrt(F.col("_na")) / F.sqrt(F.col("_nb"))).alias(
+            "norm_ratio"
+        ),
+    )
+
+
 VOCAB_BAND_RARE = 5
 
 
@@ -3049,6 +3085,30 @@ _ORACLES["t23_oov_rate"] = f"""
            FLOOR(COALESCE(v.n_oov, 0) / CAST(t.n_tokens AS DOUBLE)
                  * 1e6 + 0.5) / 1e6 AS oov_rate
     FROM totals t LEFT JOIN oov v USING (split)
+"""
+
+_ORACLES["s19_embedding_drift"] = """
+    WITH ex AS (
+      SELECT vec_id % 2 AS half,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings),
+    cent AS (
+      SELECT dim,
+             FLOOR(AVG(CASE WHEN half = 0 THEN val END) * 1e6 + 0.5)
+               / 1e6 AS ca,
+             FLOOR(AVG(CASE WHEN half = 1 THEN val END) * 1e6 + 0.5)
+               / 1e6 AS cb
+      FROM ex GROUP BY dim),
+    sums AS (
+      SELECT FLOOR(SUM(ca * cb) * 1e6 + 0.5) / 1e6 AS dot,
+             FLOOR(SUM(ca * ca) * 1e6 + 0.5) / 1e6 AS na,
+             FLOOR(SUM(cb * cb) * 1e6 + 0.5) / 1e6 AS nb
+      FROM cent)
+    SELECT FLOOR(dot / (sqrt(na) * sqrt(nb)) * 1e6 + 0.5) / 1e6
+             AS centroid_cosine,
+           FLOOR(sqrt(na) / sqrt(nb) * 1e6 + 0.5) / 1e6 AS norm_ratio
+    FROM sums
 """
 
 _ORACLES["d23_shingle_df_spectrum"] = f"""

@@ -4444,6 +4444,44 @@ def ts24_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q92_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the inequality number
+    behind q65's decile table and q68's top-share (0 = everyone equal,
+    1 = one customer is the market). Computed from the rank-weighted
+    formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over spend sorted
+    ascending; the rank window runs on the CUSTOMER aggregate with
+    per-customer spends 6dp-floored first so both engines rank the
+    identical sequence."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(r6(F.sum("o_totalprice")).alias("x"))
+    )
+    w = Window.orderBy(F.asc("x"), F.asc("o_custkey"))
+    ranked = spend.select(
+        "x", F.row_number().over(w).cast("double").alias("i")
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(F.sum("x") / F.lit(1e3)).alias("sx_k"),
+        r6(F.sum(F.col("i") * F.col("x")) / F.lit(1e6)).alias("six_m"),
+    )
+    nn = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0)
+        * (F.col("six_m") * F.lit(1e6))
+        / (nn * (F.col("sx_k") * F.lit(1e3)))
+        - (nn + F.lit(1.0)) / nn
+    )
+    return sums.select(
+        F.col("n").alias("n_customers"),
+        r6(gini).alias("gini"),
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -5897,6 +5935,26 @@ def _v18_oracle() -> str:
 
 _ORACLES["v18_categorical_entropy"] = _v18_oracle()
 
+_ORACLES["q92_gini"] = """
+    WITH spend AS (
+      SELECT o_custkey,
+             FLOOR(SUM(o_totalprice) * 1e6 + 0.5) / 1e6 AS x
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT x, CAST(row_number() OVER (
+               ORDER BY x ASC, o_custkey ASC) AS DOUBLE) AS i
+      FROM spend),
+    sums AS (
+      SELECT COUNT(*) AS n,
+             FLOOR(SUM(x) / 1e3 * 1e6 + 0.5) / 1e6 AS sx_k,
+             FLOOR(SUM(i * x) / 1e6 * 1e6 + 0.5) / 1e6 AS six_m
+      FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           FLOOR((2.0 * (six_m * 1e6) / (n * (sx_k * 1e3))
+                  - (n + 1.0) / n) * 1e6 + 0.5) / 1e6 AS gini
+    FROM sums
+"""
+
 _ORACLES["ts24_wow_change"] = """
     WITH daily AS (
       SELECT event_type,
@@ -7195,6 +7253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts23_daily_intensity": ts23_daily_intensity,
             "v18_categorical_entropy": v18_categorical_entropy,
             "ts24_wow_change": ts24_wow_change,
+            "q92_gini": q92_gini,
+            "s19_embedding_drift": llm_registry.s19_embedding_drift,
         }
     )
     return out

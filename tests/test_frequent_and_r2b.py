@@ -1453,3 +1453,34 @@ def test_ts24_weekday_alignment(spark):
     for r in rows[:50]:
         prior = r.day - dt.timedelta(days=7)
         assert r.day.weekday() == prior.weekday()
+
+
+# --- Gini / embedding drift --------------------------------------------------
+
+
+def test_q92_gini_matches_python(spark):
+    r = registry.q92_gini(spark, SF_DIR_SMALL).collect()[0]
+    spends = sorted(
+        x["s"]
+        for x in registry.load_table(spark, SF_DIR_SMALL, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("s"))
+        .collect()
+    )
+    n = len(spends)
+    want = 2 * sum((i + 1) * x for i, x in enumerate(spends)) / (
+        n * sum(spends)
+    ) - (n + 1) / n
+    assert abs(r.gini - want) < 1e-4
+    assert 0.0 <= r.gini < 1.0
+    assert r.n_customers == n
+
+
+def test_s19_drift_bounds(spark):
+    r = llm_registry.s19_embedding_drift(spark, SF_DIR_SMALL).collect()[0]
+    # the synthetic embeddings are near-zero-mean, so both centroids are
+    # small noise vectors: their cosine is bounded but uninformative
+    # (consistent with s17's low anisotropy), while the norm RATIO of
+    # two same-generator halves stays near 1
+    assert -1.0 - 1e-6 <= r.centroid_cosine <= 1.0 + 1e-6
+    assert 0.5 < r.norm_ratio < 2.0
