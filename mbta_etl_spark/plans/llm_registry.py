@@ -1843,6 +1843,59 @@ def s19_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c19_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning-pipeline funnel: document counts surviving each stage
+    of c01's composition (raw -> quality filter -> exact dedup ->
+    near dedup) with the per-stage drop fraction — the observability
+    table that says WHERE the corpus shrinks. Each stage count is one
+    aggregate; the 4-row funnel gets its drop fractions from a lag
+    window over the stage ordinal."""
+    from pyspark.sql import Window
+
+    from mbta_etl_spark.pipeline.corpus import clean_corpus
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    docs = _docs(spark, sf_dir)
+    qualified = text.quality_score(
+        docs, F.col("text"), F.col("doc_id")
+    ).filter(F.col("quality") >= 0.5)
+    s0 = docs.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(0).alias("stage_no"), F.lit("raw").alias("stage"), "n"
+    )
+    s1 = qualified.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(1).alias("stage_no"), F.lit("quality").alias("stage"), "n"
+    )
+    s2 = (
+        docs.join(qualified.select("doc_id"), "doc_id")
+        .agg(F.countDistinct(F.sha2(F.col("text"), 256)).alias("n"))
+        .select(
+            F.lit(2).alias("stage_no"),
+            F.lit("exact_dedup").alias("stage"),
+            "n",
+        )
+    )
+    s3 = clean_corpus(docs).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(3).alias("stage_no"),
+        F.lit("near_dedup").alias("stage"),
+        "n",
+    )
+    funnel = s0.unionByName(s1).unionByName(s2).unionByName(s3)
+    w = Window.orderBy("stage_no")
+    prev = F.lag("n").over(w)
+    return funnel.select(
+        "stage_no",
+        "stage",
+        "n",
+        F.when(
+            prev.isNotNull() & (prev > 0),
+            r6(
+                (prev - F.col("n")).cast("double")
+                / prev.cast("double")
+            ),
+        ).alias("drop_frac"),
+    )
+
+
 VOCAB_BAND_RARE = 5
 
 
@@ -3086,6 +3139,34 @@ _ORACLES["t23_oov_rate"] = f"""
                  * 1e6 + 0.5) / 1e6 AS oov_rate
     FROM totals t LEFT JOIN oov v USING (split)
 """
+
+def _c19_oracle() -> str:
+    return f"""
+    WITH q AS ({_ORACLES["t02_quality_score"]}),
+    cleaned AS ({_ORACLES["c01_corpus_clean"]}),
+    funnel AS (
+      SELECT 0 AS stage_no, 'raw' AS stage,
+             CAST(COUNT(*) AS BIGINT) AS n FROM documents
+      UNION ALL
+      SELECT 1, 'quality', CAST(COUNT(*) AS BIGINT)
+      FROM q WHERE quality >= 0.5
+      UNION ALL
+      SELECT 2, 'exact_dedup',
+             CAST(COUNT(DISTINCT sha256(d.text)) AS BIGINT)
+      FROM documents d JOIN q USING (doc_id) WHERE q.quality >= 0.5
+      UNION ALL
+      SELECT 3, 'near_dedup', CAST(COUNT(*) AS BIGINT) FROM cleaned)
+    SELECT stage_no, stage, n,
+           CASE WHEN lag(n) OVER (ORDER BY stage_no) > 0
+                THEN FLOOR((lag(n) OVER (ORDER BY stage_no) - n)
+                           / CAST(lag(n) OVER (ORDER BY stage_no)
+                                  AS DOUBLE) * 1e6 + 0.5) / 1e6
+           END AS drop_frac
+    FROM funnel
+"""
+
+
+_ORACLES["c19_pipeline_funnel"] = _c19_oracle()
 
 _ORACLES["s19_embedding_drift"] = """
     WITH ex AS (

@@ -7255,6 +7255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts24_wow_change": ts24_wow_change,
             "q92_gini": q92_gini,
             "s19_embedding_drift": llm_registry.s19_embedding_drift,
+            "c19_pipeline_funnel": llm_registry.c19_pipeline_funnel,
         }
     )
     return out

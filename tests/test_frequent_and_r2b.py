@@ -1484,3 +1484,23 @@ def test_s19_drift_bounds(spark):
     # two same-generator halves stays near 1
     assert -1.0 - 1e-6 <= r.centroid_cosine <= 1.0 + 1e-6
     assert 0.5 < r.norm_ratio < 2.0
+
+
+# --- pipeline funnel ---------------------------------------------------------
+
+
+def test_c19_funnel_monotone_and_matches_c01(spark):
+    rows = sorted(
+        llm_registry.c19_pipeline_funnel(spark, SF_DIR_SMALL).collect(),
+        key=lambda r: r.stage_no,
+    )
+    assert [r.stage for r in rows] == [
+        "raw", "quality", "exact_dedup", "near_dedup",
+    ]
+    ns = [r.n for r in rows]
+    assert all(b <= a for a, b in zip(ns, ns[1:]))  # funnel never grows
+    # final stage equals the c01 composition's survivor count
+    c01_n = llm_registry.c01_corpus_clean(spark, SF_DIR_SMALL).count()
+    assert ns[-1] == c01_n
+    for r in rows[1:]:
+        assert 0.0 <= r.drop_frac <= 1.0
