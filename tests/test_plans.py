@@ -369,3 +369,33 @@ def test_t18_heavy_hitters_candidates_broadcast(spark):
     )
     assert "MapInPandas" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_j13_broadcast_range_lookup(spark):
+    """Non-equi band join must plan as BroadcastNestedLoopJoin against
+    the 5-row dim (a map-side lookup), with the aggregate partial —
+    a shuffled NLJ here would be catastrophic at scale."""
+    plan = _plan(registry.j13_range_bucket_join(spark, SF_DIR_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_count" in plan
+
+
+def test_m09_byte_entropy_no_shuffle(spark):
+    """The entropy kernel is map-only: MapInPandas with ZERO exchanges
+    in the plan tree — any shuffle means the per-row histogram leaked
+    into a distributed aggregation."""
+    from mbta_etl_spark.plans import llm_registry
+
+    plan = _plan(llm_registry.m09_byte_entropy(spark, SF_DIR_SMALL))
+    tree = plan.split("(1)")[0]
+    assert "MapInPandas" in plan
+    assert tree.count("Exchange") == 0
+
+
+def test_q92_gini_ranks_aggregate_not_fact(spark):
+    """The rank window runs on the CUSTOMER aggregate: exactly one
+    hash-partition exchange (the custkey groupBy); the single-partition
+    window is over the aggregate, never the orders fact table."""
+    plan = _plan(registry.q92_gini(spark, SF_DIR_SMALL))
+    assert plan.count("hashpartitioning(") == 1
+    assert "partial_sum" in plan
