@@ -313,3 +313,83 @@ def test_cusum_matches_python_recursion(spark, xs):
     assert [w[1] for w in want] == [g[1] for g in got]
     for (wc, _), (gc, _) in zip(want, got):
         assert abs(wc - gc) < 1e-5  # stddev accumulation-order tolerance
+
+
+@given(
+    xs=st.lists(
+        st.floats(min_value=-40, max_value=40, allow_nan=False),
+        min_size=3,
+        max_size=20,
+    ),
+)
+@_settings
+def test_holt_matches_python_recursion(spark, xs):
+    """holt_linear == the straight-line Holt recursion (alpha=0.5,
+    beta=0.25) on any series."""
+    import datetime as dt
+    import math as m
+
+    from mbta_etl_spark.operators import timeseries
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(days=i), "s", float(x)) for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, key string, value double")
+    got = [
+        r.forecast
+        for r in timeseries.holt_linear(df, ["key"], "ts", "value")
+        .orderBy("bucket")
+        .collect()
+    ]
+
+    def r6(v):
+        return m.floor(v * 1e6 + 0.5) / 1e6
+
+    vals = [r6(x) for x in xs]
+    lvl, trd = vals[0], 0.0
+    want = []
+    for t in range(1, len(vals)):
+        f = lvl + trd
+        x = vals[t]
+        new_l = 0.5 * x + 0.5 * (lvl + trd)
+        trd = 0.25 * (new_l - lvl) + 0.75 * trd
+        lvl = new_l
+        want.append(r6(f))
+    assert got == want
+
+
+@given(
+    stream=st.lists(
+        st.sampled_from(list("abcdefghij")), min_size=4, max_size=150
+    ),
+    cut=st.integers(min_value=1, max_value=149),
+    cap=st.integers(min_value=3, max_value=12),
+)
+@_settings
+def test_mg_merge_guarantee_and_bounds(spark, stream, cut, cap):
+    """Merging two batch summaries preserves the MG contract on any
+    split point: every key with frequency > N/cap survives, and every
+    reported count is a lower bound within N/cap of the truth."""
+    from collections import Counter
+
+    from mbta_etl_spark.operators.frequent import mg_merge, mg_summarize
+
+    cut = min(cut, len(stream) - 1)
+    b1 = spark.createDataFrame([(k,) for k in stream[:cut]], "k string")
+    b2 = spark.createDataFrame([(k,) for k in stream[cut:]], "k string")
+    merged = {
+        r.k: r.cnt
+        for r in mg_merge(
+            mg_summarize(b1, "k", cap), mg_summarize(b2, "k", cap), "k", cap
+        ).collect()
+    }
+    n = len(stream)
+    true = Counter(stream)
+    assert len(merged) <= cap
+    for k, c in true.items():
+        if c > n / cap:
+            assert k in merged, (k, c, n, cap)
+    for k, c in merged.items():
+        assert c <= true[k]
+        assert c >= true[k] - n / cap - 1e-9
