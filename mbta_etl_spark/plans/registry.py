@@ -4482,6 +4482,52 @@ def q92_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q93_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, revenue accumulated by months-since-cohort — q51's
+    retention matrix upgraded from "did they come back" to "what are
+    they worth over time". One customer-keyed first-month aggregate
+    joined back onto orders (both shuffles on custkey), a (cohort,
+    age) rollup, then the cumulative window over each cohort's tiny
+    age axis."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias(
+            "order_month"
+        ),
+    )
+    cohort = o.groupBy("o_custkey").agg(
+        F.min("order_month").alias("cohort_month")
+    )
+    aged = o.join(cohort, "o_custkey").select(
+        "cohort_month",
+        F.months_between(
+            F.col("order_month"), F.col("cohort_month")
+        ).cast("int").alias("age_months"),
+        "o_totalprice",
+    )
+    per = aged.groupBy("cohort_month", "age_months").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        r6(F.sum("o_totalprice")).alias("revenue"),
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.select(
+        "cohort_month",
+        "age_months",
+        "n_orders",
+        "revenue",
+        r6(F.sum("revenue").over(w)).alias("cum_revenue"),
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -5935,6 +5981,34 @@ def _v18_oracle() -> str:
 
 _ORACLES["v18_categorical_entropy"] = _v18_oracle()
 
+_ORACLES["q93_cohort_ltv"] = """
+    WITH o AS (
+      SELECT o_custkey, o_totalprice,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month
+      FROM orders),
+    cohort AS (
+      SELECT o_custkey, MIN(order_month) AS cohort_month
+      FROM o GROUP BY 1),
+    aged AS (
+      SELECT c.cohort_month,
+             CAST((year(o.order_month) - year(c.cohort_month)) * 12
+                  + (month(o.order_month) - month(c.cohort_month))
+                  AS INT) AS age_months,
+             o.o_totalprice
+      FROM o JOIN cohort c USING (o_custkey)),
+    per AS (
+      SELECT cohort_month, age_months,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             FLOOR(SUM(o_totalprice) * 1e6 + 0.5) / 1e6 AS revenue
+      FROM aged GROUP BY 1, 2)
+    SELECT cohort_month, age_months, n_orders, revenue,
+           FLOOR(SUM(revenue) OVER (
+                   PARTITION BY cohort_month ORDER BY age_months
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1e6 + 0.5) / 1e6 AS cum_revenue
+    FROM per
+"""
+
 _ORACLES["q92_gini"] = """
     WITH spend AS (
       SELECT o_custkey,
@@ -7256,6 +7330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q92_gini": q92_gini,
             "s19_embedding_drift": llm_registry.s19_embedding_drift,
             "c19_pipeline_funnel": llm_registry.c19_pipeline_funnel,
+            "q93_cohort_ltv": q93_cohort_ltv,
         }
     )
     return out

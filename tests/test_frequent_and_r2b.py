@@ -1504,3 +1504,29 @@ def test_c19_funnel_monotone_and_matches_c01(spark):
     assert ns[-1] == c01_n
     for r in rows[1:]:
         assert 0.0 <= r.drop_frac <= 1.0
+
+
+# --- cohort LTV --------------------------------------------------------------
+
+
+def test_q93_ltv_curves_monotone_and_conserve_revenue(spark):
+    from collections import defaultdict
+
+    rows = registry.q93_cohort_ltv(spark, SF_DIR_SMALL).collect()
+    assert rows
+    by_cohort = defaultdict(list)
+    for r in rows:
+        assert r.age_months >= 0
+        by_cohort[r.cohort_month].append((r.age_months, r.cum_revenue))
+    for cm, pts in by_cohort.items():
+        pts.sort()
+        cums = [c for _, c in pts]
+        assert all(b >= a - 1e-6 for a, b in zip(cums, cums[1:]))
+        assert pts[0][0] == 0  # every cohort starts at age 0
+    total = sum(r.revenue for r in rows)
+    orders_total = (
+        registry.load_table(spark, SF_DIR_SMALL, "orders")
+        .agg(F.sum("o_totalprice"))
+        .collect()[0][0]
+    )
+    assert abs(total - orders_total) < 1.0  # every order lands in a cell
