@@ -4528,6 +4528,43 @@ def q93_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKEW_BUCKETS = 32
+
+
+def q94_shuffle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key balance audit: row counts per user_id modulo-32
+    bucket with the max/mean skew factor — the preview of how evenly a
+    32-partition shuffle keyed on user_id would load its tasks (j07's
+    salting exists because this number can be >> 1). Modulo, not
+    Spark's murmur hash, so the oracle replays it exactly; the audit
+    is one partial-agg scan + a 32-row rollup."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    buckets = (
+        _events(spark, sf_dir)
+        .groupBy((F.col("user_id") % SKEW_BUCKETS).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    stats = buckets.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n_rows").alias("total_rows"),
+        F.max("n_rows").alias("max_bucket"),
+        F.min("n_rows").alias("min_bucket"),
+    )
+    return stats.select(
+        "n_buckets",
+        "total_rows",
+        "max_bucket",
+        "min_bucket",
+        r6(
+            F.col("max_bucket")
+            / (
+                F.col("total_rows").cast("double")
+                / F.col("n_buckets").cast("double")
+            )
+        ).alias("skew_factor"),
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -5981,6 +6018,26 @@ def _v18_oracle() -> str:
 
 _ORACLES["v18_categorical_entropy"] = _v18_oracle()
 
+_ORACLES["q94_shuffle_balance"] = f"""
+    WITH buckets AS (
+      SELECT user_id % {SKEW_BUCKETS} AS bucket, COUNT(*) AS n_rows
+      FROM events GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n_buckets,
+             SUM(n_rows) AS total_rows,
+             MAX(n_rows) AS max_bucket,
+             MIN(n_rows) AS min_bucket
+      FROM buckets)
+    SELECT CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(total_rows AS BIGINT) AS total_rows,
+           CAST(max_bucket AS BIGINT) AS max_bucket,
+           CAST(min_bucket AS BIGINT) AS min_bucket,
+           FLOOR(max_bucket / (CAST(total_rows AS DOUBLE)
+                               / CAST(n_buckets AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS skew_factor
+    FROM stats
+"""
+
 _ORACLES["q93_cohort_ltv"] = """
     WITH o AS (
       SELECT o_custkey, o_totalprice,
@@ -7331,6 +7388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s19_embedding_drift": llm_registry.s19_embedding_drift,
             "c19_pipeline_funnel": llm_registry.c19_pipeline_funnel,
             "q93_cohort_ltv": q93_cohort_ltv,
+            "q94_shuffle_balance": q94_shuffle_balance,
         }
     )
     return out

@@ -1530,3 +1530,15 @@ def test_q93_ltv_curves_monotone_and_conserve_revenue(spark):
         .collect()[0][0]
     )
     assert abs(total - orders_total) < 1.0  # every order lands in a cell
+
+
+# --- shuffle balance ---------------------------------------------------------
+
+
+def test_q94_skew_bounds(spark):
+    r = registry.q94_shuffle_balance(spark, SF_DIR_SMALL).collect()[0]
+    ev_n = registry._events(spark, SF_DIR_SMALL).count()
+    assert r.total_rows == ev_n
+    assert 1 <= r.n_buckets <= registry.SKEW_BUCKETS
+    assert r.min_bucket <= r.max_bucket
+    assert r.skew_factor >= 1.0 - 1e-6  # max >= mean always
