@@ -4565,6 +4565,68 @@ def q94_shuffle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NESTED_TOP_NATIONS = 5
+NESTED_TOP_BRANDS = 3
+
+
+def q95_nested_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested top-N: the top-3 part brands INSIDE each of the top-5
+    customer nations by revenue — the drill-down every BI tool renders
+    as a grouped bar chart, expressed as two rank windows over the
+    (nation, brand) aggregate (the outer rank on its nation rollup,
+    the inner partitioned by nation). The fact pass happens once; both
+    ranks run on aggregates."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "rev"
+        ),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cell = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("nation", "p_brand")
+        .agg(r6(F.sum("rev")).alias("revenue"))
+    )
+    nat = cell.groupBy("nation").agg(
+        r6(F.sum("revenue")).alias("nation_revenue")
+    )
+    wn = Window.orderBy(F.desc("nation_revenue"), F.asc("nation"))
+    top_nat = nat.withColumn("nation_rank", F.row_number().over(wn)).filter(
+        F.col("nation_rank") <= NESTED_TOP_NATIONS
+    )
+    wb = Window.partitionBy("nation").orderBy(
+        F.desc("revenue"), F.asc("p_brand")
+    )
+    return (
+        cell.join(F.broadcast(top_nat), "nation")
+        .withColumn("brand_rank", F.row_number().over(wb))
+        .filter(F.col("brand_rank") <= NESTED_TOP_BRANDS)
+        .select(
+            "nation",
+            "nation_rank",
+            "nation_revenue",
+            "p_brand",
+            "brand_rank",
+            "revenue",
+        )
+    )
+
+
 # --- DuckDB oracle SQL -----------------------------------------------------
 
 _ORACLES: dict[str, str] = {
@@ -6018,6 +6080,40 @@ def _v18_oracle() -> str:
 
 _ORACLES["v18_categorical_entropy"] = _v18_oracle()
 
+_ORACLES["q95_nested_topn"] = f"""
+    WITH cell AS (
+      SELECT n.n_name AS nation, p.p_brand,
+             FLOOR(SUM(l.l_extendedprice * (1.0 - l.l_discount))
+                   * 1e6 + 0.5) / 1e6 AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2),
+    nat AS (
+      SELECT nation,
+             FLOOR(SUM(revenue) * 1e6 + 0.5) / 1e6 AS nation_revenue
+      FROM cell GROUP BY 1),
+    top_nat AS (
+      SELECT * FROM (
+        SELECT nation, nation_revenue,
+               row_number() OVER (
+                 ORDER BY nation_revenue DESC, nation ASC) AS nation_rank
+        FROM nat)
+      WHERE nation_rank <= {NESTED_TOP_NATIONS})
+    SELECT nation, nation_rank, nation_revenue, p_brand, brand_rank,
+           revenue
+    FROM (
+      SELECT c.nation, t.nation_rank, t.nation_revenue, c.p_brand,
+             c.revenue,
+             row_number() OVER (
+               PARTITION BY c.nation
+               ORDER BY c.revenue DESC, c.p_brand ASC) AS brand_rank
+      FROM cell c JOIN top_nat t USING (nation))
+    WHERE brand_rank <= {NESTED_TOP_BRANDS}
+"""
+
 _ORACLES["q94_shuffle_balance"] = f"""
     WITH buckets AS (
       SELECT user_id % {SKEW_BUCKETS} AS bucket, COUNT(*) AS n_rows
@@ -7389,6 +7485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "c19_pipeline_funnel": llm_registry.c19_pipeline_funnel,
             "q93_cohort_ltv": q93_cohort_ltv,
             "q94_shuffle_balance": q94_shuffle_balance,
+            "q95_nested_topn": q95_nested_topn,
         }
     )
     return out

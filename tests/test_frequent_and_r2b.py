@@ -1542,3 +1542,23 @@ def test_q94_skew_bounds(spark):
     assert 1 <= r.n_buckets <= registry.SKEW_BUCKETS
     assert r.min_bucket <= r.max_bucket
     assert r.skew_factor >= 1.0 - 1e-6  # max >= mean always
+
+
+# --- nested top-N ------------------------------------------------------------
+
+
+def test_q95_grid_shape_and_ranks(spark):
+    from collections import defaultdict
+
+    rows = registry.q95_nested_topn(spark, SF_DIR_SMALL).collect()
+    assert len(rows) == registry.NESTED_TOP_NATIONS * registry.NESTED_TOP_BRANDS
+    by_nation = defaultdict(list)
+    for r in rows:
+        assert 1 <= r.nation_rank <= registry.NESTED_TOP_NATIONS
+        assert 1 <= r.brand_rank <= registry.NESTED_TOP_BRANDS
+        assert r.revenue <= r.nation_revenue
+        by_nation[r.nation].append(r)
+    for nat, rs in by_nation.items():
+        rs.sort(key=lambda r: r.brand_rank)
+        revs = [r.revenue for r in rs]
+        assert revs == sorted(revs, reverse=True)  # brands ranked desc
