@@ -4,11 +4,14 @@
 resize / frame-sample run as vectorized Python over columnar batches,
 never row-at-a-time).
 
-The heavy codecs (PIL/ffmpeg/librosa) are NOT in this environment, so the
-decode kernels are explicitly stubbed: ``decode_image``/``decode_audio``/
-``sample_frames`` raise NotImplementedError with the dependency named,
-while the Spark-side plumbing — schemas, binary payload handling, batch
-iteration, deterministic metadata extraction — is real and tested.
+Decode status: ``decode_image`` (PNG) and ``decode_audio`` (WAV PCM16)
+are REAL decoders built on the dependency-free codecs in
+``functions/codecs.py`` (stdlib zlib/struct + numpy) — header parse,
+inflate, unfilter / frame deinterleave, oracle-verified end-to-end via
+synthetic payloads whose content is an integer function of the row id.
+Formats that genuinely need external codecs (JPEG → Pillow, compressed
+audio, video → ffmpeg/PyAV) raise NotImplementedError naming the
+dependency; the ``fake_*`` kernels keep that plumbing exercised.
 """
 
 from __future__ import annotations
@@ -98,20 +101,167 @@ IMAGE_FEATURE_SCHEMA = StructType(
 )
 
 
+PNG_DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("pixel_sum", LongType()),
+    ]
+)
+
+
 def decode_image(df: DataFrame) -> DataFrame:
-    """STUB — requires Pillow (not installed here). The real kernel is a
-    mapInPandas with IMAGE_FEATURE_SCHEMA, decoding each payload with
-    ``PIL.Image.open(io.BytesIO(b))`` per Arrow batch."""
-    raise NotImplementedError(
-        "decode_image needs Pillow; this environment has no image codecs. "
-        "Plumbing contract: mapInPandas(payload->IMAGE_FEATURE_SCHEMA)."
-    )
+    """REAL image decode for PNG payloads (pure stdlib zlib + numpy —
+    ``functions/codecs.py``): signature check, IHDR parse, IDAT inflate,
+    full unfiltering; emits dimensions plus the exact integer pixel sum
+    so a SQL oracle can verify the decode end-to-end. Non-PNG payloads
+    still raise NotImplementedError naming the codec dependency (JPEG &
+    co. need Pillow, absent in this container) — same mapInPandas
+    signature either way, so swapping in PIL touches only the kernel
+    body."""
+    from mbta_etl_spark.functions.codecs import decode_png
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b: Any) -> tuple[int, int, int, int]:
+            raw = bytes(b)
+            if raw[:8] != b"\x89PNG\r\n\x1a\n":
+                raise NotImplementedError(
+                    "decode_image: only PNG is decodable without Pillow"
+                )
+            px = decode_png(raw)
+            return (
+                px.shape[1],
+                px.shape[0],
+                px.shape[2],
+                int(px.astype("int64").sum()),
+            )
+
+        for pdf in batches:
+            r = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "width": pd.Series([x[0] for x in r], dtype="int64"),
+                    "height": pd.Series([x[1] for x in r], dtype="int64"),
+                    "n_channels": pd.Series([x[2] for x in r], dtype="int64"),
+                    "pixel_sum": pd.Series([x[3] for x in r], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=PNG_DECODE_SCHEMA)
+
+
+WAV_DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_sum", LongType()),
+        StructField("sample_sqsum", LongType()),
+    ]
+)
 
 
 def decode_audio(df: DataFrame) -> DataFrame:
-    """STUB — requires an audio codec (soundfile/librosa)."""
-    raise NotImplementedError(
-        "decode_audio needs an audio codec library (e.g. soundfile)."
+    """REAL audio decode for RIFF/WAVE PCM16 payloads (stdlib struct +
+    numpy — ``functions/codecs.py``): chunk walk, fmt validation, frame
+    parse; emits the header fields plus exact integer sample sums (sum
+    and sum-of-squares — the moments an audio-quality stage feeds on)
+    for oracle verification. Compressed formats raise
+    NotImplementedError naming the codec dependency."""
+    from mbta_etl_spark.functions.codecs import decode_wav_pcm16
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b: Any) -> tuple[int, int, int, int]:
+            rate, samples = decode_wav_pcm16(bytes(b))
+            s64 = samples.astype("int64")
+            return rate, len(samples), int(s64.sum()), int((s64 * s64).sum())
+
+        for pdf in batches:
+            r = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "sample_rate": pd.Series([x[0] for x in r], dtype="int64"),
+                    "n_samples": pd.Series([x[1] for x in r], dtype="int64"),
+                    "sample_sum": pd.Series([x[2] for x in r], dtype="int64"),
+                    "sample_sqsum": pd.Series(
+                        [x[3] for x in r], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=WAV_DECODE_SCHEMA)
+
+
+def synthetic_png_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL on-spec PNG payloads from row ids: width 4+id%8,
+    height 4+(id//8)%8, RGB, pixel[i] = (id·31 + i·7) mod 256 row-major.
+    Deterministic integer content ⇒ the decode stage's output is
+    SQL-derivable, closing an encode→binary-column→decode loop with an
+    analytic oracle (no golden files)."""
+    import numpy as np
+
+    from mbta_etl_spark.functions.codecs import encode_png
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(i: int) -> bytes:
+            w, h = 4 + i % 8, 4 + (i // 8) % 8
+            px = ((i * 31 + np.arange(w * h * 3) * 7) % 256).astype(np.uint8)
+            return encode_png(px.reshape(h, w, 3))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": pdf[id_col].map(lambda i: one(int(i))),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        _make,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+def synthetic_wav_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL RIFF/WAVE PCM16 payloads from row ids: rate
+    8000+(id%4)·4000, n = 256+id%128 samples, sample[i] =
+    ((id·13 + i·5) mod 65536) − 32768. Same analytic-oracle design as
+    synthetic_png_table."""
+    import numpy as np
+
+    from mbta_etl_spark.functions.codecs import encode_wav_pcm16
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(i: int) -> bytes:
+            n = 256 + i % 128
+            s = ((i * 13 + np.arange(n) * 5) % 65536 - 32768).astype("<i2")
+            return encode_wav_pcm16(s, 8000 + (i % 4) * 4000)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": pdf[id_col].map(lambda i: one(int(i))),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        _make,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
     )
 
 

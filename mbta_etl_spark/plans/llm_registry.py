@@ -2645,14 +2645,15 @@ _ORACLES["c04_chunk_pack"] = f"""
                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
                FROM documents),
     o AS (SELECT doc_id, n_tokens,
-                 SUM(n_tokens) OVER (ORDER BY doc_id
-                     ROWS UNBOUNDED PRECEDING) AS end_off
+                 CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
           FROM d)
     SELECT doc_id, n_tokens,
-           end_off - n_tokens AS start_off,
-           (end_off - n_tokens) // {CHUNK_CAP} AS chunk_first,
-           (end_off - 1) // {CHUNK_CAP} AS chunk_last,
-           (end_off - 1) // {CHUNK_CAP} - (end_off - n_tokens) // {CHUNK_CAP} + 1
+           CAST(end_off - n_tokens AS BIGINT) AS start_off,
+           CAST((end_off - n_tokens) // {CHUNK_CAP} AS BIGINT) AS chunk_first,
+           CAST((end_off - 1) // {CHUNK_CAP} AS BIGINT) AS chunk_last,
+           CAST((end_off - 1) // {CHUNK_CAP}
+                - (end_off - n_tokens) // {CHUNK_CAP} + 1 AS BIGINT)
              AS n_chunks
     FROM o
 """

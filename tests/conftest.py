@@ -1,11 +1,36 @@
 from __future__ import annotations
 
-import pytest
+import os
+import sys
 
-from mbta_etl_spark.session import get_spark
+import pytest
 
 SF_DIR_SMALL = "/root/testdata/sf0.001"
 SF_DIR_MED = "/root/testdata/sf0.01"
+
+# --- dev-environment protobuf shim (tests only) -------------------------
+# The sandbox has no pip-installed protobuf, which Spark's
+# transformWithStateInPandas tier needs (its state client speaks protobuf
+# to the JVM). The container's Google Cloud SDK bundles a pure-Python
+# protobuf 6.32 runtime; PySpark 4.1's gencode is 6.33 — one minor ahead —
+# so we use protobuf's own official escape hatch for the skew. Both the
+# driver-side import and the Python workers (forked from the JVM, which
+# inherits this process's env) pick these up, as long as they are set
+# BEFORE the first SparkSession launches — hence module scope here.
+_SDK_PROTOBUF = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+try:
+    import google.protobuf  # noqa: F401
+except ImportError:
+    if os.path.isdir(os.path.join(_SDK_PROTOBUF, "google", "protobuf")):
+        sys.path.append(_SDK_PROTOBUF)
+        os.environ["PYTHONPATH"] = (
+            os.environ.get("PYTHONPATH", "") + os.pathsep + _SDK_PROTOBUF
+        ).lstrip(os.pathsep)
+        os.environ.setdefault(
+            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+        )
+
+from mbta_etl_spark.session import get_spark  # noqa: E402
 
 
 @pytest.fixture(scope="session")

@@ -225,14 +225,45 @@ def test_binary_meta_roundtrip(spark, docs):
     assert out[1]["checksum"] == hashlib.md5(t.encode()).hexdigest()
 
 
-def test_decode_stubs_raise(spark, docs):
+def test_undecodable_payloads_raise(spark, docs):
+    """Non-PNG/non-WAV payloads surface NotImplementedError naming the
+    missing codec (raised in-kernel, so it arrives wrapped in Spark's
+    Python exception); the video sampler remains an eager stub."""
+    from pyspark.errors.exceptions.base import PySparkException
+
     binary = multimodal.to_binary_table(docs, "text", "doc_id")
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(binary)
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_audio(binary)
+    with pytest.raises(PySparkException, match="NotImplementedError"):
+        multimodal.decode_image(binary).collect()
+    with pytest.raises(PySparkException, match="(ValueError|NotImplementedError)"):
+        multimodal.decode_audio(binary).collect()
     with pytest.raises(NotImplementedError):
         multimodal.sample_frames(binary)
+
+
+def test_png_decode_real_roundtrip(spark, docs):
+    """encode→binary column→REAL PNG decode: header fields and the exact
+    integer pixel sum match the analytic formula."""
+    pngs = multimodal.synthetic_png_table(docs, "doc_id")
+    out = {r["media_id"]: r for r in multimodal.decode_image(pngs).collect()}
+    for i, _t in DOCS:
+        w, h = 4 + i % 8, 4 + (i // 8) % 8
+        expected = sum((i * 31 + j * 7) % 256 for j in range(w * h * 3))
+        row = out[i]
+        assert (row["width"], row["height"], row["n_channels"]) == (w, h, 3)
+        assert row["pixel_sum"] == expected
+
+
+def test_wav_decode_real_roundtrip(spark, docs):
+    wavs = multimodal.synthetic_wav_table(docs, "doc_id")
+    out = {r["media_id"]: r for r in multimodal.decode_audio(wavs).collect()}
+    for i, _t in DOCS:
+        n = 256 + i % 128
+        samples = [((i * 13 + j * 5) % 65536) - 32768 for j in range(n)]
+        row = out[i]
+        assert row["sample_rate"] == 8000 + (i % 4) * 4000
+        assert row["n_samples"] == n
+        assert row["sample_sum"] == sum(samples)
+        assert row["sample_sqsum"] == sum(s * s for s in samples)
 
 
 def test_fake_image_features_deterministic(spark, docs):

@@ -73,6 +73,30 @@ def test_query_matches_oracle(spark, duck, name):
     duck_cols = [d[0].lower() for d in res.description]
     duck_rows = res.fetchall()
 
+    # The driver canonicalizes the oracle side through pandas
+    # (``fetchdf``), where DuckDB HUGEINT / widened numerics materialize
+    # as float64 and stringify as "32.0" vs Spark's "32".  ``fetchall``
+    # alone (exact Python ints) is laxer than the driver, so also check
+    # that no integral Spark column comes back floating from pandas.
+    pdf = duck.execute(ORACLES[name]).fetchdf()
+    pdf.columns = [c.lower() for c in pdf.columns]
+    integral = {
+        f.name.lower()
+        for f in sdf.schema.fields
+        if f.dataType.typeName() in ("byte", "short", "integer", "long")
+    }
+    for col in pdf.columns:
+        if col in integral and pdf[col].dtype.kind == "f":
+            # nullable BIGINT legitimately widens to float64 in pandas;
+            # only flag when the column is fully non-null (pure typing).
+            if not pdf[col].isna().any():
+                pytest.fail(
+                    f"{name}: oracle column {col!r} materializes as "
+                    f"{pdf[col].dtype} via pandas while Spark returns an "
+                    "integral type — the driver's hash will mismatch "
+                    "(HUGEINT/widening class; CAST the oracle column)"
+                )
+
     assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column mismatch"
     assert len(spark_rows) == len(duck_rows), f"{name}: row count mismatch"
     sc = _canon_rows(spark_rows, spark_cols)

@@ -1,62 +1,99 @@
 """Registry-order guard: the driver's correctness harness checks the
-FIRST 50 entries of queries() in iteration order. Every entry that has no
-green driver row yet (new this round, or fixed this round) must sit
-inside that window — an accidental reorder would silently strip the
-north-star operators of differential verification (the round-1 failure
-mode)."""
+FIRST 50 entries of queries() in iteration order. queries() reorders the
+registry so entries without a green driver CORRECTNESS row
+(``plans/registry._DRIVER_VERIFIED``) come first — the window rotates
+onto ~50 fresh entries each round. These tests pin that invariant so an
+accidental reorder can't silently strip entries of differential
+verification (the round-1 failure mode).
+
+Per-round maintenance: after CORRECTNESS_r{N}.json lands, append its
+green names to ``_DRIVER_VERIFIED`` (leave red/errored rows out so they
+are automatically re-checked next round).
+"""
 
 from __future__ import annotations
 
+import json
+import os
+
 import __spark_entry__ as entrymod
+from mbta_etl_spark.plans.registry import _DRIVER_VERIFIED
 
-# entries with no prior green driver CORRECTNESS row (r1 window miss or
-# added in round 2) plus the three whose oracles were fixed in round 2
-MUST_BE_IN_WINDOW = {
-    # LLM-pipeline surface, unchecked in r1 (slots 51+ back then)
-    "d01_exact_dedup", "d02_fingerprint_dedup", "d03_ngram_jaccard_pairs",
-    "d04_minhash_lsh_pairs", "d05_simhash", "d06_embed_cosine_pairs",
-    "d07_dup_clusters", "d08_decontaminate",
-    "s01_cosine_topk", "s02_lsh_topk", "s03_label_topk_pairs",
-    "s04_norm_zscore", "s05_ivf_topk", "s06_vector_norms",
-    "s07_label_median_norm",
-    "t01_token_stats", "t02_quality_score", "t03_lang_id", "t04_fingerprint",
-    "t05_bpe_tokens", "t06_pii_scrub", "t07_vocab_df", "t08_tfidf",
-    "t09_repetition", "t10_tokenize_udtf",
-    "m01_binary_meta", "m02_fake_image_features", "m03_frame_samples",
-    "c01_corpus_clean", "c02_corpus_mix", "c03_split_assign",
-    "c04_chunk_pack", "c05_greedy_pack",
-    "j02_range_attribution", "j03_customers_no_orders",
-    "j04_big_spenders_semi", "j05_full_outer_reconcile",
-    # new in round 2
-    "d09_simhash_band_pairs", "k01_kmeans_clusters", "c06_token_budget",
-    "c07_eval_sample", "t11_unigram_lm", "m04_fake_resize",
-    "r01_incremental_rollup", "v01_constraint_check",
-    "v02_referential_check", "v03_snapshot_diff",
-    # oracle fixes in round 2 (red/err in CORRECTNESS_r01)
-    "q25_pivot_counts", "q35_order_basket", "q44_late_ship_priority",
-}
-
-# ROUND 3 ROTATION PLAN: the r2 window is fully occupied by the entries
-# above; everything added later in round 2 sits past slot 50 and has no
-# driver row yet. Next round, swap these into the front of queries()
-# (the r2 window's entries will have green CORRECTNESS_r02 rows by then)
-# and update MUST_BE_IN_WINDOW accordingly:
-#   ts01_locf ts02_delta_rate ts03_interpolate ts04_rolling_zscore
-#   ts05_bucket_gapfill ts06_ewma c08_weighted_sample j07_salted_join
-#   q48_analytic_battery d10_ngram_containment m05_phash_dupes c10_temperature_mix v05_quarantine_split d11_incremental_dedup j08_interval_overlap t12_boilerplate_frac s08_multi_query_topk r02_sketch_rollup q49_fuzzy_join t13_zipf_spectrum q50_bag_set_ops c12_curriculum_shards ts07_downsample ts08_minmax_norm ts09_gap_detect ts10_locf_ttl j09_nearest_event d12_normalized_dedup q52_topk_with_ties q53_rolling_distinct
-#   (+ anything new in round 3)
-# d05_simhash / d09_simhash_band_pairs changed semantics (64-bit sigs)
-# AFTER the r2 window was fixed — they are in the r2 window, so their
-# new values get driver rows this round; no carry-over needed.
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_unverified_entries_sit_in_driver_window():
-    first50 = list(entrymod.queries())[:50]
-    missing = MUST_BE_IN_WINDOW - set(first50)
-    assert not missing, (
-        f"{len(missing)} driver-unverified entries fell out of the first-50 "
-        f"correctness window: {sorted(missing)}"
+def _green_driver_rows():
+    """Union of all-green rows across every CORRECTNESS_r*.json present."""
+    green: set[str] = set()
+    red: set[str] = set()
+    for fn in sorted(os.listdir(REPO)):
+        if not (fn.startswith("CORRECTNESS_r") and fn.endswith(".json")):
+            continue
+        with open(os.path.join(REPO, fn)) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            if row.get("err") == "no_oracle":
+                # deliberate rows-only entry — the weaker gate ran; the
+                # driver records spark_rows and nothing else to compare
+                ok = row.get("spark_rows") is not None
+            else:
+                ok = (
+                    row.get("err") is None
+                    and row.get("rows_match")
+                    and row.get("schema_match") is not False
+                    and row.get("hash_match") is not False
+                )
+            (green if ok else red).add(name)
+    # a later red row trumps an earlier green one only if it's the most
+    # recent — keep it simple: red-ever means re-verify unless a LATER
+    # green exists; CORRECTNESS files don't record order per name, so we
+    # conservatively treat green-in-any-round as green (matches how
+    # _DRIVER_VERIFIED is maintained by hand each round).
+    return green
+
+
+def test_window_contains_only_unverified_entries():
+    """While unverified entries remain, none of the driver's 50 slots may
+    be wasted on an already-green entry."""
+    names = list(entrymod.queries())
+    unverified = [n for n in names if n not in _DRIVER_VERIFIED]
+    window = names[: min(50, len(names))]
+    if len(unverified) >= 50:
+        overlap = set(window) & _DRIVER_VERIFIED
+        assert not overlap, (
+            f"verified entries occupy driver window slots: {sorted(overlap)}"
+        )
+    # and the window must be exactly the FIRST unverified entries in
+    # registration order — no unverified entry may jump the queue past
+    # another silently
+    assert window == unverified[: len(window)] or len(unverified) < 50
+
+
+def test_unverified_pool_matches_correctness_files():
+    """_DRIVER_VERIFIED must stay consistent with the CORRECTNESS_r*.json
+    reports in the repo root: every name in the set has at least one
+    all-green driver row, and no all-green name is missing from the set
+    *unless* it was deliberately held out for re-verification (oracle or
+    plan changed). Holdouts are enumerated here."""
+    green = _green_driver_rows()
+    # c04: r02 hash red (oracle HUGEINT typing, fixed round 3) — its only
+    # rows were never all-green, so it's naturally outside green anyway.
+    deliberately_held_out: set[str] = set()
+    phantom = _DRIVER_VERIFIED - green
+    assert not phantom, (
+        f"_DRIVER_VERIFIED contains names with no green driver row: "
+        f"{sorted(phantom)}"
     )
+    stale = (green - _DRIVER_VERIFIED) - deliberately_held_out
+    assert not stale, (
+        f"green driver rows missing from _DRIVER_VERIFIED (append them so "
+        f"the window rotates): {sorted(stale)}"
+    )
+
+
+def test_c04_leads_round3_window():
+    """The one red r02 row, freshly fixed, must be re-verified first."""
+    assert list(entrymod.queries())[0] == "c04_chunk_pack"
 
 
 def test_every_query_has_oracle_or_documented_exception():
