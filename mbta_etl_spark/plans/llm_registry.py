@@ -296,6 +296,28 @@ def m04_fake_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.fake_resize(binary, target=RESIZE_TARGET)
 
 
+def m10_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip: synthesize on-spec PNG bytes per doc_id
+    (dimensions and pixels are integer functions of the id), ship them
+    through a binary column, decode with the pure-stdlib PNG decoder
+    (functions/codecs.py: signature, IHDR, zlib inflate, unfiltering)
+    and emit header fields + exact integer pixel sum. The oracle
+    recomputes all of it analytically — a hash match proves the decoder
+    actually parsed the container. Scale shape: two chained mapInPandas
+    stages, no shuffle, partitioning inherited from the scan."""
+    pngs = multimodal.synthetic_png_table(_docs(spark, sf_dir), "doc_id")
+    return multimodal.decode_image(pngs)
+
+
+def m11_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip for audio: RIFF/WAVE PCM16 payloads built
+    from the row id, decoded by the stdlib WAV parser (chunk walk, fmt
+    validation, frame parse); emits rate / sample count / exact integer
+    sum + sum-of-squares. Same analytic-oracle design as m10."""
+    wavs = multimodal.synthetic_wav_table(_docs(spark, sf_dir), "doc_id")
+    return multimodal.decode_audio(wavs)
+
+
 RESIZE_TARGET = 128
 
 
@@ -2496,6 +2518,36 @@ _ORACLES: dict[str, str] = {
                md5(payload) AS out_checksum
         FROM s
     """,
+    # analytic replay of the REAL PNG decode: pixel[i] = (id·31+i·7)%256
+    # over w·h·3 pixels with w = 4+id%8, h = 4+(id//8)%8 (max 11·11·3-1 =
+    # 362); a value-hash match proves the decoder parsed the container
+    "m10_png_decode": """
+        WITH g AS (SELECT i FROM generate_series(0, 362) AS t(i))
+        SELECT d.doc_id AS media_id,
+               CAST(4 + d.doc_id % 8 AS BIGINT) AS width,
+               CAST(4 + (d.doc_id // 8) % 8 AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS n_channels,
+               CAST(SUM((d.doc_id * 31 + g.i * 7) % 256) AS BIGINT)
+                 AS pixel_sum
+        FROM documents d
+        JOIN g ON g.i < (4 + d.doc_id % 8) * (4 + (d.doc_id // 8) % 8) * 3
+        GROUP BY d.doc_id
+    """,
+    # analytic replay of the REAL WAV PCM16 decode: sample[i] =
+    # ((id·13+i·5)%65536)−32768 over n = 256+id%128 samples (max 382)
+    "m11_wav_decode": """
+        WITH g AS (SELECT i FROM generate_series(0, 382) AS t(i))
+        SELECT d.doc_id AS media_id,
+               CAST(8000 + (d.doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+               CAST(256 + d.doc_id % 128 AS BIGINT) AS n_samples,
+               CAST(SUM((d.doc_id * 13 + g.i * 5) % 65536 - 32768) AS BIGINT)
+                 AS sample_sum,
+               CAST(SUM(((d.doc_id * 13 + g.i * 5) % 65536 - 32768)
+                        * ((d.doc_id * 13 + g.i * 5) % 65536 - 32768))
+                    AS BIGINT) AS sample_sqsum
+        FROM documents d JOIN g ON g.i < 256 + d.doc_id % 128
+        GROUP BY d.doc_id
+    """,
 }
 
 
@@ -3648,6 +3700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m02_fake_image_features": m02_fake_image_features,
         "m03_frame_samples": m03_frame_samples,
         "m04_fake_resize": m04_fake_resize,
+        "m10_png_decode": m10_png_decode,
+        "m11_wav_decode": m11_wav_decode,
     }
 
 
