@@ -24,27 +24,23 @@ from pyspark.sql import functions as F
 from mbta_etl_spark.operators import dedup, text
 
 
-def clean_corpus(
+def corpus_stages(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     min_quality: float = 0.5,
     jaccard_threshold: float = 0.5,
-) -> DataFrame:
-    """Returns the surviving documents with quality + token stats.
-
-    Drop rules, in order:
-    1. quality < min_quality (length/stopword/punctuation heuristic)
-    2. exact duplicates: every doc whose sha256(text) group has a smaller
-       doc_id survivor
-    3. near duplicates: the larger doc_id of every LSH-confirmed pair with
-       Jaccard ≥ threshold (computed among quality survivors)
-    """
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The pipeline's intermediate frames ``(qualified, exact_kept,
+    survivors)``, shared by ``clean_corpus`` (final stats) and the c19
+    observability funnel (per-stage counts) so compositions never
+    re-derive a stage. ``exact_kept`` is persisted — it feeds the shingle
+    pipeline, the anti-join probe, and the survivor rows."""
     from pyspark.sql import Window
 
     t, i = F.col(text_col), F.col(id_col)
 
-    assert id_col == "doc_id", "clean_corpus expects the id column named doc_id"
+    assert id_col == "doc_id", "corpus_stages expects the id column named doc_id"
     # quality as an inline column — a projection, not a compute-then-join-
     # back (the join would shuffle the whole corpus twice for no reason)
     toks = F.split(t, " ")
@@ -80,13 +76,36 @@ def clean_corpus(
     )
     drop_b = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     survivors = exact_kept.join(drop_b, "doc_id", "left_anti")
+    return qualified, exact_kept, survivors
 
+
+def clean_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Returns the surviving documents with quality + token stats.
+
+    Drop rules, in order:
+    1. quality < min_quality (length/stopword/punctuation heuristic)
+    2. exact duplicates: every doc whose sha256(text) group has a smaller
+       doc_id survivor
+    3. near duplicates: the larger doc_id of every LSH-confirmed pair with
+       Jaccard ≥ threshold (computed among quality survivors)
+    """
+    t = F.col(text_col)
+    toks = F.split(t, " ")
+    _, _, survivors = corpus_stages(
+        docs, text_col, id_col, min_quality, jaccard_threshold
+    )
     # token stats inline for the same reason as quality
     return survivors.select(
         "doc_id",
         "lang",
         "source",
-        n.cast("long").alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
         F.col("quality"),
     )

@@ -1874,29 +1874,27 @@ def c19_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the stage ordinal."""
     from pyspark.sql import Window
 
-    from mbta_etl_spark.pipeline.corpus import clean_corpus
+    from mbta_etl_spark.pipeline.corpus import corpus_stages
 
     r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     docs = _docs(spark, sf_dir)
-    qualified = text.quality_score(
-        docs, F.col("text"), F.col("doc_id")
-    ).filter(F.col("quality") >= 0.5)
+    # ONE pipeline instance shared across all four stage counts (the
+    # persisted exact_kept inside corpus_stages serves both the s2 count
+    # and the shingle/anti-join branches under s3) — the funnel costs the
+    # dominant stage plus three cheap counts, not 3 pipeline re-runs
+    qualified, exact_kept, survivors = corpus_stages(docs)
     s0 = docs.agg(F.count(F.lit(1)).alias("n")).select(
         F.lit(0).alias("stage_no"), F.lit("raw").alias("stage"), "n"
     )
     s1 = qualified.agg(F.count(F.lit(1)).alias("n")).select(
         F.lit(1).alias("stage_no"), F.lit("quality").alias("stage"), "n"
     )
-    s2 = (
-        docs.join(qualified.select("doc_id"), "doc_id")
-        .agg(F.countDistinct(F.sha2(F.col("text"), 256)).alias("n"))
-        .select(
-            F.lit(2).alias("stage_no"),
-            F.lit("exact_dedup").alias("stage"),
-            "n",
-        )
+    s2 = exact_kept.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(2).alias("stage_no"),
+        F.lit("exact_dedup").alias("stage"),
+        "n",
     )
-    s3 = clean_corpus(docs).agg(F.count(F.lit(1)).alias("n")).select(
+    s3 = survivors.agg(F.count(F.lit(1)).alias("n")).select(
         F.lit(3).alias("stage_no"),
         F.lit("near_dedup").alias("stage"),
         "n",
