@@ -399,3 +399,19 @@ def test_q92_gini_ranks_aggregate_not_fact(spark):
     plan = _plan(registry.q92_gini(spark, SF_DIR_SMALL))
     assert plan.count("hashpartitioning(") == 1
     assert "partial_sum" in plan
+
+
+def test_m10_m11_codec_roundtrip_no_shuffle(spark):
+    """The real-codec round-trips (synthesize → decode) are two chained
+    map-only MapInPandas stages: ZERO exchanges, partitioning inherited
+    from the documents scan end-to-end."""
+    from mbta_etl_spark.plans import llm_registry
+
+    for entry in (llm_registry.m10_png_decode, llm_registry.m11_wav_decode):
+        plan = _plan(entry(spark, SF_DIR_SMALL))
+        tree = plan.split("(1)")[0]
+        assert tree.count("MapInPandas") == 2
+        assert tree.count("Exchange") == 0
+        # column pruning: the synthesis stage only needs the id
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "text" not in read_schema
