@@ -54,7 +54,7 @@ def position_tokenizer_udtf():
     """
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos int, term string")
+    @udtf(returnType="pos int, term string", useArrow=True)
     class PositionTokenizer:
         def eval(self, text: str):
             if text is None:
