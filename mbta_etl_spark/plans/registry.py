@@ -7258,6 +7258,94 @@ _ORACLES["q64_sorted_neighborhood"] = """
 # rows stay OUT of this set so they are automatically re-checked
 # (c04_chunk_pack: r02 hash red from oracle HUGEINT typing, fixed in
 # round 3 — kept out so it leads the r3 window).
+def _roundtrip_fidelity_agg(back: DataFrame) -> DataFrame:
+    """Group-level fidelity digest after a format round-trip: counts,
+    exact integer sums, and the min md5 of the round-tripped text — any
+    byte lost or mangled in the write/read cycle changes a digest."""
+    return (
+        back.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(F.col("text"))).cast("long").alias("sum_text_chars"),
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("long")
+            .alias("sum_tokens"),
+            F.sum(F.col("doc_id")).cast("long").alias("id_sum"),
+            F.min(F.md5(F.encode(F.col("text"), "utf-8"))).alias("min_text_md5"),
+        )
+    )
+
+
+def src01_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-boundary fidelity through JSON-lines: sink the documents
+    table as JSONL, scan it back with the pinned schema, and digest per
+    (source, lang) — escaping/quoting/encoding must survive exactly
+    (oracle computes the same digests from the original parquet). The
+    write+read pair is the storage shape of every inter-stage handoff
+    in a 100 TB pipeline."""
+    import os
+
+    from mbta_etl_spark.sources.formats import jsonl_roundtrip, scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = f"src01_{os.path.basename(sf_dir.rstrip('/'))}"
+    return _roundtrip_fidelity_agg(
+        jsonl_roundtrip(docs, scratch_dir(spark, tag))
+    )
+
+
+def src02_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-aware scan: hive-partition the documents table by source,
+    read the tree back, and aggregate ONLY two partitions — the filter
+    on the partition column prunes whole directories (PartitionFilters
+    in the plan, pinned by tests/test_plans.py), so the scan cost is
+    O(selected partitions) regardless of table size."""
+    import os
+
+    from mbta_etl_spark.sources.formats import partitioned_roundtrip, scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = f"src02_{os.path.basename(sf_dir.rstrip('/'))}"
+    back = partitioned_roundtrip(docs, scratch_dir(spark, tag), "source")
+    return _roundtrip_fidelity_agg(
+        back.filter(F.col("source").isin("src2", "src7"))
+    )
+
+
+def src03_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-boundary fidelity through quoted CSV (header + pinned
+    schema on read-back) — the format most likely to mangle free text;
+    same per-group digests as src01."""
+    import os
+
+    from mbta_etl_spark.sources.formats import csv_roundtrip, scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = f"src03_{os.path.basename(sf_dir.rstrip('/'))}"
+    return _roundtrip_fidelity_agg(
+        csv_roundtrip(docs, scratch_dir(spark, tag))
+    )
+
+
+_SRC_FIDELITY_ORACLE = """
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           MIN(md5(text)) AS min_text_md5
+    FROM documents
+    {where}
+    GROUP BY source, lang
+"""
+
+_ORACLES["src01_jsonl_roundtrip"] = _SRC_FIDELITY_ORACLE.format(where="")
+_ORACLES["src02_partition_pruned_scan"] = _SRC_FIDELITY_ORACLE.format(
+    where="WHERE source IN ('src2', 'src7')"
+)
+_ORACLES["src03_csv_roundtrip"] = _SRC_FIDELITY_ORACLE.format(where="")
+
+
 _DRIVER_VERIFIED = frozenset({
     "c01_corpus_clean", "c02_corpus_mix", "c03_split_assign",
     "c05_greedy_pack", "c06_token_budget", "c07_eval_sample",
@@ -7528,6 +7616,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q93_cohort_ltv": q93_cohort_ltv,
             "q94_shuffle_balance": q94_shuffle_balance,
             "q95_nested_topn": q95_nested_topn,
+            # round-3 additions — registered at the pool tail so the
+            # in-flight correctness window keeps its planned slots
+            "src01_jsonl_roundtrip": src01_jsonl_roundtrip,
+            "src02_partition_pruned_scan": src02_partition_pruned_scan,
+            "src03_csv_roundtrip": src03_csv_roundtrip,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

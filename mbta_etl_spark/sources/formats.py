@@ -1,0 +1,61 @@
+"""Format round-trip and layout-aware scan surfaces.
+
+The reference ingests one format (HTTP JSON → SQLite,
+``pipeline/extract.go:11-33`` / ``load.go:6-39``); a Spark-first engine
+must additionally guarantee *fidelity across storage formats* (JSONL /
+CSV / parquet round-trips preserve values exactly) and *layout-aware
+scanning* (partitioned writes prune at the directory level). These
+helpers write to a caller-supplied scratch path with ``overwrite`` so
+the registry entries built on them are idempotent and re-runnable.
+
+Scale notes: a write+read round-trip is exactly what a 100 TB pipeline's
+stage boundary does (stage N sinks, stage N+1 scans); the partitioned
+variant is the layout that makes downstream per-source reads O(selected
+partitions). The scratch location would be an object-store prefix in
+production — the code path is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def jsonl_roundtrip(df: DataFrame, path: str) -> DataFrame:
+    """Write ``df`` as JSON-lines and read it back with the SAME schema
+    (schema pinned explicitly: JSONL carries no types, and letting the
+    reader infer would silently widen/narrow columns)."""
+    df.write.mode("overwrite").json(path)
+    return df.sparkSession.read.schema(df.schema).json(path)
+
+
+def csv_roundtrip(df: DataFrame, path: str) -> DataFrame:
+    """Write ``df`` as quoted CSV with header and read it back with the
+    same schema — exercises quoting/escaping fidelity for free-text
+    columns."""
+    df.write.mode("overwrite").option("header", True).csv(path)
+    return (
+        df.sparkSession.read.schema(df.schema)
+        .option("header", True)
+        .csv(path)
+    )
+
+
+def partitioned_roundtrip(
+    df: DataFrame, path: str, partition_col: str
+) -> DataFrame:
+    """Write ``df`` hive-partitioned by ``partition_col`` and read the
+    directory tree back. A downstream filter on the partition column
+    prunes whole directories (PartitionFilters in the plan) — the scan
+    never opens unselected partitions' files."""
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def scratch_dir(spark: SparkSession, tag: str) -> str:
+    """Deterministic per-(entry, warehouse) scratch path under the local
+    warehouse dir — keeps round-trip entries idempotent without touching
+    shared /tmp namespaces."""
+    base = spark.conf.get(
+        "spark.sql.warehouse.dir", "file:/tmp/spark-warehouse"
+    ).removeprefix("file:")
+    return f"{base}/_roundtrip/{tag}"

@@ -415,3 +415,12 @@ def test_m10_m11_codec_roundtrip_no_shuffle(spark):
         # column pruning: the synthesis stage only needs the id
         read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
         assert "text" not in read_schema
+
+
+def test_src02_partition_pruning(spark):
+    """The source filter must prune at the DIRECTORY level: it appears
+    in PartitionFilters on the scan of the partitioned tree, not as a
+    row-level data filter over all partitions."""
+    plan = _plan(registry.src02_partition_pruned_scan(spark, SF_DIR_SMALL))
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and "src2" in part_lines[0] and "src7" in part_lines[0]
