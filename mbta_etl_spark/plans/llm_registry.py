@@ -822,6 +822,33 @@ def t11_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_lm_score(_docs(spark, sf_dir), F.col("text"), F.col("doc_id"))
 
 
+CE_KEEP_MAX_BAND = 341  # centi-nats
+
+
+def c20_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-filter census: bucket documents by integer
+    cross-entropy band (⌊−lm_score·100⌋ centi-nats under t11's corpus
+    unigram LM) and report each band's doc count, token mass, and
+    whether the filter keeps it (band ≤ CE_KEEP_MAX_BAND) — the table a
+    pipeline reads to pick its perplexity cutoff before committing to a
+    filtered pretraining mix. Banding on the 6dp-rounded score keeps
+    the float boundary identical across engines (registered in
+    plans/registry.py's tail — round-4+ correctness window). One extra
+    tiny aggregation on top of t11's two scans + vocab broadcast."""
+    scored = text.unigram_lm_score(
+        _docs(spark, sf_dir), F.col("text"), F.col("doc_id")
+    )
+    band = F.floor(-F.col("lm_score") * 100).cast("long")
+    return (
+        scored.groupBy(band.alias("ce_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("token_mass"),
+        )
+        .withColumn("keep", F.col("ce_band") <= CE_KEEP_MAX_BAND)
+    )
+
+
 # --- oracle SQL generation -------------------------------------------------
 
 def _shingle_cte(source: str = "documents") -> str:
@@ -2358,6 +2385,25 @@ _ORACLES: dict[str, str] = {
                COUNT(*) AS n_tokens
         FROM toks JOIN freq USING (tok) CROSS JOIN total
         GROUP BY doc_id
+    """,
+    "c20_perplexity_bands": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        freq AS (SELECT tok, COUNT(*) AS tok_n FROM toks GROUP BY tok),
+        total AS (SELECT CAST(SUM(tok_n) AS BIGINT) AS corpus_n FROM freq),
+        scored AS (
+          SELECT doc_id,
+                 ROUND(AVG(ln(tok_n / corpus_n)), 6) AS lm_score,
+                 COUNT(*) AS n_tokens
+          FROM toks JOIN freq USING (tok) CROSS JOIN total
+          GROUP BY doc_id)
+        SELECT CAST(FLOOR(-lm_score * 100) AS BIGINT) AS ce_band,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS token_mass,
+               CAST(FLOOR(-lm_score * 100) AS BIGINT) <= 341 AS keep
+        FROM scored
+        GROUP BY 1, 4
     """,
     "d07_dup_clusters": f"""
         WITH RECURSIVE {_SHINGLE_CTE},

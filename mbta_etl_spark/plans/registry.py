@@ -7621,6 +7621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "src01_jsonl_roundtrip": src01_jsonl_roundtrip,
             "src02_partition_pruned_scan": src02_partition_pruned_scan,
             "src03_csv_roundtrip": src03_csv_roundtrip,
+            "c20_perplexity_bands": llm_registry.c20_perplexity_bands,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration
