@@ -21,6 +21,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampNTZType,
@@ -130,6 +131,68 @@ def running_extrema_stream(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_Extrema(),
         outputStructType=COUNTER_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+TYPE_COUNT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def per_type_counts_stream(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas with MAP state: per-user running count
+    per event type, held in one MapState(event_type → n) rather than a
+    wide tuple — the composable-state surface ValueState can't express
+    (the key set grows with the data; a tuple schema is fixed).  Emits
+    the full per-type table for each updated user every micro-batch.
+
+    Scale shape: state per key is O(#distinct event types for that
+    user), RocksDB-backed so the hot-key map spills to disk; the update
+    is one point-read + point-write per (user, type) touched in the
+    batch, not a rewrite of the whole map."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    key_schema = StructType([StructField("event_type", StringType())])
+    val_schema = StructType([StructField("n", LongType())])
+
+    class _PerType(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState("counts", key_schema, val_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                for et, cnt in pdf["event_type"].value_counts().items():
+                    k = (et,)
+                    prev = (
+                        int(self._counts.getValue(k)[0])
+                        if self._counts.containsKey(k)
+                        else 0
+                    )
+                    self._counts.updateValue(k, (prev + int(cnt),))
+            types, ns = [], []
+            for k, v in self._counts.iterator():
+                types.append(k[0])
+                ns.append(int(v[0]))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(types),
+                    "event_type": types,
+                    "n": ns,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_PerType(),
+        outputStructType=TYPE_COUNT_SCHEMA,
         outputMode="Update",
         timeMode="None",
     )

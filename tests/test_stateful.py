@@ -183,3 +183,72 @@ def test_transform_with_state_accumulates(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_transform_with_map_state_per_type(spark, tmp_path):
+    """transformWithStateInPandas with MapState: per-(user, event_type)
+    counts accumulate across micro-batches — the growing-key-set state
+    shape a fixed ValueState tuple cannot hold."""
+    import pytest
+    from pyspark.sql.types import StringType
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from mbta_etl_spark.streaming.stateful import per_type_counts_stream
+
+    in_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        sink = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def write(name, rows):
+            with open(src / name, "w") as f:
+                for uid, et in rows:
+                    f.write(json.dumps({"user_id": uid, "event_type": et}) + "\n")
+
+        def drain():
+            stream = spark.readStream.schema(in_schema).json(str(src))
+
+            def _append(batch_df, batch_id):
+                batch_df.write.mode("append").parquet(sink)
+
+            q = (
+                per_type_counts_stream(stream)
+                .writeStream.foreachBatch(_append)
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        write("b1.jsonl", [(1, "click"), (1, "click"), (1, "view"), (2, "view")])
+        drain()
+        write("b2.jsonl", [(1, "click"), (2, "purchase")])
+        drain()
+
+        rows = spark.read.parquet(sink).collect()
+        latest: dict = {}
+        for r in rows:
+            k = (r["user_id"], r["event_type"])
+            latest[k] = max(latest.get(k, 0), r["n"])
+        assert latest[(1, "click")] == 3
+        assert latest[(1, "view")] == 1
+        assert latest[(2, "view")] == 1
+        assert latest[(2, "purchase")] == 1
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
