@@ -140,6 +140,57 @@ def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_G04_RECURSION = """
+    WITH RECURSIVE roots AS (
+      SELECT DISTINCT doc_a AS root FROM {pairs}
+      WHERE doc_a NOT IN (SELECT doc_b FROM {pairs})
+    ),
+    reach(root, node, hops) AS (
+      SELECT root, root, CAST(0 AS BIGINT) FROM roots
+      UNION ALL
+      SELECT r.root, p.doc_b, r.hops + 1
+      FROM reach r JOIN {pairs} p ON r.node = p.doc_a
+    ),
+    dist AS (
+      SELECT root, node, MIN(hops) AS depth FROM reach GROUP BY root, node
+    )
+    SELECT root, COUNT(*) - 1 AS n_reachable, MAX(depth) AS max_depth
+    FROM dist GROUP BY root
+"""
+
+
+def g04_dup_chain_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE frontier expansion (Spark 4.1 ``WITH RECURSIVE``):
+    per dup-cluster root, the number of transitively reachable docs and
+    the longest min-hop chain, walked over d04's LSH pair graph. The
+    pair graph is a DAG by construction (doc_a < doc_b in every pair),
+    so UNION ALL recursion terminates; MIN(hops) collapses multi-path
+    duplicates. The SAME recursion text runs on DuckDB — exact
+    cross-engine recursive-query parity.
+
+    Scale shape: Spark executes the recursion as iterated joins against
+    the previous frontier — fine for the shallow, sparse dup DAG
+    (depth ≤ cluster diameter). For cyclic or deep graphs the scale path
+    remains d07's bounded label propagation with localCheckpoint
+    rounds; this entry is the declarative tier."""
+    # materialize the pair graph ONCE before recursing — the recursion
+    # references the view every iteration, and an unmaterialized view
+    # would re-run the whole LSH pipeline per frontier step
+    pairs = (
+        dedup.minhash_lsh_pairs(
+            _docs(spark, sf_dir),
+            F.col("text"),
+            F.col("doc_id"),
+            k=JACCARD_K,
+            threshold=JACCARD_THRESHOLD,
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    pairs.createOrReplaceTempView("g04_pairs")
+    return spark.sql(_G04_RECURSION.format(pairs="g04_pairs"))
+
+
 def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir), F.col("text"), F.col("doc_id"))
 
@@ -2420,6 +2471,25 @@ _ORACLES: dict[str, str] = {
         )
         SELECT node AS doc_id, MIN(label) AS component
         FROM cc GROUP BY node
+    """,
+    "g04_dup_chain_depth": f"""
+        WITH RECURSIVE {_SHINGLE_CTE},
+        {_minhash_pair_ctes()},
+        roots AS (
+          SELECT DISTINCT doc_a AS root FROM pairs
+          WHERE doc_a NOT IN (SELECT doc_b FROM pairs)
+        ),
+        reach(root, node, hops) AS (
+          SELECT root, root, CAST(0 AS BIGINT) FROM roots
+          UNION ALL
+          SELECT r.root, p.doc_b, r.hops + 1
+          FROM reach r JOIN pairs p ON r.node = p.doc_a
+        ),
+        dist AS (
+          SELECT root, node, MIN(hops) AS depth FROM reach GROUP BY root, node
+        )
+        SELECT root, COUNT(*) - 1 AS n_reachable, MAX(depth) AS max_depth
+        FROM dist GROUP BY root
     """,
     "d06_embed_cosine_pairs": f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -7622,6 +7622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "src02_partition_pruned_scan": src02_partition_pruned_scan,
             "src03_csv_roundtrip": src03_csv_roundtrip,
             "c20_perplexity_bands": llm_registry.c20_perplexity_bands,
+            "g04_dup_chain_depth": llm_registry.g04_dup_chain_depth,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration
