@@ -7327,6 +7327,57 @@ def src03_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q96_sql_udf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-defined functions, both kinds in one pipeline: a SQL
+    TABLE function (``RETURNS TABLE``) tokenizes each document through a
+    LATERAL join, and a SQL scalar function computes the length score on
+    the per-doc counts — all resolved by Catalyst into ordinary
+    expressions (no Python boundary at all; check the plan: pure
+    codegen). The declarative replacement for the Python UDF/UDTF tier
+    wherever the logic is expressible in SQL. Oracle inlines the same
+    expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_q96_docs")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION q96_tokens(s STRING) "
+        "RETURNS TABLE(tok STRING) RETURN SELECT explode(split(s, ' '))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION q96_len_score(n BIGINT) "
+        "RETURNS DOUBLE RETURN least(1.0, n / 100.0)"
+    )
+    return spark.sql(
+        """
+        WITH per_doc AS (
+          SELECT d.source, d.doc_id, COUNT(*) AS n
+          FROM _q96_docs d, LATERAL q96_tokens(d.text) t
+          GROUP BY d.source, d.doc_id
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               FLOOR(AVG(q96_len_score(n)) * 1e6 + 0.5) / 1e6
+                 AS avg_len_score
+        FROM per_doc
+        GROUP BY source
+        """
+    )
+
+
+_ORACLES["q96_sql_udf_pipeline"] = """
+    WITH per_doc AS (
+      SELECT d.source, d.doc_id, COUNT(*) AS n
+      FROM documents d, LATERAL unnest(string_split(d.text, ' ')) AS t(tok)
+      GROUP BY d.source, d.doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           FLOOR(AVG(least(1.0, n / 100.0)) * 1e6 + 0.5) / 1e6
+             AS avg_len_score
+    FROM per_doc
+    GROUP BY source
+"""
+
+
 _SRC_FIDELITY_ORACLE = """
     SELECT source, lang,
            COUNT(*) AS n_docs,
@@ -7623,6 +7674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "src03_csv_roundtrip": src03_csv_roundtrip,
             "c20_perplexity_bands": llm_registry.c20_perplexity_bands,
             "g04_dup_chain_depth": llm_registry.g04_dup_chain_depth,
+            "q96_sql_udf_pipeline": q96_sql_udf_pipeline,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration
