@@ -196,3 +196,55 @@ def per_type_counts_stream(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+LAST_K_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_kept", LongType()),
+        StructField("sum_kept", DoubleType()),
+    ]
+)
+
+
+def last_k_values_stream(events: DataFrame, k: int = 3) -> DataFrame:
+    """transformWithStateInPandas with LIST state: the last ``k`` values
+    seen per user, appended per micro-batch and trimmed to the window —
+    the bounded-buffer shape (recent-events features, fraud windows,
+    dedup-within-last-N) that MapState/ValueState don't model. Emits the
+    kept-window count and sum each time a user updates.
+
+    Scale: state is O(k) per key by construction — the trim happens
+    inside the processor, so the store never grows past k rows per key
+    regardless of stream length."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    val_schema = StructType([StructField("v", DoubleType())])
+
+    class _LastK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._recent = handle.getListState("recent", val_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            vals = [float(v[0]) for v in self._recent.get()]
+            for pdf in rows:
+                vals.extend(float(x) for x in pdf["value"])
+            vals = vals[-k:]
+            self._recent.put([(v,) for v in vals])
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_kept": [len(vals)],
+                    "sum_kept": [float(sum(vals))],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_LastK(),
+        outputStructType=LAST_K_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

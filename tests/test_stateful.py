@@ -252,3 +252,63 @@ def test_transform_with_map_state_per_type(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_transform_with_list_state_last_k(spark, tmp_path):
+    """transformWithStateInPandas with ListState: a bounded last-k buffer
+    per user survives micro-batches and never exceeds k."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from mbta_etl_spark.streaming.stateful import last_k_values_stream
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        sink = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def drain():
+            stream = spark.readStream.schema(IN_SCHEMA).json(str(src))
+
+            def _append(batch_df, batch_id):
+                batch_df.write.mode("append").parquet(sink)
+
+            q = (
+                last_k_values_stream(stream, k=3)
+                .writeStream.foreachBatch(_append)
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        _write(src, "b1.jsonl", [
+            (1, "2024-01-01T10:00:00", 1.0),
+            (1, "2024-01-01T10:01:00", 2.0),
+            (1, "2024-01-01T10:02:00", 3.0),
+            (1, "2024-01-01T10:03:00", 4.0),
+        ])
+        drain()
+        _write(src, "b2.jsonl", [(1, "2024-01-01T11:00:00", 10.0)])
+        drain()
+
+        rows = sorted(
+            spark.read.parquet(sink).collect(), key=lambda r: r["sum_kept"]
+        )
+        # batch 1: window [2,3,4] (k=3); batch 2: window [3,4,10]
+        assert [(r["n_kept"], r["sum_kept"]) for r in rows] == [
+            (3, 9.0),
+            (3, 17.0),
+        ]
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
