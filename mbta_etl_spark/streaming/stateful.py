@@ -248,3 +248,63 @@ def last_k_values_stream(events: DataFrame, k: int = 3) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("closed", StringType()),
+    ]
+)
+
+
+def session_expiry_stream(events: DataFrame, idle_ms: int = 1000) -> DataFrame:
+    """transformWithStateInPandas with TIMERS: per-user session counts
+    that auto-close after ``idle_ms`` of processing-time inactivity.
+    Every input batch refreshes the user's single timer; when it fires,
+    handleExpiredTimer emits the final count flagged ``closed`` and
+    clears state — the session-window / TTL-state pattern the old
+    applyInPandasWithState timeout conf could only approximate with one
+    global timeout mode. State per key: one ValueState + one timer.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    state_schema = StructType([StructField("cnt", LongType())])
+
+    class _Session(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._cnt = handle.getValueState("cnt", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt = int(self._cnt.get()[0]) if self._cnt.exists() else 0
+            for pdf in rows:
+                cnt += len(pdf)
+            self._cnt.update((cnt,))
+            # one live timer per key: drop the stale one, arm the new TTL
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + idle_ms
+            )
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [cnt], "closed": ["open"]}
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            cnt = int(self._cnt.get()[0]) if self._cnt.exists() else 0
+            self._cnt.clear()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [cnt], "closed": ["closed"]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Session(),
+        outputStructType=SESSION_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )

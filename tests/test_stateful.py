@@ -312,3 +312,64 @@ def test_transform_with_list_state_last_k(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_transform_with_timers_session_expiry(spark, tmp_path):
+    """transformWithStateInPandas ProcessingTime timers: an idle user's
+    session closes via handleExpiredTimer on a later micro-batch."""
+    import time as _time
+
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from mbta_etl_spark.streaming.stateful import session_expiry_stream
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        sink = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def drain():
+            stream = spark.readStream.schema(IN_SCHEMA).json(str(src))
+
+            def _append(batch_df, batch_id):
+                batch_df.write.mode("append").parquet(sink)
+
+            q = (
+                session_expiry_stream(stream, idle_ms=500)
+                .writeStream.foreachBatch(_append)
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            # an armed-but-unexpired timer keeps an availableNow query
+            # alive waiting to fire it; bound the wait and stop manually
+            q.awaitTermination(20)
+            if q.isActive:
+                q.stop()
+
+        _write(src, "b1.jsonl", [
+            (1, "2024-01-01T10:00:00", 1.0),
+            (1, "2024-01-01T10:01:00", 2.0),
+        ])
+        drain()
+        _time.sleep(1.5)  # let the 500ms processing-time TTL lapse
+        _write(src, "b2.jsonl", [(2, "2024-01-01T11:00:00", 9.0)])
+        drain()
+
+        rows = [tuple(r) for r in spark.read.parquet(sink).collect()]
+        assert (1, 2, "open") in rows          # batch 1: session live
+        assert (1, 2, "closed") in rows        # batch 2: timer fired
+        assert (2, 1, "open") in rows          # new user's live session
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
