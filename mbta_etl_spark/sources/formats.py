@@ -52,10 +52,21 @@ def partitioned_roundtrip(
 
 
 def scratch_dir(spark: SparkSession, tag: str) -> str:
-    """Deterministic per-(entry, warehouse) scratch path under the local
-    warehouse dir — keeps round-trip entries idempotent without touching
-    shared /tmp namespaces."""
+    """Deterministic scratch path for round-trip entries: the local
+    warehouse dir when it is writable (keeps artifacts next to the
+    session's other state, gitignored), else the system temp dir — the
+    correctness driver may run with any cwd/session config."""
+    import os
+    import tempfile
+
     base = spark.conf.get(
-        "spark.sql.warehouse.dir", "file:/tmp/spark-warehouse"
+        "spark.sql.warehouse.dir", "file:" + tempfile.gettempdir()
     ).removeprefix("file:")
+    try:
+        os.makedirs(base, exist_ok=True)
+        probe_ok = os.access(base, os.W_OK)
+    except OSError:
+        probe_ok = False
+    if not probe_ok:
+        base = os.path.join(tempfile.gettempdir(), "mbta_etl_spark_scratch")
     return f"{base}/_roundtrip/{tag}"
