@@ -748,3 +748,42 @@ def pca_eigen(df: DataFrame, vec_col: str, top_k: int = PCA_TOP_K):
     cov = (g - n * np.outer(mu, mu)) / (n - 1.0)
     eig = np.linalg.eigvalsh(cov)[::-1]  # descending
     return eig[:top_k], int(n), float(np.trace(cov))
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    rrf_k: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked candidate lists — the
+    standard hybrid-retrieval combiner (lexical BM25 + vector ANN).
+
+    Inputs are (id, rank) frames with 1-based dense ranks; an id missing
+    from one list contributes 0 for that list (its sentinel rank comes
+    back as 0). rrf(id) = Σ_lists 1/(rrf_k + rank).
+
+    Shape for 100 TB: both inputs are already top-pool lists (tiny —
+    they came out of TakeOrdered paths), so the full-outer join and the
+    final top-k run on O(pool) rows regardless of corpus size. The fused
+    ordering ties-break on id, so the output is deterministic."""
+    a = ranked_a.select(F.col(id_col).alias("_id"), F.col("rank").alias("rank_a"))
+    b = ranked_b.select(F.col(id_col).alias("_id"), F.col("rank").alias("rank_b"))
+    fused = a.join(b, "_id", "full_outer").select(
+        F.col("_id").alias(id_col),
+        F.coalesce("rank_a", F.lit(0)).cast("long").alias("rank_a"),
+        F.coalesce("rank_b", F.lit(0)).cast("long").alias("rank_b"),
+        F.round(
+            F.when(
+                F.col("rank_a").isNotNull(),
+                1.0 / (F.lit(float(rrf_k)) + F.col("rank_a")),
+            ).otherwise(F.lit(0.0))
+            + F.when(
+                F.col("rank_b").isNotNull(),
+                1.0 / (F.lit(float(rrf_k)) + F.col("rank_b")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc(id_col)).limit(k)

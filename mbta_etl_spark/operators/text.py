@@ -225,6 +225,76 @@ def pii_scrub(df: DataFrame, text: Column, id_col: Column) -> DataFrame:
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """Okapi BM25 retrieval scores for a literal query-term set, top-k
+    documents. The lexical half of a hybrid RAG retriever (the vector
+    half is ``similarity.cosine_topk``).
+
+    score(d) = Σ_t idf(t) · tf / (tf + k1·(1 − b + b·|d|/avgdl))
+    with the Lucene idf variant idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    The constant (k1+1) numerator factor of classic Okapi is omitted (the
+    ATIRE/Lucene-trec variant): it scales every term of every document by
+    the same 2.2, so rankings are identical — and dropping it keeps every
+    constant in the formula (0.5, 0.75, 1.2) bit-identical between the
+    Spark plan and the DuckDB oracle.
+
+    Shape for 100 TB: per-term tf is an in-scan HOF count (the query-term
+    list is a literal, so there is NO explode and NO per-term shuffle);
+    the corpus stats (N, avgdl, per-term df) reduce to ONE broadcast row;
+    the final top-k is TakeOrderedAndProject. Net: one scan + one scalar
+    aggregate + one broadcast join — no wide shuffle anywhere.
+    """
+    toks = _tokens(text)
+
+    def _tf(term: str) -> Column:
+        # factory (not a loop lambda): F.filter's optional second lambda
+        # arg is the element INDEX, so a default-arg closure would be
+        # silently fed the index instead of the term
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    per_doc = df.select(
+        id_col.alias("doc_id"),
+        F.size(toks).cast("long").alias("doc_len"),
+        *[
+            _tf(t).cast("long").alias(f"_tf{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("doc_len").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long"))
+            .cast("double")
+            .alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5)
+        )
+        tf = F.col(f"_tf{i}").cast("double")
+        norm = tf + k1 * (1.0 - b + b * F.col("doc_len") / F.col("_avgdl"))
+        score = score + idf * tf / norm
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select("doc_id", "doc_len", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def boilerplate_fraction(
     df: "DataFrame", text: "Column", id_col: "Column", k: int = 3
 ) -> "DataFrame":

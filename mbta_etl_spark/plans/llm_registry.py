@@ -3773,6 +3773,237 @@ _ORACLES["s12_dim_stats"] = """
 """
 
 
+# --- round-3 late additions: hybrid retrieval + adaptive filtering --------
+
+BM25_TERMS = ("spark", "join", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+RRF_POOL = 50
+RRF_K = 60
+RRF_TOPK = 20
+
+
+def t24_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval (ATIRE variant) for a literal query,
+    top-20 documents. One scan with in-projection HOF term counts, one
+    broadcast one-row stats join, TakeOrdered top-k — no wide shuffle
+    (operators/text.bm25_scores)."""
+    return text.bm25_scores(
+        _docs(spark, sf_dir),
+        F.col("text"),
+        F.col("doc_id"),
+        BM25_TERMS,
+        k1=BM25_K1,
+        b=BM25_B,
+        k=BM25_TOPK,
+    )
+
+
+def s20_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    top-50 and the cosine vector top-50 (query = embedding of id 0; that
+    id is excluded from both pools so neither ranker sees the query's own
+    document). rrf = Σ 1/(60 + rank), missing-from-pool contributes 0 and
+    surfaces as rank 0. Both pools come out of TakeOrdered paths, so the
+    fusion join runs on O(pool) rows however large the corpus is."""
+    from pyspark.sql import Window
+
+    lex = text.bm25_scores(
+        _docs(spark, sf_dir).filter(F.col("doc_id") != QUERY_VEC_ID),
+        F.col("text"),
+        F.col("doc_id"),
+        BM25_TERMS,
+        k1=BM25_K1,
+        b=BM25_B,
+        k=RRF_POOL,
+    )
+    # ranking the top-pool output: the window runs on <= RRF_POOL rows
+    # (post-TakeOrdered), so the single-partition sort is O(pool), not
+    # O(corpus)
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lexr = lex.select("doc_id", F.row_number().over(wl).alias("rank"))
+    q = _query_vector(spark, sf_dir)
+    vec = similarity.cosine_topk(
+        _emb(spark, sf_dir),
+        "embedding",
+        "vec_id",
+        q,
+        k=RRF_POOL,
+        exclude_id=QUERY_VEC_ID,
+    )
+    wv = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    vecr = vec.select(
+        F.col("vec_id").alias("doc_id"), F.row_number().over(wv).alias("rank")
+    )
+    return similarity.rrf_fuse(lexr, vecr, "doc_id", rrf_k=RRF_K, k=RRF_TOPK)
+
+
+def c21_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive quality filtering (the FineWeb-style
+    calibration step): instead of one global cutoff, each language's
+    threshold is its own exact 25th-percentile quality score, and the
+    entry reports per-language keep statistics.
+
+    Exact group percentiles WITHOUT a per-document window sort: quality
+    scores are 6dp-rounded, so (lang, quality) aggregation bounds the
+    cumulated table at (languages × ~1.2M distinct values) REGARDLESS of
+    corpus size — the cumulative-sum window runs over value-histogram
+    rows, never documents. That is the scalable exact form; a per-doc
+    row_number window would single-thread each language at 100 TB."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    ql = (
+        text.quality_score(docs, F.col("text"), F.col("doc_id"))
+        .select("doc_id", "quality")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    counts = ql.groupBy("lang", "quality").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = counts.withColumn(
+        "cum", F.sum("cnt").over(Window.partitionBy("lang").orderBy("quality"))
+    )
+    n_per = ql.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    # 1-based p25 position over the per-language doc count
+    target = F.floor((F.col("n_docs") - 1) / 4) + 1
+    th = (
+        cum.join(n_per, "lang")
+        .filter(F.col("cum") >= target)
+        .groupBy("lang")
+        .agg(F.min("quality").alias("threshold"))
+    )
+    return (
+        ql.join(F.broadcast(th), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("threshold").alias("threshold"),
+            F.sum((F.col("quality") >= F.col("threshold")).cast("long")).alias(
+                "n_kept"
+            ),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "threshold",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_docs"), 6).alias("kept_frac"),
+        )
+    )
+
+
+def _bm25_ctes(where: str = "") -> str:
+    """CTE chain base/stats/scored shared by the t24 and s20 oracles.
+    Constants are written so every scalar is bit-identical to the Spark
+    plan's doubles (0.5/0.75 exact, 1.2 nearest-double on both parsers);
+    the (k1+1) factor is omitted by design (see text.bm25_scores)."""
+    tf_cols = ",\n               ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    parts = "\n                 + ".join(
+        f"LN(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) * tf{i}"
+        f" / (tf{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doc_len / avgdl))"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+        base AS (
+            SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS doc_len,
+               {tf_cols}
+            FROM documents {where}),
+        stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               AVG(doc_len) AS avgdl,
+               {df_cols}
+            FROM base),
+        scored AS (
+            SELECT doc_id, doc_len,
+               ROUND({parts}, 6) AS bm25
+            FROM base, stats)
+    """
+
+
+_ORACLES["t24_bm25"] = f"""
+    WITH {_bm25_ctes()}
+    SELECT doc_id, doc_len, bm25
+    FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT {BM25_TOPK}
+"""
+
+_ORACLES["s20_hybrid_rrf"] = f"""
+    WITH {_bm25_ctes(f"WHERE doc_id <> {QUERY_VEC_ID}")},
+    lexr AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                    AS BIGINT) AS rnk
+        FROM (SELECT * FROM scored
+              ORDER BY bm25 DESC, doc_id ASC LIMIT {RRF_POOL})),
+    qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = {QUERY_VEC_ID}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cos AS (
+        SELECT vec_id,
+               ROUND({_dot('v', 'qv')} /
+                     (sqrt({_dot('v', 'v')}) * sqrt({_dot('qv', 'qv')})),
+                     6) AS cosine
+        FROM e, qv WHERE vec_id <> {QUERY_VEC_ID}),
+    vecr AS (
+        SELECT vec_id AS doc_id,
+               CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC)
+                    AS BIGINT) AS rnk
+        FROM (SELECT vec_id, cosine FROM cos
+              ORDER BY cosine DESC, vec_id ASC LIMIT {RRF_POOL})),
+    fused AS (
+        SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               CAST(COALESCE(l.rnk, 0) AS BIGINT) AS rank_a,
+               CAST(COALESCE(v.rnk, 0) AS BIGINT) AS rank_b,
+               ROUND(COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + l.rnk), 0)
+                   + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + v.rnk), 0),
+                     6) AS rrf
+        FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)
+    SELECT doc_id, rank_a, rank_b, rrf
+    FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {RRF_TOPK}
+"""
+
+_ORACLES["c21_adaptive_quality_filter"] = """
+    WITH t AS (SELECT doc_id, text, lang,
+                      string_split(text, ' ') AS toks FROM documents),
+    q AS (
+        SELECT doc_id, lang,
+               ROUND(0.5 * LEAST(1.0, len(toks) / 100.0)
+                   + 0.3 * (1 - len(list_filter(toks,
+                         x -> x IN ('the', 'a', 'and', 'of', 'is')))
+                         / len(toks))
+                   + 0.2 * (1 - (length(text)
+                         - length(regexp_replace(text, '[^a-z ]', '', 'g')))
+                         / length(text)), 6) AS quality
+        FROM t),
+    counts AS (SELECT lang, quality, COUNT(*) AS cnt
+               FROM q GROUP BY lang, quality),
+    cum AS (SELECT lang, quality,
+                   CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY quality)
+                        AS BIGINT) AS cum
+            FROM counts),
+    np AS (SELECT lang, COUNT(*) AS n_docs FROM q GROUP BY lang),
+    th AS (SELECT cum.lang, MIN(quality) AS threshold
+           FROM cum JOIN np USING (lang)
+           WHERE cum >= FLOOR((n_docs - 1) / 4.0) + 1
+           GROUP BY cum.lang)
+    SELECT q.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MAX(threshold) AS threshold,
+           CAST(SUM(CASE WHEN quality >= threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN quality >= threshold THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS kept_frac
+    FROM q JOIN th USING (lang) GROUP BY q.lang
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "t01_token_stats": t01_token_stats,

@@ -7675,6 +7675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "c20_perplexity_bands": llm_registry.c20_perplexity_bands,
             "g04_dup_chain_depth": llm_registry.g04_dup_chain_depth,
             "q96_sql_udf_pipeline": q96_sql_udf_pipeline,
+            "t24_bm25": llm_registry.t24_bm25,
+            "s20_hybrid_rrf": llm_registry.s20_hybrid_rrf,
+            "c21_adaptive_quality_filter": llm_registry.c21_adaptive_quality_filter,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -489,3 +489,90 @@ def test_sniff_router_magic_bytes(spark):
     assert got[5] == ("application/pdf", False)
     assert got[6] == ("text/plain", True)
     assert got[7] == ("application/octet-stream", False)
+
+
+def test_bm25_ranks_term_dense_docs_higher(spark):
+    rows = [
+        (1, "spark spark spark runs fast"),
+        (2, "spark is a data engine"),
+        (3, "nothing about the topic here"),
+        (4, "join join spark"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.bm25_scores(
+        df, F.col("text"), F.col("doc_id"), ("spark", "join"), k=4
+    ).collect()
+    scores = {r["doc_id"]: r["bm25"] for r in out}
+    # doc 4 matches both terms, docs 1-2 only one; doc 3 scores 0
+    assert scores[3] == 0.0
+    assert scores[4] > scores[1] > 0
+    assert scores[4] > scores[2] > 0
+    # saturation: 3x tf in a longer doc must not beat matching 2 terms
+    order = [r["doc_id"] for r in out]
+    assert order[0] == 4
+
+
+def test_bm25_idf_downweights_common_terms(spark):
+    # 'the' appears in every doc (low idf), 'rare' in one (high idf);
+    # equal tf and identical doc length -> the rare-term doc wins
+    rows = [
+        (1, "the alpha beta"),
+        (2, "the gamma delta"),
+        (3, "rare epsilon the"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.bm25_scores(
+        df, F.col("text"), F.col("doc_id"), ("the", "rare"), k=3
+    ).collect()
+    scores = {r["doc_id"]: r["bm25"] for r in out}
+    assert scores[3] > scores[1] == scores[2]
+
+
+def test_rrf_fuse_sentinels_and_ordering(spark):
+    a = spark.createDataFrame([(10, 1), (20, 2)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(20, 1), (30, 2)], ["doc_id", "rank"])
+    out = similarity.rrf_fuse(a, b, "doc_id", rrf_k=60, k=10).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # 20 is in both pools -> highest fused score
+    assert [r["doc_id"] for r in out][0] == 20
+    assert round(by_id[20]["rrf"], 6) == round(1 / 62 + 1 / 61, 6)
+    # ids missing from one pool carry the 0 sentinel rank and only the
+    # other pool's contribution
+    assert by_id[10]["rank_b"] == 0
+    assert round(by_id[10]["rrf"], 6) == round(1 / 61, 6)
+    assert by_id[30]["rank_a"] == 0
+    assert round(by_id[30]["rrf"], 6) == round(1 / 62, 6)
+    # fused ordering: both-pools doc first, then by reciprocal rank
+    ids = [r["doc_id"] for r in out]
+    assert ids == [20, 10, 30]
+
+
+def test_adaptive_quality_threshold_is_exact_group_p25(spark):
+    """c21's histogram-cumsum percentile must equal the naive sorted-list
+    p25 (index (n-1)//4, 0-based) recomputed in Python per language."""
+    from mbta_etl_spark.plans import llm_registry as L
+
+    sf = "/root/testdata/sf0.001"
+    docs = L._docs(spark, sf)
+    ql = (
+        text.quality_score(docs, F.col("text"), F.col("doc_id"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("lang", "quality")
+        .collect()
+    )
+    by_lang: dict[str, list[float]] = {}
+    for r in ql:
+        by_lang.setdefault(r["lang"], []).append(r["quality"])
+    expected = {
+        lang: sorted(vals)[(len(vals) - 1) // 4] for lang, vals in by_lang.items()
+    }
+    out = {
+        r["lang"]: r
+        for r in L.c21_adaptive_quality_filter(spark, sf).collect()
+    }
+    assert set(out) == set(expected)
+    for lang, th in expected.items():
+        assert out[lang]["threshold"] == th, lang
+        n_kept = sum(1 for v in by_lang[lang] if v >= th)
+        assert out[lang]["n_kept"] == n_kept
+        assert out[lang]["n_docs"] == len(by_lang[lang])
