@@ -272,3 +272,62 @@ def rule_census(
         "n_rows",
         (F.col("violations") == 0).alias("ok"),
     )
+
+
+def vector_validity(
+    df: DataFrame, vec_col: str, expected_dim: int
+) -> DataFrame:
+    """Embedding-column validation census: null vectors, wrong
+    dimensionality, non-finite components, zero norms, and the norm
+    range — the constraint-check family (v01) extended to the vector
+    modality, run before an ANN index build or a training epoch.
+
+    One map-side HOF projection + one scalar aggregate: no shuffle
+    beyond the final single-row reduce, so it rides along any 100 TB
+    embedding scan."""
+    vec = F.col(vec_col)
+    sq = F.aggregate(
+        F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    flags = df.select(
+        vec.isNull().cast("long").alias("_null"),
+        F.when(vec.isNull(), F.lit(0))
+        .otherwise((F.size(vec) != expected_dim).cast("long"))
+        .alias("_wrong_dim"),
+        F.when(vec.isNull(), F.lit(0))
+        .otherwise(
+            F.exists(
+                vec,
+                lambda x: F.isnan(x.cast("double"))
+                | (F.abs(x.cast("double")) == float("inf")),
+            ).cast("long")
+        )
+        .alias("_nonfinite"),
+        F.when(vec.isNull(), F.lit(0))
+        .otherwise((sq == 0.0).cast("long"))
+        .alias("_zero_norm"),
+        # nonfinite vectors are EXCLUDED from the norm range (their norm
+        # is NaN/inf, and engines disagree on NaN placement in MIN/MAX)
+        F.when(
+            vec.isNull()
+            | F.exists(
+                vec,
+                lambda x: F.isnan(x.cast("double"))
+                | (F.abs(x.cast("double")) == float("inf")),
+            ),
+            F.lit(None),
+        )
+        .otherwise(F.sqrt(sq))
+        .alias("_norm"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("_null").alias("n_null"),
+        F.sum("_wrong_dim").alias("n_wrong_dim"),
+        F.sum("_nonfinite").alias("n_nonfinite"),
+        F.sum("_zero_norm").alias("n_zero_norm"),
+        F.round(F.min("_norm"), 6).alias("min_norm"),
+        F.round(F.max("_norm"), 6).alias("max_norm"),
+    )

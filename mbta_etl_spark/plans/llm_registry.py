@@ -3892,6 +3892,99 @@ def c21_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t25_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content novelty in ingest (doc_id) order: for each document, the
+    fraction of its distinct k-gram shingles NOT already contributed by
+    any earlier document — the marginal-information metric of an
+    incremental dedup pipeline ('how much new content does this doc
+    add'). t12 measures symmetric cross-doc overlap; this is the ordered
+    first-occurrence variant.
+
+    Shape: the dedup family's (doc_id, sh64) shingle kernel, one
+    min-aggregate per shingle key, one join back, one per-doc aggregate —
+    all (long, long) hash shuffles, never text."""
+    sh = dedup._shingle_table(
+        _docs(spark, sf_dir), F.col("text"), F.col("doc_id"), JACCARD_K
+    )
+    firsts = sh.groupBy("sh64").agg(F.min("doc_id").alias("_first"))
+    return (
+        sh.join(firsts, "sh64")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("_first") < F.col("doc_id")).cast("long")).alias(
+                "n_seen"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_seen",
+            F.round(
+                1.0 - F.col("n_seen") / F.col("n_shingles"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+def v19_vector_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-store validation census over the embeddings table: null
+    vectors, wrong dimensionality, non-finite components, zero norms,
+    plus the norm range. One map-side projection + one scalar aggregate —
+    the v01-style constraint check for the vector modality
+    (operators/validate.vector_validity)."""
+    from mbta_etl_spark.operators.validate import vector_validity
+
+    return vector_validity(_emb(spark, sf_dir), "embedding", EMB_DIM)
+
+
+_ORACLES["t25_ngram_novelty"] = f"""
+    WITH {_SHINGLE_CTE},
+    firsts AS (SELECT shingle, MIN(doc_id) AS first_doc
+               FROM sh GROUP BY shingle)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_seen,
+           ROUND(1.0 - CAST(SUM(CASE WHEN f.first_doc < s.doc_id
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / COUNT(*), 6) AS novelty
+    FROM sh s JOIN firsts f USING (shingle)
+    GROUP BY s.doc_id
+"""
+
+_ORACLES["v19_vector_validity"] = f"""
+    WITH f AS (
+        SELECT CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS is_null,
+               CASE WHEN embedding IS NULL THEN 0
+                    WHEN len(embedding) <> {EMB_DIM} THEN 1 ELSE 0
+               END AS wrong_dim,
+               CASE WHEN embedding IS NULL THEN 0
+                    WHEN len(list_filter(embedding::DOUBLE[],
+                         x -> isnan(x) OR isinf(x))) > 0 THEN 1 ELSE 0
+               END AS nonfinite,
+               CASE WHEN embedding IS NULL THEN 0
+                    WHEN list_sum(list_transform(embedding::DOUBLE[],
+                         x -> x * x)) = 0 THEN 1 ELSE 0
+               END AS zero_norm,
+               CASE WHEN embedding IS NULL
+                      OR len(list_filter(embedding::DOUBLE[],
+                             x -> isnan(x) OR isinf(x))) > 0 THEN NULL
+                    ELSE sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                         x -> x * x)))
+               END AS nrm
+        FROM embeddings)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(is_null) AS BIGINT) AS n_null,
+           CAST(SUM(wrong_dim) AS BIGINT) AS n_wrong_dim,
+           CAST(SUM(nonfinite) AS BIGINT) AS n_nonfinite,
+           CAST(SUM(zero_norm) AS BIGINT) AS n_zero_norm,
+           ROUND(MIN(nrm), 6) AS min_norm,
+           ROUND(MAX(nrm), 6) AS max_norm
+    FROM f
+"""
+
+
 def _bm25_ctes(where: str = "") -> str:
     """CTE chain base/stats/scored shared by the t24 and s20 oracles.
     Constants are written so every scalar is bit-identical to the Spark

@@ -7678,6 +7678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t24_bm25": llm_registry.t24_bm25,
             "s20_hybrid_rrf": llm_registry.s20_hybrid_rrf,
             "c21_adaptive_quality_filter": llm_registry.c21_adaptive_quality_filter,
+            "t25_ngram_novelty": llm_registry.t25_ngram_novelty,
+            "v19_vector_validity": llm_registry.v19_vector_validity,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

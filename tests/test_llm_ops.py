@@ -576,3 +576,65 @@ def test_adaptive_quality_threshold_is_exact_group_p25(spark):
         n_kept = sum(1 for v in by_lang[lang] if v >= th)
         assert out[lang]["n_kept"] == n_kept
         assert out[lang]["n_docs"] == len(by_lang[lang])
+
+
+def test_ngram_novelty_ordered_first_occurrence(spark):
+    from mbta_etl_spark.plans.llm_registry import JACCARD_K
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d e"),          # exact repeat of doc 1 -> novelty 0
+        (3, "x y z w v"),          # all-new content -> novelty 1
+        (4, "a b c x y z q r s"),  # mixes shingles first seen in 1 and 3
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = dedup._shingle_table(df, F.col("text"), F.col("doc_id"), JACCARD_K)
+    firsts = {}
+    per_doc: dict[int, set[int]] = {}
+    for r in sh.collect():
+        per_doc.setdefault(r["doc_id"], set()).add(r["sh64"])
+        firsts[r["sh64"]] = min(firsts.get(r["sh64"], r["doc_id"]), r["doc_id"])
+    out = {}
+    for r in (
+        sh.join(
+            sh.groupBy("sh64").agg(F.min("doc_id").alias("_first")), "sh64"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("_first") < F.col("doc_id")).cast("long")).alias("s"),
+        )
+        .collect()
+    ):
+        out[r["doc_id"]] = (r["n"], r["s"])
+    # python replay
+    for d, shs in per_doc.items():
+        seen = sum(1 for s in shs if firsts[s] < d)
+        assert out[d] == (len(shs), seen)
+    # semantic pins
+    assert out[1][1] == 0          # first doc: nothing seen before
+    assert out[2][0] == out[2][1]  # exact repeat: everything seen
+    assert out[3][1] == 0          # fresh content: nothing seen
+
+
+def test_vector_validity_flags_planted_bad_vectors(spark):
+    from mbta_etl_spark.operators.validate import vector_validity
+
+    rows = [
+        (1, [1.0, 2.0, 2.0]),            # good: norm 3
+        (2, None),                        # null vector
+        (3, [1.0, 2.0]),                  # wrong dim
+        (4, [float("nan"), 0.0, 0.0]),    # nonfinite
+        (5, [float("inf"), 0.0, 0.0]),    # nonfinite
+        (6, [0.0, 0.0, 0.0]),             # zero norm
+        (7, [0.0, 0.0, 4.0]),             # good: norm 4
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = vector_validity(df, "embedding", 3).collect()[0]
+    assert out["n_vecs"] == 7
+    assert out["n_null"] == 1
+    assert out["n_wrong_dim"] == 1
+    assert out["n_nonfinite"] == 2
+    assert out["n_zero_norm"] == 1
+    assert out["min_norm"] == 0.0   # the zero vector is finite
+    assert out["max_norm"] == 4.0   # NaN/inf norms excluded from the range

@@ -393,3 +393,58 @@ def test_mg_merge_guarantee_and_bounds(spark, stream, cut, cap):
     for k, c in merged.items():
         assert c <= true[k]
         assert c >= true[k] - n / cap - 1e-9
+
+
+def _py_bm25(docs: list[tuple[int, str]], terms: tuple[str, ...],
+             k1: float = 1.2, b: float = 0.75) -> dict[int, float]:
+    """Reference ATIRE-BM25 (no (k1+1) factor), mirroring text.bm25_scores."""
+    toks = {i: t.split(" ") for i, t in docs}
+    n = float(len(docs))
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfs = [float(sum(1 for v in toks.values() if term in v)) for term in terms]
+    out = {}
+    for i, v in toks.items():
+        score = 0.0
+        for term, dfx in zip(terms, dfs):
+            tf = float(v.count(term))
+            idf = math.log(1.0 + (n - dfx + 0.5) / (dfx + 0.5))
+            score = score + idf * tf / (
+                tf + 1.2 * (1.0 - 0.75 + 0.75 * len(v) / avgdl)
+            )
+        out[i] = round(score, 6)
+    return out
+
+
+_WORDS = st.sampled_from(["spark", "join", "window", "data", "the", "x"])
+
+
+@given(
+    st.lists(
+        st.lists(_WORDS, min_size=1, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=10,
+    )
+)
+@_settings
+def test_bm25_matches_python_reference(spark, texts):
+    from mbta_etl_spark.operators import text as text_ops
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = text_ops.bm25_scores(
+        df, F.col("text"), F.col("doc_id"), ("spark", "join"), k=len(docs)
+    ).collect()
+    expected = _py_bm25(docs, ("spark", "join"))
+    got = {r["doc_id"]: r["bm25"] for r in out}
+    assert set(got) == set(expected)
+    for i in expected:
+        assert math.isclose(got[i], expected[i], abs_tol=2e-6), (
+            i,
+            got[i],
+            expected[i],
+        )
+    # ranking property: the Spark top-1 is a python argmax (ties on id)
+    top = min(
+        expected, key=lambda i: (-expected[i], i)
+    )
+    assert out[0]["doc_id"] == top
