@@ -7397,6 +7397,113 @@ _ORACLES["src02_partition_pruned_scan"] = _SRC_FIDELITY_ORACLE.format(
 _ORACLES["src03_csv_roundtrip"] = _SRC_FIDELITY_ORACLE.format(where="")
 
 
+ZORDER_BITS = 8
+ZORDER_FILES = 16
+
+
+def src04_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) multi-dimensional clustering — the layout
+    technique that makes min/max data skipping work on TWO filter
+    columns at once. Rows are quantized to 8 bits per dimension
+    (l_partkey, l_suppkey), bit-interleaved into a 16-bit z-value (pure
+    JVM shift/and arithmetic), totally ordered by it, and tiled into
+    NTILE file buckets; the output is each 'file's' footer stats — row
+    count, per-dimension min/max, and the fractional key-range each file
+    spans. Under a single-key sort one dimension's span is ~1/files but
+    the OTHER's is ~1 — a predicate on the second column opens every
+    file; under z-order both spans shrink toward ~1/sqrt(files), so
+    min/max skipping works on either column. tests/test_layout.py pins
+    the worst-dimension span at less than half the linear layout's.
+
+    At 100 TB the NTILE window becomes repartitionByRange(zval) + one
+    file per partition (the standard OPTIMIZE ZORDER job shape); the
+    z-value itself stays a per-row codegen expression."""
+    from pyspark.sql import Window
+
+    scale = 1 << ZORDER_BITS
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    mx = li.agg(
+        F.max("l_partkey").alias("_maxp"), F.max("l_suppkey").alias("_maxs")
+    )
+    j = li.crossJoin(F.broadcast(mx))
+    p8 = F.floor(F.col("l_partkey") * scale / (F.col("_maxp") + 1)).cast("long")
+    s8 = F.floor(F.col("l_suppkey") * scale / (F.col("_maxs") + 1)).cast("long")
+    z = F.lit(0)
+    for i in range(ZORDER_BITS):
+        z = (
+            z
+            + F.shiftright(p8, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+            + F.shiftright(s8, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+        )
+    w = Window.orderBy("zval", "l_orderkey", "l_linenumber")
+    tiled = j.withColumn("zval", z).withColumn(
+        "file_id", F.ntile(ZORDER_FILES).over(w)
+    )
+    return (
+        tiled.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+            F.min("l_suppkey").alias("min_sk"),
+            F.max("l_suppkey").alias("max_sk"),
+            F.max("_maxp").alias("_mp"),
+            F.max("_maxs").alias("_ms"),
+        )
+        .select(
+            "file_id",
+            "n_rows",
+            "min_pk",
+            "max_pk",
+            "min_sk",
+            "max_sk",
+            F.round((F.col("max_pk") - F.col("min_pk")) / F.col("_mp"), 6).alias(
+                "span_pk_frac"
+            ),
+            F.round((F.col("max_sk") - F.col("min_sk")) / F.col("_ms"), 6).alias(
+                "span_sk_frac"
+            ),
+        )
+    )
+
+
+def _zorder_interleave_sql() -> str:
+    return " + ".join(
+        f"((p8 >> {i}) & 1) * {1 << (2 * i + 1)}"
+        f" + ((s8 >> {i}) & 1) * {1 << (2 * i)}"
+        for i in range(ZORDER_BITS)
+    )
+
+
+_ORACLES["src04_zorder_layout"] = f"""
+    WITH mx AS (SELECT MAX(l_partkey) AS maxp, MAX(l_suppkey) AS maxs
+                FROM lineitem),
+    b AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, maxp, maxs,
+                 CAST(FLOOR(l_partkey * {1 << ZORDER_BITS} / (maxp + 1))
+                      AS BIGINT) AS p8,
+                 CAST(FLOOR(l_suppkey * {1 << ZORDER_BITS} / (maxs + 1))
+                      AS BIGINT) AS s8
+          FROM lineitem, mx),
+    z AS (SELECT *, {_zorder_interleave_sql()} AS zval FROM b),
+    f AS (SELECT *, NTILE({ZORDER_FILES})
+                 OVER (ORDER BY zval, l_orderkey, l_linenumber) AS file_id
+          FROM z)
+    SELECT file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(l_partkey) AS min_pk,
+           MAX(l_partkey) AS max_pk,
+           MIN(l_suppkey) AS min_sk,
+           MAX(l_suppkey) AS max_sk,
+           ROUND((MAX(l_partkey) - MIN(l_partkey)) * 1.0 / MAX(maxp), 6)
+               AS span_pk_frac,
+           ROUND((MAX(l_suppkey) - MIN(l_suppkey)) * 1.0 / MAX(maxs), 6)
+               AS span_sk_frac
+    FROM f GROUP BY file_id
+"""
+
+
 _DRIVER_VERIFIED = frozenset({
     "c01_corpus_clean", "c02_corpus_mix", "c03_split_assign",
     "c05_greedy_pack", "c06_token_budget", "c07_eval_sample",
@@ -7680,6 +7787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "c21_adaptive_quality_filter": llm_registry.c21_adaptive_quality_filter,
             "t25_ngram_novelty": llm_registry.t25_ngram_novelty,
             "v19_vector_validity": llm_registry.v19_vector_validity,
+            "src04_zorder_layout": src04_zorder_layout,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

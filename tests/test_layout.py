@@ -135,3 +135,58 @@ def test_explode_salts_covers_all(spark):
     out = explode_salts(df, F.col("k"), 4)
     assert out.count() == 12
     assert out.select("_salted_key").distinct().count() == 12
+
+
+def test_zorder_beats_linear_sort_on_second_dimension(spark):
+    """The point of z-order: under a partkey-ONLY sort each file tile
+    spans ~the full suppkey range, so a suppkey predicate can skip
+    NOTHING; the Morton interleave shrinks the per-file span of BOTH
+    dimensions below full range. The graded metric is the worst
+    dimension's mean span (the fraction of files a single-column
+    predicate on the layout's weakest column must open) — a single-key
+    sort is always ~1.0 there, z-order stays well below."""
+    from pyspark.sql import Window, functions as F
+
+    from mbta_etl_spark.plans.registry import (
+        ZORDER_FILES,
+        src04_zorder_layout,
+    )
+    from mbta_etl_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    zrows = src04_zorder_layout(spark, sf).collect()
+    assert len(zrows) == ZORDER_FILES
+    sizes = [r["n_rows"] for r in zrows]
+    assert max(sizes) - min(sizes) <= 1  # NTILE balance
+    z_worst = max(
+        sum(r["span_pk_frac"] for r in zrows) / len(zrows),
+        sum(r["span_sk_frac"] for r in zrows) / len(zrows),
+    )
+
+    # linear layout: same tiling, ordered by partkey alone
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    mx = li.agg(
+        F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms")
+    ).collect()[0]
+    w = Window.orderBy("l_partkey", "l_orderkey", "l_linenumber")
+    lin = (
+        li.withColumn("file_id", F.ntile(ZORDER_FILES).over(w))
+        .groupBy("file_id")
+        .agg(
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+            F.min("l_suppkey").alias("min_sk"),
+            F.max("l_suppkey").alias("max_sk"),
+        )
+        .collect()
+    )
+    lin_worst = max(
+        sum((r["max_pk"] - r["min_pk"]) / mx["mp"] for r in lin) / len(lin),
+        sum((r["max_sk"] - r["min_sk"]) / mx["ms"] for r in lin) / len(lin),
+    )
+    # the single-key sort's weakest dimension spans ~everything; z-order
+    # must at least halve it
+    assert lin_worst > 0.9, lin_worst
+    assert z_worst < 0.5 * lin_worst, (z_worst, lin_worst)
