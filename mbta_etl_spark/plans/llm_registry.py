@@ -3985,6 +3985,67 @@ _ORACLES["v19_vector_validity"] = f"""
 """
 
 
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def d26_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: k-means clusters as the
+    candidate buckets, exact cosine verification WITHIN clusters only.
+    d06 is the exact all-pairs baseline (O(n²/2) dots however blocked);
+    this is the modern scale path — candidate work is Σ cluster_size²,
+    which the cluster count controls, and the bucket join is an ordinary
+    hash-partitioned equi-join on the cluster id. Pairs whose members
+    land in different clusters are missed by design (the SemDeDup
+    trade); d06 and d13-style audits measure that recall.
+
+    Composes k01's deterministic Lloyd's assignment, so the DuckDB
+    oracle replays the clustering CTE chain verbatim and the pair list
+    is bit-reproducible."""
+    emb = _emb(spark, sf_dir)
+    assign = similarity.kmeans_fit_predict(
+        emb, "embedding", "vec_id", n_iter=KMEANS_ITER
+    ).select("vec_id", "cluster")
+    e = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        "vec_id", "cluster", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        "cluster",
+        F.col("_v").alias("_va"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        "cluster",
+        F.col("_v").alias("_vb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _nrm(c: str) -> "Column":
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col(c), F.col(c), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "cluster",
+            "vec_a",
+            "vec_b",
+            F.round(dot / (_nrm("_va") * _nrm("_vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEMDEDUP_THRESHOLD)
+    )
+
+
 def _bm25_ctes(where: str = "") -> str:
     """CTE chain base/stats/scored shared by the t24 and s20 oracles.
     Constants are written so every scalar is bit-identical to the Spark
@@ -4020,6 +4081,27 @@ def _bm25_ctes(where: str = "") -> str:
             FROM base, stats)
     """
 
+
+_ORACLES["d26_semantic_dedup"] = f"""
+    WITH assign AS ({{k01}}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (SELECT a.vec_id, a.cluster, e.v
+          FROM assign a JOIN e USING (vec_id))
+    SELECT x.cluster,
+           x.vec_id AS vec_a,
+           y.vec_id AS vec_b,
+           ROUND({_dot('x.v', 'y.v')} /
+                 (sqrt({_dot('x.v', 'x.v')}) * sqrt({_dot('y.v', 'y.v')})),
+                 6) AS cosine
+    FROM m x JOIN m y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    WHERE ROUND({_dot('x.v', 'y.v')} /
+                (sqrt({_dot('x.v', 'x.v')}) * sqrt({_dot('y.v', 'y.v')})),
+                6) >= {SEMDEDUP_THRESHOLD}
+"""
+# splice k01's full Lloyd's-replay CTE chain in as the assignment source
+_ORACLES["d26_semantic_dedup"] = _ORACLES["d26_semantic_dedup"].format(
+    k01=_ORACLES["k01_kmeans_clusters"]
+)
 
 _ORACLES["t24_bm25"] = f"""
     WITH {_bm25_ctes()}

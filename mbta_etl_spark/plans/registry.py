@@ -7788,6 +7788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t25_ngram_novelty": llm_registry.t25_ngram_novelty,
             "v19_vector_validity": llm_registry.v19_vector_validity,
             "src04_zorder_layout": src04_zorder_layout,
+            "d26_semantic_dedup": llm_registry.d26_semantic_dedup,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

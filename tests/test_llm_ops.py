@@ -638,3 +638,32 @@ def test_vector_validity_flags_planted_bad_vectors(spark):
     assert out["n_zero_norm"] == 1
     assert out["min_norm"] == 0.0   # the zero vector is finite
     assert out["max_norm"] == 4.0   # NaN/inf norms excluded from the range
+
+
+def test_semantic_dedup_pairs_subset_of_exact_allpairs(spark):
+    """SemDeDup bucketing only RESTRICTS candidates: every within-cluster
+    pair at or above d06's threshold must also be found by the exact
+    all-pairs operator, and the composition must find real pairs."""
+    from mbta_etl_spark.plans.llm_registry import (
+        COSINE_DUP_THRESHOLD,
+        d26_semantic_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sem = d26_semantic_dedup(spark, sf).collect()
+    assert sem  # non-trivial output on the synthetic corpus
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs(
+            emb, "embedding", "vec_id", threshold=COSINE_DUP_THRESHOLD
+        ).collect()
+    }
+    strong = {
+        (r["vec_a"], r["vec_b"])
+        for r in sem
+        if r["cosine"] >= COSINE_DUP_THRESHOLD
+    }
+    assert strong <= exact
+    # ordering + co-clustering invariants
+    assert all(r["vec_a"] < r["vec_b"] for r in sem)
