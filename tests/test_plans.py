@@ -424,3 +424,53 @@ def test_src02_partition_pruning(spark):
     plan = _plan(registry.src02_partition_pruned_scan(spark, SF_DIR_SMALL))
     part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert part_lines and "src2" in part_lines[0] and "src7" in part_lines[0]
+
+
+def test_t24_bm25_broadcast_stats_and_takeordered(spark):
+    """BM25's plan promise: corpus stats arrive as a 1-row broadcast
+    (BroadcastNestedLoopJoin over a BroadcastExchange), the top-k is
+    TakeOrderedAndProject (never a global Sort), and per-term tf counts
+    stay in-scan — no explode, so no row-multiplying generator node."""
+    from mbta_etl_spark.plans import llm_registry
+
+    plan = _plan(llm_registry.t24_bm25(spark, SF_DIR_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Generate" not in plan  # no explode anywhere
+    assert "SortMergeJoin" not in plan
+
+
+def test_s20_rrf_fusion_joins_pools_not_corpus(spark):
+    """Both retrieval pools come out of TakeOrdered paths before the
+    fusion join — the full-outer join must sit above two
+    TakeOrderedAndProject nodes, so fusion work is O(pool)."""
+    from mbta_etl_spark.plans import llm_registry
+
+    plan = _plan(llm_registry.s20_hybrid_rrf(spark, SF_DIR_SMALL))
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "FullOuter" in plan
+
+
+def test_d26_semantic_dedup_bucketed_equijoin(spark):
+    """SemDeDup's candidate join must be a hash-partitioned EQUI-join on
+    the cluster id (SortMergeJoin/ShuffledHashJoin with the id-order
+    predicate as a join condition), never a cartesian product."""
+    from mbta_etl_spark.plans import llm_registry
+
+    plan = _plan(llm_registry.d26_semantic_dedup(spark, SF_DIR_SMALL))
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_src04_zorder_zvalue_is_codegen_expression(spark):
+    """The Morton value must be computed inside whole-stage codegen (a
+    pure shift/and projection) — no Python evaluation node anywhere in
+    the layout job."""
+    plan = _plan(registry.src04_zorder_layout(spark, SF_DIR_SMALL))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # shape: key-range stats arrive as a 1-row broadcast; ONE window
+    # (the NTILE tiling) is the only global ordering step
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Window (") == 1
