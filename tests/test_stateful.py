@@ -14,6 +14,7 @@ from pyspark.sql.types import (
 )
 
 from mbta_etl_spark.streaming.stateful import user_profile_stream
+from streamutil import drain_query
 
 IN_SCHEMA = StructType(
     [
@@ -46,7 +47,7 @@ def _drain(spark, src, sink, ckpt):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain_query(q)
 
 
 def test_stateful_profile_accumulates_across_batches(spark, tmp_path):
@@ -158,7 +159,7 @@ def test_transform_with_state_accumulates(spark, tmp_path):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(120)
+            drain_query(q)
 
         _write(src, "b1.jsonl", [
             (1, "2024-01-01T10:00:00", 5.0),
@@ -231,7 +232,7 @@ def test_transform_with_map_state_per_type(spark, tmp_path):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(120)
+            drain_query(q)
 
         write("b1.jsonl", [(1, "click"), (1, "click"), (1, "view"), (2, "view")])
         drain()
@@ -287,7 +288,7 @@ def test_transform_with_list_state_last_k(spark, tmp_path):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(120)
+            drain_query(q)
 
         _write(src, "b1.jsonl", [
             (1, "2024-01-01T10:00:00", 1.0),

@@ -17,6 +17,7 @@ from pyspark.sql.types import (
 )
 
 from mbta_etl_spark.streaming.ingest import run_upsert_stream, windowed_event_counts
+from streamutil import drain_query
 
 
 def _snapshot(vid, speed, updated_at="2024-01-15T10:30:00-05:00"):
@@ -48,7 +49,7 @@ def test_streaming_upsert_end_to_end(spark, tmp_path):
         f.write(json.dumps(_snapshot("veh-B", 20.0)) + "\n")
 
     q = run_upsert_stream(spark, str(snap_dir), table, ckpt, available_now=True)
-    q.awaitTermination(120)
+    drain_query(q)
     out = {r["id"]: r["speed"] for r in spark.read.parquet(table).collect()}
     assert out == {"veh-A": 10.0, "veh-B": 20.0}
 
@@ -59,7 +60,7 @@ def test_streaming_upsert_end_to_end(spark, tmp_path):
         f.write(json.dumps(_snapshot("veh-C", 30.0)) + "\n")
 
     q = run_upsert_stream(spark, str(snap_dir), table, ckpt, available_now=True)
-    q.awaitTermination(120)
+    drain_query(q)
     out = {r["id"]: r["speed"] for r in spark.read.parquet(table).collect()}
     assert out == {"veh-A": 55.0, "veh-B": 20.0, "veh-C": 30.0}
 
@@ -127,7 +128,7 @@ def test_windowed_counts_streaming_with_late_data(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain_query(q)
     # append mode emits only windows sealed by the watermark; with max ts
     # 13:00 and 2h delay, watermark=11:00 seals the 10:00 window
     out = {
@@ -187,7 +188,7 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain_query(q)
     got = {
         r["event_id"]: r["value"]
         for r in spark.sql("SELECT * FROM dedup_sink").collect()
@@ -250,7 +251,7 @@ def test_stream_static_enrichment(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain_query(q)
     got = {
         r["event_id"]: r["weight"]
         for r in spark.sql("SELECT * FROM enriched_sink").collect()
@@ -305,7 +306,7 @@ def test_stream_stream_interval_join(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain_query(q)
     rows = spark.sql("SELECT imp_id, click_id FROM attrib_sink").collect()
     assert {(r["imp_id"], r["click_id"]) for r in rows} == {(1, 10)}
 
