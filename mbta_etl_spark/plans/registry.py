@@ -7504,6 +7504,80 @@ _ORACLES["src04_zorder_layout"] = f"""
 """
 
 
+_BLOOM_CONFS = {
+    # testdata is far below the production defaults (10 GB application
+    # side / 10 MB creation side) — lower them so the optimizer actually
+    # injects the filter at demo scale, and disable broadcast so the join
+    # keeps the shuffle shape it would have at 100 TB (a filtered dim that
+    # no longer fits the broadcast threshold).
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _src05_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The logical plan src05 materializes: selective dim filter joined to
+    the fact table, aggregated. Split out so tests can compile it under
+    the bloom confs and pin ``might_contain`` in the optimized plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(dim, li["l_orderkey"] == dim["o_orderkey"])
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("urgent_revenue"),
+        )
+    )
+
+
+def src05_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join pruning: a selective dimension
+    filter (urgent orders) is turned by Catalyst's InjectRuntimeFilter
+    rule into a ``might_contain(bloom_filter_agg(xxhash64(o_orderkey)))``
+    predicate evaluated ON THE FACT SCAN SIDE — lineitem rows whose order
+    key cannot match are dropped before the shuffle, so at 100 TB the
+    exchange carries only the ~1/5 of the fact that can survive the join
+    instead of all of it. The semantics are untouched (a bloom filter has
+    no false negatives); the oracle is the plain join.
+
+    The conf overrides (thresholds + no-broadcast, see ``_BLOOM_CONFS``)
+    are applied only around an eager ``localCheckpoint`` so the injected
+    plan actually executes here, then restored — no other registry entry
+    sees them. tests/test_plans.py pins ``might_contain`` in the
+    optimized plan under these confs."""
+    agg = _src05_joined(spark, sf_dir)
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        # tiny output (one row per flag/status pair) — eager checkpoint
+        # materializes it while the bloom confs are active
+        return agg.localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+_ORACLES["src05_bloom_runtime_filter"] = """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)
+               AS urgent_revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
 _DRIVER_VERIFIED = frozenset({
     "c01_corpus_clean", "c02_corpus_mix", "c03_split_assign",
     "c05_greedy_pack", "c06_token_budget", "c07_eval_sample",
@@ -7789,6 +7863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "v19_vector_validity": llm_registry.v19_vector_validity,
             "src04_zorder_layout": src04_zorder_layout,
             "d26_semantic_dedup": llm_registry.d26_semantic_dedup,
+            "src05_bloom_runtime_filter": src05_bloom_runtime_filter,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

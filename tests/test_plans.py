@@ -474,3 +474,27 @@ def test_src04_zorder_zvalue_is_codegen_expression(spark):
     # (the NTILE tiling) is the only global ordering step
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("Window (") == 1
+
+
+def test_src05_bloom_runtime_filter_injected(spark):
+    """Under the src05 conf overrides the optimizer must inject the
+    runtime bloom filter on the FACT side: `might_contain(... xxhash64(
+    l_orderkey ...))` appears as a pre-shuffle filter, and the join stays
+    a shuffle join (no broadcast — the 100 TB shape). Without semantics
+    change: the checkpointed entry is oracle-checked separately."""
+    saved = {k: spark.conf.get(k, None) for k in registry._BLOOM_CONFS}
+    try:
+        for k, v in registry._BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        df = registry._src05_joined(spark, SF_DIR_SMALL)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt and "bloom_filter_agg" in opt
+        assert "xxhash64(l_orderkey" in opt
+        phys = _plan(df)
+        assert "BroadcastHashJoin" not in phys
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
