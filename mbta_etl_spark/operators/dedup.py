@@ -899,3 +899,91 @@ def minhash_estimate_audit(
         r6(F.max(F.abs(err))).alias("max_err"),
         r6(F.avg(err)).alias("mean_bias"),
     )
+
+
+def dup_span_extents(
+    df: DataFrame, text_col: Column, id_col: Column, w: int
+) -> DataFrame:
+    """Exact duplicated-substring spans (the ExactSubstr dedup family of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): find every ``w``-token window whose exact text occurs more
+    than once in the corpus, then merge each document's duplicated
+    window positions into maximal token-interval spans (gaps-and-islands
+    in token space: a new span starts when consecutive duplicated
+    positions are more than ``w`` apart). Returns one row per document
+    that contains at least one duplicated span: total span count, the
+    longest span, union token coverage, and the covered fraction.
+
+    Scale shape: the corpus-wide occurrence count is a single groupBy on
+    a 64-bit window hash (xxhash64 projected in the same stage as the
+    window explode — the wide shuffle never carries text, the analog of
+    the shingle kernel's sh64 discipline). The suffix-array of the paper
+    is replaced by fixed-width hashed windows — the standard distributed
+    relaxation: O(total tokens) rows, all hash-partitioned. The span
+    merge runs per-document under one window partitioning (lag + running
+    sum share the doc_id exchange). At 100 TB nothing is driver-side and
+    no stage is quadratic.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(text_col, " ")
+    base = df.select(
+        id_col.alias("doc_id"),
+        toks.alias("_t"),
+        F.size(toks).alias("n_tokens"),
+    )
+    wins = base.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode(
+            F.when(
+                F.col("n_tokens") >= w,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tokens") - w),
+                    lambda i: F.array_join(F.slice("_t", i + 1, w), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "_win"),
+    ).select("doc_id", "n_tokens", "pos", F.xxhash64("_win").alias("_wh"))
+    occ = (
+        wins.groupBy("_wh")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") >= 2)
+    )
+    dup = wins.join(occ, "_wh").select("doc_id", "n_tokens", "pos")
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(wspec)
+    flagged = dup.select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        F.when(prev.isNull() | (F.col("pos") - prev > w), 1)
+        .otherwise(0)
+        .alias("_new"),
+    )
+    spans = (
+        flagged.withColumn("span_id", F.sum("_new").over(wspec))
+        .groupBy("doc_id", "n_tokens", "span_id")
+        .agg((F.max("pos") - F.min("pos") + w).alias("_len"))
+    )
+    return (
+        spans.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+            F.max("_len").cast("long").alias("longest_span"),
+            F.sum("_len").cast("long").alias("covered_tokens"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "n_dup_spans",
+            "longest_span",
+            "covered_tokens",
+            (
+                F.floor(
+                    F.col("covered_tokens") / F.col("n_tokens") * 1e6 + 0.5
+                )
+                / 1e6
+            ).alias("cover_frac"),
+        )
+    )

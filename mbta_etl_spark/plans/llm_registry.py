@@ -3985,6 +3985,63 @@ _ORACLES["v19_vector_validity"] = f"""
 """
 
 
+DUP_SPAN_W = 8
+
+
+def d27_dup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring span census (ExactSubstr dedup, Lee et
+    al. 2022): every 8-token window occurring more than once corpus-wide,
+    merged per document into maximal duplicated token spans. Unlike
+    d01/d02 (whole-doc) and d03/d04 (set-similarity), this localizes
+    duplication WITHIN documents — the operator behind span-level
+    training-data redaction ('cut the duplicated span, keep the rest').
+    Output: per affected doc, span count, longest span, union token
+    coverage and covered fraction (operators/dedup.dup_span_extents)."""
+    return dedup.dup_span_extents(
+        _docs(spark, sf_dir), F.col("text"), F.col("doc_id"), DUP_SPAN_W
+    )
+
+
+_ORACLES["d27_dup_span_extents"] = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), wins AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(t[i:i+{DUP_SPAN_W - 1}], ' ') AS win
+      FROM toks, UNNEST(generate_series(
+               1, GREATEST(len(t) - {DUP_SPAN_W} + 1, 0))) AS u(i)
+    ),
+    occ AS (SELECT win FROM wins GROUP BY win HAVING COUNT(*) >= 2),
+    dup AS (SELECT w.doc_id, w.pos FROM wins w JOIN occ USING (win)),
+    seq AS (SELECT doc_id, pos,
+                   LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM dup),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN prev IS NULL OR pos - prev > {DUP_SPAN_W}
+                  THEN 1 ELSE 0 END AS newspan
+      FROM seq),
+    spanned AS (
+      SELECT doc_id, pos,
+             SUM(newspan) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      FROM flagged),
+    spans AS (
+      SELECT doc_id, span_id,
+             MAX(pos) - MIN(pos) + {DUP_SPAN_W} AS span_len
+      FROM spanned GROUP BY doc_id, span_id),
+    perdoc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+             CAST(MAX(span_len) AS BIGINT) AS longest_span,
+             CAST(SUM(span_len) AS BIGINT) AS covered_tokens
+      FROM spans GROUP BY doc_id)
+    SELECT p.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens, p.n_dup_spans,
+           p.longest_span, p.covered_tokens,
+           FLOOR(CAST(p.covered_tokens AS DOUBLE) / len(t.t) * 1e6 + 0.5)
+               / 1e6 AS cover_frac
+    FROM perdoc p JOIN toks t USING (doc_id)
+"""
+
+
 SEMDEDUP_THRESHOLD = 0.35
 
 

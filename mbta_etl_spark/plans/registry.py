@@ -7578,6 +7578,92 @@ _ORACLES["src05_bloom_runtime_filter"] = """
 """
 
 
+SRC06_BUCKETS = 8
+
+
+def _src06_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Land orders and customer as co-bucketed external tables (same key,
+    same bucket count) and return the catalog-backed frames. Split out so
+    the plan test can pin the no-Exchange join on exactly what the
+    registry entry reads."""
+    import os
+
+    from mbta_etl_spark.sources.formats import scratch_dir
+    from mbta_etl_spark.sources.layout import write_bucketed
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    write_bucketed(
+        orders,
+        f"src06_orders_b_{tag}",
+        "o_custkey",
+        SRC06_BUCKETS,
+        sort_col="o_custkey",
+        path=scratch_dir(spark, f"src06_orders_{tag}"),
+    )
+    write_bucketed(
+        cust,
+        f"src06_customer_b_{tag}",
+        "o_custkey",
+        SRC06_BUCKETS,
+        sort_col="o_custkey",
+        path=scratch_dir(spark, f"src06_customer_{tag}"),
+    )
+    return (
+        spark.table(f"src06_orders_b_{tag}"),
+        spark.table(f"src06_customer_b_{tag}"),
+    )
+
+
+def src06_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-co-located join: orders and customer land bucketed by the
+    join key (``bucketBy(8, o_custkey)``, sorted within buckets), so the
+    join reads matching bucket files side by side — SortMergeJoin with
+    NO Exchange on either input (pinned by tests/test_plans.py). The
+    shuffle is paid ONCE at write time; every subsequent join or
+    aggregation keyed on the bucket column is exchange-free. At 100 TB
+    this is the layout for a fact table joined every day: the daily join
+    cost drops from reshuffling 100 TB to a co-located merge. Broadcast
+    is disabled around the materialization so the plan keeps the shape it
+    has when both sides are too big to broadcast — the regime bucketing
+    exists for. Semantics are join-identical; aggregates are
+    hash-stable (counts, BIGINT key sums, min/max) rather than
+    order-dependent double sums."""
+    ob, cb = _src06_tables(spark, sf_dir)
+    agg = (
+        ob.join(cb, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum("o_orderkey").alias("orderkey_sum"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        return agg.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+_ORACLES["src06_bucketed_join"] = """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(SUM(o_orderkey) AS BIGINT) AS orderkey_sum,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
 _DRIVER_VERIFIED = frozenset({
     "c01_corpus_clean", "c02_corpus_mix", "c03_split_assign",
     "c05_greedy_pack", "c06_token_budget", "c07_eval_sample",
@@ -7864,6 +7950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "src04_zorder_layout": src04_zorder_layout,
             "d26_semantic_dedup": llm_registry.d26_semantic_dedup,
             "src05_bloom_runtime_filter": src05_bloom_runtime_filter,
+            "src06_bucketed_join": src06_bucketed_join,
+            "d27_dup_span_extents": llm_registry.d27_dup_span_extents,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

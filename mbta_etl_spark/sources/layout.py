@@ -34,14 +34,19 @@ def write_bucketed(
     bucket_col: str,
     n_buckets: int,
     sort_col: str | None = None,
+    path: str | None = None,
 ) -> None:
     """Bucketed managed table: joins/aggregations keyed on ``bucket_col``
     between tables with matching bucketing need NO exchange — the shuffle
     was paid once at write time. This is how a repeatedly-joined 100 TB
-    fact table should land."""
+    fact table should land. ``path`` makes it an external table at an
+    explicit location (for callers that cannot rely on the session
+    warehouse dir being writable)."""
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)
+    if path:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table_name)
 
 

@@ -667,3 +667,36 @@ def test_semantic_dedup_pairs_subset_of_exact_allpairs(spark):
     assert strong <= exact
     # ordering + co-clustering invariants
     assert all(r["vec_a"] < r["vec_b"] for r in sem)
+
+
+def test_dup_span_extents_merges_islands(spark):
+    """Span semantics pinned on a crafted micro-corpus: a shared 8-token
+    run is detected in both docs, extents cover the run exactly, and two
+    duplicated regions separated by more than w unique tokens stay
+    SEPARATE spans while touching/overlapping windows merge into one."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    filler = " ".join(f"u{i}" for i in range(12))  # 12 unique tokens
+    rows = [
+        # doc 1: shared run at positions 0-7 and again at 20-27
+        (1, f"{shared} {filler} {shared}"),
+        # doc 2: one copy of the run, embedded mid-doc at positions 3-10
+        (2, f"x0 x1 x2 {shared} x3 x4"),
+        (3, "entirely disjoint content with no repeated window at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dup_span_extents(
+            df, F.col("text"), F.col("doc_id"), 8
+        ).collect()
+    }
+    assert 3 not in out  # no duplicated window -> no row
+    # doc 1: two islands 12 tokens apart (> w) -> two spans of exactly 8
+    assert out[1]["n_dup_spans"] == 2
+    assert out[1]["longest_span"] == 8
+    assert out[1]["covered_tokens"] == 16
+    assert out[1]["n_tokens"] == 28
+    # doc 2: single 8-token span; windows at a single position only
+    assert out[2]["n_dup_spans"] == 1
+    assert out[2]["covered_tokens"] == 8
+    assert out[2]["n_tokens"] == 13

@@ -498,3 +498,24 @@ def test_src05_bloom_runtime_filter_injected(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_src06_bucketed_join_no_exchange(spark):
+    """The co-bucketed catalog tables must join with NO Exchange on
+    either side (SortMergeJoin straight over bucketed scans) — the
+    write-once-shuffle-never-again layout contract src06 demonstrates."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ob, cb = registry._src06_tables(spark, SF_DIR_SMALL)
+        joined = ob.join(cb, "o_custkey")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        # the grouped entry output: only the final aggregation may add
+        # exchanges (keyed on c_mktsegment, not the bucket key)
+        agg = joined.groupBy("c_mktsegment").agg({"*": "count"})
+        agg_plan = _plan(agg)
+        assert "SortMergeJoin" in agg_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
