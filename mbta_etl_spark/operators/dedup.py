@@ -297,6 +297,46 @@ def minhash_signatures(
     return _minhash_from_shingles(_shingle_table(df, text, id_col, k), n_hashes)
 
 
+def _band_table_from_shingles(
+    sh: DataFrame, n_hashes: int = NUM_HASHES, band_size: int = BAND_SIZE
+) -> DataFrame:
+    """(doc_id, band, band_key) LSH band table from a (doc_id, sh64)
+    shingle table: wide per-doc minhash signature, md5 band keys over
+    each band's minhashes in seed order, stacked to rows for the
+    collision equi-join."""
+    wide = _minhash_wide(sh, n_hashes)
+    n_bands = n_hashes // band_size
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * band_size + r}") for r in range(band_size)]
+            )
+        ).alias(f"bk{b}")
+        for b in range(n_bands)
+    ]
+    stack_args = ", ".join(f"{b}, bk{b}" for b in range(n_bands))
+    return wide.select("doc_id", *band_keys).select(
+        "doc_id", F.expr(f"stack({n_bands}, {stack_args}) AS (band, band_key)")
+    )
+
+
+def lsh_band_table(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    k: int = 3,
+    n_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Public band-table kernel: documents → (doc_id, band, band_key).
+    Two docs sharing ANY (band, band_key) row are LSH near-dup
+    candidates; the table is the standing index of an ingest-time
+    near-dedup (see streaming/dedup_stream.py)."""
+    return _band_table_from_shingles(
+        _shingle_table(df, text, id_col, k), n_hashes, band_size
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text: Column,
@@ -326,20 +366,7 @@ def minhash_lsh_pairs(
     # band keys straight from the wide signature: one aggregation, then a
     # stack to (doc_id, band, band_key) rows for the collision join — no
     # per-(doc,seed) shuffle, no collect_list
-    wide = _minhash_wide(sh, n_hashes)
-    n_bands = n_hashes // band_size
-    band_keys = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"mh{b * band_size + r}") for r in range(band_size)]
-            )
-        ).alias(f"bk{b}")
-        for b in range(n_bands)
-    ]
-    stack_args = ", ".join(f"{b}, bk{b}" for b in range(n_bands))
-    bands = wide.select("doc_id", *band_keys).select(
-        "doc_id", F.expr(f"stack({n_bands}, {stack_args}) AS (band, band_key)")
-    )
+    bands = _band_table_from_shingles(sh, n_hashes, band_size)
     ba = bands.alias("ba")
     bb = bands.alias("bb")
     cand = (

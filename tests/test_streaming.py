@@ -365,3 +365,73 @@ def test_streaming_session_windows_merge_and_close(spark, tmp_path):
     # second session: single row, 30m span
     assert got[1][2] == 1
     assert got[1][1] - got[1][0] == dt.timedelta(minutes=30)
+
+
+def test_streaming_near_dup_ingest(spark, tmp_path):
+    """Ingest-time NEAR-dedup with an on-disk band index: batch 1 seeds
+    the index; batch 2's exact copy and one-token-changed near copy of a
+    batch-1 doc are both dropped by band collision, a genuinely new doc
+    survives, and an intra-batch exact dup keeps only the smaller id."""
+    import os
+
+    from mbta_etl_spark.streaming.dedup_stream import start_near_dup_ingest_stream
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "falls softly on the quiet village roofs tonight"
+    )
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows1 = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": "an entirely different story about spark "
+                              "clusters shuffling petabytes of tokens"},
+    ]
+    near = base.replace("dog", "cat")  # one token changed: near copy of 1
+    fresh = ("completely novel content mentioning neither animals nor "
+             "weather just raw unduplicated prose for the index")
+    rows2 = [
+        {"doc_id": 10, "text": base},   # exact copy of 1 -> dropped
+        {"doc_id": 11, "text": near},   # near copy of 1 -> dropped
+        {"doc_id": 12, "text": fresh},  # new -> kept
+        {"doc_id": 13, "text": fresh},  # intra-batch dup of 12 -> dropped
+    ]
+    with open(src / "a.jsonl", "w") as f:
+        for r in rows1:
+            f.write(json.dumps(r) + "\n")
+    with open(src / "b.jsonl", "w") as f:
+        for r in rows2:
+            f.write(json.dumps(r) + "\n")
+    now = time.time()
+    os.utime(src / "a.jsonl", (now - 100, now - 100))
+    os.utime(src / "b.jsonl", (now, now))
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # a then b as separate batches
+        .json(str(src))
+    )
+    q = start_near_dup_ingest_stream(
+        stream,
+        str(tmp_path / "store"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    drain_query(q)
+    kept = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert kept == [1, 2, 12]
+    # the index holds bands for exactly the survivors
+    idx_docs = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "store"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    assert idx_docs == [1, 2, 12]
