@@ -519,3 +519,48 @@ def test_src06_bucketed_join_no_exchange(spark):
         assert "SortMergeJoin" in agg_plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's OptimizeSkewedJoin is the automatic counterpart of j07's
+    manual salting: with one key holding ~95% of the fact rows, the
+    runtime re-plan must mark the SortMergeJoin skew=true (the oversized
+    shuffle partition is split across tasks) without changing results.
+    Thresholds are lowered because testdata partitions are far below the
+    256 MB production default — same lever as src05's bloom confs."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(400_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise((F.col("id") % 10) + 1)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(11).select(
+            F.col("id").alias("k"), (F.col("id") * 100).alias("w")
+        )
+        joined = fact.join(dim, "k")
+        # collect() runs THIS dataset's QueryExecution (count() would
+        # execute a different plan and leave this one un-finalized)
+        assert len(joined.collect()) == 400_000
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

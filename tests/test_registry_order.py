@@ -107,3 +107,18 @@ def test_every_query_has_oracle_or_documented_exception():
         f"unexpected rows-only entries: {sorted(rows_only)}"
     )
     assert not (oracles - qs), "orphan oracles with no query entry"
+
+
+def test_coverage_doc_counts_match_registry():
+    """COVERAGE.md's summary line must track the real registry — the
+    count is bumped by hand with each new entry, and this pins it so the
+    doc can't silently drift from the code."""
+    import re
+
+    with open("COVERAGE.md") as f:
+        text = f.read()
+    m = re.search(r"(\d+) registry entries; (\d+) oracle-checked", text)
+    assert m, "COVERAGE.md summary line missing"
+    n_entries, n_oracle = int(m.group(1)), int(m.group(2))
+    assert n_entries == len(entrymod.queries())
+    assert n_oracle == len(entrymod.oracle_sql())
