@@ -7397,6 +7397,39 @@ _ORACLES["src02_partition_pruned_scan"] = _SRC_FIDELITY_ORACLE.format(
 _ORACLES["src03_csv_roundtrip"] = _SRC_FIDELITY_ORACLE.format(where="")
 
 
+SRC07_TARGET_ROWS = 2000
+SRC07_FRAGMENTS = 64
+
+
+def src07_compacted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: the documents table is deliberately
+    fragmented into 64 unordered shards (the many-tiny-files state a
+    fine-grained ingest leaves behind), then rewritten as
+    ~count/2000 files range-partitioned and sorted on doc_id — each
+    output file owns a disjoint doc_id range, so footer min/max stats
+    prune whole files for id-range predicates (pinned, with the file
+    count and non-overlap, by tests/test_files.py). Values must survive
+    both rewrites exactly: same per-group fidelity digests as src01."""
+    import os
+
+    from mbta_etl_spark.sources.formats import compact_files, scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = f"src07_{os.path.basename(sf_dir.rstrip('/'))}"
+    frag_path = scratch_dir(spark, tag + "_frag")
+    docs.repartition(SRC07_FRAGMENTS).write.mode("overwrite").parquet(frag_path)
+    back = compact_files(
+        spark.read.parquet(frag_path),
+        scratch_dir(spark, tag + "_compact"),
+        "doc_id",
+        SRC07_TARGET_ROWS,
+    )
+    return _roundtrip_fidelity_agg(back)
+
+
+_ORACLES["src07_compacted_layout"] = _SRC_FIDELITY_ORACLE.format(where="")
+
+
 ZORDER_BITS = 8
 ZORDER_FILES = 16
 
@@ -7952,6 +7985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "src05_bloom_runtime_filter": src05_bloom_runtime_filter,
             "src06_bucketed_join": src06_bucketed_join,
             "d27_dup_span_extents": llm_registry.d27_dup_span_extents,
+            "src07_compacted_layout": src07_compacted_layout,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

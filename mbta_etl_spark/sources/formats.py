@@ -51,6 +51,30 @@ def partitioned_roundtrip(
     return df.sparkSession.read.parquet(path)
 
 
+def compact_files(
+    df: DataFrame, path: str, order_col: str, target_rows_per_file: int
+) -> DataFrame:
+    """Small-file compaction: rewrite ``df`` as ~count/target files,
+    range-partitioned and sorted on ``order_col``. The two chronic 100 TB
+    layout diseases this treats: (a) many tiny files from fine-grained
+    ingest (per-file open/footer cost dominates the scan), (b) rows
+    scattered across files so min/max footer stats prune nothing. After
+    compaction each file owns a disjoint ``order_col`` range — a
+    predicate on it skips whole files. The extra ``count()`` to size the
+    job is one cheap metadata-ish pass; at scale you'd take it from the
+    source table's stats instead."""
+    import math
+
+    n_files = max(1, math.ceil(df.count() / target_rows_per_file))
+    (
+        df.repartitionByRange(n_files, order_col)
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return df.sparkSession.read.parquet(path)
+
+
 def scratch_dir(spark: SparkSession, tag: str) -> str:
     """Deterministic scratch path for round-trip entries: the local
     warehouse dir when it is writable (keeps artifacts next to the

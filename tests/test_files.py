@@ -92,3 +92,44 @@ def test_write_jsonl_shards_deterministic_manifest(spark, tmp_path):
     assert {(r["doc_id"], r["shard"]) for r in a.collect()} == {
         (r["doc_id"], r["shard"]) for r in b.collect()
     }
+
+
+def test_compact_files_reduces_and_range_partitions(spark, tmp_path):
+    """Compaction contract: ~count/target output files, every row
+    preserved, and each file owns a DISJOINT doc_id range (footer
+    min/max stats can skip whole files for id predicates)."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mbta_etl_spark.sources.formats import compact_files
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), "id").alias("text")
+    )
+    frag = str(tmp_path / "frag")
+    df.repartition(40).write.parquet(frag)
+    n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_frag == 40  # the disease: many tiny files
+
+    out = str(tmp_path / "compact")
+    back = compact_files(spark.read.parquet(frag), out, "doc_id", 2500)
+    assert back.count() == 10_000
+    files = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    assert len(files) == 4  # ceil(10000/2500)
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "doc_id"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+        assert hi_a < lo_b, f"file ranges overlap: {ranges}"
