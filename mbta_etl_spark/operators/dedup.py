@@ -1014,3 +1014,55 @@ def dup_span_extents(
             ).alias("cover_frac"),
         )
     )
+
+
+def canonical_selection(
+    components: DataFrame,
+    scored: DataFrame,
+    quality_col: str = "quality",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Canonical-document selection per duplicate cluster: the step a
+    dedup pipeline runs AFTER clustering (connected_components) — keep
+    the highest-quality member of each cluster, drop the rest, and
+    account the token savings. (The reference stops at detection; a
+    training-data pipeline needs the keep/drop decision too.)
+
+    ``components`` is (doc_id, component) from connected_components;
+    ``scored`` carries per-doc ``quality_col`` and ``tokens_col`` (e.g.
+    text.quality_score output). Canonical = max quality, ties broken by
+    min doc_id, so the pick is deterministic and replayable in SQL.
+
+    Scale shape: one hash equi-join on doc_id (components is the dup
+    subgraph only — tiny next to the corpus, broadcastable), one
+    row_number window partitioned by component (near-dup clusters are
+    small, so no window skew), one final aggregation keyed by component.
+    No driver state, no collect; every stage is a standard keyed shuffle
+    that AQE can coalesce.
+    """
+    from pyspark.sql import Window
+
+    ranked = components.join(
+        scored.select(
+            "doc_id",
+            F.col(quality_col).alias("_q"),
+            F.col(tokens_col).cast("long").alias("_tok"),
+        ),
+        "doc_id",
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("component").orderBy(
+                F.col("_q").desc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    return ranked.groupBy("component").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("canonical_doc"),
+        F.max(F.when(F.col("rn") == 1, F.col("_q"))).alias("canonical_quality"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("_tok").cast("long").alias("tokens_total"),
+        F.sum(F.when(F.col("rn") > 1, F.col("_tok")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tokens_saved"),
+    )

@@ -4236,6 +4236,68 @@ _ORACLES["c21_adaptive_quality_filter"] = """
 """
 
 
+def d28_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical pick per duplicate cluster: d04's LSH pairs → d07's
+    connected components → keep the highest-quality member (tie: min
+    doc_id), with tokens_total / tokens_saved accounting per cluster.
+    This is the keep/drop decision a real dedup pipeline executes after
+    detection — the reference (queries.go) stops at detection, so this
+    closes the pipeline end-to-end. Oracle replays the recursive-CTE
+    components plus a window argmax over the shared quality expression."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs,
+        F.col("text"),
+        F.col("doc_id"),
+        k=JACCARD_K,
+        threshold=JACCARD_THRESHOLD,
+    )
+    comp = dedup.connected_components(pairs)
+    scored = text.quality_score(docs, F.col("text"), F.col("doc_id"))
+    return dedup.canonical_selection(comp, scored)
+
+
+_ORACLES["d28_canonical_selection"] = f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    {_minhash_pair_ctes()},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    cc AS (
+      SELECT a AS node, a AS label FROM edges
+      UNION
+      SELECT e.b AS node, cc.label FROM cc JOIN edges e ON cc.node = e.a
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(label) AS component FROM cc GROUP BY node
+    ),
+    docq AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             {{quality}} AS quality
+      FROM (SELECT *, string_split(text, ' ') AS toks FROM documents) d
+    ),
+    ranked AS (
+      SELECT c.component, d.doc_id, d.n_tokens, d.quality,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.quality DESC, d.doc_id ASC) AS rn
+      FROM comp c JOIN docq d USING (doc_id)
+    )
+    SELECT component,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
+           MAX(CASE WHEN rn = 1 THEN quality END) AS canonical_quality,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN rn > 1 THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS tokens_saved
+    FROM ranked GROUP BY component
+"""
+_ORACLES["d28_canonical_selection"] = _ORACLES["d28_canonical_selection"].format(
+    quality=_QUALITY_EXPR
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "t01_token_stats": t01_token_stats,

@@ -7986,6 +7986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "src06_bucketed_join": src06_bucketed_join,
             "d27_dup_span_extents": llm_registry.d27_dup_span_extents,
             "src07_compacted_layout": src07_compacted_layout,
+            "d28_canonical_selection": llm_registry.d28_canonical_selection,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -700,3 +700,32 @@ def test_dup_span_extents_merges_islands(spark):
     assert out[2]["n_dup_spans"] == 1
     assert out[2]["covered_tokens"] == 8
     assert out[2]["n_tokens"] == 13
+
+
+def test_canonical_selection_argmax_and_savings(spark):
+    """Canonical = max quality (tie: min doc_id); tokens_saved = sum of
+    non-canonical members' tokens."""
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], ["doc_id", "component"]
+    )
+    scored = spark.createDataFrame(
+        [
+            (1, 10, 0.5),
+            (2, 20, 0.9),   # cluster 1 canonical (max quality)
+            (3, 30, 0.9),   # same quality, higher doc_id -> loses tie
+            (7, 40, 0.4),   # cluster 7 canonical (tie on 0.4, min doc_id)
+            (8, 50, 0.4),
+        ],
+        ["doc_id", "n_tokens", "quality"],
+    )
+    out = {
+        r["component"]: r
+        for r in dedup.canonical_selection(comp, scored).collect()
+    }
+    assert out[1]["canonical_doc"] == 2
+    assert out[1]["canonical_quality"] == 0.9
+    assert out[1]["n_members"] == 3
+    assert out[1]["tokens_total"] == 60
+    assert out[1]["tokens_saved"] == 40  # docs 1 and 3
+    assert out[7]["canonical_doc"] == 7
+    assert out[7]["tokens_saved"] == 50
