@@ -345,3 +345,69 @@ def temperature_mix(
         .filter(F.col("rank") <= F.col("target"))
         .select("doc_id", "stratum", "rank")
     )
+
+
+def epoch_plan(
+    df: DataFrame,
+    source: Column,
+    n_tokens: Column,
+    weights: dict[str, float],
+    budget_tokens: int,
+    max_epochs: float,
+) -> DataFrame:
+    """Epoch-allocation planner: given a global training token budget and
+    per-source mixture weights, how many EPOCHS (passes, possibly
+    fractional or repeated) of each source does the recipe imply, capped
+    at ``max_epochs`` repeats — the published-model data-mix table
+    (tokens sampled vs tokens available vs epochs), and the input c02's
+    replication mixing would consume at production scale. The reference
+    stops at per-source counts; budget planning is the step a 100 TB
+    corpus actually schedules from.
+
+    target = floor(normalized_weight x budget); epochs_needed =
+    target/available; served caps at ``max_epochs`` passes; deficit is
+    the shortfall the recipe cannot fill without more data (the
+    over-epoch warning in any data-mix review).
+
+    Scale shape: ONE source-keyed partial-aggregating groupBy over the
+    corpus; everything after runs on the per-source table (#sources
+    rows), where the global normalization window costs nothing. Weights
+    ride a literal map expression — no join, no extra input.
+    """
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    w_map = F.create_map(
+        *[F.lit(x) for k, v in weights.items() for x in (k, float(v))]
+    )
+    per = (
+        df.groupBy(source.alias("source"))
+        .agg(F.sum(n_tokens).cast("long").alias("avail_tokens"))
+        .withColumn("weight", F.coalesce(w_map[F.col("source")], F.lit(0.0)))
+        .filter(F.col("weight") > 0)
+    )
+    per = per.withColumn(
+        "w_norm", r6(F.col("weight") / F.sum("weight").over(Window.partitionBy()))
+    ).withColumn(
+        "target_tokens",
+        F.floor(F.col("w_norm") * F.lit(float(budget_tokens))).cast("long"),
+    )
+    per = per.withColumn(
+        "epochs_needed", r6(F.col("target_tokens") / F.col("avail_tokens"))
+    ).withColumn(
+        "epochs_served", F.least(F.col("epochs_needed"), F.lit(float(max_epochs)))
+    )
+    served = F.floor(F.col("epochs_served") * F.col("avail_tokens")).cast("long")
+    return per.select(
+        "source",
+        "avail_tokens",
+        "weight",
+        "w_norm",
+        "target_tokens",
+        "epochs_needed",
+        "epochs_served",
+        served.alias("served_tokens"),
+        F.greatest(F.col("target_tokens") - served, F.lit(0).cast("long")).alias(
+            "deficit_tokens"
+        ),
+    )

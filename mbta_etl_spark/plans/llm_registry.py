@@ -4298,6 +4298,74 @@ _ORACLES["d28_canonical_selection"] = _ORACLES["d28_canonical_selection"].format
 )
 
 
+EPOCH_BUDGET_TOKENS = 60_000
+EPOCH_MAX = 4.0
+
+
+def c22_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-allocation plan: the published-model data-mix table — per
+    source, available tokens vs the target implied by the (normalized)
+    mixture weights and a global token budget, epochs needed, epochs
+    served under a max-repeat cap, and the deficit the cap leaves
+    unfilled. Uses c02's MIX_WEIGHTS so the plan and the mixing operator
+    describe the same recipe. One corpus groupBy; the rest runs on the
+    #sources-row plan table (operators/sampling.epoch_plan)."""
+    from mbta_etl_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    return sampling.epoch_plan(
+        docs,
+        F.col("source"),
+        F.size(F.split("text", " ")),
+        MIX_WEIGHTS,
+        EPOCH_BUDGET_TOKENS,
+        EPOCH_MAX,
+    )
+
+
+_ORACLES["c22_epoch_plan"] = f"""
+    WITH per AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+      FROM documents GROUP BY source
+    ),
+    wt AS (
+      SELECT * FROM (VALUES {", ".join(f"('{k}', CAST({float(v)} AS DOUBLE))" for k, v in MIX_WEIGHTS.items())})
+             AS w(source, weight)
+    ),
+    j AS (
+      SELECT p.source, p.avail_tokens, w.weight
+      FROM per p JOIN wt w USING (source) WHERE w.weight > 0
+    ),
+    n AS (
+      SELECT *, FLOOR(weight / SUM(weight) OVER () * 1e6 + 0.5) / 1e6
+                AS w_norm
+      FROM j
+    ),
+    t AS (
+      SELECT *, CAST(FLOOR(w_norm * {EPOCH_BUDGET_TOKENS}) AS BIGINT)
+                AS target_tokens
+      FROM n
+    ),
+    e AS (
+      SELECT *, FLOOR(CAST(target_tokens AS DOUBLE) / avail_tokens * 1e6
+                      + 0.5) / 1e6 AS epochs_needed
+      FROM t
+    ),
+    s AS (
+      SELECT *, LEAST(epochs_needed, {EPOCH_MAX}) AS epochs_served FROM e
+    )
+    SELECT source, avail_tokens, weight, w_norm, target_tokens,
+           epochs_needed, epochs_served,
+           CAST(FLOOR(epochs_served * avail_tokens) AS BIGINT)
+               AS served_tokens,
+           GREATEST(target_tokens
+                    - CAST(FLOOR(epochs_served * avail_tokens) AS BIGINT),
+                    0) AS deficit_tokens
+    FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "t01_token_stats": t01_token_stats,

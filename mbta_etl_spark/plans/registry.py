@@ -7987,6 +7987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d27_dup_span_extents": llm_registry.d27_dup_span_extents,
             "src07_compacted_layout": src07_compacted_layout,
             "d28_canonical_selection": llm_registry.d28_canonical_selection,
+            "c22_epoch_plan": llm_registry.c22_epoch_plan,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

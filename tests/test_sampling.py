@@ -280,3 +280,35 @@ def test_temperature_mix_boosts_small_strata(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_epoch_plan_caps_and_deficit(spark):
+    """High-weight source exceeds the epoch cap and reports the deficit;
+    mid source is served fully; zero-weight source is excluded."""
+    from mbta_etl_spark.operators.sampling import epoch_plan
+
+    rows = (
+        [(i, "hi", 10) for i in range(10)]        # 100 tokens avail
+        + [(100 + i, "mid", 10) for i in range(100)]  # 1000 tokens avail
+        + [(300 + i, "drop", 10) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = {
+        r["source"]: r
+        for r in epoch_plan(
+            df,
+            F.col("source"),
+            F.col("n_tokens"),
+            {"hi": 3.0, "mid": 1.0, "drop": 0.0},
+            budget_tokens=2000,
+            max_epochs=4.0,
+        ).collect()
+    }
+    assert set(out) == {"hi", "mid"}
+    # w_norm: hi 0.75, mid 0.25 -> targets 1500 / 500
+    hi, mid = out["hi"], out["mid"]
+    assert hi["target_tokens"] == 1500 and hi["avail_tokens"] == 100
+    assert hi["epochs_needed"] == 15.0 and hi["epochs_served"] == 4.0
+    assert hi["served_tokens"] == 400 and hi["deficit_tokens"] == 1100
+    assert mid["target_tokens"] == 500 and mid["epochs_served"] == 0.5
+    assert mid["served_tokens"] == 500 and mid["deficit_tokens"] == 0
