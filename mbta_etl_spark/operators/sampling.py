@@ -411,3 +411,43 @@ def epoch_plan(
             "deficit_tokens"
         ),
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: Column,
+    source: Column,
+    n_tokens: Column,
+    n_shards: int,
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for dataloader prep: the
+    LAST step of a training-data pipeline — spread the corpus
+    pseudo-randomly over ``n_shards`` output shards and randomize order
+    within each shard, so any shard prefix is an unbiased corpus sample.
+
+    Shard assignment is content-hash mod n_shards and the intra-shard
+    order key is the salted md5 itself — NO global sort anywhere (a
+    NTILE-over-global-ORDER formulation would serialize 100 TB through
+    one window). The physical write is `repartition(shard_id)` +
+    `sortWithinPartitions(order_key)`: one hash exchange, per-partition
+    local sorts. Returns the per-shard audit a shuffle job ships with:
+    doc/token balance (hash-uniform by construction) and source mixing
+    (every shard should see ~all sources), plus the first/last order
+    keys that pin the intra-shard ordering deterministically.
+    """
+    key = F.md5(F.concat(F.lit(salt), id_col.cast("string")))
+    h = F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+    per = df.select(
+        (h % n_shards).alias("shard_id"),
+        key.alias("order_key"),
+        source.alias("source"),
+        n_tokens.cast("long").alias("n_tokens"),
+    )
+    return per.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("shard_tokens"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.min("order_key").alias("first_key"),
+        F.max("order_key").alias("last_key"),
+    )

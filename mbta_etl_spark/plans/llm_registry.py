@@ -4366,6 +4366,48 @@ _ORACLES["c22_epoch_plan"] = f"""
 """
 
 
+N_SHUFFLE_SHARDS = 16
+
+
+def c23_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-shuffle shard map for dataloader prep: content-hash shard
+    assignment (mod 16) + salted-md5 intra-shard order key — no global
+    sort — with the per-shard audit (doc/token balance, source mixing,
+    deterministic first/last order keys). The write path this audits is
+    repartition(shard_id) + sortWithinPartitions(order_key)
+    (operators/sampling.shuffle_shards)."""
+    from mbta_etl_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    return sampling.shuffle_shards(
+        docs,
+        F.col("doc_id"),
+        F.col("source"),
+        F.size(F.split("text", " ")),
+        N_SHUFFLE_SHARDS,
+    )
+
+
+_ORACLES["c23_shuffle_shards"] = f"""
+    WITH per AS (
+      SELECT CAST(CAST(('0x' || substr(md5('shard' ||
+                   CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                  % {N_SHUFFLE_SHARDS} AS BIGINT) AS shard_id,
+             md5('shard' || CAST(doc_id AS VARCHAR)) AS order_key,
+             source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           MIN(order_key) AS first_key,
+           MAX(order_key) AS last_key
+    FROM per GROUP BY shard_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "t01_token_stats": t01_token_stats,

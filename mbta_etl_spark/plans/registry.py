@@ -7988,6 +7988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "src07_compacted_layout": src07_compacted_layout,
             "d28_canonical_selection": llm_registry.d28_canonical_selection,
             "c22_epoch_plan": llm_registry.c22_epoch_plan,
+            "c23_shuffle_shards": llm_registry.c23_shuffle_shards,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -312,3 +312,25 @@ def test_epoch_plan_caps_and_deficit(spark):
     assert hi["served_tokens"] == 400 and hi["deficit_tokens"] == 1100
     assert mid["target_tokens"] == 500 and mid["epochs_served"] == 0.5
     assert mid["served_tokens"] == 500 and mid["deficit_tokens"] == 0
+
+
+def test_shuffle_shards_coverage_balance_determinism(spark):
+    """Every doc lands in exactly one shard, shards are hash-balanced,
+    and the map is deterministic across runs."""
+    from mbta_etl_spark.operators.sampling import shuffle_shards
+
+    rows = [(i, "a" if i % 2 else "b", 10 + i % 7) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = shuffle_shards(
+        df, F.col("doc_id"), F.col("source"), F.col("n_tokens"), 4
+    ).collect()
+    assert len(out) == 4
+    assert sum(r["n_docs"] for r in out) == 200
+    assert sum(r["shard_tokens"] for r in out) == sum(10 + i % 7 for i in range(200))
+    sizes = [r["n_docs"] for r in out]
+    assert max(sizes) < 2 * min(sizes)  # hash-uniform, no hot shard
+    assert all(r["n_sources"] == 2 for r in out)  # both sources mix in
+    again = shuffle_shards(
+        df, F.col("doc_id"), F.col("source"), F.col("n_tokens"), 4
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
