@@ -7430,6 +7430,50 @@ def src07_compacted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["src07_compacted_layout"] = _SRC_FIDELITY_ORACLE.format(where="")
 
 
+def src08_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution on read: half the documents land in a
+    legacy parquet batch (no n_tokens column), half in an evolved batch
+    that carries it; the merged scan unions footer schemas
+    (``mergeSchema``) and NULL-backfills the legacy rows — the contract
+    that lets a long-lived 100 TB ingest add columns without rewriting
+    history. The per-source census separates legacy (NULL) from evolved
+    rows, so the oracle can replay it from the doc_id parity split."""
+    import os
+
+    from mbta_etl_spark.sources.formats import evolved_read, scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source", "lang", "text")
+    legacy = base.filter(F.col("doc_id") % 2 == 0)
+    evolved = base.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "n_tokens", F.size(F.split("text", " ")).cast("long")
+    )
+    tag = f"src08_{os.path.basename(sf_dir.rstrip('/'))}"
+    merged = evolved_read(legacy, evolved, scratch_dir(spark, tag))
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_tokens").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_legacy"),
+        F.count("n_tokens").cast("long").alias("n_evolved"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("evolved_tokens"),
+    )
+
+
+_ORACLES["src08_schema_evolution"] = """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_legacy,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_evolved,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1
+                         THEN len(string_split(text, ' ')) ELSE 0 END)
+                AS BIGINT) AS evolved_tokens
+    FROM documents GROUP BY source
+"""
+
+
 ZORDER_BITS = 8
 ZORDER_FILES = 16
 
@@ -7989,6 +8033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d28_canonical_selection": llm_registry.d28_canonical_selection,
             "c22_epoch_plan": llm_registry.c22_epoch_plan,
             "c23_shuffle_shards": llm_registry.c23_shuffle_shards,
+            "src08_schema_evolution": src08_schema_evolution,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -75,6 +75,23 @@ def compact_files(
     return df.sparkSession.read.parquet(path)
 
 
+def evolved_read(old_df: DataFrame, new_df: DataFrame, path: str) -> DataFrame:
+    """Schema evolution on read: ``old_df`` (the legacy layout) and
+    ``new_df`` (same columns plus additions) land as separate parquet
+    batches under one root; the merged scan unions the footer schemas
+    (``mergeSchema``) and backfills the legacy rows' missing columns
+    with NULL — the standard additive-evolution contract of a long-lived
+    100 TB ingest, where rewriting history for every new column is off
+    the table. Merge cost is a distributed footer-schema union, O(#files
+    footers), not a data rewrite; scans and pushdown are unaffected."""
+    old_df.write.mode("overwrite").parquet(path + "/batch=legacy")
+    new_df.write.mode("overwrite").parquet(path + "/batch=evolved")
+    return (
+        old_df.sparkSession.read.option("mergeSchema", True)
+        .parquet(path + "/batch=legacy", path + "/batch=evolved")
+    )
+
+
 def scratch_dir(spark: SparkSession, tag: str) -> str:
     """Deterministic scratch path for round-trip entries: the local
     warehouse dir when it is writable (keeps artifacts next to the

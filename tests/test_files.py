@@ -133,3 +133,24 @@ def test_compact_files_reduces_and_range_partitions(spark, tmp_path):
     ranges.sort()
     for (lo_a, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
         assert hi_a < lo_b, f"file ranges overlap: {ranges}"
+
+
+def test_evolved_read_merges_and_backfills(spark, tmp_path):
+    """mergeSchema unions the footer schemas; legacy rows NULL-backfill
+    the added column; no row is lost or duplicated."""
+    from pyspark.sql import functions as F
+
+    from mbta_etl_spark.sources.formats import evolved_read
+
+    old = spark.createDataFrame([(1, "x"), (2, "y")], "id long, name string")
+    new = spark.createDataFrame(
+        [(3, "z", 30), (4, "w", 40)], "id long, name string, extra long"
+    )
+    merged = evolved_read(old, new, str(tmp_path / "evo"))
+    assert set(merged.columns) == {"id", "name", "extra"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert len(rows) == 4
+    assert rows[1]["extra"] is None and rows[2]["extra"] is None
+    assert rows[3]["extra"] == 30 and rows[4]["extra"] == 40
+    # pushdown on the evolved column still prunes legacy-NULL rows
+    assert merged.filter(F.col("extra") > 35).count() == 1
