@@ -451,3 +451,53 @@ def shuffle_shards(
         F.min("order_key").alias("first_key"),
         F.max("order_key").alias("last_key"),
     )
+
+
+def materialize_epochs(
+    df: DataFrame,
+    id_col: Column,
+    source: Column,
+    n_tokens: Column,
+    plan: DataFrame,
+) -> DataFrame:
+    """Materialize an epoch-allocation plan into the training stream:
+    replicate every document floor(epochs_served) times plus one
+    hash-fractional extra copy (the same integer+fractional replication
+    c02's weighted mixing uses, keyed so the choice of which docs carry
+    the fractional epoch is deterministic), then audit achieved tokens
+    per source against the plan's served_tokens.
+
+    Scale shape: the plan is a #sources-row table — broadcast join, no
+    shuffle to meet the corpus; replication is explode(sequence(...)),
+    a per-row codegen expansion with no driver loop; the audit is one
+    source-keyed partial aggregation. Output rows scale with
+    epochs x corpus — exactly the training stream a dataloader reads.
+    """
+    j = df.select(
+        id_col.alias("doc_id"),
+        source.alias("source"),
+        n_tokens.cast("long").alias("n_tokens"),
+    ).join(
+        F.broadcast(plan.select("source", "epochs_served", "served_tokens")),
+        "source",
+    )
+    whole = F.floor(F.col("epochs_served")).cast("long")
+    frac = F.col("epochs_served") - F.floor(F.col("epochs_served"))
+    extra = (
+        F.when(_bucket(F.col("doc_id"), "epoch") < frac * DENOM, 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    emitted = (
+        j.withColumn("copies", whole + extra)
+        .filter(F.col("copies") > 0)
+        .withColumn("rep", F.explode(F.sequence(F.lit(1), F.col("copies").cast("int"))))
+    )
+    return emitted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("emitted_rows"),
+        F.sum("n_tokens").cast("long").alias("achieved_tokens"),
+        F.max("served_tokens").alias("served_tokens"),
+        (
+            F.floor(F.sum("n_tokens") / F.max("served_tokens") * 1e6 + 0.5) / 1e6
+        ).alias("fill_ratio"),
+    )

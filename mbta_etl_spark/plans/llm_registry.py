@@ -4408,6 +4408,59 @@ _ORACLES["c23_shuffle_shards"] = f"""
 """
 
 
+def c24_epoch_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize c22's epoch plan into the actual training stream:
+    every doc replicated floor(epochs_served) times plus a
+    deterministic hash-fractional extra copy, then the per-source audit
+    of achieved vs planned tokens (fill_ratio ~= 1; deviation is only
+    fractional-hash rounding). Broadcast plan join + explode — no
+    driver loop (operators/sampling.materialize_epochs)."""
+    from mbta_etl_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    plan = c22_epoch_plan(spark, sf_dir)
+    return sampling.materialize_epochs(
+        docs,
+        F.col("doc_id"),
+        F.col("source"),
+        F.size(F.split("text", " ")),
+        plan,
+    )
+
+
+_ORACLES["c24_epoch_materialize"] = f"""
+    WITH plan AS ({{c22}}),
+    docs AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    j AS (
+      SELECT d.doc_id, d.source, d.n_tokens, p.epochs_served,
+             p.served_tokens
+      FROM docs d JOIN plan p USING (source)
+    ),
+    c AS (
+      SELECT *,
+             CAST(FLOOR(epochs_served) AS BIGINT)
+             + CASE WHEN {_bucket_sql('doc_id', 'epoch')}
+                        < (epochs_served - FLOOR(epochs_served)) * 10000
+                    THEN 1 ELSE 0 END AS copies
+      FROM j
+    )
+    SELECT source,
+           CAST(SUM(copies) AS BIGINT) AS emitted_rows,
+           CAST(SUM(copies * n_tokens) AS BIGINT) AS achieved_tokens,
+           MAX(served_tokens) AS served_tokens,
+           FLOOR(CAST(SUM(copies * n_tokens) AS DOUBLE)
+                 / MAX(served_tokens) * 1e6 + 0.5) / 1e6 AS fill_ratio
+    FROM c WHERE copies > 0 GROUP BY source
+"""
+_ORACLES["c24_epoch_materialize"] = _ORACLES["c24_epoch_materialize"].format(
+    c22=_ORACLES["c22_epoch_plan"]
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "t01_token_stats": t01_token_stats,

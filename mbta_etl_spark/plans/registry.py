@@ -8034,6 +8034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "c22_epoch_plan": llm_registry.c22_epoch_plan,
             "c23_shuffle_shards": llm_registry.c23_shuffle_shards,
             "src08_schema_evolution": src08_schema_evolution,
+            "c24_epoch_materialize": llm_registry.c24_epoch_materialize,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -334,3 +334,31 @@ def test_shuffle_shards_coverage_balance_determinism(spark):
         df, F.col("doc_id"), F.col("source"), F.col("n_tokens"), 4
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_materialize_epochs_replication_and_audit(spark):
+    """Whole epochs replicate every doc; the fractional epoch lands on a
+    deterministic hash-chosen subset; the audit reconciles to the plan."""
+    from mbta_etl_spark.operators.sampling import epoch_plan, materialize_epochs
+
+    rows = [(i, "s", 10) for i in range(50)]  # 500 tokens avail
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    plan = epoch_plan(
+        df, F.col("source"), F.col("n_tokens"), {"s": 1.0},
+        budget_tokens=1250, max_epochs=4.0,
+    )
+    # epochs_needed = 1250/500 = 2.5 -> whole=2, frac=0.5
+    out = materialize_epochs(
+        df, F.col("doc_id"), F.col("source"), F.col("n_tokens"), plan
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # every doc at least twice; ~half get a third copy (hash-fractional)
+    assert 100 < r["emitted_rows"] < 150
+    assert r["achieved_tokens"] == r["emitted_rows"] * 10
+    assert r["served_tokens"] == 1250
+    assert 0.8 < r["fill_ratio"] < 1.2
+    again = materialize_epochs(
+        df, F.col("doc_id"), F.col("source"), F.col("n_tokens"), plan
+    ).collect()
+    assert [tuple(x) for x in out] == [tuple(x) for x in again]
