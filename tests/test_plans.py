@@ -564,3 +564,44 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_c22_epoch_plan_partial_agg_no_python(spark):
+    """The corpus pass must partial-aggregate map-side (shuffle carries
+    sources, not rows) and stay fully JVM-side."""
+    from mbta_etl_spark.plans import llm_registry
+
+    plan = _plan(llm_registry.c22_epoch_plan(spark, SF_DIR_SMALL))
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_c23_shuffle_shards_single_corpus_exchange(spark):
+    """Shard stats are one hash aggregation keyed by the computed shard
+    id — no global sort/window anywhere (the NTILE formulation would
+    show a single-partition Sort)."""
+    from mbta_etl_spark.plans import llm_registry
+
+    plan = _plan(llm_registry.c23_shuffle_shards(spark, SF_DIR_SMALL))
+    assert "Window" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_c24_materialize_broadcasts_plan_side(spark):
+    """The #sources-row epoch plan must broadcast to the corpus scan —
+    the corpus never shuffles to meet its plan."""
+    from mbta_etl_spark.plans import llm_registry
+
+    plan = _plan(llm_registry.c24_epoch_materialize(spark, SF_DIR_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_src08_merged_scan_reads_evolved_column(spark):
+    """The mergeSchema scan must surface the evolved column in the read
+    schema (footer union), with the census still a partial-aggregating
+    single exchange."""
+    plan = _plan(registry.src08_schema_evolution(spark, SF_DIR_SMALL))
+    assert "n_tokens" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
