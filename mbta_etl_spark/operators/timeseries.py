@@ -708,3 +708,53 @@ def holt_linear(
         return res
 
     return bucketed.groupBy(*key_cols).applyInPandas(_one_series, schema=schema)
+
+
+def subseq_topk(series: DataFrame, bucket: str, value: str, w: int, k: int) -> DataFrame:
+    """Z-normalized sliding-window subsequence search over a regular
+    series: rank every length-``w`` window by squared z-distance to the
+    series' opening window (shape match — level and amplitude drop out),
+    excluding the trivial-match zone around the query. One window pass
+    (all leads + row_number share the spec) over the pre-aggregated
+    series table; the query vector is a 1-row broadcast; top-k is
+    TakeOrdered. Partition the window by a series key for per-series
+    search at scale. Sums are explicit left-associated chains so the
+    oracle replays them bit-for-bit."""
+    from functools import reduce
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    win = Window.orderBy(bucket)
+    feat = series.select(
+        bucket,
+        F.row_number().over(win).alias("rn"),
+        *[F.lead(value, j).over(win).alias(f"l{j}") for j in range(w)],
+    ).filter(F.col(f"l{w - 1}").isNotNull())
+    ls = [F.col(f"l{j}") for j in range(w)]
+    mean = reduce(lambda a, b: a + b, ls) / w
+    var = reduce(lambda a, b: a + b, [(l - mean) * (l - mean) for l in ls]) / w
+    std = F.sqrt(var)
+    z = feat.select(
+        bucket,
+        "rn",
+        *[((l - mean) / std).alias(f"z{j}") for j, l in enumerate(ls)],
+    )
+    q = z.filter(F.col("rn") == 1).select(
+        *[F.col(f"z{j}").alias(f"q{j}") for j in range(w)]
+    )
+    dist = r6(
+        reduce(
+            lambda a, b: a + b,
+            [
+                (F.col(f"z{j}") - F.col(f"q{j}"))
+                * (F.col(f"z{j}") - F.col(f"q{j}"))
+                for j in range(w)
+            ],
+        )
+    )
+    return (
+        z.filter(F.col("rn") > w)
+        .crossJoin(F.broadcast(q))
+        .select(bucket, dist.alias("dist"))
+        .orderBy("dist", bucket)
+        .limit(k)
+    )

@@ -7474,6 +7474,80 @@ _ORACLES["src08_schema_evolution"] = """
 """
 
 
+SUBSEQ_W = 8
+SUBSEQ_K = 5
+
+
+def ts26_subseq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search (the distributed
+    z-normalized sliding-window form, cf. EDBT'19 streaming TS
+    similarity): over the hourly mean series, find the top-5 windows
+    most similar in SHAPE to the series' opening 8-hour window —
+    z-normalize every sliding window so level and amplitude drop out,
+    rank by squared distance, exclude the trivial-match zone around the
+    query itself.
+
+    Scale shape: the sliding windows come from ONE window pass (all 8
+    leads + row_number share a single window spec) over the
+    pre-aggregated hourly table — the global-order window runs on
+    #buckets rows (thousands), never the fact table; the query vector
+    is a 1-row broadcast; top-k is TakeOrdered. Per-series search at
+    scale partitions the same window by series key. All sums are
+    explicit left-associated chains over 6dp-floored inputs, so the
+    arithmetic replays bit-for-bit on the oracle engine
+    (operators/timeseries.subseq_topk)."""
+    from mbta_etl_spark.operators import timeseries
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("bucket")
+        )
+        .agg(r6(F.avg("value")).alias("v"))
+    )
+    return timeseries.subseq_topk(hourly, "bucket", "v", SUBSEQ_W, SUBSEQ_K)
+
+
+def _subseq_oracle() -> str:
+    W, K = SUBSEQ_W, SUBSEQ_K
+    leads = ", ".join(
+        f"LEAD(v, {j}) OVER (ORDER BY bucket) AS l{j}" for j in range(W)
+    )
+    mean = "(" + " + ".join(f"l{j}" for j in range(W)) + f") / {W}"
+    var = (
+        "("
+        + " + ".join(f"(l{j} - m) * (l{j} - m)" for j in range(W))
+        + f") / {W}"
+    )
+    zs = ", ".join(f"(l{j} - m) / s AS z{j}" for j in range(W))
+    qs = ", ".join(f"z{j} AS q{j}" for j in range(W))
+    dist = " + ".join(f"(z{j} - q{j}) * (z{j} - q{j})" for j in range(W))
+    return f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             FLOOR(AVG(value) * 1e6 + 0.5) / 1e6 AS v
+      FROM events GROUP BY 1
+    ),
+    feat AS (
+      SELECT bucket, ROW_NUMBER() OVER (ORDER BY bucket) AS rn, {leads}
+      FROM hourly
+    ),
+    ok AS (SELECT * FROM feat WHERE l{W - 1} IS NOT NULL),
+    ms AS (SELECT *, {mean} AS m FROM ok),
+    msd AS (SELECT *, sqrt({var}) AS s FROM ms),
+    z AS (SELECT bucket, rn, {zs} FROM msd),
+    q AS (SELECT {qs} FROM z WHERE rn = 1)
+    SELECT bucket,
+           FLOOR(({dist}) * 1e6 + 0.5) / 1e6 AS dist
+    FROM z, q WHERE rn > {W}
+    ORDER BY dist, bucket LIMIT {K}
+    """
+
+
+_ORACLES["ts26_subseq_search"] = _subseq_oracle()
+
+
 ZORDER_BITS = 8
 ZORDER_FILES = 16
 
@@ -8035,6 +8109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "c23_shuffle_shards": llm_registry.c23_shuffle_shards,
             "src08_schema_evolution": src08_schema_evolution,
             "c24_epoch_materialize": llm_registry.c24_epoch_materialize,
+            "ts26_subseq_search": ts26_subseq_search,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

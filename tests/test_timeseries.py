@@ -243,3 +243,24 @@ def test_locf_ttl_expires_stale_values(spark):
     assert got[0] == 5.0  # own observation, age 0
     assert got[1] == 5.0  # 30 min old: carried
     assert got[2] is None  # 3 h old: expired
+
+
+def test_subseq_topk_finds_scaled_shifted_copy(spark):
+    """Z-normalization makes the search shape-only: a copy of the
+    opening pattern that is scaled 5x and shifted +100 must be the top
+    match with ~zero distance."""
+    from pyspark.sql import functions as F
+
+    from mbta_etl_spark.operators.timeseries import subseq_topk
+
+    pattern = [1.0, 3.0, 2.0, 5.0, 4.0, 7.0, 6.0, 9.0]
+    noise = [50.0, 10.0, 40.0, 20.0, 30.0, 25.0, 45.0, 15.0, 35.0, 22.0]
+    planted = [100 + 5 * x for x in pattern]  # same shape, new level/scale
+    series = pattern + noise + planted + noise[::-1]
+    rows = [(i, float(v)) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "bucket long, v double")
+    out = subseq_topk(df, "bucket", "v", w=8, k=3).collect()
+    # planted copy starts at index len(pattern)+len(noise) = 18
+    assert out[0]["bucket"] == 18
+    assert out[0]["dist"] < 1e-5
+    assert out[1]["dist"] > out[0]["dist"]
