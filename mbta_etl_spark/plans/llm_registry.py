@@ -4461,6 +4461,43 @@ _ORACLES["c24_epoch_materialize"] = _ORACLES["c24_epoch_materialize"].format(
 )
 
 
+def s21_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index persisted as a cell-partitioned TABLE and served from
+    the layout: assignment is written once partitionBy(cell), and the
+    query's nprobe cell filter becomes directory-level partition
+    pruning on the read-back — the scan opens nprobe directories, not
+    the corpus. This is the production shape of s05 (whose assignment
+    is recomputed per query): on Spark, an ANN index IS a table layout.
+    Same deterministic quantizer, so the result — and the oracle — are
+    exactly s05's."""
+    import os
+
+    from mbta_etl_spark.sources.formats import scratch_dir
+
+    emb = _emb(spark, sf_dir)
+    q = _query_vector(spark, sf_dir)
+    centroids = similarity.ivf_centroids(emb, "embedding", "vec_id")
+    assigned = similarity.ivf_assign(emb, "embedding", "vec_id", centroids)
+    tag = f"s21_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = scratch_dir(spark, tag)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    back = spark.read.parquet(path)
+    cells = similarity.ivf_probe_cells(centroids, q, nprobe=2)
+    cand = back.filter(F.col("cell").isin(cells)).filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    )
+    out = cand.select(
+        "vec_id",
+        "label",
+        F.col("cell").cast("long").alias("cell"),
+        similarity._pair_cos(F.col("embedding"), q).alias("cosine"),
+    )
+    return out.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(TOPK)
+
+
+_ORACLES["s21_ivf_persist"] = _ivf_topk_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "t01_token_stats": t01_token_stats,

@@ -8110,6 +8110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "src08_schema_evolution": src08_schema_evolution,
             "c24_epoch_materialize": llm_registry.c24_epoch_materialize,
             "ts26_subseq_search": ts26_subseq_search,
+            "s21_ivf_persist": llm_registry.s21_ivf_persist,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -605,3 +605,16 @@ def test_src08_merged_scan_reads_evolved_column(spark):
     plan = _plan(registry.src08_schema_evolution(spark, SF_DIR_SMALL))
     assert "n_tokens" in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_s21_probe_prunes_partitions_and_matches_s05(spark):
+    """The persisted IVF index must serve the query through directory-
+    level partition pruning (PartitionFilters on the cell predicate),
+    and — same deterministic quantizer — return exactly s05's answer."""
+    from mbta_etl_spark.plans import llm_registry
+
+    df = llm_registry.s21_ivf_persist(spark, SF_DIR_SMALL)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan and "cell" in plan
+    s05 = llm_registry.s05_ivf_topk(spark, SF_DIR_SMALL)
+    assert [tuple(r) for r in df.collect()] == [tuple(r) for r in s05.collect()]
