@@ -501,3 +501,44 @@ def materialize_epochs(
             F.floor(F.sum("n_tokens") / F.max("served_tokens") * 1e6 + 0.5) / 1e6
         ).alias("fill_ratio"),
     )
+
+
+def overlap_chunks(
+    df: DataFrame,
+    id_col: Column,
+    n_tokens: Column,
+    window: int,
+    stride: int,
+) -> DataFrame:
+    """RAG-style sliding-window chunking WITH overlap (stride < window):
+    per document, chunk i spans [i*stride, min(i*stride+window, n)) —
+    the indexing-time complement of chunk_pack's disjoint training
+    packing, where the overlap keeps context that a hard boundary would
+    sever. Emits one row per chunk with its token span, length, and
+    overlap with the previous chunk.
+
+    Pure integer arithmetic + explode(sequence(...)) — a per-row codegen
+    expansion, no shuffle at all (chunking is embarrassingly parallel
+    per document); output volume is ~n_tokens/stride rows per doc, the
+    index being built.
+    """
+    n = n_tokens.cast("long")
+    n_chunks = F.when(n <= window, F.lit(1).cast("long")).otherwise(
+        F.floor((n - window + stride - 1) / stride).cast("long") + 1
+    )
+    e = df.select(
+        id_col.alias("doc_id"), n.alias("n"), n_chunks.alias("n_chunks")
+    ).withColumn("chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)))
+    start = F.col("chunk_idx") * stride
+    end = F.least(start + window, F.col("n"))
+    prev_end = F.least((F.col("chunk_idx") - 1) * stride + window, F.col("n"))
+    return e.select(
+        "doc_id",
+        "chunk_idx",
+        start.alias("start_tok"),
+        end.alias("end_tok"),
+        (end - start).alias("chunk_len"),
+        F.when(F.col("chunk_idx") == 0, F.lit(0).cast("long"))
+        .otherwise(F.greatest(F.lit(0).cast("long"), prev_end - start))
+        .alias("overlap_prev"),
+    )

@@ -4498,6 +4498,60 @@ def s21_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["s21_ivf_persist"] = _ivf_topk_oracle()
 
 
+RAG_CHUNK_W = 32
+RAG_CHUNK_S = 24
+
+
+def c25_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG indexing-time chunking: sliding token windows with 25%
+    overlap (W=32, stride=24) per document — the complement of c04's
+    disjoint training packing; the overlap preserves context across
+    chunk boundaries. One row per chunk with span, length, and overlap
+    with the previous chunk (operators/sampling.overlap_chunks)."""
+    from mbta_etl_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    return sampling.overlap_chunks(
+        docs,
+        F.col("doc_id"),
+        F.size(F.split("text", " ")),
+        RAG_CHUNK_W,
+        RAG_CHUNK_S,
+    )
+
+
+_ORACLES["c25_overlap_chunks"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n,
+             CASE WHEN n <= {RAG_CHUNK_W} THEN CAST(1 AS BIGINT)
+                  ELSE CAST(FLOOR((n - {RAG_CHUNK_W} + {RAG_CHUNK_S} - 1)
+                                  / {RAG_CHUNK_S}.0) AS BIGINT) + 1
+             END AS n_chunks
+      FROM t
+    ),
+    e AS (
+      SELECT doc_id, n, CAST(u.i AS BIGINT) AS chunk_idx
+      FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
+    )
+    SELECT doc_id, chunk_idx,
+           chunk_idx * {RAG_CHUNK_S} AS start_tok,
+           LEAST(chunk_idx * {RAG_CHUNK_S} + {RAG_CHUNK_W}, n) AS end_tok,
+           LEAST(chunk_idx * {RAG_CHUNK_S} + {RAG_CHUNK_W}, n)
+               - chunk_idx * {RAG_CHUNK_S} AS chunk_len,
+           CASE WHEN chunk_idx = 0 THEN CAST(0 AS BIGINT)
+                ELSE GREATEST(CAST(0 AS BIGINT),
+                     LEAST((chunk_idx - 1) * {RAG_CHUNK_S} + {RAG_CHUNK_W}, n)
+                     - chunk_idx * {RAG_CHUNK_S})
+           END AS overlap_prev
+    FROM e
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "t01_token_stats": t01_token_stats,

@@ -8111,6 +8111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "c24_epoch_materialize": llm_registry.c24_epoch_materialize,
             "ts26_subseq_search": ts26_subseq_search,
             "s21_ivf_persist": llm_registry.s21_ivf_persist,
+            "c25_overlap_chunks": llm_registry.c25_overlap_chunks,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

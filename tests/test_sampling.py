@@ -362,3 +362,35 @@ def test_materialize_epochs_replication_and_audit(spark):
         df, F.col("doc_id"), F.col("source"), F.col("n_tokens"), plan
     ).collect()
     assert [tuple(x) for x in out] == [tuple(x) for x in again]
+
+
+def test_overlap_chunks_spans_and_overlap(spark):
+    """Chunks tile the doc with stride overlap; the last chunk clamps to
+    n; short docs yield exactly one chunk."""
+    from mbta_etl_spark.operators.sampling import overlap_chunks
+
+    df = spark.createDataFrame([(1, 80), (2, 20), (3, 33)], "doc_id long, n long")
+    out = overlap_chunks(
+        df, F.col("doc_id"), F.col("n"), window=32, stride=24
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(r)
+    for chunks in by.values():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+    # doc 1 (n=80): ceil((80-32)/24)+1 = 3 chunks
+    c1 = by[1]
+    assert [(r["start_tok"], r["end_tok"]) for r in c1] == [(0, 32), (24, 56), (48, 80)]
+    assert [r["overlap_prev"] for r in c1] == [0, 8, 8]
+    # doc 2 (n=20 <= 32): single clamped chunk
+    assert [(r["start_tok"], r["end_tok"], r["overlap_prev"]) for r in by[2]] == [(0, 20, 0)]
+    # doc 3 (n=33): two chunks, second clamps to 33 with overlap 8
+    assert [(r["start_tok"], r["end_tok"]) for r in by[3]] == [(0, 32), (24, 33)]
+    assert by[3][1]["overlap_prev"] == 8
+    # full coverage: union of spans reaches n with no gaps (stride < window)
+    for doc, chunks in by.items():
+        ends = 0
+        for r in chunks:
+            assert r["start_tok"] <= ends  # no gap
+            ends = max(ends, r["end_tok"])
+        assert ends == {1: 80, 2: 20, 3: 33}[doc]
