@@ -1066,3 +1066,62 @@ def canonical_selection(
         .cast("long")
         .alias("tokens_saved"),
     )
+
+
+def chunk_dedup_census(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    window: int,
+    stride: int,
+) -> DataFrame:
+    """Chunk-level dedup census over a RAG chunk index: slide the same
+    overlap windows sampling.overlap_chunks defines, hash each chunk's
+    token content, and report every chunk that appears more than once
+    corpus-wide — identical chunks arriving from near-dup documents are
+    the dominant redundancy in a retrieval index, and deduping them
+    shrinks both the index and the embedding bill. keep = the min
+    doc_id copy; tokens_redundant counts what dropping the rest saves.
+
+    Scale shape: chunk expansion is the shuffle-free explode; the ONLY
+    wide operation is the groupBy on the 16-byte content hash (uniform
+    by construction, partial-aggregating) — the shuffle carries hashes
+    and 8-byte ids, never chunk text.
+    """
+    toks = F.split(text, " ")
+    n = F.size(toks).cast("long")
+    n_chunks = F.when(n <= window, F.lit(1).cast("long")).otherwise(
+        F.floor((n - window + stride - 1) / stride).cast("long") + 1
+    )
+    base = df.select(
+        id_col.alias("doc_id"), toks.alias("_toks"), n.alias("n"),
+        n_chunks.alias("n_chunks"),
+    ).withColumn(
+        "chunk_idx",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)),
+    )
+    start = F.col("chunk_idx") * stride
+    end = F.least(start + window, F.col("n"))
+    clen = (end - start).alias("chunk_len")
+    chunk_text = F.concat_ws(
+        " ", F.slice(F.col("_toks"), (start + 1).cast("int"), (end - start).cast("int"))
+    )
+    chunks = base.select(
+        "doc_id",
+        "chunk_idx",
+        clen,
+        F.md5(chunk_text).alias("chunk_sha"),
+    )
+    return (
+        chunks.groupBy("chunk_sha")
+        .agg(
+            F.max("chunk_len").alias("chunk_len"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+            ((F.count(F.lit(1)) - 1) * F.max("chunk_len"))
+            .cast("long")
+            .alias("tokens_redundant"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )

@@ -4552,6 +4552,60 @@ _ORACLES["c25_overlap_chunks"] = f"""
 """
 
 
+def d29_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup census over the RAG index c25 defines:
+    identical overlap-window chunks appearing more than once
+    corpus-wide (the near-dup-document redundancy a retrieval index
+    inherits), with the min-doc keep choice and the token savings of
+    dropping the copies (operators/dedup.chunk_dedup_census)."""
+    return dedup.chunk_dedup_census(
+        _docs(spark, sf_dir),
+        F.col("text"),
+        F.col("doc_id"),
+        RAG_CHUNK_W,
+        RAG_CHUNK_S,
+    )
+
+
+_ORACLES["d29_chunk_dedup"] = f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks, n,
+             CASE WHEN n <= {RAG_CHUNK_W} THEN CAST(1 AS BIGINT)
+                  ELSE CAST(FLOOR((n - {RAG_CHUNK_W} + {RAG_CHUNK_S} - 1)
+                                  / {RAG_CHUNK_S}.0) AS BIGINT) + 1
+             END AS n_chunks
+      FROM t
+    ),
+    e AS (
+      SELECT doc_id, toks, n, CAST(u.i AS BIGINT) AS chunk_idx
+      FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
+    ),
+    ch AS (
+      SELECT doc_id, chunk_idx,
+             LEAST(chunk_idx * {RAG_CHUNK_S} + {RAG_CHUNK_W}, n)
+                 - chunk_idx * {RAG_CHUNK_S} AS chunk_len,
+             md5(array_to_string(
+                 toks[chunk_idx * {RAG_CHUNK_S} + 1
+                      : LEAST(chunk_idx * {RAG_CHUNK_S} + {RAG_CHUNK_W}, n)],
+                 ' ')) AS chunk_sha
+      FROM e
+    )
+    SELECT chunk_sha,
+           CAST(MAX(chunk_len) AS BIGINT) AS chunk_len,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keep_doc,
+           CAST((COUNT(*) - 1) * MAX(chunk_len) AS BIGINT)
+               AS tokens_redundant
+    FROM ch GROUP BY chunk_sha HAVING COUNT(*) >= 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "t01_token_stats": t01_token_stats,

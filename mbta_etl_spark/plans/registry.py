@@ -8112,6 +8112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts26_subseq_search": ts26_subseq_search,
             "s21_ivf_persist": llm_registry.s21_ivf_persist,
             "c25_overlap_chunks": llm_registry.c25_overlap_chunks,
+            "d29_chunk_dedup": llm_registry.d29_chunk_dedup,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

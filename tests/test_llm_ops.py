@@ -729,3 +729,20 @@ def test_canonical_selection_argmax_and_savings(spark):
     assert out[1]["tokens_saved"] == 40  # docs 1 and 3
     assert out[7]["canonical_doc"] == 7
     assert out[7]["tokens_saved"] == 50
+
+
+def test_chunk_dedup_census_finds_shared_chunks(spark, docs):
+    """Exact-dup docs share every chunk; the near-dup (doc 4, same
+    prefix) shares its OPENING chunk too — the sub-document redundancy
+    whole-doc dedup misses. keep = min doc_id; savings = copies-1."""
+    out = dedup.chunk_dedup_census(
+        docs, F.col("text"), F.col("doc_id"), window=8, stride=4
+    ).collect()
+    assert len(out) > 0
+    copies = sorted(r["n_copies"] for r in out)
+    assert copies[0] >= 2
+    assert max(copies) == 3  # docs 1, 2 AND near-dup 4 share the prefix chunk
+    for r in out:
+        assert r["keep_doc"] == 1
+        assert r["n_docs"] == r["n_copies"]  # one chunk per doc here
+        assert r["tokens_redundant"] == (r["n_copies"] - 1) * r["chunk_len"]
