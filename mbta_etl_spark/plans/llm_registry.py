@@ -4606,6 +4606,59 @@ _ORACLES["d29_chunk_dedup"] = f"""
 """
 
 
+MEDIA_SHARD_BYTES = 2048
+
+
+def m12_media_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style media shard packing: binary payloads walked in
+    id order per source stream and greedily packed into ~2 KiB shards
+    WITHOUT splitting a payload (a media file cannot straddle shards —
+    the no-straddle dual c05 applies to tokens, here on bytes). Returns
+    the per-shard census: item count, bytes used, fill ratio — the
+    shard manifest a media dataloader reads. Packing reuses
+    sampling.greedy_pack (per-source applyInPandas walk, O(1) state)."""
+    from mbta_etl_spark.operators import sampling
+
+    media = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    packed = sampling.greedy_pack(
+        media, "source", "doc_id", F.octet_length("payload"), MEDIA_SHARD_BYTES
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return packed.groupBy("source", F.col("bin").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("n_tokens").cast("long").alias("shard_bytes"),
+        r6(F.sum("n_tokens") / F.lit(float(MEDIA_SHARD_BYTES))).alias("fill_ratio"),
+    )
+
+
+_ORACLES["m12_media_shards"] = f"""
+    WITH RECURSIVE base AS (
+      SELECT source, doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents),
+    packed AS (
+      SELECT source, doc_id, n_bytes, rn, n_bytes AS fill,
+             CAST(0 AS BIGINT) AS bin
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.source, b.doc_id, b.n_bytes, b.rn,
+             CASE WHEN p.fill + b.n_bytes <= {MEDIA_SHARD_BYTES}
+                  THEN p.fill + b.n_bytes ELSE b.n_bytes END,
+             CASE WHEN p.fill + b.n_bytes <= {MEDIA_SHARD_BYTES}
+                  THEN p.bin ELSE p.bin + 1 END
+      FROM packed p JOIN base b ON b.source = p.source AND b.rn = p.rn + 1)
+    SELECT source, bin AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+           FLOOR(SUM(n_bytes) / {MEDIA_SHARD_BYTES}.0 * 1e6 + 0.5) / 1e6
+               AS fill_ratio
+    FROM packed GROUP BY source, bin
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "t01_token_stats": t01_token_stats,

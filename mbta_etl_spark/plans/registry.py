@@ -8113,6 +8113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s21_ivf_persist": llm_registry.s21_ivf_persist,
             "c25_overlap_chunks": llm_registry.c25_overlap_chunks,
             "d29_chunk_dedup": llm_registry.d29_chunk_dedup,
+            "m12_media_shards": llm_registry.m12_media_shards,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

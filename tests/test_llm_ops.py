@@ -746,3 +746,21 @@ def test_chunk_dedup_census_finds_shared_chunks(spark, docs):
         assert r["keep_doc"] == 1
         assert r["n_docs"] == r["n_copies"]  # one chunk per doc here
         assert r["tokens_redundant"] == (r["n_copies"] - 1) * r["chunk_len"]
+
+
+def test_media_shards_no_straddle_and_capacity(spark):
+    """No shard exceeds capacity unless a single oversized payload owns
+    it alone; every payload lands in exactly one shard."""
+    from mbta_etl_spark.plans.llm_registry import (
+        MEDIA_SHARD_BYTES,
+        m12_media_shards,
+    )
+    from tests.conftest import SF_DIR_SMALL
+
+    out = m12_media_shards(spark, SF_DIR_SMALL).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["n_items"] >= 1
+        if r["shard_bytes"] > MEDIA_SHARD_BYTES:
+            assert r["n_items"] == 1  # oversized single payload
+        assert abs(r["fill_ratio"] - r["shard_bytes"] / MEDIA_SHARD_BYTES) < 1e-6
