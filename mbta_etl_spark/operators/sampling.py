@@ -542,3 +542,58 @@ def overlap_chunks(
         .otherwise(F.greatest(F.lit(0).cast("long"), prev_end - start))
         .alias("overlap_prev"),
     )
+
+
+def pad_waste_census(
+    df: DataFrame, n_tokens: Column, bucket_caps: list[int]
+) -> DataFrame:
+    """Dataloader padding economics: assign every sequence to the
+    smallest length bucket that holds it (an explicit cap ladder — pure
+    integer CASE, no float log2 whose boundary rounding could differ
+    across engines) and measure, per bucket, the padding a
+    bucketed-batching dataloader pays (pad to the bucket cap) versus
+    naive global-max padding (pad every sequence to the corpus max).
+    The per-bucket ``waste_frac`` and ``naive_pad_tokens`` columns are
+    exactly the numbers that decide a packing strategy: high bucket
+    waste → add a bucket boundary; bucket≈naive → bucketing isn't
+    helping and the batcher should pack (c04/c05) instead.
+
+    Shape: one projection pass + one small groupBy on the bucket cap
+    (≤len(bucket_caps) groups — partial aggregation collapses each
+    partition to a handful of rows before the exchange), plus a 1-row
+    global max broadcast-joined onto the buckets. At 100 TB this is a
+    single corpus scan; the output is bounded by the ladder size.
+    Sequences longer than the top cap go to a final overflow bucket at
+    the observed max (they would be truncated or streamed in practice).
+    """
+    n = n_tokens.cast("long")
+    cap = None
+    for c in sorted(bucket_caps, reverse=True):
+        cap = F.lit(int(c)).cast("long") if cap is None else cap
+        cap = F.when(n <= int(c), F.lit(int(c)).cast("long")).otherwise(cap)
+    top = max(bucket_caps)
+    seqs = df.select(
+        n.alias("n"),
+        F.when(n > top, F.lit(None).cast("long")).otherwise(cap).alias("cap"),
+    )
+    per_bucket = seqs.groupBy("cap").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seqs"),
+        F.sum("n").cast("long").alias("sum_tokens"),
+        F.max("n").cast("long").alias("max_in_bucket"),
+    )
+    # overflow bucket pads to its own observed max
+    eff_cap = F.coalesce(F.col("cap"), F.col("max_in_bucket"))
+    global_max = seqs.agg(F.max("n").cast("long").alias("global_max"))
+    b = per_bucket.join(F.broadcast(global_max))
+    pad = eff_cap * F.col("n_seqs") - F.col("sum_tokens")
+    naive = F.col("global_max") * F.col("n_seqs") - F.col("sum_tokens")
+    return b.select(
+        eff_cap.alias("bucket_cap"),
+        "n_seqs",
+        "sum_tokens",
+        pad.alias("pad_tokens"),
+        (F.floor(pad / (eff_cap * F.col("n_seqs")) * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "waste_frac"
+        ),
+        naive.alias("naive_pad_tokens"),
+    )

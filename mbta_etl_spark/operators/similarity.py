@@ -787,3 +787,62 @@ def rrf_fuse(
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), F.asc(id_col)).limit(k)
+
+
+RP_OUT_DIM = 16
+
+
+def projection_matrix(dim: int, out_dim: int = RP_OUT_DIM) -> list[list[float]]:
+    """Deterministic ±1 Johnson–Lindenstrauss projection matrix:
+    component (k, i) is +1 iff the first hex nibble of md5(f"rp:{k}:{i}")
+    is even (Achlioptas-style sign projection; the "rp:" salt
+    decorrelates it from the LSH ``hyperplanes``). Pure public hashing —
+    the oracle SQL embeds the same rows as list literals."""
+    mat = []
+    for k in range(out_dim):
+        row = []
+        for i in range(dim):
+            digest = hashlib.md5(f"rp:{k}:{i}".encode()).hexdigest()
+            row.append(1.0 if int(digest[0], 16) % 2 == 0 else -1.0)
+        mat.append(row)
+    return mat
+
+
+def project_vec(vec: Column, matrix: list[list[float]]) -> Column:
+    """vec → array of out_dim components, each an ordered-fold dot
+    product against one ±1 matrix row (JVM higher-order functions; the
+    summation order matches the oracle's list_sum)."""
+    return F.array(*[_dot_lit(vec, row) for row in matrix])
+
+
+def random_projection_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    out_dim: int = RP_OUT_DIM,
+    exclude_id=None,
+) -> DataFrame:
+    """Brute-force cosine top-k in a JL-projected space: project every
+    vector (and the query) from dim → out_dim with the deterministic ±1
+    matrix, then rank by projected cosine. The scan arithmetic drops
+    4× (64→16 dims) and a materialized projected column would shrink
+    the index table the same way — the standard dim-reduction tier in
+    front of exact re-scoring. Projection is a per-row codegen
+    expression; the only wide op is the TakeOrdered top-k."""
+    matrix = projection_matrix(len(query), out_dim)
+    # project the query with plain left-to-right accumulation — the same
+    # IEEE summation order as the in-plan ordered fold and the oracle
+    pq = []
+    for row in matrix:
+        acc = 0.0
+        for a, b in zip(query, row):
+            acc += a * b
+        pq.append(acc)
+    projected = df.select(
+        F.col(id_col),
+        F.col("label"),
+        project_vec(F.col(vec_col), matrix).alias("_pv"),
+    )
+    return cosine_topk(projected, "_pv", id_col, pq, k, exclude_id)

@@ -4709,6 +4709,151 @@ _ORACLES["t26_bpe_merge_candidates"] = f"""
 """
 
 
+PAD_BUCKET_CAPS = (16, 24, 32, 48, 64, 96)
+
+
+def c26_pad_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataloader padding economics over the corpus: every document is
+    assigned to the smallest length bucket in an explicit cap ladder,
+    and each bucket reports the padding a bucketed-batching dataloader
+    pays versus naive pad-to-corpus-max — the measurement that decides
+    where to place bucket boundaries (or to switch to packed batches,
+    c04/c05). The top of the ladder (96) is deliberately below the
+    corpus max so the overflow path (pad to observed max) is exercised.
+    One corpus scan, a ≤7-group aggregate, and a broadcast 1-row global
+    max (operators/sampling.pad_waste_census)."""
+    from mbta_etl_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    return sampling.pad_waste_census(
+        docs, F.size(F.split("text", " ")), list(PAD_BUCKET_CAPS)
+    )
+
+
+_PAD_LADDER_SQL = " ".join(
+    f"WHEN n <= {c} THEN CAST({c} AS BIGINT)" for c in PAD_BUCKET_CAPS
+)
+
+_ORACLES["c26_pad_waste"] = f"""
+    WITH t AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    b AS (
+      SELECT n, CASE {_PAD_LADDER_SQL} ELSE NULL END AS cap FROM t
+    ),
+    g AS (SELECT MAX(n) AS global_max FROM t),
+    p AS (
+      SELECT cap, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+             CAST(SUM(n) AS BIGINT) AS sum_tokens,
+             CAST(MAX(n) AS BIGINT) AS max_in_bucket
+      FROM b GROUP BY cap
+    )
+    SELECT COALESCE(cap, max_in_bucket) AS bucket_cap, n_seqs, sum_tokens,
+           CAST(COALESCE(cap, max_in_bucket) * n_seqs - sum_tokens
+                AS BIGINT) AS pad_tokens,
+           FLOOR((COALESCE(cap, max_in_bucket) * n_seqs - sum_tokens) * 1.0
+                 / (COALESCE(cap, max_in_bucket) * n_seqs) * 1e6 + 0.5) / 1e6
+             AS waste_frac,
+           CAST(g.global_max * n_seqs - sum_tokens AS BIGINT)
+             AS naive_pad_tokens
+    FROM p, g
+"""
+
+
+def s22_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sign-projection retrieval audit: brute-force
+    cosine top-k in a 64→16 projected space (deterministic ±1 matrix,
+    operators/similarity.projection_matrix) against s01's exact top-k —
+    overlap and recall@k in one row. The dimension-reduction tier a
+    vector index runs in front of exact re-scoring: 4× less scan
+    arithmetic and a 4× smaller materialized index column, priced here
+    in recall. Counting stays in-plan (crossJoin of three 1-row
+    aggregates); the heavy stages are two TakeOrdered scans."""
+    q = _query_vector(spark, sf_dir)
+    exact = s01_cosine_topk(spark, sf_dir).select("vec_id")
+    proj = similarity.random_projection_topk(
+        _emb(spark, sf_dir), "embedding", "vec_id", q,
+        k=TOPK, exclude_id=QUERY_VEC_ID,
+    ).select("vec_id")
+    ne = exact.agg(F.count("*").alias("n_exact"))
+    np_ = proj.agg(F.count("*").alias("n_proj"))
+    nb = exact.join(proj, "vec_id").agg(F.count("*").alias("n_both"))
+    recall = (
+        F.floor(
+            F.col("n_both")
+            / F.when(F.col("n_exact") != 0, F.col("n_exact"))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    return (
+        ne.crossJoin(np_)
+        .crossJoin(nb)
+        .select("n_exact", "n_proj", "n_both", recall.alias("recall_at_k"))
+    )
+
+
+_RP_M_SQL = (
+    "["
+    + ", ".join(
+        "[" + ", ".join(str(x) for x in row) + "]"
+        for row in similarity.projection_matrix(EMB_DIM, similarity.RP_OUT_DIM)
+    )
+    + "]"
+)
+
+
+def _rp_proj(v: str) -> str:
+    return (
+        f"list_transform(range(1, {similarity.RP_OUT_DIM + 1}), k -> "
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> "
+        f"{v}[i] * rpm.m[k][i])))"
+    )
+
+
+def _dot_rp(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {similarity.RP_OUT_DIM + 1}), "
+        f"i -> {a}[i] * {b}[i]))"
+    )
+
+
+_ORACLES["s22_random_projection"] = f"""
+    WITH rpm AS (SELECT {_RP_M_SQL}::DOUBLE[][] AS m),
+    q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    pq AS (SELECT {_rp_proj('qv')} AS pv FROM q, rpm),
+    e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id <> {QUERY_VEC_ID}
+    ),
+    pe AS (SELECT vec_id, {_rp_proj('v')} AS pv FROM e, rpm),
+    scored AS (
+      SELECT pe.vec_id,
+             ROUND({_dot_rp('pe.pv', 'pq.pv')} /
+                   (sqrt({_dot_rp('pe.pv', 'pe.pv')})
+                    * sqrt({_dot_rp('pq.pv', 'pq.pv')})), 6) AS pcos
+      FROM pe, pq
+    ),
+    proj AS (SELECT vec_id FROM scored ORDER BY pcos DESC, vec_id LIMIT {TOPK}),
+    exact AS ({_ORACLES["s01_cosine_topk"]}),
+    ne AS (SELECT COUNT(*) AS n_exact FROM exact),
+    np AS (SELECT COUNT(*) AS n_proj FROM proj),
+    nb AS (SELECT COUNT(*) AS n_both
+           FROM exact e JOIN proj p ON e.vec_id = p.vec_id)
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_proj AS BIGINT) AS n_proj,
+           CAST(n_both AS BIGINT) AS n_both,
+           FLOOR(n_both * 1.0 / NULLIF(n_exact, 0) * 1e6 + 0.5) / 1e6
+             AS recall_at_k
+    FROM ne, np, nb
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "t01_token_stats": t01_token_stats,

@@ -7474,6 +7474,52 @@ _ORACLES["src08_schema_evolution"] = """
 """
 
 
+def src09_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-diff incremental ingestion: two-thirds of the documents
+    land as the established table, the remaining third arrives as a new
+    batch, and the incremental pass reads ONLY the files the manifest
+    diff surfaced (sources/formats.incremental_manifest_read) — old
+    files are never re-scanned, the cost is O(new batch) regardless of
+    table size. The per-source census of what the incremental read
+    ingested proves it captured exactly the new batch: the oracle
+    replays the doc_id % 3 == 0 slice from the original table, so any
+    old row leaking in (or new row missed) breaks every digest."""
+    import os
+
+    from mbta_etl_spark.sources.formats import (
+        incremental_manifest_read,
+        scratch_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    established = docs.filter(F.col("doc_id") % 3 != 0)
+    arriving = docs.filter(F.col("doc_id") % 3 == 0)
+    tag = f"src09_{os.path.basename(sf_dir.rstrip('/'))}"
+    fresh = incremental_manifest_read(
+        established, arriving, scratch_dir(spark, tag)
+    )
+    return fresh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("sum_tokens"),
+        F.min(F.md5(F.encode(F.col("text"), "utf-8"))).alias("min_text_md5"),
+    )
+
+
+_ORACLES["src09_incremental_manifest"] = """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+           MIN(md5(text)) AS min_text_md5
+    FROM documents WHERE doc_id % 3 = 0 GROUP BY source
+"""
+
+
 SUBSEQ_W = 8
 SUBSEQ_K = 5
 
@@ -8115,6 +8161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d29_chunk_dedup": llm_registry.d29_chunk_dedup,
             "m12_media_shards": llm_registry.m12_media_shards,
             "t26_bpe_merge_candidates": llm_registry.t26_bpe_merge_candidates,
+            "c26_pad_waste": llm_registry.c26_pad_waste,
+            "s22_random_projection": llm_registry.s22_random_projection,
+            "src09_incremental_manifest": src09_incremental_manifest,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

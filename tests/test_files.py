@@ -154,3 +154,46 @@ def test_evolved_read_merges_and_backfills(spark, tmp_path):
     assert rows[3]["extra"] == 30 and rows[4]["extra"] == 40
     # pushdown on the evolved column still prunes legacy-NULL rows
     assert merged.filter(F.col("extra") > 35).count() == 1
+
+
+def test_incremental_manifest_reads_only_new_files(spark, tmp_path):
+    """The manifest diff isolates the appended batch: the incremental
+    read returns exactly the new rows, and every file it scanned is one
+    the first manifest had never seen."""
+    from pyspark.sql import functions as F
+
+    from mbta_etl_spark.sources.formats import incremental_manifest_read
+
+    old = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit("old").alias("batch")
+    )
+    new = spark.range(100, 130).select(
+        F.col("id").alias("k"), F.lit("new").alias("batch")
+    )
+    root = str(tmp_path / "inc")
+    fresh = incremental_manifest_read(old, new, root)
+    rows = fresh.collect()
+    assert sorted(r["k"] for r in rows) == list(range(100, 130))
+    assert {r["batch"] for r in rows} == {"new"}
+    # the files behind the incremental frame are disjoint from the whole
+    # table's pre-append listing re-derived from the old rows
+    all_files = {
+        r[0]
+        for r in spark.read.parquet(root)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    fresh_files = {
+        r[0] for r in fresh.select(F.input_file_name()).distinct().collect()
+    }
+    old_files = {
+        r[0]
+        for r in spark.read.parquet(root)
+        .filter(F.col("batch") == "old")
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert fresh_files and fresh_files.isdisjoint(old_files)
+    assert fresh_files <= all_files

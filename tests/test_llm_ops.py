@@ -792,3 +792,29 @@ def test_bpe_merge_candidates_hand_computed(spark):
     assert counts["lo"] == 5 and counts["ow"] == 5
     assert counts["we"] == 2  # lower + lowest
     assert counts["er"] == 1 and counts["st"] == 1
+
+
+def test_random_projection_preserves_identical_and_orthogonal(spark):
+    """JL sign projection: a copy of the query projects to projected
+    cosine 1.0 and ranks first; the matrix is deterministic ±1."""
+    mat = similarity.projection_matrix(8, out_dim=4)
+    assert len(mat) == 4 and all(len(r) == 8 for r in mat)
+    assert all(x in (1.0, -1.0) for r in mat for x in r)
+    assert mat == similarity.projection_matrix(8, out_dim=4)
+    q = [1.0, 2.0, -1.0, 0.5, 3.0, -2.0, 1.5, 0.25]
+    rows = [
+        (0, 0, q),                      # the query itself (excluded)
+        (1, 0, [2 * x for x in q]),     # scaled copy -> pcos 1.0, first
+        (2, 0, [-x for x in q]),        # negated -> pcos -1.0, last
+        (3, 0, [0.9 * x + 0.1 for x in q]),  # near-copy
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = similarity.random_projection_topk(
+        df, "embedding", "vec_id", q, k=3, out_dim=4, exclude_id=0
+    ).collect()
+    ids = [r["vec_id"] for r in out]
+    assert ids[0] == 1 and ids[-1] == 2
+    assert out[0]["cosine"] == 1.0
+    assert out[-1]["cosine"] == -1.0

@@ -394,3 +394,30 @@ def test_overlap_chunks_spans_and_overlap(spark):
             assert r["start_tok"] <= ends  # no gap
             ends = max(ends, r["end_tok"])
         assert ends == {1: 80, 2: 20, 3: 33}[doc]
+
+
+def test_pad_waste_census_buckets_and_overflow(spark):
+    """Ladder assignment, per-bucket pad accounting, overflow bucket
+    padding to its own observed max, and naive-vs-bucketed comparison."""
+    from mbta_etl_spark.operators.sampling import pad_waste_census
+
+    # caps (8, 16): 5→8, 12→16, 16→16, 20/23→overflow (pad to 23)
+    df = spark.createDataFrame(
+        [(5,), (12,), (16,), (20,), (23,)], "n long"
+    )
+    out = {
+        r["bucket_cap"]: r
+        for r in pad_waste_census(df, F.col("n"), [8, 16]).collect()
+    }
+    assert set(out) == {8, 16, 23}
+    assert out[8]["n_seqs"] == 1 and out[8]["pad_tokens"] == 3
+    assert out[16]["n_seqs"] == 2 and out[16]["pad_tokens"] == (16 - 12) + 0
+    # overflow: two seqs padded to observed max 23
+    assert out[23]["n_seqs"] == 2
+    assert out[23]["pad_tokens"] == (23 - 20) + 0
+    # naive pads everything to the corpus max (23)
+    assert out[8]["naive_pad_tokens"] == 23 - 5
+    assert out[16]["naive_pad_tokens"] == 2 * 23 - (12 + 16)
+    # waste_frac = pad / (cap * n_seqs), 6dp half-up
+    assert out[8]["waste_frac"] == round(3 / 8, 6)
+    assert out[23]["waste_frac"] == round(3 / 46, 6)
