@@ -710,6 +710,89 @@ def holt_linear(
     return bucketed.groupBy(*key_cols).applyInPandas(_one_series, schema=schema)
 
 
+def holt_winters(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "day",
+    period: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+) -> DataFrame:
+    """Per-series additive Holt-Winters (level + trend + seasonal) over
+    bucketed means — the seasonality-aware rung above ``holt_linear``,
+    scoring the one-step-ahead forecast f_t = l_{t-1} + b_{t-1} +
+    s_{t-m} against the actual:
+
+        l_t = alpha*(x_t - s_{t-m}) + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+        s_t = gamma*(x_t - l_t)   + (1-gamma)*s_{t-m}
+
+    No-lookahead init at t = m (period): l_m = x_m, b_m = 0, s_i =
+    x_i - x_m for i = 1..m — every init term is a single IEEE subtract
+    on already-6dp-pinned bucket means, so the recursion is replayable
+    bit-for-bit by a recursive CTE carrying (level, trend, seasonal
+    LIST) with identical parenthesization. Emits one row per bucket
+    from t = m+1 with the forecast and absolute error, 6dp-floored at
+    emission only.
+
+    Execution shape: same two tiers as ``holt_linear`` — a distributed
+    bucket aggregate (map-side-combinable), then the inherently
+    sequential per-series recursion inside applyInPandas over the tiny
+    post-aggregate table. State is O(period) per series; parallelism is
+    across series, which is the only axis that grows at 100 TB.
+    Smoothing factors are exact binary fractions (0.5, 0.25) so both
+    engines' recursions multiply exactly.
+    """
+    import pandas as pd
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    b = F.date_trunc(bucket, F.col(ts_col)).cast("timestamp_ntz")
+    bucketed = df.groupBy(*key_cols, b.alias("bucket")).agg(
+        r6(F.avg(value_col)).alias("x")
+    )
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in bucketed.schema.fields
+        if f.name in key_cols
+    )
+    schema = (
+        f"{key_fields}, bucket timestamp_ntz, x double, "
+        "forecast double, abs_err double"
+    )
+    m = period
+
+    def _one_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket").reset_index(drop=True)
+        xs = [float(v) for v in pdf["x"]]
+        if len(xs) <= m:
+            return pdf.iloc[0:0][[*key_cols, "bucket", "x"]].assign(
+                forecast=[], abs_err=[]
+            )
+        lvl, trd = xs[m - 1], 0.0
+        s = [xs[i] - xs[m - 1] for i in range(m)]
+        fc, ae, idx = [], [], []
+        for t in range(m, len(xs)):
+            s0 = s[0]
+            f = lvl + trd + s0
+            x = xs[t]
+            new_l = alpha * (x - s0) + (1.0 - alpha) * (lvl + trd)
+            trd = beta * (new_l - lvl) + (1.0 - beta) * trd
+            s = s[1:] + [gamma * (x - new_l) + (1.0 - gamma) * s0]
+            lvl = new_l
+            fc.append(math.floor(f * 1e6 + 0.5) / 1e6)
+            ae.append(math.floor(abs(x - f) * 1e6 + 0.5) / 1e6)
+            idx.append(t)
+        res = pdf.iloc[idx][[*key_cols, "bucket", "x"]].copy()
+        res["forecast"] = fc
+        res["abs_err"] = ae
+        return res
+
+    return bucketed.groupBy(*key_cols).applyInPandas(_one_series, schema=schema)
+
+
 def subseq_topk(series: DataFrame, bucket: str, value: str, w: int, k: int) -> DataFrame:
     """Z-normalized sliding-window subsequence search over a regular
     series: rank every length-``w`` window by squared z-distance to the

@@ -1390,6 +1390,29 @@ def r02_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_rollup(ev, "ts", "user_id")
 
 
+R03_QUANTILES = (0.5, 0.95, 0.99)
+R03_LO, R03_WIDTH, R03_NBINS = 0.0, 25.0, 20
+
+
+def r03_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-quantile rollup audit: per-(day, bin) counts
+    as the stored partials (merge = SUM, r01's algebra applied to
+    quantiles), p50/p95/p99 read by linear interpolation inside the
+    merged 20-bin histogram, each beside the exact full-sort percentile
+    and the absolute gap. The any-range-p95 primitive a metrics
+    pipeline stores instead of raw values — and, unlike the HLL entry
+    (r02), every number here is deterministic, so the oracle replays
+    the estimator end-to-end (operators/rollup.histogram_quantile_rollup)."""
+    from mbta_etl_spark.operators.rollup import histogram_quantile_rollup
+
+    ev = _events(spark, sf_dir).select("ts", "value")
+    return histogram_quantile_rollup(
+        ev, "ts", "value", R03_QUANTILES, R03_LO, R03_WIDTH, R03_NBINS
+    )
+
+
+
+
 def j09_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-event join by composition: for each purchase, the click
     closest in time (either direction; backward wins ties) — two as-of
@@ -7594,6 +7617,113 @@ def _subseq_oracle() -> str:
 _ORACLES["ts26_subseq_search"] = _subseq_oracle()
 
 
+_ORACLES["r03_histogram_quantile"] = """
+    WITH partials AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             CAST(LEAST(19, GREATEST(0, FLOOR((value - 0.0) / 25.0)))
+                  AS BIGINT) AS bin,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    merged AS (
+      SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM partials GROUP BY 1),
+    cum AS (
+      SELECT bin, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
+      FROM merged),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             FLOOR(quantile_cont(value, 0.50) * 1e6 + 0.5) / 1e6 AS ex0,
+             FLOOR(quantile_cont(value, 0.95) * 1e6 + 0.5) / 1e6 AS ex1,
+             FLOOR(quantile_cont(value, 0.99) * 1e6 + 0.5) / 1e6 AS ex2
+      FROM events),
+    qs AS (SELECT * FROM (VALUES (CAST(0.50 AS DOUBLE), 0),
+                                 (CAST(0.95 AS DOUBLE), 1),
+                                 (CAST(0.99 AS DOUBLE), 2)) t(q, qi)),
+    targeted AS (
+      SELECT q.q, s.n, q.q * CAST(s.n AS DOUBLE) AS target,
+             CASE q.qi WHEN 0 THEN s.ex0 WHEN 1 THEN s.ex1
+                       ELSE s.ex2 END AS exact_value
+      FROM qs q, stats s),
+    hit AS (
+      SELECT t.q, t.n, t.target, t.exact_value, c.bin, c.cnt, c.cum,
+             ROW_NUMBER() OVER (PARTITION BY t.q ORDER BY c.bin) AS rn
+      FROM targeted t JOIN cum c ON CAST(c.cum AS DOUBLE) >= t.target),
+    picked AS (
+      SELECT q, n, exact_value,
+             0.0 + CAST(bin AS DOUBLE) * 25.0
+                 + 25.0 * (target - CAST(cum - cnt AS DOUBLE))
+                   / CAST(cnt AS DOUBLE) AS est
+      FROM hit WHERE rn = 1)
+    SELECT q, n,
+           FLOOR(est * 1e6 + 0.5) / 1e6 AS est_value,
+           exact_value,
+           FLOOR(ABS(FLOOR(est * 1e6 + 0.5) / 1e6 - exact_value)
+                 * 1e6 + 0.5) / 1e6 AS abs_err
+    FROM picked
+"""
+
+
+def ts25_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type additive Holt-Winters (level + trend + weekly
+    seasonal, m=7) over daily means with one-step-ahead forecast error —
+    the seasonality-aware upgrade of ts14's Holt smoother, closing the
+    classic exponential-smoothing ladder (ts11 seasonal-naive → ts14
+    Holt → this). Same post-aggregate applyInPandas recursion tier as
+    ts13/ts14; the oracle replays it with a recursive CTE whose state
+    row carries (level, trend) plus the m-slot seasonal vector as a
+    LIST column, popped and appended each step with identical
+    parenthesization (operators/timeseries.holt_winters)."""
+    from mbta_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).select("event_type", "ts", "value")
+    return timeseries.holt_winters(ev, ["event_type"], "ts", "value")
+
+
+_ORACLES["ts25_holt_winters"] = """
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             FLOOR(AVG(value) * 1e6 + 0.5) / 1e6 AS x
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT event_type, bucket, x,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY bucket) AS rn
+      FROM daily),
+    init AS (
+      SELECT event_type, list(x ORDER BY rn) AS xs
+      FROM seq WHERE rn <= 7 GROUP BY 1),
+    hw AS (
+      SELECT event_type,
+             CAST(7 AS BIGINT) AS rn,
+             xs[7] AS lvl,
+             CAST(0.0 AS DOUBLE) AS trd,
+             list_transform(xs, v -> v - xs[7]) AS s,
+             CAST(NULL AS DOUBLE) AS f,
+             CAST(NULL AS DOUBLE) AS x,
+             CAST(NULL AS TIMESTAMP) AS bucket
+      FROM init
+      UNION ALL
+      SELECT q.event_type, q.rn,
+             0.5 * (q.x - hw.s[1]) + 0.5 * (hw.lvl + hw.trd) AS lvl,
+             0.25 * ((0.5 * (q.x - hw.s[1]) + 0.5 * (hw.lvl + hw.trd))
+                     - hw.lvl) + 0.75 * hw.trd AS trd,
+             list_append(hw.s[2:7],
+                 0.25 * (q.x - (0.5 * (q.x - hw.s[1])
+                                + 0.5 * (hw.lvl + hw.trd)))
+                 + 0.75 * hw.s[1]) AS s,
+             hw.lvl + hw.trd + hw.s[1] AS f,
+             q.x AS x, q.bucket AS bucket
+      FROM seq q JOIN hw
+        ON q.event_type = hw.event_type AND q.rn = hw.rn + 1)
+    SELECT event_type, bucket, x,
+           FLOOR(f * 1e6 + 0.5) / 1e6 AS forecast,
+           FLOOR(ABS(x - f) * 1e6 + 0.5) / 1e6 AS abs_err
+    FROM hw WHERE rn >= 8
+"""
+
+
 ZORDER_BITS = 8
 ZORDER_FILES = 16
 
@@ -8164,6 +8294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "c26_pad_waste": llm_registry.c26_pad_waste,
             "s22_random_projection": llm_registry.s22_random_projection,
             "src09_incremental_manifest": src09_incremental_manifest,
+            "ts25_holt_winters": ts25_holt_winters,
+            "r03_histogram_quantile": r03_histogram_quantile,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration
