@@ -127,6 +127,86 @@ def sketch_rollup(
     return per_bucket.unionAll(total)
 
 
+def cms_rollup(
+    tokens: DataFrame,
+    token_col: str = "token",
+    part_col: str = "source",
+    depth: int = 4,
+    width: int = 64,
+    topk: int = 10,
+) -> DataFrame:
+    """Count-Min Sketch as a mergeable rollup, audited against exact
+    counts — the frequency-sketch member of the rollup family (r01 sums,
+    r02 HLL distinct, r03 histogram quantiles, this point frequencies).
+    The stored partial table is per-(partition, row, col) cell counts of
+    a depth×width sketch whose merge is SUM — cell-wise addition, the
+    same algebra as r01 — so a standing sketch answers "how often does
+    token X appear" over any partition subset at O(depth) read cost
+    with no token dictionary stored at all: O(partitions · depth ·
+    width) integers regardless of vocabulary size. Hash family is
+    md5(token || ':' || row) mod width — engine-portable, replayed
+    bit-for-bit by the DuckDB oracle.
+
+    The read side estimates each of the exact top-``topk`` tokens as
+    min over rows of its cell count, and emits the estimate beside the
+    exact count and the overcount (est - exact, provably >= 0: every
+    occurrence of the token lands in its own cell; collisions only
+    add). The audit makes the sketch's one-sided error measurable —
+    the number a pipeline reads before trusting CMS at 100 TB, where
+    the exact count needs a full shuffle and the sketch needs none.
+
+    Scale shape: one explode(depth) over the token table feeds one
+    map-side-combinable groupBy — cells, not tokens, cross the
+    shuffle boundary (≤ partitions·depth·width rows). The top-k probe
+    joins k·depth cell keys against the width·depth merged sketch,
+    both broadcast-sized.
+    """
+    from mbta_etl_spark.functions.texthash import md5_32
+
+    tok = F.col(token_col)
+    rows = F.explode(
+        F.sequence(F.lit(0), F.lit(depth - 1))
+    ).alias("r")
+    keyed = tokens.select(tok.alias("token"), F.col(part_col).alias("part")).select(
+        "token", "part", rows
+    )
+    cells = keyed.select(
+        "part",
+        "r",
+        (md5_32(F.concat_ws(":", F.col("token"), F.col("r"))) % width).alias("c"),
+    )
+    # stored partials: per-(partition, row, col) counts — merge = SUM
+    partials = cells.groupBy("part", "r", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    merged = partials.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+    exact = (
+        tokens.groupBy(tok.alias("token"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "token")
+        .limit(topk)
+    )
+    probes = exact.select(
+        "token",
+        "exact_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+    ).select(
+        "token",
+        "exact_cnt",
+        "r",
+        (md5_32(F.concat_ws(":", F.col("token"), F.col("r"))) % width).alias("c"),
+    )
+    est = (
+        probes.join(F.broadcast(merged), ["r", "c"])
+        .groupBy("token")
+        .agg(F.first("exact_cnt").alias("exact_cnt"), F.min("cnt").alias("est_cnt"))
+    )
+    return est.select(
+        "token",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+    ).orderBy(F.desc("exact_cnt"), "token")
+
+
 def histogram_quantile_rollup(
     df: DataFrame,
     ts_col: str,

@@ -793,6 +793,68 @@ def holt_winters(
     return bucketed.groupBy(*key_cols).applyInPandas(_one_series, schema=schema)
 
 
+def seasonal_mad_anomalies(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "day",
+    season: int = 7,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Seasonal-profile robust anomaly detection: per-series day-of-week
+    median profile, residual against the profile, and a MAD-scaled
+    robust z-score — flag buckets where |resid| / (1.4826·MAD) exceeds
+    ``threshold``. The STL-lite outlier detector a metrics pipeline
+    runs where ts04's rolling z-score fails: medians shrug off the
+    outliers themselves (no masking), and the weekly profile keeps
+    ordinary weekend dips from flagging.
+
+    Day-of-week is epoch-day mod 7 (engine-portable — no locale
+    dayofweek). All medians are grouped aggregates joined back via
+    broadcast (profile: keys×7 rows; MAD: one row per series), so the
+    fact table is scanned once into the bucket aggregate and everything
+    downstream shuffles O(series·buckets) rows. Residual, MAD, and
+    score are arithmetic over identically-pinned doubles in a fixed
+    parenthesization — bit-equal in any engine — and 6dp-floored at
+    emission only.
+    """
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    b = F.date_trunc(bucket, F.col(ts_col)).cast("timestamp_ntz")
+    daily = df.groupBy(*key_cols, b.alias("bucket")).agg(
+        r6(F.avg(value_col)).alias("x")
+    )
+    dow = (
+        F.datediff(F.col("bucket").cast("date"), F.to_date(F.lit("1970-01-01")))
+        % season
+    ).cast("int")
+    daily = daily.withColumn("dow", dow)
+    prof = daily.groupBy(*key_cols, "dow").agg(
+        F.percentile("x", F.lit(0.5)).alias("_profile")
+    )
+    joined = daily.join(F.broadcast(prof), [*key_cols, "dow"]).withColumn(
+        "_resid", F.col("x") - F.col("_profile")
+    )
+    mad = joined.groupBy(*key_cols).agg(
+        F.percentile(F.abs("_resid"), F.lit(0.5)).alias("_mad")
+    )
+    scored = (
+        joined.join(F.broadcast(mad), list(key_cols))
+        .filter(F.col("_mad") > 0)
+        .withColumn("_score", F.col("_resid") / (F.lit(1.4826) * F.col("_mad")))
+        .filter(F.abs(F.col("_score")) > F.lit(threshold))
+    )
+    return scored.select(
+        *key_cols,
+        "bucket",
+        "dow",
+        "x",
+        r6(F.col("_profile")).alias("profile"),
+        r6(F.col("_resid")).alias("resid"),
+        r6(F.col("_score")).alias("score"),
+    ).orderBy(*key_cols, "bucket")
+
+
 def subseq_topk(series: DataFrame, bucket: str, value: str, w: int, k: int) -> DataFrame:
     """Z-normalized sliding-window subsequence search over a regular
     series: rank every length-``w`` window by squared z-distance to the

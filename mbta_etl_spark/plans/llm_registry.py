@@ -4659,6 +4659,72 @@ _ORACLES["m12_media_shards"] = f"""
 """
 
 
+CMS_DEPTH, CMS_WIDTH, CMS_TOPK = 4, 64, 10
+
+
+def r04_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch rollup audit over the corpus token stream:
+    per-(source, row, col) cell counts of a 4×64 sketch as the stored
+    mergeable partials (merge = cell-wise SUM, r01's algebra), the
+    merged sketch probed for the exact top-10 tokens, each estimate
+    beside the exact count and the one-sided overcount. The frequency
+    member of the sketch-rollup family (r02 HLL distinct, r03 histogram
+    quantiles) — answers point frequency queries over any partition
+    subset with no token dictionary stored, at O(depth) read cost
+    (operators/rollup.cms_rollup). Hashes are md5-derived, so the
+    oracle replays every cell bit-for-bit."""
+    from mbta_etl_spark.operators.rollup import cms_rollup
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            F.explode(F.split(F.col("text"), " ")).alias("token"),
+            "source",
+        )
+        .filter(F.col("token") != "")
+    )
+    return cms_rollup(
+        toks, "token", "source", depth=CMS_DEPTH, width=CMS_WIDTH, topk=CMS_TOPK
+    )
+
+
+_ORACLES["r04_cms_rollup"] = f"""
+    WITH toks AS (
+      SELECT source, t.tok
+      FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      WHERE t.tok <> ''),
+    rows_ AS (SELECT r FROM generate_series(0, {CMS_DEPTH - 1}) g(r)),
+    cells AS (
+      SELECT source AS part, r,
+             CAST(CAST(('0x' || substr(md5(tok || ':' || CAST(r AS VARCHAR)),
+                                       1, 8)) AS UBIGINT)
+                  % {CMS_WIDTH} AS BIGINT) AS c
+      FROM toks CROSS JOIN rows_),
+    partials AS (
+      SELECT part, r, c, COUNT(*) AS cnt FROM cells GROUP BY 1, 2, 3),
+    merged AS (
+      SELECT r, c, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM partials GROUP BY 1, 2),
+    exact AS (
+      SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM toks GROUP BY 1
+      ORDER BY exact_cnt DESC, token LIMIT {CMS_TOPK}),
+    probes AS (
+      SELECT e.token, e.exact_cnt, g.r,
+             CAST(CAST(('0x' || substr(md5(e.token || ':'
+                                           || CAST(g.r AS VARCHAR)), 1, 8))
+                       AS UBIGINT) % {CMS_WIDTH} AS BIGINT) AS c
+      FROM exact e CROSS JOIN rows_ g),
+    est AS (
+      SELECT p.token,
+             MIN(p.exact_cnt) AS exact_cnt,
+             CAST(MIN(m.cnt) AS BIGINT) AS est_cnt
+      FROM probes p JOIN merged m USING (r, c) GROUP BY 1)
+    SELECT token, exact_cnt, est_cnt, est_cnt - exact_cnt AS overcount
+    FROM est ORDER BY exact_cnt DESC, token
+"""
+
+
 BPE_MERGE_TOPK = 20
 
 

@@ -7724,6 +7724,57 @@ _ORACLES["ts25_holt_winters"] = """
 """
 
 
+TS27_THRESHOLD = 2.5
+
+
+def ts27_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-profile robust outliers: per-event-type day-of-week
+    median profile over daily means, MAD-scaled residual score, and the
+    buckets whose |score| clears the threshold — the STL-lite anomaly
+    detector that survives what breaks ts04's rolling z-score (median
+    profile immune to the outliers it hunts; weekly shape not flagged
+    as drift). Day-of-week is epoch-day mod 7, portable to any engine
+    (operators/timeseries.seasonal_mad_anomalies)."""
+    from mbta_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).select("event_type", "ts", "value")
+    return timeseries.seasonal_mad_anomalies(
+        ev, ["event_type"], "ts", "value", threshold=TS27_THRESHOLD
+    )
+
+
+_ORACLES["ts27_seasonal_anomaly"] = f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             FLOOR(AVG(value) * 1e6 + 0.5) / 1e6 AS x
+      FROM events GROUP BY 1, 2),
+    d2 AS (
+      SELECT *,
+             CAST((CAST(bucket AS DATE) - DATE '1970-01-01') % 7
+                  AS INTEGER) AS dow
+      FROM daily),
+    prof AS (
+      SELECT event_type, dow, quantile_cont(x, 0.5) AS profile
+      FROM d2 GROUP BY 1, 2),
+    r AS (
+      SELECT d.event_type, d.bucket, d.dow, d.x, p.profile,
+             d.x - p.profile AS resid
+      FROM d2 d JOIN prof p USING (event_type, dow)),
+    m AS (
+      SELECT event_type, quantile_cont(ABS(resid), 0.5) AS mad
+      FROM r GROUP BY 1)
+    SELECT r.event_type, r.bucket, r.dow, r.x,
+           FLOOR(r.profile * 1e6 + 0.5) / 1e6 AS profile,
+           FLOOR(r.resid * 1e6 + 0.5) / 1e6 AS resid,
+           FLOOR(r.resid / (1.4826 * m.mad) * 1e6 + 0.5) / 1e6 AS score
+    FROM r JOIN m USING (event_type)
+    WHERE m.mad > 0
+      AND ABS(r.resid / (1.4826 * m.mad)) > {TS27_THRESHOLD}
+    ORDER BY event_type, bucket
+"""
+
+
 ZORDER_BITS = 8
 ZORDER_FILES = 16
 
@@ -8296,6 +8347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "src09_incremental_manifest": src09_incremental_manifest,
             "ts25_holt_winters": ts25_holt_winters,
             "r03_histogram_quantile": r03_histogram_quantile,
+            "r04_cms_rollup": llm_registry.r04_cms_rollup,
+            "ts27_seasonal_anomaly": ts27_seasonal_anomaly,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

