@@ -1125,3 +1125,102 @@ def chunk_dedup_census(
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+def bloom_decontam_audit(
+    train: DataFrame,
+    test: DataFrame,
+    text: Column,
+    id_col: Column,
+    group_col: str,
+    k: int = 8,
+    m: int = 4096,
+    n_hash: int = 3,
+) -> DataFrame:
+    """The bloom-filter pre-screen ``decontaminate_ngrams``'s docstring
+    promises, with its false-positive rate MEASURED instead of assumed:
+    the held-out set's shingle keys are folded into an m-bit bloom
+    (n_hash universal hashes over the 32-bit md5 prefix — the same
+    Carter-Wegman family as MinHash), every train shingle is probed
+    against it, and the exact semi-join runs alongside, so each source
+    reports n_grams / exact hits / bloom hits / false positives / FPR.
+    At 100 TB the bloom replaces a test-key broadcast that no longer
+    fits: O(m) bits regardless of benchmark size, merge = bitwise OR
+    (here the set-bit relation, unioned DISTINCT — the same object),
+    and the audit tells you what the m you picked actually costs in
+    needless recheck work.
+
+    Shape: the bloom's set-bit table (≤ m rows) collapses to ONE
+    collect_set row that rides a broadcast nested-loop join onto the
+    train shingle table — three array_contains tests per shingle, no
+    extra shuffle; the exact probe is the same broadcast semi d08 uses.
+    The only corpus-sized aggregations are the per-source counts.
+    Invariant (pinned by test + the n_fp column): bloom hits ⊇ exact
+    hits, because an exact-matching key sets its own bits.
+    """
+    test_sh = (
+        _shingle_table(test, text, id_col, k)
+        .select("sh64")
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by bits AND the exact probe
+    )
+    x_test = F.expr("sh64 DIV 268435456")
+    positions = [
+        ((F.lit(_mh_a(j)) * x_test + F.lit(_mh_b(j))) % F.lit(MINHASH_PRIME))
+        % F.lit(m)
+        for j in range(n_hash)
+    ]
+    bits = (
+        test_sh.select(F.explode(F.array(*positions)).alias("bit"))
+        .distinct()
+        .agg(F.collect_set("bit").alias("bits"))
+    )
+    train_sh = _shingle_table(train, text, id_col, k)
+    x = F.expr("sh64 DIV 268435456")
+    probe = train_sh.crossJoin(F.broadcast(bits))
+    bloom_hit = None
+    for j in range(n_hash):
+        p = ((F.lit(_mh_a(j)) * x + F.lit(_mh_b(j))) % F.lit(MINHASH_PRIME)) % F.lit(m)
+        t = F.array_contains(F.col("bits"), p)
+        bloom_hit = t if bloom_hit is None else (bloom_hit & t)
+    flagged = probe.join(
+        F.broadcast(test_sh.withColumn("_t", F.lit(1))), "sh64", "left"
+    ).select(
+        "doc_id",
+        F.when(bloom_hit, 1).otherwise(0).alias("is_bloom"),
+        F.when(F.col("_t").isNotNull(), 1).otherwise(0).alias("is_exact"),
+    )
+    groups = train.select(id_col.alias("doc_id"), F.col(group_col).alias("grp"))
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    # shingle-level rows collapse per doc BEFORE touching the group
+    # column: the only shuffles over gram-sized data are this map-side-
+    # combinable aggregate; the group join and re-aggregate run on
+    # doc-level rows.
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("d_grams"),
+        F.sum("is_exact").alias("d_exact"),
+        F.sum("is_bloom").alias("d_bloom"),
+    )
+    agg = (
+        per_doc.join(groups, "doc_id")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("d_grams").alias("n_grams"),
+            F.sum("d_exact").alias("n_exact"),
+            F.sum("d_bloom").alias("n_bloom"),
+        )
+    )
+    denom = (F.col("n_grams") - F.col("n_exact")).cast("double")
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_grams",
+        "n_exact",
+        "n_bloom",
+        (F.col("n_bloom") - F.col("n_exact")).alias("n_fp"),
+        r6(
+            (F.col("n_bloom") - F.col("n_exact")).cast("double")
+            / F.nullif(denom, F.lit(0.0))
+        ).alias("fpr"),
+    ).orderBy(group_col)

@@ -4659,6 +4659,91 @@ _ORACLES["m12_media_shards"] = f"""
 """
 
 
+BLOOM_M, BLOOM_K = 4096, 3
+
+
+def d30_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination pre-screen with MEASURED false-
+    positive rate: the held-out source's 8-gram keys fold into a
+    4096-bit bloom (3 Carter-Wegman hashes over the 32-bit md5 prefix
+    — MinHash's own family), every train shingle is probed against the
+    bloom AND the exact key set, and each source reports grams / exact
+    hits / bloom hits / false positives / FPR. The O(m)-memory scale
+    path d08's broadcast probe degrades to when the benchmark no longer
+    fits an executor — with its exactness cost quantified instead of
+    assumed (operators/dedup.bloom_decontam_audit)."""
+    docs = _docs(spark, sf_dir)
+    return dedup.bloom_decontam_audit(
+        docs.filter(F.col("source") != DECON_TEST_SOURCE),
+        docs.filter(F.col("source") == DECON_TEST_SOURCE),
+        F.col("text"),
+        F.col("doc_id"),
+        "source",
+        k=DECON_K,
+        m=BLOOM_M,
+        n_hash=BLOOM_K,
+    )
+
+
+def _bloom_hashes_sql() -> tuple[str, int]:
+    from mbta_etl_spark.operators.dedup import MINHASH_PRIME, _mh_a, _mh_b
+
+    rows = ", ".join(f"({_mh_a(j)}, {_mh_b(j)})" for j in range(BLOOM_K))
+    return rows, MINHASH_PRIME
+
+
+_BLOOM_ROWS, _BLOOM_PRIME = _bloom_hashes_sql()
+
+_ORACLES["d30_bloom_decontam"] = f"""
+    WITH toks AS (SELECT doc_id, source, text, string_split(text, ' ') AS t
+                  FROM documents),
+    sh8 AS (
+      SELECT doc_id, source, unnest(
+        CASE WHEN len(t) >= {DECON_K}
+             THEN list_distinct(list_transform(range(1, len(t) - {DECON_K - 2}),
+                  i -> {_kgram_concat(DECON_K)}))
+             ELSE [text] END) AS shingle
+      FROM toks),
+    keys AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT) AS sh64,
+             CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT) AS x
+      FROM sh8),
+    hashes AS (SELECT * FROM (VALUES {_BLOOM_ROWS}) h(a, b)),
+    test_k AS (SELECT DISTINCT sh64, x FROM keys
+               WHERE source = '{DECON_TEST_SOURCE}'),
+    bits AS (
+      SELECT DISTINCT ((h.a * t.x + h.b) % {_BLOOM_PRIME}) % {BLOOM_M} AS bit
+      FROM test_k t CROSS JOIN hashes h),
+    train_k AS (SELECT doc_id, source, sh64, x FROM keys
+                WHERE source <> '{DECON_TEST_SOURCE}'),
+    tpos AS (
+      SELECT k.doc_id, k.sh64, k.x,
+             ((h.a * k.x + h.b) % {_BLOOM_PRIME}) % {BLOOM_M} AS bit
+      FROM train_k k CROSS JOIN hashes h),
+    bhit AS (
+      SELECT doc_id, sh64, x FROM tpos JOIN bits USING (bit)
+      GROUP BY doc_id, sh64, x HAVING COUNT(*) = {BLOOM_K}),
+    flags AS (
+      SELECT k.doc_id, k.source,
+             CASE WHEN b.sh64 IS NOT NULL THEN 1 ELSE 0 END AS is_bloom,
+             CASE WHEN t.sh64 IS NOT NULL THEN 1 ELSE 0 END AS is_exact
+      FROM train_k k
+      LEFT JOIN bhit b ON k.doc_id = b.doc_id AND k.sh64 = b.sh64
+      LEFT JOIN test_k t ON k.sh64 = t.sh64)
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(is_exact) AS BIGINT) AS n_exact,
+           CAST(SUM(is_bloom) AS BIGINT) AS n_bloom,
+           CAST(SUM(is_bloom) - SUM(is_exact) AS BIGINT) AS n_fp,
+           FLOOR(CAST(SUM(is_bloom) - SUM(is_exact) AS DOUBLE)
+                 / NULLIF(CAST(COUNT(*) - SUM(is_exact) AS DOUBLE), 0.0)
+                 * 1e6 + 0.5) / 1e6 AS fpr
+    FROM flags GROUP BY source ORDER BY source
+"""
+
+
 CMS_DEPTH, CMS_WIDTH, CMS_TOPK = 4, 64, 10
 
 

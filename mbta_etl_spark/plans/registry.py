@@ -8349,6 +8349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r03_histogram_quantile": r03_histogram_quantile,
             "r04_cms_rollup": llm_registry.r04_cms_rollup,
             "ts27_seasonal_anomaly": ts27_seasonal_anomaly,
+            "d30_bloom_decontam": llm_registry.d30_bloom_decontam,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -818,3 +818,34 @@ def test_random_projection_preserves_identical_and_orthogonal(spark):
     assert ids[0] == 1 and ids[-1] == 2
     assert out[0]["cosine"] == 1.0
     assert out[-1]["cosine"] == -1.0
+
+
+def test_bloom_decontam_superset_and_exact_detection(spark):
+    """Bloom hits must be a superset of exact hits (an exact key sets
+    its own bits), a verbatim-contaminated doc's grams all hit both
+    probes, and FPR is a finite fraction in [0, 1]."""
+    from mbta_etl_spark.operators.dedup import bloom_decontam_audit
+    from pyspark.sql import functions as F
+
+    words = [f"w{i}" for i in range(40)]
+    leak = " ".join(words[:12])                 # appears in train AND test
+    clean = " ".join(words[20:40])              # train only
+    train = spark.createDataFrame(
+        [(1, leak, "a"), (2, clean, "b")], "doc_id long, text string, src string"
+    )
+    test = spark.createDataFrame(
+        [(100, leak, "t")], "doc_id long, text string, src string"
+    )
+    out = bloom_decontam_audit(
+        train, test, F.col("text"), F.col("doc_id"), "src", k=8, m=256, n_hash=3
+    ).collect()
+    by_src = {r["src"]: r for r in out}
+    a, b = by_src["a"], by_src["b"]
+    assert a["n_exact"] == a["n_grams"] and a["n_bloom"] == a["n_grams"]
+    assert a["n_fp"] == 0
+    for r in out:
+        assert r["n_bloom"] >= r["n_exact"]
+        assert r["n_fp"] == r["n_bloom"] - r["n_exact"]
+        if r["fpr"] is not None:
+            assert 0.0 <= r["fpr"] <= 1.0
+    assert b["n_exact"] == 0
