@@ -399,15 +399,33 @@ def kmeans_fit_predict(
     drift out of the argmin. Fixed n_iter (vs convergence test) keeps
     the job count static and the oracle replayable; production k-means
     on 100 TB runs the same loop with a sampled update (mini-batch)."""
+    base = df.select(F.col(id_col), F.col(vec_col))
+    cents = kmeans_final_centroids(
+        df, vec_col, id_col, n_iter, stride, max_centroids
+    )
+    return _kmeans_assign(base, vec_col, id_col, cents)
+
+
+def kmeans_final_centroids(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_iter: int = 2,
+    stride: int = IVF_STRIDE,
+    max_centroids: int = IVF_MAX_CENTROIDS,
+):
+    """The centroid list ``kmeans_fit_predict`` uses for its FINAL
+    assignment pass (stride init + n_iter-1 rounded mean updates) —
+    factored out so audits (silhouette, separation) can score against
+    the same centroids the assignment saw. Same bounded driver state:
+    O(C·d) floats, never data-sized."""
     cents = [
         vec
         for _, vec in ivf_centroids(df, vec_col, id_col, stride, max_centroids)
     ]
     base = df.select(F.col(id_col), F.col(vec_col))
-    for it in range(n_iter):
+    for _ in range(n_iter - 1):
         assigned = _kmeans_assign(base, vec_col, id_col, cents)
-        if it == n_iter - 1:
-            return assigned
         # mean update: explode to (cluster, pos, x), one partial-agg
         # shuffle of C·d cells, tiny driver collect
         joined = base.join(assigned.select(id_col, "cluster"), id_col)
@@ -428,7 +446,100 @@ def kmeans_fit_predict(
             ]
             for c in range(len(cents))
         ]
-    return _kmeans_assign(base, vec_col, id_col, cents)
+    return cents
+
+
+def kmeans_silhouette(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_iter: int = 2,
+    stride: int = IVF_STRIDE,
+    max_centroids: int = IVF_MAX_CENTROIDS,
+) -> DataFrame:
+    """Per-cluster simplified silhouette over k01's own final centroids:
+    for every point, a = distance to its centroid, b = distance to the
+    nearest OTHER centroid (the top-2 of the same rounded distance
+    ranking the assignment uses), s = (b − a)/max(a, b). Reports, per
+    cluster, member count, the points with s < 0 (closer to another
+    centroid than their own — possible only on post-update assignments,
+    a real convergence signal), and the mean silhouette — the cluster-
+    quality number k02's inertia doesn't give (inertia falls with k no
+    matter what; silhouette penalizes overlap).
+
+    Exactness: distances are 6dp-rounded in the kernel (the k-means
+    convention), s is floored to a 1e-6 integer grid per point, and the
+    cluster mean derives from the INTEGER sum — no order-dependent
+    double accumulation crosses engines. One zero-shuffle mapInPandas
+    over the vectors, one O(clusters) aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    cents = kmeans_final_centroids(
+        df, vec_col, id_col, n_iter, stride, max_centroids
+    )
+    cmat = np.array(cents, dtype=np.float64)
+    base = df.select(F.col(id_col), F.col(vec_col))
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("cluster", LongType()),
+            StructField("a", DoubleType()),
+            StructField("b", DoubleType()),
+        ]
+    )
+
+    def _top2(batches):
+        for pdf in batches:
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d2 = ((v[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            d = np.round(np.sqrt(d2), KMEANS_ROUND_DP)
+            own = np.argmin(d, axis=1)
+            a = d[np.arange(len(own)), own]
+            d_other = d.copy()
+            d_other[np.arange(len(own)), own] = np.inf
+            b_idx = np.argmin(d_other, axis=1)
+            b = d_other[np.arange(len(own)), b_idx]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster": own.astype("int64"),
+                    "a": a,
+                    "b": b,
+                }
+            )
+
+    ab = base.mapInPandas(_top2, schema=schema)
+    s = F.when(
+        F.greatest(F.col("a"), F.col("b")) > 0,
+        (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")),
+    ).otherwise(F.lit(0.0))
+    s6 = F.floor(s * F.lit(1e6) + F.lit(0.5)).cast("long")
+    per_point = ab.select("cluster", s6.alias("s6"))
+    return (
+        per_point.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.when(F.col("s6") < 0, 1).otherwise(0)).alias("n_negative"),
+            F.sum("s6").alias("_sum6"),
+        )
+        .select(
+            "cluster",
+            "n_members",
+            "n_negative",
+            (
+                F.floor(
+                    F.col("_sum6").cast("double")
+                    / F.col("n_members").cast("double")
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("cluster")
+    )
 
 
 def ivf_topk(

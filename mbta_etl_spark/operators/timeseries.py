@@ -903,3 +903,99 @@ def subseq_topk(series: DataFrame, bucket: str, value: str, w: int, k: int) -> D
         .orderBy("dist", bucket)
         .limit(k)
     )
+
+
+def changepoint_single(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Best single changepoint per series (the first step of binary
+    segmentation / PELT): the split that maximally reduces total SSE
+    into a before-mean and an after-mean — the level-shift detector
+    that tells a pipeline WHEN a source's behavior changed, where
+    ts27's point-anomaly score only says that single days look odd.
+
+    Exactness strategy: daily means are pinned to MILLI-units as
+    BIGINT (3dp — so squared prefix sums stay far inside int64), and
+    every candidate split's SSE is derived from integer cumulative
+    sums via the identity SSE = Σx² − (Σx)²/n, evaluated in one fixed
+    double parenthesization. Cross-engine cumulative DOUBLE window
+    sums are NOT deterministic (segment-tree vs sequential
+    accumulation round differently); integer cumsums are — that is
+    why the 3dp integer domain, not 6dp doubles, carries the prefix
+    state. Means and SSEs convert to natural units only at emission.
+
+    Shape: one fact-scan bucket aggregate, then window cumsums and a
+    rank over O(series·buckets) rows — no per-row Python, no second
+    fact pass. Totals join back broadcast-sized (one row per series).
+    """
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    b = F.date_trunc(bucket, F.col(ts_col)).cast("timestamp_ntz")
+    daily = df.groupBy(*key_cols, b.alias("bucket")).agg(
+        F.floor(F.avg(value_col) * F.lit(1e3) + F.lit(0.5))
+        .cast("long")
+        .alias("x3")
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = daily.select(
+        *key_cols,
+        "bucket",
+        F.row_number().over(Window.partitionBy(*key_cols).orderBy("bucket")).alias("t"),
+        F.sum("x3").over(w).alias("s1"),
+        F.sum(F.col("x3") * F.col("x3")).over(w).alias("s2"),
+    )
+    totals = seq.groupBy(*key_cols).agg(
+        F.max("t").alias("n"), F.max("s1").alias("ts1"), F.max("s2").alias("ts2")
+    )
+    # max over cumulative = final row's value (s1/s2 monotone? s1 only if
+    # x3 >= 0 — use last via max(t) join instead to stay sign-safe)
+    last = seq.join(totals.select(*key_cols, "n"), list(key_cols)).filter(
+        F.col("t") == F.col("n")
+    ).select(*key_cols, "n", F.col("s1").alias("ts1"), F.col("s2").alias("ts2"))
+    d = lambda c: c.cast("double")  # noqa: E731
+    cand = seq.join(F.broadcast(last), list(key_cols)).filter(
+        (F.col("t") >= 1) & (F.col("t") <= F.col("n") - 1)
+    )
+    sse_l = d(F.col("s2")) - (d(F.col("s1")) * d(F.col("s1"))) / d(F.col("t"))
+    rs1 = F.col("ts1") - F.col("s1")
+    rs2 = F.col("ts2") - F.col("s2")
+    rn = F.col("n") - F.col("t")
+    sse_r = d(rs2) - (d(rs1) * d(rs1)) / d(rn)
+    sse_tot = d(F.col("ts2")) - (d(F.col("ts1")) * d(F.col("ts1"))) / d(F.col("n"))
+    scored = cand.select(
+        *key_cols,
+        "bucket",
+        "t",
+        "n",
+        (sse_tot - (sse_l + sse_r)).alias("_red"),
+        (d(F.col("s1")) / d(F.col("t")) / F.lit(1e3)).alias("_lm"),
+        (d(rs1) / d(rn) / F.lit(1e3)).alias("_rm"),
+        sse_tot.alias("_tot"),
+    )
+    pick = F.row_number().over(
+        Window.partitionBy(*key_cols).orderBy(F.desc("_red"), "t")
+    )
+    return (
+        scored.withColumn("_rk", pick)
+        .filter(F.col("_rk") == 1)
+        .select(
+            *key_cols,
+            F.col("bucket").alias("split_bucket"),
+            "t",
+            "n",
+            r6(F.col("_lm")).alias("left_mean"),
+            r6(F.col("_rm")).alias("right_mean"),
+            (r6(F.col("_tot") / F.lit(1e6))).alias("sse_total"),
+            (r6(F.col("_red") / F.lit(1e6))).alias("sse_reduction"),
+        )
+        .orderBy(*key_cols)
+    )

@@ -1033,12 +1033,7 @@ def _simhash_band_pairs_oracle() -> str:
     """
 
 
-def _kmeans_oracle() -> str:
-    """Replays kmeans_fit_predict exactly: stride init (cluster = 0-based
-    rank of sampled cid), per-iteration 6dp-rounded distances with
-    lowest-cluster tie-break, 6dp-rounded mean update, empty clusters
-    keep their previous centroid."""
-    assign = """
+_KMEANS_ASSIGN_SQL = """
           SELECT vec_id, cluster, dist FROM (
             SELECT e.vec_id, c.cluster,
                    ROUND(list_distance(e.v, c.cv), 6) AS dist,
@@ -1049,9 +1044,18 @@ def _kmeans_oracle() -> str:
                    ) AS rn
             FROM e CROSS JOIN {cent} c
           ) WHERE rn = 1
-    """
+"""
+
+
+def _kmeans_prefix() -> str:
+    """Shared k-means replay CTEs (e → c0 → a1 → means → c1): stride
+    init (cluster = 0-based rank of sampled cid), 6dp-rounded distances
+    with lowest-cluster tie-break, 6dp-rounded mean update, empty
+    clusters keep their previous centroid. Used by the k01 assignment
+    oracle and the k03 silhouette oracle so both score against the SAME
+    final centroids."""
     return f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         c0 AS (
           SELECT row_number() OVER (ORDER BY cid) - 1 AS cluster, cv FROM (
             SELECT vec_id AS cid, v AS cv FROM e
@@ -1059,7 +1063,7 @@ def _kmeans_oracle() -> str:
             ORDER BY cid LIMIT {similarity.IVF_MAX_CENTROIDS}
           )
         ),
-        a1 AS ({assign.format(cent="c0")}),
+        a1 AS ({_KMEANS_ASSIGN_SQL.format(cent="c0")}),
         cells AS (
           SELECT a1.cluster, generate_subscripts(e.v, 1) AS pos,
                  unnest(e.v) AS x
@@ -1075,8 +1079,53 @@ def _kmeans_oracle() -> str:
           FROM c0 LEFT JOIN (
             SELECT cluster, list(m ORDER BY pos) AS cv FROM means GROUP BY cluster
           ) mm USING (cluster)
-        )
-        SELECT vec_id, cluster, dist FROM ({assign.format(cent="c1")})
+        )"""
+
+
+def _kmeans_oracle() -> str:
+    """Replays kmeans_fit_predict exactly (see ``_kmeans_prefix``)."""
+    return f"""
+        WITH {_kmeans_prefix()}
+        SELECT vec_id, cluster, dist
+        FROM ({_KMEANS_ASSIGN_SQL.format(cent="c1")})
+    """
+
+
+def _kmeans_sil_oracle() -> str:
+    """Replays kmeans_silhouette: top-2 of the same rounded distance
+    ranking against the same final centroids, s floored to the 1e-6
+    integer grid per point, cluster mean from the integer sum."""
+    return f"""
+        WITH {_kmeans_prefix()},
+        alld AS (
+          SELECT e.vec_id, c.cluster,
+                 ROUND(list_distance(e.v, c.cv), 6) AS dist,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_distance(e.v, c.cv), 6) ASC,
+                            c.cluster ASC
+                 ) AS rn
+          FROM e CROSS JOIN c1 c),
+        ab AS (
+          SELECT vec_id,
+                 MAX(CASE WHEN rn = 1 THEN dist END) AS a,
+                 MAX(CASE WHEN rn = 1 THEN cluster END) AS own,
+                 MAX(CASE WHEN rn = 2 THEN dist END) AS b
+          FROM alld WHERE rn <= 2 GROUP BY vec_id),
+        sp AS (
+          SELECT own AS cluster,
+                 CAST(FLOOR((CASE WHEN GREATEST(a, b) > 0
+                                  THEN (b - a) / GREATEST(a, b)
+                                  ELSE 0.0 END) * 1e6 + 0.5)
+                      AS BIGINT) AS s6
+          FROM ab)
+        SELECT cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(CASE WHEN s6 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_negative,
+               FLOOR(CAST(SUM(s6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                     + 0.5) / 1e6 AS mean_silhouette
+        FROM sp GROUP BY cluster ORDER BY cluster
     """
 
 
@@ -3153,6 +3202,19 @@ _ORACLES["t17_langid_confusion"] = f"""
 """
 
 
+def k03_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette for k01's k-means: a = distance
+    to own centroid, b = nearest other centroid, s = (b−a)/max(a,b),
+    aggregated as member count / negative-s count / mean silhouette per
+    cluster — the overlap-penalizing quality number k02's inertia can't
+    express (inertia always falls with k). Scores against the SAME
+    final centroids the assignment saw
+    (operators/similarity.kmeans_silhouette)."""
+    return similarity.kmeans_silhouette(
+        _emb(spark, sf_dir), "embedding", "vec_id", n_iter=KMEANS_ITER
+    )
+
+
 def k02_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-quality report over k01's assignment: per-cluster member
     count, mean/max distance to centroid, and the inertia contribution
@@ -3197,6 +3259,8 @@ def c13_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+
+_ORACLES["k03_silhouette"] = _kmeans_sil_oracle()
 
 _ORACLES["k02_cluster_profile"] = f"""
     WITH assign AS ({_ORACLES["k01_kmeans_clusters"]}),

@@ -7775,6 +7775,75 @@ _ORACLES["ts27_seasonal_anomaly"] = f"""
 """
 
 
+def ts28_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single changepoint per event type (binary segmentation's
+    first split): the day that maximally reduces total SSE into a
+    before/after mean pair — level-shift detection over daily means,
+    complementing ts27's single-day outliers. Prefix sums run in an
+    exact integer milli-unit domain (cross-engine cumulative DOUBLE
+    window sums are not reproducible; integer cumsums are), and every
+    SSE derives from those integers in one pinned double formula
+    (operators/timeseries.changepoint_single)."""
+    from mbta_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).select("event_type", "ts", "value")
+    return timeseries.changepoint_single(ev, ["event_type"], "ts", "value")
+
+
+_ORACLES["ts28_changepoint"] = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             CAST(FLOOR(AVG(value) * 1e3 + 0.5) AS BIGINT) AS x3
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT event_type, bucket,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY bucket) AS t,
+             CAST(SUM(x3) OVER (PARTITION BY event_type ORDER BY bucket
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s1,
+             CAST(SUM(x3 * x3) OVER (PARTITION BY event_type
+                  ORDER BY bucket
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s2
+      FROM daily),
+    last_ AS (
+      SELECT event_type, t AS n, s1 AS ts1, s2 AS ts2
+      FROM (SELECT *, MAX(t) OVER (PARTITION BY event_type) AS mx
+            FROM seq) z
+      WHERE t = mx),
+    cand AS (
+      SELECT q.event_type, q.bucket, q.t, l.n,
+             (CAST(l.ts2 AS DOUBLE)
+              - (CAST(l.ts1 AS DOUBLE) * CAST(l.ts1 AS DOUBLE))
+                / CAST(l.n AS DOUBLE)) AS tot,
+             ((CAST(l.ts2 AS DOUBLE)
+               - (CAST(l.ts1 AS DOUBLE) * CAST(l.ts1 AS DOUBLE))
+                 / CAST(l.n AS DOUBLE))
+              - ((CAST(q.s2 AS DOUBLE)
+                  - (CAST(q.s1 AS DOUBLE) * CAST(q.s1 AS DOUBLE))
+                    / CAST(q.t AS DOUBLE))
+                 + (CAST(l.ts2 - q.s2 AS DOUBLE)
+                    - (CAST(l.ts1 - q.s1 AS DOUBLE)
+                       * CAST(l.ts1 - q.s1 AS DOUBLE))
+                      / CAST(l.n - q.t AS DOUBLE)))) AS red,
+             CAST(q.s1 AS DOUBLE) / CAST(q.t AS DOUBLE) / 1e3 AS lm,
+             CAST(l.ts1 - q.s1 AS DOUBLE)
+               / CAST(l.n - q.t AS DOUBLE) / 1e3 AS rm
+      FROM seq q JOIN last_ l USING (event_type)
+      WHERE q.t BETWEEN 1 AND l.n - 1),
+    pick AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY red DESC, t) AS rk
+      FROM cand)
+    SELECT event_type, bucket AS split_bucket, t, n,
+           FLOOR(lm * 1e6 + 0.5) / 1e6 AS left_mean,
+           FLOOR(rm * 1e6 + 0.5) / 1e6 AS right_mean,
+           FLOOR(tot / 1e6 * 1e6 + 0.5) / 1e6 AS sse_total,
+           FLOOR(red / 1e6 * 1e6 + 0.5) / 1e6 AS sse_reduction
+    FROM pick WHERE rk = 1 ORDER BY event_type
+"""
+
+
 ZORDER_BITS = 8
 ZORDER_FILES = 16
 
@@ -8350,6 +8419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r04_cms_rollup": llm_registry.r04_cms_rollup,
             "ts27_seasonal_anomaly": ts27_seasonal_anomaly,
             "d30_bloom_decontam": llm_registry.d30_bloom_decontam,
+            "ts28_changepoint": ts28_changepoint,
+            "k03_silhouette": llm_registry.k03_silhouette,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -849,3 +849,24 @@ def test_bloom_decontam_superset_and_exact_detection(spark):
         if r["fpr"] is not None:
             assert 0.0 <= r["fpr"] <= 1.0
     assert b["n_exact"] == 0
+
+
+def test_kmeans_silhouette_separated_blobs(spark):
+    """Two tight, well-separated blobs: every point's silhouette is
+    near 1, none negative, and clusters match the blob structure."""
+    from mbta_etl_spark.operators.similarity import kmeans_silhouette
+
+    rows = []
+    for i in range(30):
+        blob = i % 2
+        center = 0.0 if blob == 0 else 100.0
+        rows.append((i, [center + (i % 5) * 0.01, center - (i % 7) * 0.01]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_silhouette(
+        df, "embedding", "vec_id", n_iter=2, stride=15, max_centroids=4
+    ).collect()
+    assert sum(r["n_members"] for r in out) == 30
+    for r in out:
+        assert r["n_negative"] == 0
+        if r["n_members"] > 1:
+            assert r["mean_silhouette"] > 0.9

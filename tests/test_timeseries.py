@@ -288,3 +288,26 @@ def test_seasonal_mad_flags_injected_break_not_weekly_shape(spark):
     for r in out:
         assert abs(r["score"]) > 3.0
         assert 0 <= r["dow"] <= 6
+
+
+def test_changepoint_finds_injected_level_shift(spark):
+    """A clean level shift is located exactly; the reduction is nearly
+    the whole SSE and the two means recover the segment levels."""
+    import datetime as dt
+
+    from mbta_etl_spark.operators.timeseries import changepoint_single
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for d in range(30):
+        lvl = 10.0 if d < 18 else 50.0
+        rows.append(("s", base + dt.timedelta(days=d), lvl + (d % 3) * 0.01))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp_ntz, value double")
+    out = changepoint_single(df, ["event_type"], "ts", "value").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["split_bucket"] == base + dt.timedelta(days=17)  # last pre-shift day
+    assert r["t"] == 18 and r["n"] == 30
+    assert abs(r["left_mean"] - 10.01) < 0.01
+    assert abs(r["right_mean"] - 50.01) < 0.01
+    assert r["sse_reduction"] > 0.99 * r["sse_total"]
