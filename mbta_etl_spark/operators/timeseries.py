@@ -999,3 +999,78 @@ def changepoint_single(
         )
         .orderBy(*key_cols)
     )
+
+
+def acf(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    lags: Sequence[int] = (1, 2, 7, 14),
+    bucket: str = "day",
+) -> DataFrame:
+    """Per-series autocorrelation function at the requested lags:
+    Pearson r between x_t and x_{t+lag} over bucketed means — the
+    seasonality/persistence diagnostic that tells you WHICH period
+    ts25's Holt-Winters should model (a weekly cycle shows as an ACF
+    peak at lag 7) and whether ts13's drift tests have independent
+    residuals.
+
+    Exactness: the same integer milli-unit discipline as
+    ``changepoint_single`` — all five Pearson sums (Σx, Σy, Σx², Σy²,
+    Σxy) accumulate as int64 over 3dp-pinned values (bounds: |x3| ≤
+    1e6, squares ≤ 1e12, n ≤ 1e4 keeps n·Σxy ≤ 1e18 inside int64),
+    and r derives in one pinned double expression. Integer sums are
+    partition-order-independent, so ANY engine or partitioning yields
+    the same bits.
+
+    Shape: one fact-scan bucket aggregate, then a self-join of the
+    O(series·buckets) daily table shifted by each lag (explode over
+    the lag list, equi-join on (keys, rn+lag)) and one grouped sum —
+    rows shuffled are series·buckets·|lags|, never event-sized.
+    """
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    b = F.date_trunc(bucket, F.col(ts_col)).cast("timestamp_ntz")
+    daily = df.groupBy(*key_cols, b.alias("bucket")).agg(
+        F.floor(F.avg(value_col) * F.lit(1e3) + F.lit(0.5)).cast("long").alias("x3")
+    )
+    seq = daily.select(
+        *key_cols,
+        F.row_number()
+        .over(Window.partitionBy(*key_cols).orderBy("bucket"))
+        .alias("rn"),
+        "x3",
+    )
+    a = seq.withColumn(
+        "lag", F.explode(F.array(*[F.lit(int(v)) for v in lags]))
+    )
+    bseq = seq.select(
+        *[F.col(c).alias(f"_b_{c}") for c in key_cols],
+        F.col("rn").alias("_b_rn"),
+        F.col("x3").alias("y3"),
+    )
+    cond = [a[c] == bseq[f"_b_{c}"] for c in key_cols] + [
+        (a["rn"] + a["lag"]) == bseq["_b_rn"]
+    ]
+    pairs = a.join(bseq, cond)
+    g = pairs.groupBy(*key_cols, "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x3").alias("sx"),
+        F.sum("y3").alias("sy"),
+        F.sum(F.col("x3") * F.col("x3")).alias("sxx"),
+        F.sum(F.col("y3") * F.col("y3")).alias("syy"),
+        F.sum(F.col("x3") * F.col("y3")).alias("sxy"),
+    )
+    n = F.col("n_pairs")
+    d1 = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = n * F.col("syy") - F.col("sy") * F.col("sy")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = F.when(
+        (d1 > 0) & (d2 > 0),
+        num.cast("double") / F.sqrt(d1.cast("double") * d2.cast("double")),
+    )
+    return g.select(
+        *key_cols, "lag", "n_pairs", r6(r).alias("acf")
+    ).orderBy(*key_cols, "lag")

@@ -7844,6 +7844,131 @@ _ORACLES["ts28_changepoint"] = """
 """
 
 
+ACF_LAGS = (1, 2, 7, 14)
+
+
+def ts29_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type autocorrelation at lags 1/2/7/14 over daily means
+    — the diagnostic that picks ts25's season length (weekly cycle ⇒
+    ACF peak at 7) and validates residual independence for the drift
+    tests. Integer milli-unit Pearson sums: partition-order-independent,
+    bit-equal in any engine (operators/timeseries.acf)."""
+    from mbta_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).select("event_type", "ts", "value")
+    return timeseries.acf(ev, ["event_type"], "ts", "value", ACF_LAGS)
+
+
+_ORACLES["ts29_acf"] = f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             CAST(FLOOR(AVG(value) * 1e3 + 0.5) AS BIGINT) AS x3
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY bucket) AS rn,
+             x3
+      FROM daily),
+    lags AS (SELECT * FROM (VALUES {", ".join(f"({v})" for v in ACF_LAGS)})
+             l(lag)),
+    p AS (
+      SELECT a.event_type, l.lag, a.x3 AS x, b.x3 AS y
+      FROM seq a CROSS JOIN lags l
+      JOIN seq b ON b.event_type = a.event_type AND b.rn = a.rn + l.lag),
+    g AS (
+      SELECT event_type, lag,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM p GROUP BY 1, 2)
+    SELECT event_type, lag, n_pairs,
+           CASE WHEN (n_pairs * sxx - sx * sx) > 0
+                 AND (n_pairs * syy - sy * sy) > 0 THEN
+             FLOOR(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                          * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+                   * 1e6 + 0.5) / 1e6
+           END AS acf
+    FROM g ORDER BY event_type, lag
+"""
+
+
+RETRY_WINDOW_S = 5
+
+
+def q97_retry_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time duplicate-event throttling census: an event is a
+    suspected client retry when it lands within RETRY_WINDOW_S (5s) of
+    the PREVIOUS event in its (user, event_type) stream (window lag —
+    one shuffle, same envelope as q18's sessionization). Per event
+    type: volume, suppressed count, suppressed fraction — the dedup
+    knob an event pipeline tunes before the data ever reaches
+    storage."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, _prev_ts, ts)"
+    )
+    flagged = ev.withColumn("_prev_ts", F.lag("ts").over(w)).select(
+        "event_type",
+        F.when(
+            F.col("_prev_ts").isNotNull()
+            & (gap_us < F.lit(RETRY_WINDOW_S * 1_000_000)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_retry"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_retry").alias("n_suppressed"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_suppressed",
+            r6(
+                F.col("n_suppressed").cast("double")
+                / F.col("n_events").cast("double")
+            ).alias("suppressed_frac"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLES["q97_retry_suppression"] = f"""
+    WITH lagged AS (
+      SELECT event_type,
+             LAG(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts,
+             ts
+      FROM events),
+    flagged AS (
+      SELECT event_type,
+             CASE WHEN prev_ts IS NOT NULL
+                   AND date_diff('microsecond', prev_ts, ts)
+                       < {RETRY_WINDOW_S * 1_000_000}
+                  THEN 1 ELSE 0 END AS is_retry
+      FROM lagged)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(is_retry) AS BIGINT) AS n_suppressed,
+           FLOOR(CAST(SUM(is_retry) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS suppressed_frac
+    FROM flagged GROUP BY event_type ORDER BY event_type
+"""
+
+
 ZORDER_BITS = 8
 ZORDER_FILES = 16
 
@@ -8421,6 +8546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d30_bloom_decontam": llm_registry.d30_bloom_decontam,
             "ts28_changepoint": ts28_changepoint,
             "k03_silhouette": llm_registry.k03_silhouette,
+            "ts29_acf": ts29_acf,
+            "q97_retry_suppression": q97_retry_suppression,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -311,3 +311,23 @@ def test_changepoint_finds_injected_level_shift(spark):
     assert abs(r["left_mean"] - 10.01) < 0.01
     assert abs(r["right_mean"] - 50.01) < 0.01
     assert r["sse_reduction"] > 0.99 * r["sse_total"]
+
+
+def test_acf_alternating_series_signs(spark):
+    """A perfect period-2 series: ACF(1) = -1, ACF(2) = +1; lag longer
+    than the series yields no row."""
+    import datetime as dt
+
+    from mbta_etl_spark.operators.timeseries import acf
+
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        ("s", base + dt.timedelta(days=d), 10.0 if d % 2 == 0 else 20.0)
+        for d in range(20)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp_ntz, value double")
+    out = {r["lag"]: r for r in acf(df, ["event_type"], "ts", "value", (1, 2, 30)).collect()}
+    assert out[1]["acf"] == -1.0
+    assert out[2]["acf"] == 1.0
+    assert 30 not in out
+    assert out[1]["n_pairs"] == 19 and out[2]["n_pairs"] == 18
