@@ -333,3 +333,98 @@ def boilerplate_fraction(
             ).alias("boilerplate_frac"),
         )
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    source_col: str,
+    target_source: str,
+) -> DataFrame:
+    """DSIR-style importance scoring (Data Selection via Importance
+    Resampling, Xie et al. 2023): per-document mean log-likelihood
+    ratio between a Laplace-smoothed unigram LM of the TARGET domain
+    and one of the rest of the corpus — the score a pipeline resamples
+    raw data by to match a high-quality target distribution. Reported
+    per source (count, mean/min/max score) so the census shows the
+    target's own sources scoring highest — the sanity check before
+    anyone trusts the weights.
+
+    Cross-engine exactness: both LMs' probabilities derive from integer
+    counts in one pinned parenthesization; each word's log-ratio is
+    floored onto a 1e-6 integer grid ONCE in the vocab table, so every
+    per-doc sum (token log-ratios) and per-source mean accumulates as
+    int64 — order-independent under any partitioning. The only libm
+    call (ln) evaluates on bit-identical doubles in both engines.
+
+    Shape: one explode over the corpus feeds token counts (map-side
+    combinable) and the per-doc sums; the vocab table (distinct words
+    + their l6 weight) joins back on the token key — the standard
+    hash-join-on-token shape, broadcastable when the vocab fits and
+    bucketable when it doesn't. The token table is persisted across
+    its four consumers."""
+    toks = (
+        df.select(
+            id_col.alias("doc_id"),
+            F.col(source_col).alias("source"),
+            F.explode(F.split(text, " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .persist()
+    )
+    is_t = F.col("source") == target_source
+    ct = toks.filter(is_t).groupBy("tok").agg(F.count(F.lit(1)).alias("ct"))
+    cc = toks.filter(~is_t).groupBy("tok").agg(F.count(F.lit(1)).alias("cc"))
+    totals = toks.agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(is_t, 0).otherwise(1)).alias("nc"),
+        F.countDistinct("tok").alias("v"),
+    )
+    vocab = (
+        toks.select("tok")
+        .distinct()
+        .join(ct, "tok", "left")
+        .join(cc, "tok", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    pt = (d(F.coalesce(F.col("ct"), F.lit(0))) + F.lit(1.0)) / (
+        d(F.col("nt")) + d(F.col("v"))
+    )
+    pc = (d(F.coalesce(F.col("cc"), F.lit(0))) + F.lit(1.0)) / (
+        d(F.col("nc")) + d(F.col("v"))
+    )
+    l6 = F.floor(F.log(pt / pc) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    vtab = vocab.select("tok", l6.alias("l6"))
+    per_doc = (
+        toks.join(vtab, "tok")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("l6").alias("sl6"), F.count(F.lit(1)).alias("ntok"))
+        .select(
+            "source",
+            F.floor(d(F.col("sl6")) / d(F.col("ntok")) + F.lit(0.5))
+            .cast("long")
+            .alias("s6"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("s6").alias("_sum"),
+            F.min("s6").alias("_min"),
+            F.max("s6").alias("_max"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.floor(d(F.col("_sum")) / d(F.col("n_docs")) + F.lit(0.5))
+                / F.lit(1e6)
+            ).alias("mean_score"),
+            (d(F.col("_min")) / F.lit(1e6)).alias("min_score"),
+            (d(F.col("_max")) / F.lit(1e6)).alias("max_score"),
+        )
+        .orderBy("source")
+    )

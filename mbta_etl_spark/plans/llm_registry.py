@@ -4723,6 +4723,66 @@ _ORACLES["m12_media_shards"] = f"""
 """
 
 
+DSIR_TARGET = "src0"
+
+
+def c27_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores (Xie et al. 2023): per-doc mean unigram
+    log-likelihood ratio between the target source's Laplace-smoothed
+    LM and the rest-of-corpus LM, reported per source — the resampling
+    weight that steers raw data toward a target domain, with the
+    target's own sources visibly scoring highest. Every accumulation is
+    an int64 sum over a 1e-6-grid log-ratio pinned once in the vocab
+    table (operators/text.dsir_importance)."""
+    from mbta_etl_spark.operators import text as text_ops
+
+    return text_ops.dsir_importance(
+        _docs(spark, sf_dir), F.col("text"), F.col("doc_id"), "source", DSIR_TARGET
+    )
+
+
+_ORACLES["c27_dsir_importance"] = f"""
+    WITH toks AS (
+      SELECT doc_id, source, t.tok
+      FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      WHERE t.tok <> ''),
+    ct AS (SELECT tok, COUNT(*) AS ct FROM toks
+           WHERE source = '{DSIR_TARGET}' GROUP BY 1),
+    cc AS (SELECT tok, COUNT(*) AS cc FROM toks
+           WHERE source <> '{DSIR_TARGET}' GROUP BY 1),
+    tot AS (SELECT
+        CAST(SUM(CASE WHEN source = '{DSIR_TARGET}' THEN 1 ELSE 0 END)
+             AS BIGINT) AS nt,
+        CAST(SUM(CASE WHEN source = '{DSIR_TARGET}' THEN 0 ELSE 1 END)
+             AS BIGINT) AS nc,
+        CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+      FROM toks),
+    vocab AS (
+      SELECT w.tok,
+             CAST(FLOOR(ln(
+               ((CAST(COALESCE(ct.ct, 0) AS DOUBLE) + 1.0)
+                / (CAST(t.nt AS DOUBLE) + CAST(t.v AS DOUBLE)))
+               / ((CAST(COALESCE(cc.cc, 0) AS DOUBLE) + 1.0)
+                  / (CAST(t.nc AS DOUBLE) + CAST(t.v AS DOUBLE))))
+               * 1e6 + 0.5) AS BIGINT) AS l6
+      FROM (SELECT DISTINCT tok FROM toks) w
+      LEFT JOIN ct USING (tok) LEFT JOIN cc USING (tok) CROSS JOIN tot t),
+    per_doc AS (
+      SELECT k.source,
+             CAST(FLOOR(CAST(SUM(v.l6) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS s6
+      FROM toks k JOIN vocab v USING (tok)
+      GROUP BY k.doc_id, k.source)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           FLOOR(CAST(SUM(s6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5)
+             / 1e6 AS mean_score,
+           CAST(MIN(s6) AS DOUBLE) / 1e6 AS min_score,
+           CAST(MAX(s6) AS DOUBLE) / 1e6 AS max_score
+    FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 BLOOM_M, BLOOM_K = 4096, 3
 
 

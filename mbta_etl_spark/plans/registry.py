@@ -8548,6 +8548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "k03_silhouette": llm_registry.k03_silhouette,
             "ts29_acf": ts29_acf,
             "q97_retry_suppression": q97_retry_suppression,
+            "c27_dsir_importance": llm_registry.c27_dsir_importance,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

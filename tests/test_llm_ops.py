@@ -870,3 +870,28 @@ def test_kmeans_silhouette_separated_blobs(spark):
         assert r["n_negative"] == 0
         if r["n_members"] > 1:
             assert r["mean_silhouette"] > 0.9
+
+
+def test_dsir_target_source_scores_highest(spark):
+    """The target domain's own docs must get the highest mean importance
+    score; a disjoint-vocabulary source scores negative."""
+    from mbta_etl_spark.operators.text import dsir_importance
+    from pyspark.sql import functions as F
+
+    target_text = "alpha beta gamma delta alpha beta"
+    other_text = "zeta eta theta iota kappa lambada"
+    rows = [
+        (1, target_text, "tgt"),
+        (2, target_text + " alpha", "tgt"),
+        (3, "alpha beta gamma zeta", "mixed"),
+        (4, other_text, "other"),
+        (5, other_text + " kappa", "other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in dsir_importance(
+        df, F.col("text"), F.col("doc_id"), "source", "tgt"
+    ).collect()}
+    assert out["tgt"]["mean_score"] > out["mixed"]["mean_score"] > out["other"]["mean_score"]
+    assert out["other"]["mean_score"] < 0 < out["tgt"]["mean_score"]
+    for r in out.values():
+        assert r["min_score"] <= r["mean_score"] <= r["max_score"]
