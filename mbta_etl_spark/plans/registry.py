@@ -7844,7 +7844,7 @@ _ORACLES["ts28_changepoint"] = """
 """
 
 
-ACF_LAGS = (1, 2, 7, 14)
+TS29_ACF_LAGS = (1, 2, 7, 14)
 
 
 def ts29_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7856,7 +7856,7 @@ def ts29_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mbta_etl_spark.operators import timeseries
 
     ev = _events(spark, sf_dir).select("event_type", "ts", "value")
-    return timeseries.acf(ev, ["event_type"], "ts", "value", ACF_LAGS)
+    return timeseries.acf(ev, ["event_type"], "ts", "value", TS29_ACF_LAGS)
 
 
 _ORACLES["ts29_acf"] = f"""
@@ -7871,7 +7871,7 @@ _ORACLES["ts29_acf"] = f"""
                                 ORDER BY bucket) AS rn,
              x3
       FROM daily),
-    lags AS (SELECT * FROM (VALUES {", ".join(f"({v})" for v in ACF_LAGS)})
+    lags AS (SELECT * FROM (VALUES {", ".join(f"({v})" for v in TS29_ACF_LAGS)})
              l(lag)),
     p AS (
       SELECT a.event_type, l.lag, a.x3 AS x, b.x3 AS y
@@ -8549,6 +8549,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts29_acf": ts29_acf,
             "q97_retry_suppression": q97_retry_suppression,
             "c27_dsir_importance": llm_registry.c27_dsir_importance,
+            "t27_gopher_rules": llm_registry.t27_gopher_rules,
+            "c28_doremi_weights": llm_registry.c28_doremi_weights,
+            "d31_embed_decontam": llm_registry.d31_embed_decontam,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration
