@@ -1224,3 +1224,82 @@ def bloom_decontam_audit(
             / F.nullif(denom, F.lit(0.0))
         ).alias("fpr"),
     ).orderBy(group_col)
+
+
+def embedding_decontaminate(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    eval_label: int,
+    threshold: float,
+) -> DataFrame:
+    """Embedding-space decontamination: flag every TRAIN vector whose
+    max cosine against any EVAL-set vector reaches ``threshold`` — the
+    semantic complement of d08/d30's n-gram decontamination (paraphrased
+    benchmark leakage that shares no 13-gram still lands next to the
+    eval item in embedding space). Census per train label: size, flagged
+    count/fraction, and the peak cosine observed.
+
+    Shape: the eval set is benchmark-sized (thousands of items, never
+    corpus-sized), so it BROADCASTS and the scan over train is a single
+    BroadcastNestedLoopJoin pass — O(|train|·|eval|·d) flops spread over
+    train partitions with zero shuffle before the label rollup. Both
+    sides are unit-normalized once (O(d) fold per vector, not per pair).
+    At larger eval sets the same operator composes with s02's hyperplane
+    signatures to prefilter candidate pairs, exactly as d06's scale path
+    does. Cosines compare on the 6dp-rounded value (oracle ROUND
+    parity); max-of-rounded is order-independent."""
+    from mbta_etl_spark.operators import similarity
+
+    unit = lambda c: F.transform(  # noqa: E731
+        similarity._as_double(c), lambda x: x / similarity._norm(c)
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("label"),
+        unit(F.col(vec_col)).alias("_u"),
+    )
+    ev = base.filter(F.col("label") == eval_label).select(
+        F.col("_u").alias("_eu")
+    )
+    tr = base.filter(F.col("label") != eval_label)
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("_u"), F.col("_eu"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    peaks = (
+        tr.join(F.broadcast(ev))
+        .select("_id", "label", cos.alias("cos"))
+        .groupBy("_id", "label")
+        .agg(F.max("cos").alias("peak"))
+    )
+    flagged = (F.col("peak") >= threshold).cast("long")
+    return (
+        peaks.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(flagged).alias("n_flagged"),
+            F.max("peak").alias("peak_cosine"),
+        )
+        .select(
+            "label",
+            "n_train",
+            "n_flagged",
+            (
+                F.floor(
+                    F.col("n_flagged").cast("double")
+                    / F.col("n_train").cast("double")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("flag_frac"),
+            "peak_cosine",
+        )
+        .orderBy("label")
+    )

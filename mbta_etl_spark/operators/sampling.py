@@ -597,3 +597,122 @@ def pad_waste_census(
         ),
         naive.alias("naive_pad_tokens"),
     )
+
+
+def doremi_domain_weights(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    source_col: str,
+    eta_pct: int = 50,
+    n_iters: int = 8,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023): iterate
+    multiplicative-weights updates that upweight domains whose loss
+    exceeds the current mixture's weighted average loss. The per-domain
+    loss proxy is mean token surprisal under the corpus-wide unigram LM
+    (the reference-model term a full DoReMi run learns); the update is
+    the classic LINEAR multiplicative-weights rule w·(1 + eta·excess) —
+    equal to exp-Hedge to O(eta²) and, unlike exp, expressible entirely
+    in IEEE-exact arithmetic, so Spark and the SQL oracle agree bit for
+    bit with no libm-exp dependency.
+
+    Exactness: per-token surprisal is pinned ONCE onto a 1e-6 integer
+    grid in the vocab table (the only ln calls, O(vocab) of them, on
+    bit-identical doubles); per-domain loss L6 and every iteration value
+    (weighted-average Σw6·L6, update factor, renormalized weight) are
+    int64 sums/products plus IEEE-correctly-rounded divisions — fully
+    order-independent under any partitioning.
+
+    Shape: one corpus explode feeds token counts and the per-domain sums
+    via a token-keyed join onto the vocab weight table (broadcast when
+    the vocab fits, bucketed otherwise). The iteration itself runs
+    driver-side over the COLLECTED per-domain table — bounded by the
+    number of domains (tens, never data-sized), the same bounded-state
+    pattern as k-means centroids. Final weights rejoin as a broadcast
+    literal table."""
+    toks = (
+        df.select(
+            id_col.alias("doc_id"),
+            F.col(source_col).alias("source"),
+            F.explode(F.split(text, " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .persist()
+    )
+    totals = toks.agg(F.count(F.lit(1)).alias("n"))
+    d = lambda c: c.cast("double")  # noqa: E731
+    s6 = F.floor(
+        -F.log(d(F.col("c")) / d(F.col("n"))) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    vtab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(totals))
+        .select("tok", s6.alias("s6"))
+    )
+    dom = (
+        toks.join(vtab, "tok")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("s6").alias("ss6"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_toks",
+            F.floor(d(F.col("ss6")) / d(F.col("n_toks")) + F.lit(0.5))
+            .cast("long")
+            .alias("l6"),
+        )
+    )
+    import math
+
+    rows = dom.select("source", "l6").collect()  # bounded: one row per domain
+    k = len(rows)
+    w6 = {r["source"]: 10**6 // k for r in rows}
+    l6 = {r["source"]: int(r["l6"]) for r in rows}
+    for _ in range(n_iters):
+        s = sum(w6[src] * l6[src] for src in w6)
+        u = {}
+        for src in w6:
+            # f6 = 1e6·(1 + eta·excess); excess = (l6·1e6 − Σw6·l6)/1e12,
+            # so f6 = 1e6 + eta_pct·excessQ/1e8 — every operand exact in
+            # double (≤2^53), the division IEEE-correctly-rounded.
+            f6 = 10**6 + int(
+                math.floor(eta_pct * float(l6[src] * 10**6 - s) / 1e8 + 0.5)
+            )
+            u[src] = w6[src] * max(f6, 1)
+        usum = sum(u.values())
+        w6 = {
+            src: int(math.floor(float(u[src]) / float(usum) * 1e6 + 0.5))
+            for src in u
+        }
+    spark = df.sparkSession
+    wlit = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(src).alias("source"),
+                        F.lit(w6[src]).cast("long").alias("w6"),
+                    )
+                    for src in sorted(w6)
+                ]
+            )
+        ).alias("s")
+    ).select("s.source", "s.w6")
+    return (
+        dom.join(F.broadcast(wlit), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_toks",
+            (d(F.col("l6")) / F.lit(1e6)).alias("loss"),
+            (d(F.lit(10**6 // k)) / F.lit(1e6)).alias("w_init"),
+            (d(F.col("w6")) / F.lit(1e6)).alias("w_final"),
+        )
+        .orderBy("source")
+    )

@@ -428,3 +428,102 @@ def dsir_importance(
         )
         .orderBy("source")
     )
+
+
+# Gopher rule battery (Rae et al. 2021, "Scaling Language Models",
+# Appendix A1.1), calibrated to the synthetic corpus so every rule is
+# demonstrably active (the paper's bounds — 50..100k words, mean word
+# length 3..10 — never fire on single-space word-stream documents).
+GOPHER_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "to", "and", "in")
+
+
+def gopher_rules_census(
+    df: DataFrame,
+    text: Column,
+    source_col: str,
+    min_words: int = 15,
+    max_words: int = 90,
+    word_len_bounds_c: tuple[int, int] = (425, 475),
+    top_share_pct: int = 20,
+    min_unique_pct: int = 50,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style quality-rule census: per-source counts of documents
+    violating each of the five rules, plus the all-rules pass rate — the
+    per-rule attribution a pipeline needs before turning a filter on
+    (t02's scalar score can't say WHICH rule is doing the filtering).
+
+    Rules (all integer cross-multiplied comparisons, so every verdict is
+    engine-exact with no float grid):
+      R1 word count outside [min_words, max_words]
+      R2 mean word length outside bounds (centi-units: sum_len*100 vs n*c)
+      R3 most-frequent token share > top_share_pct/100 (repetition)
+      R4 unique-token ratio < min_unique_pct/100 (duplicate words)
+      R5 fewer than min_stopword_hits stopword occurrences
+
+    Shape: one scan, all five verdicts from higher-order functions on the
+    split array (R3's distinct×occurrence count is O(u·n) per doc, JVM
+    codegen, no shuffle), then one map-side-combinable groupBy(source) —
+    the same cost envelope as any per-doc projection at 100 TB."""
+    toks = F.filter(_tokens(text), lambda x: x != "")
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda t: t == w)),
+        )
+    )
+    uniq = F.size(F.array_distinct(toks))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOPWORDS)))
+    lo_c, hi_c = word_len_bounds_c
+    f1 = ((n < min_words) | (n > max_words)).cast("long")
+    f2 = ((sum_len * 100 < n * lo_c) | (sum_len * 100 > n * hi_c)).cast("long")
+    f3 = (top_cnt * 100 > n * top_share_pct).cast("long")
+    f4 = (uniq * 100 < n * min_unique_pct).cast("long")
+    f5 = (stop_hits < min_stopword_hits).cast("long")
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        f1.alias("f1"),
+        f2.alias("f2"),
+        f3.alias("f3"),
+        f4.alias("f4"),
+        f5.alias("f5"),
+    )
+    passed = (
+        (F.col("f1") + F.col("f2") + F.col("f3") + F.col("f4") + F.col("f5")) == 0
+    ).cast("long")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("f1").alias("fail_word_count"),
+            F.sum("f2").alias("fail_word_len"),
+            F.sum("f3").alias("fail_top_share"),
+            F.sum("f4").alias("fail_unique"),
+            F.sum("f5").alias("fail_stopword"),
+            F.sum(passed).alias("n_pass"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "fail_word_count",
+            "fail_word_len",
+            "fail_top_share",
+            "fail_unique",
+            "fail_stopword",
+            "n_pass",
+            (
+                F.floor(
+                    F.col("n_pass").cast("double")
+                    / F.col("n_docs").cast("double")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("pass_frac"),
+        )
+        .orderBy("source")
+    )

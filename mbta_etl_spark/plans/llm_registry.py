@@ -5129,6 +5129,194 @@ _ORACLES["s22_random_projection"] = f"""
 """
 
 
+# --- Gopher rule battery / DoReMi reweighting / embedding decontam ---
+
+GOPHER_BOUNDS = dict(
+    min_words=15,
+    max_words=90,
+    word_len_bounds_c=(425, 475),
+    top_share_pct=20,
+    min_unique_pct=50,
+    min_stopword_hits=2,
+)
+
+
+def t27_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule battery (Rae et al. 2021 A1.1) with per-rule
+    violation attribution per source — bounds calibrated so every rule
+    is active on the synthetic corpus (operators/text.gopher_rules_census).
+    All five verdicts are integer cross-multiplications: engine-exact."""
+    return text.gopher_rules_census(
+        _docs(spark, sf_dir), F.col("text"), "source", **GOPHER_BOUNDS
+    )
+
+
+_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in text.GOPHER_STOPWORDS)
+
+_ORACLES["t27_gopher_rules"] = f"""
+    WITH d AS (
+      SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    m AS (
+      SELECT source,
+             len(toks) AS n,
+             list_sum(list_transform(toks, t -> len(t))) AS sum_len,
+             list_max(list_transform(list_distinct(toks),
+                      w -> len(list_filter(toks, t -> t = w)))) AS top_cnt,
+             len(list_distinct(toks)) AS uniq,
+             len(list_filter(toks, t -> t IN ({_GOPHER_STOP_SQL}))) AS stop_hits
+      FROM d),
+    f AS (
+      SELECT source,
+             CASE WHEN n < {GOPHER_BOUNDS['min_words']}
+                    OR n > {GOPHER_BOUNDS['max_words']} THEN 1 ELSE 0 END AS f1,
+             CASE WHEN sum_len * 100 < n * {GOPHER_BOUNDS['word_len_bounds_c'][0]}
+                    OR sum_len * 100 > n * {GOPHER_BOUNDS['word_len_bounds_c'][1]}
+                  THEN 1 ELSE 0 END AS f2,
+             CASE WHEN top_cnt * 100 > n * {GOPHER_BOUNDS['top_share_pct']}
+                  THEN 1 ELSE 0 END AS f3,
+             CASE WHEN uniq * 100 < n * {GOPHER_BOUNDS['min_unique_pct']}
+                  THEN 1 ELSE 0 END AS f4,
+             CASE WHEN stop_hits < {GOPHER_BOUNDS['min_stopword_hits']}
+                  THEN 1 ELSE 0 END AS f5
+      FROM m)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f1) AS BIGINT) AS fail_word_count,
+           CAST(SUM(f2) AS BIGINT) AS fail_word_len,
+           CAST(SUM(f3) AS BIGINT) AS fail_top_share,
+           CAST(SUM(f4) AS BIGINT) AS fail_unique,
+           CAST(SUM(f5) AS BIGINT) AS fail_stopword,
+           CAST(SUM(CASE WHEN f1 + f2 + f3 + f4 + f5 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass,
+           FLOOR(CAST(SUM(CASE WHEN f1 + f2 + f3 + f4 + f5 = 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS pass_frac
+    FROM f GROUP BY source ORDER BY source
+"""
+
+
+DOREMI_ETA_PCT = 50
+DOREMI_ITERS = 8
+
+
+def c28_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023): linear
+    multiplicative-weights iteration on per-domain mean unigram
+    surprisal, upweighting domains whose loss exceeds the mixture
+    average (operators/sampling.doremi_domain_weights). Distributed
+    stats, domain-count-bounded driver iteration, IEEE-exact oracle."""
+    from mbta_etl_spark.operators import sampling
+
+    return sampling.doremi_domain_weights(
+        _docs(spark, sf_dir),
+        F.col("text"),
+        F.col("doc_id"),
+        "source",
+        eta_pct=DOREMI_ETA_PCT,
+        n_iters=DOREMI_ITERS,
+    )
+
+
+def _doremi_oracle() -> str:
+    """Unroll the DOREMI_ITERS multiplicative-weight steps as chained
+    CTEs — each step is an int64 weighted sum plus IEEE-exact divisions,
+    mirroring the driver-side loop operation for operation."""
+    steps = []
+    for t in range(DOREMI_ITERS):
+        steps.append(
+            f"""a{t} AS MATERIALIZED (SELECT CAST(SUM(w6 * l6) AS BIGINT) AS s FROM w{t}),
+    u{t} AS MATERIALIZED (
+      SELECT w.source, w.n_docs, w.n_toks, w.l6,
+             w.w6 * GREATEST(CAST(1000000 + FLOOR(
+               {DOREMI_ETA_PCT} * CAST(w.l6 * 1000000 - a.s AS DOUBLE) / 1e8
+               + 0.5) AS BIGINT), 1) AS u
+      FROM w{t} w CROSS JOIN a{t} a),
+    s{t} AS MATERIALIZED (SELECT CAST(SUM(u) AS BIGINT) AS su FROM u{t}),
+    w{t + 1} AS MATERIALIZED (
+      SELECT source, n_docs, n_toks, l6,
+             CAST(FLOOR(CAST(u AS DOUBLE) / CAST(su AS DOUBLE) * 1e6 + 0.5)
+                  AS BIGINT) AS w6
+      FROM u{t} CROSS JOIN s{t})"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, source, t.tok
+      FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      WHERE t.tok <> ''),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+    tc AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+    vt AS (
+      SELECT tok, CAST(FLOOR(-ln(CAST(c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                             * 1e6 + 0.5) AS BIGINT) AS s6
+      FROM tc CROSS JOIN tot t),
+    dom AS MATERIALIZED (
+      SELECT k.source,
+             CAST(COUNT(DISTINCT k.doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_toks,
+             CAST(FLOOR(CAST(SUM(v.s6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                        + 0.5) AS BIGINT) AS l6
+      FROM toks k JOIN vt v USING (tok) GROUP BY 1),
+    kcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM dom),
+    w0 AS MATERIALIZED (
+      SELECT d.source, d.n_docs, d.n_toks, d.l6,
+             CAST(FLOOR(1000000 / kc.k) AS BIGINT) AS w6
+      FROM dom d CROSS JOIN kcnt kc),
+    {chain}
+    SELECT w.source, w.n_docs, w.n_toks,
+           CAST(w.l6 AS DOUBLE) / 1e6 AS loss,
+           CAST(CAST(FLOOR(1000000 / kc.k) AS BIGINT) AS DOUBLE) / 1e6
+             AS w_init,
+           CAST(w.w6 AS DOUBLE) / 1e6 AS w_final
+    FROM w{DOREMI_ITERS} w CROSS JOIN kcnt kc ORDER BY w.source
+"""
+
+
+_ORACLES["c28_doremi_weights"] = _doremi_oracle()
+
+
+DECONTAM_EVAL_LABEL = 0
+DECONTAM_COS_THRESHOLD = 0.35
+
+
+def d31_embed_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination census: train vectors whose max
+    cosine against the eval-labelled set reaches the threshold, per
+    label (operators/dedup.embedding_decontaminate) — the semantic
+    complement of d08/d30's n-gram decontamination."""
+    return dedup.embedding_decontaminate(
+        _emb(spark, sf_dir),
+        "embedding",
+        "vec_id",
+        "label",
+        eval_label=DECONTAM_EVAL_LABEL,
+        threshold=DECONTAM_COS_THRESHOLD,
+    )
+
+
+_ORACLES["d31_embed_decontam"] = f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    ev AS (SELECT v FROM e WHERE label = {DECONTAM_EVAL_LABEL}),
+    tr AS (SELECT vec_id, label, v FROM e
+           WHERE label <> {DECONTAM_EVAL_LABEL}),
+    px AS (
+      SELECT t.vec_id, t.label,
+             MAX(ROUND(list_cosine_similarity(t.v, ev.v), 6)) AS peak
+      FROM tr t CROSS JOIN ev GROUP BY 1, 2)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN peak >= {DECONTAM_COS_THRESHOLD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           FLOOR(CAST(SUM(CASE WHEN peak >= {DECONTAM_COS_THRESHOLD}
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS flag_frac,
+           MAX(peak) AS peak_cosine
+    FROM px GROUP BY label ORDER BY label
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "t01_token_stats": t01_token_stats,

@@ -895,3 +895,78 @@ def test_dsir_target_source_scores_highest(spark):
     assert out["other"]["mean_score"] < 0 < out["tgt"]["mean_score"]
     for r in out.values():
         assert r["min_score"] <= r["mean_score"] <= r["max_score"]
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """Each rule flags exactly the crafted violator and the clean doc
+    passes all five."""
+    from mbta_etl_spark.operators.text import gopher_rules_census
+    from pyspark.sql import functions as F
+
+    # Each doc violates EXACTLY its one rule under the calibrated bounds
+    # (word count 15..90, mean word length 4.25..4.75 via centi-units,
+    # top-token share 20%, unique ratio 50%, >=2 stopword hits).
+    rows = [
+        (1, "think quick brown words flow there keep going then fine shape "
+            "hello world again stuff more the and extra item", "ok"),
+        (2, "the and brave whirl crisp stone forge maple zone", "short"),
+        (3, "think quick brown words flow there keep going then fine shape "
+            "am is again stuff more the and extra item", "wl"),
+        (4, "echo echo echo echo echo the and domes fable girth haste inlet "
+            "joker knack limbo mirth notch oaken pearl", "rep"),
+        (5, "the and words quick simple " * 4, "uniq"),
+        (6, "bird wolf lamb hawk frog deermo newt toad eagle fancy grove "
+            "haste inlet joker koala lemon", "stop"),
+    ]
+    rows = [(i, t.strip(), s) for i, t, s in rows]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in gopher_rules_census(
+        df, F.col("text"), "source"
+    ).collect()}
+    assert out["ok"]["n_pass"] == 1 and out["ok"]["pass_frac"] == 1.0
+    assert out["short"]["fail_word_count"] == 1
+    assert out["wl"]["fail_word_len"] == 1
+    assert out["rep"]["fail_top_share"] == 1
+    assert out["uniq"]["fail_unique"] == 1
+    assert out["stop"]["fail_stopword"] == 1
+
+
+def test_doremi_upweights_high_loss_domain(spark):
+    """The domain full of rare tokens (high surprisal) must end with
+    w_final above its initial weight; the common-token domain below."""
+    from mbta_etl_spark.operators.sampling import doremi_domain_weights
+    from pyspark.sql import functions as F
+
+    common = "the the the and and of of to in a"
+    rare_words = " ".join(f"rare{i}" for i in range(10))
+    rows = (
+        [(i, common, "common") for i in range(5)]
+        + [(10 + i, rare_words, "rare") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in doremi_domain_weights(
+        df, F.col("text"), F.col("doc_id"), "source"
+    ).collect()}
+    assert out["rare"]["loss"] > out["common"]["loss"]
+    assert out["rare"]["w_final"] > out["rare"]["w_init"]
+    assert out["common"]["w_final"] < out["common"]["w_init"]
+    assert abs(out["rare"]["w_final"] + out["common"]["w_final"] - 1.0) < 1e-4
+
+
+def test_embedding_decontaminate_flags_planted_near_dup(spark):
+    """A train vector colinear with an eval vector is flagged; an
+    orthogonal one is not."""
+    from mbta_etl_spark.operators.dedup import embedding_decontaminate
+
+    ev = [1.0, 0.0, 0.0, 0.0]
+    near = [0.9, 0.1, 0.0, 0.0]
+    ortho = [0.0, 0.0, 1.0, 0.0]
+    rows = [(0, ev, 0), (1, near, 1), (2, ortho, 1), (3, ortho, 2)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in embedding_decontaminate(
+        df, "embedding", "vec_id", "label", eval_label=0, threshold=0.9
+    ).collect()}
+    assert out[1]["n_train"] == 2 and out[1]["n_flagged"] == 1
+    assert out[1]["flag_frac"] == 0.5
+    assert out[2]["n_flagged"] == 0
+    assert out[1]["peak_cosine"] >= 0.99
