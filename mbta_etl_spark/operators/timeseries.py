@@ -1074,3 +1074,89 @@ def acf(
     return g.select(
         *key_cols, "lag", "n_pairs", r6(r).alias("acf")
     ).orderBy(*key_cols, "lag")
+
+
+def stl_decompose(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    period: int = 7,
+    bucket: str = "day",
+) -> DataFrame:
+    """Additive STL-style decomposition of each series' bucketed means
+    into trend + seasonal + residual — the "what is actually moving"
+    view that turns ts27's anomaly flags and ts28's changepoint into
+    explainable components (is the level drifting, or is it just the
+    weekend?).
+
+    Method (classical decomposition, the non-loess core of STL):
+      trend_t    = centered moving average over ``period`` buckets
+                   (only rows with a FULL window emit — the standard
+                   edge rule, so every trend is a 7-term mean)
+      detrend_t  = x_t - trend_t
+      seasonal_d = per-(series, position-in-period) mean of detrend
+                   (position = ISO weekday for the default day/7)
+      resid_t    = detrend_t - seasonal_d
+
+    Exactness: x3 is the 3dp-pinned integer bucket mean (the ts28/ts29
+    discipline). The centered window then accumulates ``trend_sum =
+    Σ x3`` as int64, and ``period·x3 - trend_sum`` keeps the detrended
+    series integral — no float accumulates anywhere. The only
+    divisions are single int/int IEEE divisions (exactly rounded, so
+    bit-identical in any engine) and the two grid pins for seasonal
+    and residual.
+
+    Shape: one fact-scan bucket aggregate (map-side combinable), one
+    window over the tiny O(series·buckets) daily table, one
+    (series, dow) aggregate joined back by key+dow — everything after
+    the first aggregate is bucket-count-sized, never event-sized. At
+    100 TB the daily table for 10k series × 5 years is ~18M rows: a
+    single-stage window per series, no skew (series are the partition
+    key).
+    """
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    half = (period - 1) // 2
+    b = F.date_trunc(bucket, F.col(ts_col)).cast("timestamp_ntz")
+    daily = df.groupBy(*key_cols, b.alias("bucket")).agg(
+        F.floor(F.avg(value_col) * F.lit(1e3) + F.lit(0.5)).cast("long").alias("x3")
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(-half, half)
+    )
+    trended = (
+        daily.withColumn("trend_sum", F.sum("x3").over(w))
+        .withColumn("w_cnt", F.count(F.lit(1)).over(w))
+        .filter(F.col("w_cnt") == period)
+        .withColumn(
+            "detrend", F.lit(period) * F.col("x3") - F.col("trend_sum")
+        )
+        .withColumn("dow", F.weekday("bucket") + F.lit(1))
+    )
+    seasonal = trended.groupBy(*key_cols, "dow").agg(
+        F.sum("detrend").alias("s_sum"),
+        F.count(F.lit(1)).alias("s_cnt"),
+    )
+    joined = trended.join(seasonal, [*key_cols, "dow"])
+    seas = r6(
+        F.col("s_sum").cast("double")
+        / (F.lit(period) * F.col("s_cnt") * F.lit(1000)).cast("double")
+    )
+    return joined.select(
+        *key_cols,
+        "bucket",
+        "dow",
+        (F.col("x3").cast("double") / F.lit(1000.0)).alias("x"),
+        (F.col("trend_sum").cast("double") / F.lit(float(period * 1000))).alias(
+            "trend"
+        ),
+        seas.alias("seasonal"),
+        r6(
+            F.col("detrend").cast("double") / F.lit(float(period * 1000))
+            - seas
+        ).alias("resid"),
+    ).orderBy(*key_cols, "bucket")

@@ -8236,6 +8236,184 @@ _ORACLES["src06_bucketed_join"] = """
 """
 
 
+STL_PERIOD = 7
+
+
+def ts30_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type STL-style decomposition of daily means into
+    trend + seasonal + residual (classical additive decomposition:
+    centered 7-day moving-average trend, ISO-weekday seasonal means,
+    residual remainder) — turns ts27's anomaly flags and ts28's
+    changepoint into explainable components. Integer milli-unit
+    discipline throughout (operators/timeseries.stl_decompose)."""
+    from mbta_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).select("event_type", "ts", "value")
+    return timeseries.stl_decompose(
+        ev, ["event_type"], "ts", "value", STL_PERIOD
+    )
+
+
+_ORACLES["ts30_stl_decompose"] = f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             CAST(FLOOR(AVG(value) * 1e3 + 0.5) AS BIGINT) AS x3
+      FROM events GROUP BY 1, 2),
+    win AS (
+      SELECT event_type, bucket, x3,
+             CAST(SUM(x3) OVER w AS BIGINT) AS trend_sum,
+             CAST(COUNT(*) OVER w AS BIGINT) AS w_cnt
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN {(STL_PERIOD - 1) // 2} PRECEDING
+                   AND {(STL_PERIOD - 1) // 2} FOLLOWING)),
+    tr AS (
+      SELECT event_type, bucket, x3, trend_sum,
+             {STL_PERIOD} * x3 - trend_sum AS detrend,
+             CAST(isodow(bucket) AS INTEGER) AS dow
+      FROM win WHERE w_cnt = {STL_PERIOD}),
+    seas AS (
+      SELECT event_type, dow,
+             CAST(SUM(detrend) AS BIGINT) AS s_sum,
+             CAST(COUNT(*) AS BIGINT) AS s_cnt
+      FROM tr GROUP BY 1, 2)
+    SELECT t.event_type, t.bucket, t.dow,
+           CAST(t.x3 AS DOUBLE) / 1000.0 AS x,
+           CAST(t.trend_sum AS DOUBLE) / {STL_PERIOD * 1000}.0 AS trend,
+           FLOOR(CAST(s.s_sum AS DOUBLE)
+                 / CAST({STL_PERIOD} * s.s_cnt * 1000 AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS seasonal,
+           FLOOR((CAST(t.detrend AS DOUBLE) / {STL_PERIOD * 1000}.0
+                  - FLOOR(CAST(s.s_sum AS DOUBLE)
+                          / CAST({STL_PERIOD} * s.s_cnt * 1000 AS DOUBLE)
+                          * 1e6 + 0.5) / 1e6)
+                 * 1e6 + 0.5) / 1e6 AS resid
+    FROM tr t JOIN seas s ON s.event_type = t.event_type AND s.dow = t.dow
+    ORDER BY t.event_type, t.bucket
+"""
+
+
+def q98_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + cumulative distinct users ever seen — the
+    growth curve every event warehouse reports. Windowed COUNT(DISTINCT)
+    is unsupported in Spark window frames; the scalable form is the
+    first-seen trick: min(day) per user (one shuffle on user_id), count
+    firsts per day, running SUM over the day-count-sized table. The
+    single-partition cumulative window runs over O(days) rows, never
+    events — the same envelope at 100 TB."""
+    from pyspark.sql import Window
+
+    day = F.date_trunc("day", F.col("ts")).cast("timestamp_ntz")
+    ev = _events(spark, sf_dir).select("user_id", day.alias("day"))
+    new_per_day = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    active = ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        active.join(new_per_day, "day", "left")
+        .select(
+            "day",
+            "n_active",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        )
+        .withColumn("cum_users", F.sum("n_new").over(w))
+        .orderBy("day")
+    )
+
+
+_ORACLES["q98_cumulative_distinct"] = """
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+      FROM events),
+    fs AS (SELECT user_id, MIN(day) AS day FROM d GROUP BY 1),
+    npd AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new FROM fs GROUP BY 1),
+    act AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+            FROM d GROUP BY 1)
+    SELECT a.day, a.n_active,
+           CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+           CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY a.day) AS BIGINT)
+             AS cum_users
+    FROM act a LEFT JOIN npd n ON n.day = a.day
+    ORDER BY a.day
+"""
+
+
+def v20_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness audit: each event type's latest timestamp,
+    its lag in seconds behind the freshest stream, and a self-calibrated
+    staleness flag (lag above the median lag — the q09 discrete-
+    percentile OFFSET idiom, so the threshold needs no magic constant
+    and stays meaningful at any scale). One map-side-combinable MAX per
+    type, then all arithmetic on the O(types) table with two broadcast
+    scalar joins — nothing event-sized after the first aggregate."""
+    from pyspark.sql import Window
+
+    per = (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("max_ts"))
+    )
+    g = per.agg(F.max("max_ts").alias("_gmax"))
+    lagged = per.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "max_ts",
+        # truncate both operands to whole seconds first: Spark counts
+        # full elapsed seconds, DuckDB date_diff counts second-boundary
+        # crossings — identical once the sub-second part is zero
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('second', max_ts),"
+            " date_trunc('second', _gmax))"
+        ).alias("lag_s"),
+    )
+    ranked = lagged.withColumn(
+        "_rn", F.row_number().over(Window.orderBy("lag_s", "event_type"))
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    med = (
+        ranked.crossJoin(F.broadcast(n))
+        .filter(F.col("_rn") == F.expr("(_n - 1) div 2 + 1"))
+        .select(F.col("lag_s").alias("_med"))
+    )
+    return (
+        lagged.crossJoin(F.broadcast(med))
+        .select(
+            "event_type",
+            "max_ts",
+            "lag_s",
+            F.col("_med").alias("median_lag_s"),
+            (F.col("lag_s") > F.col("_med")).cast("long").alias("stale"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLES["v20_freshness_lag"] = """
+    WITH per AS (SELECT event_type, MAX(ts) AS max_ts FROM events GROUP BY 1),
+    g AS (SELECT MAX(max_ts) AS gmax FROM per),
+    l AS (
+      SELECT event_type, CAST(max_ts AS TIMESTAMP) AS max_ts,
+             CAST(date_diff('second', max_ts, (SELECT gmax FROM g))
+                  AS BIGINT) AS lag_s
+      FROM per),
+    r AS (SELECT lag_s, ROW_NUMBER() OVER (ORDER BY lag_s, event_type) AS rn
+          FROM l),
+    m AS (SELECT lag_s AS med FROM r
+          WHERE rn = (SELECT (COUNT(*) - 1) // 2 + 1 FROM r))
+    SELECT event_type, max_ts, lag_s,
+           (SELECT med FROM m) AS median_lag_s,
+           CAST(CASE WHEN lag_s > (SELECT med FROM m)
+                THEN 1 ELSE 0 END AS BIGINT) AS stale
+    FROM l ORDER BY event_type
+"""
+
+
 _DRIVER_VERIFIED = frozenset({
     "c01_corpus_clean", "c02_corpus_mix", "c03_split_assign",
     "c05_greedy_pack", "c06_token_budget", "c07_eval_sample",
@@ -8552,6 +8730,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t27_gopher_rules": llm_registry.t27_gopher_rules,
             "c28_doremi_weights": llm_registry.c28_doremi_weights,
             "d31_embed_decontam": llm_registry.d31_embed_decontam,
+            "ts30_stl_decompose": ts30_stl_decompose,
+            "q98_cumulative_distinct": q98_cumulative_distinct,
+            "v20_freshness_lag": v20_freshness_lag,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

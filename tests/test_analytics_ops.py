@@ -368,3 +368,44 @@ def test_c13_fill_never_exceeds_one_without_oversize(spark):
         assert r.waste_tokens >= 0
         if r.n_oversize_bins == 0:
             assert r.avg_fill_ratio <= 1.0 + 1e-9
+
+
+def test_q98_cumulative_distinct_invariants(spark):
+    rows = registry.q98_cumulative_distinct(spark, SF_DIR_SMALL).collect()
+    assert rows, "events must span at least one day"
+    prev_cum = 0
+    total_new = 0
+    for r in rows:  # already ordered by day
+        assert 0 <= r.n_new <= r.n_active, (r.day, r.n_new, r.n_active)
+        assert r.cum_users == prev_cum + r.n_new
+        prev_cum = r.cum_users
+        total_new += r.n_new
+    # cumulative total equals the corpus-wide distinct user count
+    from mbta_etl_spark.sources.tables import load_table
+
+    n_users = (
+        load_table(spark, SF_DIR_SMALL, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[-1].cum_users == total_new == n_users
+    # day one: everyone active is new
+    assert rows[0].n_new == rows[0].n_active
+
+
+def test_v20_freshness_lag_median_split(spark):
+    rows = registry.v20_freshness_lag(spark, SF_DIR_SMALL).collect()
+    n = len(rows)
+    assert n >= 3
+    lags = sorted(r.lag_s for r in rows)
+    med = rows[0].median_lag_s
+    assert all(r.median_lag_s == med for r in rows)
+    # the freshest stream defines the watermark: one zero-lag row
+    assert min(lags) == 0
+    # median is the discrete lower-median element of the lag multiset
+    assert med == lags[(n - 1) // 2]
+    for r in rows:
+        assert r.stale == (1 if r.lag_s > med else 0)
+    # by construction at most half the rows sit strictly above the median
+    assert sum(r.stale for r in rows) <= n // 2

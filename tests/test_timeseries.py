@@ -331,3 +331,30 @@ def test_acf_alternating_series_signs(spark):
     assert out[2]["acf"] == 1.0
     assert 30 not in out
     assert out[1]["n_pairs"] == 19 and out[2]["n_pairs"] == 18
+
+
+def test_stl_decompose_recovers_planted_weekly_cycle(spark):
+    """Trend-free series with a pure weekly cycle: trend ~= overall
+    level, seasonal recovers the per-weekday offsets, residual ~= 0;
+    edge rows without a full centered window are dropped."""
+    import datetime as dt
+
+    from mbta_etl_spark.operators.timeseries import stl_decompose
+
+    base = dt.datetime(2024, 1, 1)  # a Monday
+    offsets = [3.0, -1.0, 0.0, 2.0, -2.0, 1.0, -3.0]  # Mon..Sun, sums to 0
+    rows = [
+        ("s", base + dt.timedelta(days=d), 100.0 + offsets[d % 7])
+        for d in range(28)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp_ntz, value double"
+    )
+    out = stl_decompose(df, ["event_type"], "ts", "value").collect()
+    # 28 days minus 3 head + 3 tail edge rows
+    assert len(out) == 22
+    for r in out:
+        assert abs(r["trend"] - 100.0) < 1e-9  # every 7-window sums the cycle
+        assert abs(r["seasonal"] - offsets[r["dow"] - 1]) < 1e-6
+        assert abs(r["resid"]) < 1e-6
+        assert abs(r["x"] - (100.0 + offsets[r["dow"] - 1])) < 1e-9
