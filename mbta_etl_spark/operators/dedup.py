@@ -1303,3 +1303,68 @@ def embedding_decontaminate(
         )
         .orderBy("label")
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    source_col: str,
+    size_col: str,
+) -> DataFrame:
+    """SoftDeDup-style downweighting census: instead of DELETING exact
+    duplicates (d01's hard policy), every copy keeps weight 1/n_copies —
+    repeated content contributes one document's worth of gradient mass
+    in total, however many times it was crawled. Per source: raw vs
+    effective document counts and raw vs effective char mass, plus the
+    duplication tax (1 - effective/raw) — the number that tells you how
+    much of a source's apparent volume is repetition.
+
+    Exactness: the per-doc weight is pinned ONCE as an integer —
+    ``w6 = FLOOR(1e6 / n_copies + 0.5)`` — and every downstream
+    accumulation (Σw6, Σ n_chars·w6) is an int64 sum on that grid:
+    order-independent under any partitioning, with the only doubles
+    appearing in the final three pinned divisions.
+
+    Shape: one sha-keyed groupBy for group sizes (d01's envelope), one
+    equi-join of the size back onto the corpus by the same sha key
+    (co-partitioned — Catalyst reuses the shuffle), one
+    map-side-combinable source census. No step holds more than a
+    source-count-sized result."""
+    keyed = df.select(
+        F.sha2(text, 256).alias("text_sha"),
+        F.col(source_col).alias("source"),
+        F.col(size_col).alias("_chars"),
+    )
+    sizes = keyed.groupBy("text_sha").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    w6 = F.floor(F.lit(1e6) / F.col("n_copies") + F.lit(0.5)).cast("long")
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    per_doc = keyed.join(sizes, "text_sha").select(
+        "source", "_chars", w6.alias("w6")
+    )
+    eff_docs = F.col("w_sum").cast("double") / F.lit(1e6)
+    eff_chars = F.col("cw_sum").cast("double") / F.lit(1e6)
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_chars").alias("n_chars"),
+            F.sum("w6").alias("w_sum"),
+            F.sum(F.col("_chars") * F.col("w6")).alias("cw_sum"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            r6(eff_docs).alias("eff_docs"),
+            r6(eff_chars).alias("eff_chars"),
+            r6(
+                F.lit(1.0)
+                - F.col("cw_sum").cast("double")
+                / (F.col("n_chars").cast("double") * F.lit(1e6))
+            ).alias("dup_tax"),
+        )
+        .orderBy("source")
+    )

@@ -957,3 +957,61 @@ def random_projection_topk(
         project_vec(F.col(vec_col), matrix).alias("_pv"),
     )
     return cosine_topk(projected, "_pv", id_col, pq, k, exclude_id)
+
+
+def pq_codebook(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_sub: int = 4,
+    n_iter: int = 2,
+    stride: int = IVF_STRIDE,
+    max_centroids: int = IVF_MAX_CENTROIDS,
+) -> DataFrame:
+    """Product-quantization codebook report: split each d-dim vector
+    into ``n_sub`` contiguous subvectors, k-means each subspace
+    independently (the SAME deterministic stride-init fixed-iteration
+    Lloyd's as ``kmeans_fit_predict``, so every subspace replays
+    exactly), and report per-(subspace, code) occupancy and distortion
+    — the codebook-health readout behind IVF-PQ indexes (Jégou et al.
+    2011): a vector compresses to n_sub small codes, and total
+    quantization error is the sum of per-subspace distortions.
+
+    Driver state is n_sub × O(C·d/n_sub) = O(C·d) floats — identical
+    to one full-space k-means — and the loop over subspaces is a
+    CONSTANT n_sub, not data-sized. Each subspace runs the k-means
+    shape argued for k01 (zero-shuffle assignment, C·d-cell mean
+    update); the final census is one O(C) aggregate per subspace
+    unioned n_sub ways. The one extra action is a single-row
+    ``first()`` to read the vector dimension."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    sub_len = dim // n_sub
+    parts = []
+    for m in range(n_sub):
+        sliced = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), m * sub_len + 1, sub_len).alias("_sub"),
+        )
+        a = kmeans_fit_predict(
+            sliced, "_sub", id_col, n_iter, stride, max_centroids
+        )
+        parts.append(
+            a.groupBy("cluster").agg(
+                F.count(F.lit(1)).alias("n_members"),
+                r6(F.avg("dist")).alias("mean_dist"),
+                F.max("dist").alias("max_dist"),
+                r6(F.sum(F.col("dist") * F.col("dist"))).alias("inertia"),
+            ).select(
+                F.lit(m).alias("subspace"),
+                "cluster",
+                "n_members",
+                "mean_dist",
+                "max_dist",
+                "inertia",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("subspace", "cluster")

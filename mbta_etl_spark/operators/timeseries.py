@@ -1160,3 +1160,60 @@ def stl_decompose(
             - seas
         ).alias("resid"),
     ).orderBy(*key_cols, "bucket")
+
+
+def forecast_backtest(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    season: int = 7,
+    bucket: str = "day",
+) -> DataFrame:
+    """Per-series forecast backtest: seasonal-naive (x̂_t = x_{t-season})
+    vs naive (x̂_t = x_{t-1}) one-step-ahead MAE over the same
+    evaluation rows, and their ratio — the MASE-style number that says
+    whether the weekly structure ts29/ts30 detected actually FORECASTS
+    (ratio < 1 ⇒ model the season; ratio ≥ 1 ⇒ it's noise).
+
+    Both models are scored only on buckets where BOTH lags exist
+    (rn > season), so the comparison is paired. The integer milli-unit
+    discipline again: absolute errors accumulate as int64 Σ|x3_t −
+    x3_{t−ℓ}|, and the three outputs are single pinned divisions of
+    those sums.
+
+    Shape: one fact-scan bucket aggregate, one window (two lags in the
+    same frame — one shuffle) over the O(series·buckets) daily table,
+    one grouped sum. Nothing event-sized after the first aggregate."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    b = F.date_trunc(bucket, F.col(ts_col)).cast("timestamp_ntz")
+    daily = df.groupBy(*key_cols, b.alias("bucket")).agg(
+        F.floor(F.avg(value_col) * F.lit(1e3) + F.lit(0.5)).cast("long").alias("x3")
+    )
+    w = Window.partitionBy(*key_cols).orderBy("bucket")
+    lagged = (
+        daily.withColumn("rn", F.row_number().over(w))
+        .withColumn("prev1", F.lag("x3", 1).over(w))
+        .withColumn("prevs", F.lag("x3", season).over(w))
+        .filter(F.col("rn") > season)
+    )
+    g = lagged.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(F.abs(F.col("x3") - F.col("prev1"))).alias("e1"),
+        F.sum(F.abs(F.col("x3") - F.col("prevs"))).alias("es"),
+    )
+    n = F.col("n_eval").cast("double")
+    return g.select(
+        *key_cols,
+        "n_eval",
+        r6(F.col("e1").cast("double") / (n * F.lit(1000.0))).alias("mae_naive"),
+        r6(F.col("es").cast("double") / (n * F.lit(1000.0))).alias(
+            "mae_seasonal"
+        ),
+        F.when(
+            F.col("e1") > 0,
+            r6(F.col("es").cast("double") / F.col("e1").cast("double")),
+        ).alias("mase"),
+    ).orderBy(*key_cols)

@@ -1047,15 +1047,16 @@ _KMEANS_ASSIGN_SQL = """
 """
 
 
-def _kmeans_prefix() -> str:
+def _kmeans_prefix(vexpr: str = "embedding::DOUBLE[]") -> str:
     """Shared k-means replay CTEs (e → c0 → a1 → means → c1): stride
     init (cluster = 0-based rank of sampled cid), 6dp-rounded distances
     with lowest-cluster tie-break, 6dp-rounded mean update, empty
     clusters keep their previous centroid. Used by the k01 assignment
     oracle and the k03 silhouette oracle so both score against the SAME
-    final centroids."""
+    final centroids; the s23 PQ oracle passes a sliced ``vexpr`` to
+    replay each subspace independently."""
     return f"""
-        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        e AS (SELECT vec_id, {vexpr} AS v FROM embeddings),
         c0 AS (
           SELECT row_number() OVER (ORDER BY cid) - 1 AS cluster, cv FROM (
             SELECT vec_id AS cid, v AS cv FROM e
@@ -5315,6 +5316,91 @@ _ORACLES["d31_embed_decontam"] = f"""
     FROM px GROUP BY label ORDER BY label
 """
 
+
+
+def d32_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup downweighting census: every exact copy keeps weight
+    1/n_copies instead of being deleted, per-source effective vs raw
+    document and char mass plus the duplication tax
+    (operators/dedup.soft_dedup_weights) — the retention-friendly
+    alternative to d01's hard dedup policy."""
+    return dedup.soft_dedup_weights(
+        _docs(spark, sf_dir), F.col("text"), F.col("doc_id"), "source", "n_chars"
+    )
+
+
+_ORACLES["d32_soft_dedup"] = """
+    WITH keyed AS (
+      SELECT sha256(text) AS text_sha, source, n_chars FROM documents),
+    sizes AS (
+      SELECT text_sha, CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM keyed GROUP BY 1),
+    per_doc AS (
+      SELECT k.source, k.n_chars,
+             CAST(FLOOR(1e6 / s.n_copies + 0.5) AS BIGINT) AS w6
+      FROM keyed k JOIN sizes s USING (text_sha)),
+    g AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             CAST(SUM(w6) AS BIGINT) AS w_sum,
+             CAST(SUM(n_chars * w6) AS BIGINT) AS cw_sum
+      FROM per_doc GROUP BY 1)
+    SELECT source, n_docs, n_chars,
+           FLOOR(CAST(w_sum AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS eff_docs,
+           FLOOR(CAST(cw_sum AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS eff_chars,
+           FLOOR((1.0 - CAST(cw_sum AS DOUBLE)
+                        / (CAST(n_chars AS DOUBLE) * 1e6))
+                 * 1e6 + 0.5) / 1e6 AS dup_tax
+    FROM g ORDER BY source
+"""
+
+
+PQ_SUBSPACES = 4
+PQ_DIM = 64  # testdata embedding dimension (all SFs); Spark side reads it
+
+
+def s23_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook report: k-means each of the 4
+    contiguous 16-dim subspaces independently (deterministic k01
+    replay per subspace), per-(subspace, code) occupancy and
+    distortion (operators/similarity.pq_codebook) — the IVF-PQ
+    compression readout (a vector becomes 4 small codes)."""
+    return similarity.pq_codebook(
+        _emb(spark, sf_dir),
+        "embedding",
+        "vec_id",
+        n_sub=PQ_SUBSPACES,
+        n_iter=KMEANS_ITER,
+    )
+
+
+def _pq_oracle() -> str:
+    """Replays pq_codebook: the k01 k-means CTE chain per subspace over
+    the sliced vectors, k02's census aggregate, UNION ALL across
+    subspaces."""
+    sub = PQ_DIM // PQ_SUBSPACES
+    pieces = []
+    for m in range(PQ_SUBSPACES):
+        lo, hi = m * sub + 1, (m + 1) * sub
+        vexpr = f"(embedding::DOUBLE[])[{lo}:{hi}]"
+        pieces.append(f"""
+        SELECT {m} AS subspace, cluster, n_members, mean_dist, max_dist,
+               inertia
+        FROM (
+          WITH {_kmeans_prefix(vexpr)},
+          a AS ({_KMEANS_ASSIGN_SQL.format(cent="c1")})
+          SELECT cluster,
+                 CAST(COUNT(*) AS BIGINT) AS n_members,
+                 FLOOR(AVG(dist) * 1e6 + 0.5) / 1e6 AS mean_dist,
+                 MAX(dist) AS max_dist,
+                 FLOOR(SUM(dist * dist) * 1e6 + 0.5) / 1e6 AS inertia
+          FROM a GROUP BY cluster
+        )""")
+    return " UNION ALL ".join(pieces) + " ORDER BY subspace, cluster"
+
+
+_ORACLES["s23_pq_codebook"] = _pq_oracle()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -8294,6 +8294,53 @@ _ORACLES["ts30_stl_decompose"] = f"""
 """
 
 
+BACKTEST_SEASON = 7
+
+
+def ts31_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type seasonal-naive vs naive one-step backtest (MASE)
+    over daily means — does the weekly structure ts29/ts30 detected
+    actually forecast? Integer milli-unit error sums, paired evaluation
+    rows (operators/timeseries.forecast_backtest)."""
+    from mbta_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).select("event_type", "ts", "value")
+    return timeseries.forecast_backtest(
+        ev, ["event_type"], "ts", "value", BACKTEST_SEASON
+    )
+
+
+_ORACLES["ts31_forecast_backtest"] = f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             CAST(FLOOR(AVG(value) * 1e3 + 0.5) AS BIGINT) AS x3
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT event_type, x3,
+             ROW_NUMBER() OVER w AS rn,
+             LAG(x3, 1) OVER w AS prev1,
+             LAG(x3, {BACKTEST_SEASON}) OVER w AS prevs
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_eval,
+             CAST(SUM(ABS(x3 - prev1)) AS BIGINT) AS e1,
+             CAST(SUM(ABS(x3 - prevs)) AS BIGINT) AS es
+      FROM seq WHERE rn > {BACKTEST_SEASON} GROUP BY 1)
+    SELECT event_type, n_eval,
+           FLOOR(CAST(e1 AS DOUBLE) / (CAST(n_eval AS DOUBLE) * 1000.0)
+                 * 1e6 + 0.5) / 1e6 AS mae_naive,
+           FLOOR(CAST(es AS DOUBLE) / (CAST(n_eval AS DOUBLE) * 1000.0)
+                 * 1e6 + 0.5) / 1e6 AS mae_seasonal,
+           CASE WHEN e1 > 0 THEN
+             FLOOR(CAST(es AS DOUBLE) / CAST(e1 AS DOUBLE) * 1e6 + 0.5) / 1e6
+           END AS mase
+    FROM g ORDER BY event_type
+"""
+
+
 def q98_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily active users + cumulative distinct users ever seen — the
     growth curve every event warehouse reports. Windowed COUNT(DISTINCT)
@@ -8733,6 +8780,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts30_stl_decompose": ts30_stl_decompose,
             "q98_cumulative_distinct": q98_cumulative_distinct,
             "v20_freshness_lag": v20_freshness_lag,
+            "d32_soft_dedup": llm_registry.d32_soft_dedup,
+            "ts31_forecast_backtest": ts31_forecast_backtest,
+            "s23_pq_codebook": llm_registry.s23_pq_codebook,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

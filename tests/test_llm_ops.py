@@ -970,3 +970,63 @@ def test_embedding_decontaminate_flags_planted_near_dup(spark):
     assert out[1]["flag_frac"] == 0.5
     assert out[2]["n_flagged"] == 0
     assert out[1]["peak_cosine"] >= 0.99
+
+
+def test_soft_dedup_weights_conserve_mass(spark):
+    """Global effective doc count equals the number of DISTINCT texts
+    (each dup group contributes exactly 1.0 in total), a source with no
+    duplicates has zero dup tax, and a planted 4-copy group splits its
+    unit weight 0.25-per-copy across sources."""
+    from mbta_etl_spark.operators.dedup import soft_dedup_weights
+
+    rows = (
+        [("dup dup dup", f"s{i % 2}", i) for i in range(4)]  # 4 copies, 2 sources
+        + [(f"unique text {i}", "s2", 100 + i) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "text string, source string, doc_id long")
+    df = df.withColumn("n_chars", F.length("text"))
+    out = {
+        r["source"]: r
+        for r in soft_dedup_weights(
+            df, F.col("text"), F.col("doc_id"), "source", "n_chars"
+        ).collect()
+    }
+    # each s0/s1 holds 2 copies of the 4-copy group: eff_docs = 2 * 0.25
+    assert out["s0"].n_docs == 2 and abs(out["s0"].eff_docs - 0.5) < 1e-6
+    assert abs(out["s1"].eff_docs - 0.5) < 1e-6
+    # no dups in s2: effective == raw, zero tax
+    assert out["s2"].n_docs == 5 and abs(out["s2"].eff_docs - 5.0) < 1e-6
+    assert abs(out["s2"].dup_tax) < 1e-6
+    assert out["s2"].eff_chars == out["s2"].n_chars
+    # mass conservation: total effective docs == distinct texts
+    total_eff = sum(r.eff_docs for r in out.values())
+    assert abs(total_eff - 6.0) < 1e-5  # 1 dup group + 5 uniques
+    # the dup-heavy sources pay a 75% tax (1 - 0.25)
+    assert abs(out["s0"].dup_tax - 0.75) < 1e-6
+
+
+def test_pq_codebook_partitions_and_shrinks_distortion(spark):
+    """Each subspace's codes partition all vectors; subspace distances
+    (16 dims) are strictly smaller than full-space k01 distances
+    (64 dims); codebook is replayed with k01's deterministic labels."""
+    from mbta_etl_spark.plans import llm_registry
+    from tests.conftest import SF_DIR_SMALL
+
+    rows = llm_registry.s23_pq_codebook(spark, SF_DIR_SMALL).collect()
+    subspaces = {r.subspace for r in rows}
+    assert subspaces == {0, 1, 2, 3}
+    n_vecs = llm_registry._emb(spark, SF_DIR_SMALL).count()
+    for m in subspaces:
+        sub = [r for r in rows if r.subspace == m]
+        assert sum(r.n_members for r in sub) == n_vecs
+        for r in sub:
+            assert 0.0 <= r.mean_dist <= r.max_dist
+            assert r.inertia >= 0.0
+    # quantizing 16-dim slices must beat quantizing the full 64-dim
+    # space at equal code count: compare member-weighted mean distortion
+    k01 = llm_registry.k01_kmeans_clusters(spark, SF_DIR_SMALL).collect()
+    full_mean = sum(r.dist for r in k01) / len(k01)
+    for m in subspaces:
+        sub = [r for r in rows if r.subspace == m]
+        sub_mean = sum(r.mean_dist * r.n_members for r in sub) / n_vecs
+        assert sub_mean < full_mean

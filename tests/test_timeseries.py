@@ -358,3 +358,35 @@ def test_stl_decompose_recovers_planted_weekly_cycle(spark):
         assert abs(r["seasonal"] - offsets[r["dow"] - 1]) < 1e-6
         assert abs(r["resid"]) < 1e-6
         assert abs(r["x"] - (100.0 + offsets[r["dow"] - 1])) < 1e-9
+
+
+def test_forecast_backtest_perfect_weekly_cycle(spark):
+    """A pure period-7 series: seasonal-naive is a perfect forecast
+    (mae_seasonal = 0, mase = 0) while naive has the cycle's mean step
+    error; a trending series with no weekly structure has mase > 1."""
+    import datetime as dt
+
+    from mbta_etl_spark.operators.timeseries import forecast_backtest
+
+    base = dt.datetime(2024, 1, 1)
+    offsets = [3.0, -1.0, 0.0, 2.0, -2.0, 1.0, -3.0]
+    rows = [
+        ("cyc", base + dt.timedelta(days=d), 100.0 + offsets[d % 7])
+        for d in range(28)
+    ] + [
+        # strictly increasing: x_{t-1} beats x_{t-7} (error 1 vs 7)
+        ("trend", base + dt.timedelta(days=d), float(d))
+        for d in range(28)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp_ntz, value double"
+    )
+    out = {
+        r["event_type"]: r
+        for r in forecast_backtest(df, ["event_type"], "ts", "value").collect()
+    }
+    assert out["cyc"].n_eval == 21
+    assert out["cyc"].mae_seasonal == 0.0 and out["cyc"].mase == 0.0
+    assert out["cyc"].mae_naive > 1.0
+    assert out["trend"].mae_naive == 1.0 and out["trend"].mae_seasonal == 7.0
+    assert abs(out["trend"].mase - 7.0) < 1e-6
