@@ -8294,6 +8294,135 @@ _ORACLES["ts30_stl_decompose"] = f"""
 """
 
 
+TXN_LOG_FILES = 16
+
+
+def src10_txn_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse transaction-log replay with time travel: the table's
+    state is a log of (file, version, add|remove) actions — v0 writes
+    16 'files' (orders bucketed by o_orderkey), v1 compacts files 0-7
+    into one merged file, v2 deletes file 9 — and reading AS OF version
+    v means replaying the log prefix ≤ v and keeping each file's LAST
+    action if it is an 'add' (exactly Delta/Iceberg snapshot
+    semantics). Output: per version, live file count and surviving
+    row/byte totals — v1 conserves mass (compaction moves rows, drops
+    file count), v2 shrinks it (delete).
+
+    Shape: the file stats are one map-side-combinable aggregate over
+    the fact table; the log and every replay step after it are
+    O(files·versions) metadata rows with a 3-row broadcast version
+    spine — which is the entire point of log-structured tables at
+    100 TB: planning reads the log, never the data. Byte stats are
+    per-row-pinned cent sums (int64, order-independent)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    files = orders.groupBy(
+        (F.col("o_orderkey") % TXN_LOG_FILES).alias("file_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100) + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("n_bytes"),
+    )
+    half = files.filter(F.col("file_id") < TXN_LOG_FILES // 2)
+    adds0 = files.select(
+        "file_id",
+        F.lit(0).alias("ver"),
+        F.lit("add").alias("action"),
+        "n_rows",
+        "n_bytes",
+    )
+    removes1 = half.select(
+        "file_id",
+        F.lit(1).alias("ver"),
+        F.lit("remove").alias("action"),
+        "n_rows",
+        "n_bytes",
+    )
+    merged1 = half.agg(
+        F.sum("n_rows").alias("n_rows"), F.sum("n_bytes").alias("n_bytes")
+    ).select(
+        F.lit(TXN_LOG_FILES).alias("file_id"),
+        F.lit(1).alias("ver"),
+        F.lit("add").alias("action"),
+        "n_rows",
+        "n_bytes",
+    )
+    removes2 = files.filter(F.col("file_id") == 9).select(
+        "file_id",
+        F.lit(2).alias("ver"),
+        F.lit("remove").alias("action"),
+        "n_rows",
+        "n_bytes",
+    )
+    actions = adds0.unionByName(removes1).unionByName(merged1).unionByName(
+        removes2
+    )
+    versions = spark.range(1).select(
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("version")
+    )
+    eligible = actions.crossJoin(F.broadcast(versions)).filter(
+        F.col("ver") <= F.col("version")
+    )
+    last = eligible.groupBy("version", "file_id").agg(
+        F.max("ver").alias("ver")
+    )
+    live = last.join(actions, ["file_id", "ver"]).filter(
+        F.col("action") == "add"
+    )
+    return (
+        live.groupBy("version")
+        .agg(
+            F.count(F.lit(1)).alias("n_live_files"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_bytes").alias("n_bytes"),
+        )
+        .orderBy("version")
+    )
+
+
+_ORACLES["src10_txn_log"] = f"""
+    WITH files AS (
+      SELECT o_orderkey % {TXN_LOG_FILES} AS file_id,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS n_bytes
+      FROM orders GROUP BY 1),
+    half AS (SELECT * FROM files WHERE file_id < {TXN_LOG_FILES // 2}),
+    actions AS (
+      SELECT file_id, 0 AS ver, 'add' AS action, n_rows, n_bytes FROM files
+      UNION ALL
+      SELECT file_id, 1, 'remove', n_rows, n_bytes FROM half
+      UNION ALL
+      SELECT {TXN_LOG_FILES}, 1, 'add',
+             CAST(SUM(n_rows) AS BIGINT), CAST(SUM(n_bytes) AS BIGINT)
+      FROM half
+      UNION ALL
+      SELECT file_id, 2, 'remove', n_rows, n_bytes FROM files
+      WHERE file_id = 9),
+    versions AS (SELECT * FROM (VALUES (0), (1), (2)) v(version)),
+    eligible AS (
+      SELECT v.version, a.* FROM actions a JOIN versions v
+      ON a.ver <= v.version),
+    last AS (
+      SELECT version, file_id, MAX(ver) AS ver
+      FROM eligible GROUP BY 1, 2),
+    live AS (
+      SELECT l.version, a.n_rows, a.n_bytes
+      FROM last l JOIN actions a
+      ON a.file_id = l.file_id AND a.ver = l.ver
+      WHERE a.action = 'add')
+    SELECT version,
+           CAST(COUNT(*) AS BIGINT) AS n_live_files,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(SUM(n_bytes) AS BIGINT) AS n_bytes
+    FROM live GROUP BY version ORDER BY version
+"""
+
+
 BACKTEST_SEASON = 7
 
 
@@ -8783,6 +8912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d32_soft_dedup": llm_registry.d32_soft_dedup,
             "ts31_forecast_backtest": ts31_forecast_backtest,
             "s23_pq_codebook": llm_registry.s23_pq_codebook,
+            "src10_txn_log": src10_txn_log,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

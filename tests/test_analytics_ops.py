@@ -409,3 +409,21 @@ def test_v20_freshness_lag_median_split(spark):
         assert r.stale == (1 if r.lag_s > med else 0)
     # by construction at most half the rows sit strictly above the median
     assert sum(r.stale for r in rows) <= n // 2
+
+
+def test_src10_txn_log_time_travel_semantics(spark):
+    """v0: all 16 files live. v1 (compaction): 7 fewer files but row and
+    byte mass conserved. v2 (delete of file 9): strictly less mass."""
+    rows = {
+        r.version: r
+        for r in registry.src10_txn_log(spark, SF_DIR_SMALL).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    v0, v1, v2 = rows[0], rows[1], rows[2]
+    assert v0.n_live_files == 16
+    # compaction: 16 - 8 removed + 1 merged = 9 files, identical mass
+    assert v1.n_live_files == 9
+    assert v1.n_rows == v0.n_rows and v1.n_bytes == v0.n_bytes
+    # delete shrinks the table
+    assert v2.n_live_files == 8
+    assert v2.n_rows < v1.n_rows and v2.n_bytes < v1.n_bytes
