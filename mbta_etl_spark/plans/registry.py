@@ -8294,6 +8294,180 @@ _ORACLES["ts30_stl_decompose"] = f"""
 """
 
 
+import math as _math
+
+BENFORD_EXP6 = {
+    d: int(_math.floor(_math.log10(1 + 1 / d) * 1e6 + 0.5)) for d in range(1, 10)
+}
+
+
+def v21_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals — the classic
+    fraud/synthetic-data screen: natural multi-scale amounts follow
+    P(d) = log10(1+1/d); fabricated ones usually don't. Per digit:
+    count, observed fraction, expected Benford fraction, and the
+    chi-square contribution n·(obs−exp)²/exp.
+
+    Exactness: the first significant digit comes from STRING slicing of
+    the integer part (no float log10 near power-of-10 boundaries), the
+    expected fractions are pinned 1e-6-grid constants computed once in
+    Python and inlined as literals in BOTH engines, and the observed
+    fraction + chi² term are single pinned expressions over integer
+    counts. One map-side-combinable groupBy over a projection — digit
+    cardinality 9."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    g = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = g.agg(F.sum("n").alias("_tot"))
+    exp_frac = F.element_at(
+        F.create_map(
+            *[
+                x
+                for d in range(1, 10)
+                for x in (F.lit(d), F.lit(BENFORD_EXP6[d] / 1e6))
+            ]
+        ),
+        F.col("digit"),
+    )
+    obs = F.col("n").cast("double") / F.col("_tot").cast("double")
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            r6(obs).alias("obs_frac"),
+            exp_frac.alias("exp_frac"),
+            r6(
+                F.col("_tot").cast("double")
+                * (r6(obs) - exp_frac)
+                * (r6(obs) - exp_frac)
+                / exp_frac
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+_ORACLES["v21_benford_audit"] = f"""
+    WITH g AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g),
+    e AS (SELECT * FROM (VALUES
+      {", ".join(f"({d}, {BENFORD_EXP6[d] / 1e6})" for d in range(1, 10))})
+      e(digit, exp_frac))
+    SELECT g.digit, g.n,
+           FLOOR(CAST(g.n AS DOUBLE) / CAST(t.tot AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS obs_frac,
+           e.exp_frac,
+           FLOOR(CAST(t.tot AS DOUBLE)
+                 * (FLOOR(CAST(g.n AS DOUBLE) / CAST(t.tot AS DOUBLE)
+                          * 1e6 + 0.5) / 1e6 - e.exp_frac)
+                 * (FLOOR(CAST(g.n AS DOUBLE) / CAST(t.tot AS DOUBLE)
+                          * 1e6 + 0.5) / 1e6 - e.exp_frac)
+                 / e.exp_frac * 1e6 + 0.5) / 1e6 AS chi2_term
+    FROM g, t JOIN e ON e.digit = g.digit
+    ORDER BY g.digit
+"""
+
+
+def q99_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue deciles (the marketing lift table / discrete
+    Lorenz curve): customers ranked by lifetime spend into ntile(10)
+    buckets; per decile, customer count, revenue, revenue share, and
+    cumulative share from the top — "the top decile holds X% of
+    revenue", the concentration readout q92's single Gini scalar
+    summarizes. Spend is per-row-pinned cents (int64 sums); ntile
+    ordering is made deterministic with a custkey tie-break; the
+    decile window runs over 10 rows. One fact aggregate → one
+    customer-count-sized ntile sort → O(10) everything else. At 100 TB
+    the global ntile sort becomes repartitionByRange on the sort key —
+    same result, no single-task sort."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * F.lit(100) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("spend_c"))
+    )
+    dec = spend.withColumn(
+        "decile",
+        F.ntile(10).over(
+            Window.orderBy(F.desc("spend_c"), F.asc("o_custkey"))
+        ),
+    )
+    g = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("spend_c").alias("revenue_c"),
+    )
+    tot = g.agg(F.sum("revenue_c").alias("_tot"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn("cum_revenue_c", F.sum("revenue_c").over(w))
+        .select(
+            "decile",
+            "n_customers",
+            "revenue_c",
+            r6(
+                F.col("revenue_c").cast("double") / F.col("_tot").cast("double")
+            ).alias("revenue_share"),
+            r6(
+                F.col("cum_revenue_c").cast("double")
+                / F.col("_tot").cast("double")
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+_ORACLES["q99_revenue_deciles"] = """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS spend_c
+      FROM orders GROUP BY 1),
+    dec AS (
+      SELECT spend_c,
+             NTILE(10) OVER (ORDER BY spend_c DESC, o_custkey ASC) AS decile
+      FROM spend),
+    g AS (
+      SELECT decile,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(spend_c) AS BIGINT) AS revenue_c
+      FROM dec GROUP BY 1),
+    t AS (SELECT CAST(SUM(revenue_c) AS BIGINT) AS tot FROM g),
+    c AS (
+      SELECT decile, n_customers, revenue_c,
+             CAST(SUM(revenue_c) OVER (ORDER BY decile) AS BIGINT)
+               AS cum_revenue_c
+      FROM g)
+    SELECT decile, n_customers, revenue_c,
+           FLOOR(CAST(revenue_c AS DOUBLE) / CAST(t.tot AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS revenue_share,
+           FLOOR(CAST(cum_revenue_c AS DOUBLE) / CAST(t.tot AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS cum_share
+    FROM c, t ORDER BY decile
+"""
+
+
 TXN_LOG_FILES = 16
 
 
@@ -8913,6 +9087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts31_forecast_backtest": ts31_forecast_backtest,
             "s23_pq_codebook": llm_registry.s23_pq_codebook,
             "src10_txn_log": src10_txn_log,
+            "v21_benford_audit": v21_benford_audit,
+            "q99_revenue_deciles": q99_revenue_deciles,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -427,3 +427,33 @@ def test_src10_txn_log_time_travel_semantics(spark):
     # delete shrinks the table
     assert v2.n_live_files == 8
     assert v2.n_rows < v1.n_rows and v2.n_bytes < v1.n_bytes
+
+
+def test_v21_benford_digits_complete_and_normalized(spark):
+    rows = registry.v21_benford_audit(spark, SF_DIR_SMALL).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    assert abs(sum(r.obs_frac for r in rows) - 1.0) < 1e-5
+    # expected fractions are the pinned Benford constants, sum to 1
+    assert abs(sum(r.exp_frac for r in rows) - 1.0) < 1e-5
+    for r in rows:
+        assert r.exp_frac > 0 and r.chi2_term >= 0.0
+    # Benford is monotone decreasing in the expectation
+    exps = [r.exp_frac for r in rows]
+    assert exps == sorted(exps, reverse=True)
+
+
+def test_q99_deciles_monotone_lift(spark):
+    rows = registry.q99_revenue_deciles(spark, SF_DIR_SMALL).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    # ntile balance: bucket sizes differ by at most 1
+    sizes = [r.n_customers for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # decile 1 is the top spenders: revenue shares non-increasing
+    shares = [r.revenue_share for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(shares, shares[1:]))
+    # cumulative share is monotone and ends at 1
+    cums = [r.cum_share for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(cums, cums[1:]))
+    assert abs(cums[-1] - 1.0) < 1e-5
+    # concentration: the top decile holds more than 10% of revenue
+    assert shares[0] > 0.1
