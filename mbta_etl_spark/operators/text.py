@@ -527,3 +527,96 @@ def gopher_rules_census(
         )
         .orderBy("source")
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    source_col: str,
+) -> DataFrame:
+    """Per-source census of per-document mean bigram log-probability
+    under an add-one-smoothed corpus bigram LM — the CCNet/KenLM-style
+    quality signal one order up from t11's unigram score: a document
+    whose word PAIRS are typical of the corpus scores high even when
+    individual words are common everywhere (and vice versa — shuffled
+    word salad keeps its unigram score but craters here).
+
+    Model: P(w2|w1) = (c(w1,w2) + 1) / (ctx(w1) + V), where ctx(w1)
+    counts w1's occurrences WITH a successor (so the unsmoothed
+    conditional sums to exactly 1) and V is the distinct successor
+    vocabulary.
+
+    Cross-engine exactness: the c27 discipline — probabilities derive
+    from integer counts in one pinned parenthesization, each bigram
+    TYPE's log-prob is floored onto the 1e-6 grid once in the bigram
+    vocab table, and every per-doc / per-source accumulation is an
+    int64 sum with one pinned division each.
+
+    Shape: bigrams come from an in-row higher-order TRANSFORM over the
+    token array (no positional self-join, no corpus-sized shuffle to
+    build pairs); the bigram-type table is one partial-agg shuffle
+    (bigram-vocab-sized), joined back on the pair key — broadcast when
+    it fits, bucketed by key when it doesn't. The exploded pair table
+    is persisted across its consumers."""
+    arr = F.filter(_tokens(text), lambda x: x != "")
+    pairs = (
+        df.select(
+            id_col.alias("doc_id"),
+            F.col(source_col).alias("source"),
+            arr.alias("_toks"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(slice(_toks, 1, size(_toks) - 1),"
+                    " (x, i) -> struct(x AS w1, _toks[i + 1] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "source", F.col("bg.w1"), F.col("bg.w2"))
+        .persist()
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = pairs.agg(F.countDistinct("w2").alias("v"))
+    d = lambda c: c.cast("double")  # noqa: E731
+    p = (d(F.col("c12")) + F.lit(1.0)) / (d(F.col("c1")) + d(F.col("v")))
+    wtab = (
+        c12.join(ctx, "w1")
+        .crossJoin(F.broadcast(v))
+        .select("w1", "w2", F.floor(F.log(p) * F.lit(1e6) + F.lit(0.5)).cast("long").alias("l6"))
+    )
+    per_doc = (
+        pairs.join(wtab, ["w1", "w2"])
+        .groupBy("doc_id", "source")
+        .agg(F.sum("l6").alias("sl6"), F.count(F.lit(1)).alias("nbg"))
+        .select(
+            "source",
+            F.floor(d(F.col("sl6")) / d(F.col("nbg")) + F.lit(0.5))
+            .cast("long")
+            .alias("s6"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("s6").alias("_sum"),
+            F.min("s6").alias("_min"),
+            F.max("s6").alias("_max"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.floor(d(F.col("_sum")) / d(F.col("n_docs")) + F.lit(0.5))
+                / F.lit(1e6)
+            ).alias("mean_lp"),
+            (d(F.col("_min")) / F.lit(1e6)).alias("min_lp"),
+            (d(F.col("_max")) / F.lit(1e6)).alias("max_lp"),
+        )
+        .orderBy("source")
+    )

@@ -5356,6 +5356,58 @@ _ORACLES["d32_soft_dedup"] = """
 """
 
 
+def t28_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source census of per-doc mean bigram log-probability under
+    an add-one-smoothed corpus bigram LM (operators/text.bigram_lm_score)
+    — the order-2 CCNet/KenLM-style quality signal above t11's unigram
+    score; only docs with ≥ 2 tokens participate."""
+    return text.bigram_lm_score(
+        _docs(spark, sf_dir), F.col("text"), F.col("doc_id"), "source"
+    )
+
+
+_ORACLES["t28_bigram_lm"] = """
+    WITH tk AS (
+      SELECT doc_id, source, tok, pos FROM (
+        SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)
+      WHERE tok <> ''),
+    seq AS (
+      SELECT doc_id, source, tok,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      FROM tk),
+    pairs AS (
+      SELECT a.doc_id, a.source, a.tok AS w1, b.tok AS w2
+      FROM seq a JOIN seq b ON b.doc_id = a.doc_id AND b.rn = a.rn + 1),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM pairs GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+            FROM pairs GROUP BY 1),
+    vv AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM pairs),
+    wt AS (
+      SELECT c12.w1, c12.w2,
+             CAST(FLOOR(ln((CAST(c12 AS DOUBLE) + 1.0)
+                           / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE)))
+                        * 1e6 + 0.5) AS BIGINT) AS l6
+      FROM c12 JOIN ctx USING (w1), vv),
+    pd AS (
+      SELECT p.doc_id, p.source,
+             CAST(FLOOR(CAST(SUM(l6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                        + 0.5) AS BIGINT) AS s6
+      FROM pairs p JOIN wt ON wt.w1 = p.w1 AND wt.w2 = p.w2
+      GROUP BY 1, 2)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           FLOOR(CAST(SUM(s6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5)
+             / 1e6 AS mean_lp,
+           CAST(MIN(s6) AS DOUBLE) / 1e6 AS min_lp,
+           CAST(MAX(s6) AS DOUBLE) / 1e6 AS max_lp
+    FROM pd GROUP BY source ORDER BY source
+"""
+
+
 PQ_SUBSPACES = 4
 PQ_DIM = 64  # testdata embedding dimension (all SFs); Spark side reads it
 

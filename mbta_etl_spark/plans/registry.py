@@ -9089,6 +9089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "src10_txn_log": src10_txn_log,
             "v21_benford_audit": v21_benford_audit,
             "q99_revenue_deciles": q99_revenue_deciles,
+            "t28_bigram_lm": llm_registry.t28_bigram_lm,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -1030,3 +1030,29 @@ def test_pq_codebook_partitions_and_shrinks_distortion(spark):
         sub = [r for r in rows if r.subspace == m]
         sub_mean = sum(r.mean_dist * r.n_members for r in sub) / n_vecs
         assert sub_mean < full_mean
+
+
+def test_bigram_lm_rewards_typical_pairs(spark):
+    """Docs made of the corpus's dominant bigram score higher than a
+    doc of the same words in atypical order; a one-token doc is
+    excluded (no bigrams)."""
+    from mbta_etl_spark.operators.text import bigram_lm_score
+
+    rows = (
+        [(i, "typ", "a b a b a b a b") for i in range(8)]
+        + [(100, "atyp", "b a b a b a b a")]  # pairs reversed vs corpus
+        + [(200, "tiny", "a")]  # no bigram — must vanish from the census
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["source"]: r
+        for r in bigram_lm_score(
+            df, F.col("text"), F.col("doc_id"), "source"
+        ).collect()
+    }
+    assert "tiny" not in out
+    assert out["typ"].n_docs == 8 and out["atyp"].n_docs == 1
+    # (a,b) occurs 8x per typ doc vs (b,a) dominant pairs being rarer
+    assert out["typ"].mean_lp > out["atyp"].mean_lp
+    for r in out.values():
+        assert r.min_lp <= r.mean_lp <= r.max_lp <= 0.0
