@@ -8294,6 +8294,86 @@ _ORACLES["ts30_stl_decompose"] = f"""
 """
 
 
+def g05_co_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the user↔event-type graph: for every
+    pair of event types, how many users touch BOTH, with Jaccard
+    overlap and lift vs independence — the co-engagement graph behind
+    "users who do A also do B" (v15's chi² says WHETHER types are
+    independent; this says WHICH pairs co-occur and how strongly).
+
+    Shape: distinct (user, type) incidence (one dedup shuffle), then
+    the self-join on user_id — cost Σ_u deg(u)², bounded because
+    deg(u) ≤ #types, the classic bipartite-projection bound; pair
+    aggregation is map-side combinable and the size/total joins are
+    broadcast O(#types) frames. All ratios are single pinned divisions
+    of int64 counts."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    ut = (
+        _events(spark, sf_dir).select("user_id", "event_type").distinct()
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    co = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("co_users"))
+    )
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    nu = ut.agg(F.countDistinct("user_id").alias("_nu"))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    cu = F.col("co_users").cast("double")
+    return (
+        co.join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "type_a",
+            "type_b",
+            "co_users",
+            "n_a",
+            "n_b",
+            r6(cu / (na + nb - cu)).alias("jaccard"),
+            r6(cu * F.col("_nu").cast("double") / (na * nb)).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_ORACLES["g05_co_engagement"] = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    co AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS co_users
+      FROM ut a JOIN ut b
+      ON b.user_id = a.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2),
+    sizes AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM ut GROUP BY 1),
+    nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu FROM ut)
+    SELECT c.type_a, c.type_b, c.co_users,
+           sa.n AS n_a, sb.n AS n_b,
+           FLOOR(CAST(c.co_users AS DOUBLE)
+                 / (CAST(sa.n AS DOUBLE) + CAST(sb.n AS DOUBLE)
+                    - CAST(c.co_users AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             AS jaccard,
+           FLOOR(CAST(c.co_users AS DOUBLE) * CAST(nu.nu AS DOUBLE)
+                 / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS lift
+    FROM co c
+    JOIN sizes sa ON sa.event_type = c.type_a
+    JOIN sizes sb ON sb.event_type = c.type_b, nu
+    ORDER BY c.type_a, c.type_b
+"""
+
+
 import math as _math
 
 BENFORD_EXP6 = {
@@ -9090,6 +9170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "v21_benford_audit": v21_benford_audit,
             "q99_revenue_deciles": q99_revenue_deciles,
             "t28_bigram_lm": llm_registry.t28_bigram_lm,
+            "g05_co_engagement": g05_co_engagement,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -457,3 +457,15 @@ def test_q99_deciles_monotone_lift(spark):
     assert abs(cums[-1] - 1.0) < 1e-5
     # concentration: the top decile holds more than 10% of revenue
     assert shares[0] > 0.1
+
+
+def test_g05_co_engagement_bounds(spark):
+    rows = registry.g05_co_engagement(spark, SF_DIR_SMALL).collect()
+    assert rows, "types must co-occur"
+    for r in rows:
+        assert r.type_a < r.type_b  # canonical pair orientation, no dupes
+        assert 0 < r.co_users <= min(r.n_a, r.n_b)
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.lift > 0.0
+    # 5 event types → at most C(5,2)=10 pairs
+    assert len(rows) <= 10
