@@ -8443,7 +8443,7 @@ _ORACLES["v21_benford_audit"] = f"""
              CAST(COUNT(*) AS BIGINT) AS n
       FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
     t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g),
-    e AS (SELECT * FROM (VALUES
+    e AS (SELECT digit, CAST(exp_frac AS DOUBLE) AS exp_frac FROM (VALUES
       {", ".join(f"({d}, {BENFORD_EXP6[d] / 1e6})" for d in range(1, 10))})
       e(digit, exp_frac))
     SELECT g.digit, g.n,

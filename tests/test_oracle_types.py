@@ -29,8 +29,12 @@ TABLES = (
 
 # DuckDB logical types that pandas cannot hold losslessly as the matching
 # Spark type — each stringifies differently after fetchdf() and breaks the
-# driver's value hash.
-_FORBIDDEN = {"HUGEINT", "UHUGEINT"}
+# driver's value hash.  DECIMAL is banned for the inverse reason (found by
+# v21: untyped VALUES float literals infer DECIMAL, whose exact fetchall()
+# repr keeps trailing zeros "0.096910" vs Spark's double "0.09691") — it
+# happens to survive the driver's pandas path but diverges under any exact
+# comparison, so oracles must CAST literals/divisions to DOUBLE explicitly.
+_FORBIDDEN = {"HUGEINT", "UHUGEINT", "DECIMAL"}
 
 ORACLES = entrymod.oracle_sql()
 
