@@ -8294,6 +8294,121 @@ _ORACLES["ts30_stl_decompose"] = f"""
 """
 
 
+COALESCE_HOLD_S = 300
+
+
+def j14_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (gaps-and-islands on ranges): every event opens a
+    5-minute activity interval; overlapping intervals per (user, type)
+    stream merge into islands — the dedup that turns raw event ranges
+    into true busy-time before any utilization or billing math. Per
+    event type: raw intervals, merged islands, total covered
+    microseconds, and the merge ratio.
+
+    The island detector is the standard running-max form: an interval
+    starts a new island iff its start exceeds the max end of ALL
+    earlier intervals in its partition (a plain cummax window — one
+    shuffle on (user, type), the q18 sessionization envelope).
+    Everything is timestamp comparisons and microsecond diffs — exact
+    integers in both engines at the storage resolution."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    iv = _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("start"),
+        F.expr(f"ts + INTERVAL {COALESCE_HOLD_S} SECOND").alias("end"),
+    )
+    wprev = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = iv.withColumn("prev_end", F.max("end").over(wprev)).withColumn(
+        "new_island",
+        (F.col("prev_end").isNull() | (F.col("start") > F.col("prev_end")))
+        .cast("long"),
+    )
+    islands = (
+        marked.withColumn("island", F.sum("new_island").over(wrun))
+        .groupBy("user_id", "event_type", "island")
+        .agg(
+            F.min("start").alias("s"),
+            F.max("end").alias("e"),
+            F.count(F.lit(1)).alias("n_raw"),
+        )
+    )
+    return (
+        islands.groupBy("event_type")
+        .agg(
+            F.sum("n_raw").alias("n_intervals"),
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.expr("timestampdiff(MICROSECOND, s, e)")).alias(
+                "covered_us"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_intervals",
+            "n_islands",
+            "covered_us",
+            r6(
+                F.lit(1.0)
+                - F.col("n_islands").cast("double")
+                / F.col("n_intervals").cast("double")
+            ).alias("merge_ratio"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLES["j14_interval_coalesce"] = f"""
+    WITH iv AS (
+      SELECT user_id, event_type, ts AS s0,
+             ts + INTERVAL {COALESCE_HOLD_S} SECOND AS e0
+      FROM events),
+    marked AS (
+      SELECT user_id, event_type, s0, e0,
+             MAX(e0) OVER (PARTITION BY user_id, event_type ORDER BY s0
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_end
+      FROM iv),
+    flagged AS (
+      SELECT user_id, event_type, s0, e0,
+             CASE WHEN prev_end IS NULL OR s0 > prev_end
+                  THEN 1 ELSE 0 END AS new_island
+      FROM marked),
+    numbered AS (
+      SELECT user_id, event_type, s0, e0,
+             CAST(SUM(new_island) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY s0
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT)
+               AS island
+      FROM flagged),
+    islands AS (
+      SELECT user_id, event_type, island,
+             MIN(s0) AS s, MAX(e0) AS e,
+             CAST(COUNT(*) AS BIGINT) AS n_raw
+      FROM numbered GROUP BY 1, 2, 3)
+    SELECT event_type,
+           CAST(SUM(n_raw) AS BIGINT) AS n_intervals,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(date_diff('microsecond', s, e)) AS BIGINT)
+             AS covered_us,
+           FLOOR((1.0 - CAST(COUNT(*) AS DOUBLE)
+                        / CAST(SUM(n_raw) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             AS merge_ratio
+    FROM islands GROUP BY event_type ORDER BY event_type
+"""
+
+
 def g05_co_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bipartite projection of the user↔event-type graph: for every
     pair of event types, how many users touch BOTH, with Jaccard
@@ -9171,6 +9286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q99_revenue_deciles": q99_revenue_deciles,
             "t28_bigram_lm": llm_registry.t28_bigram_lm,
             "g05_co_engagement": g05_co_engagement,
+            "j14_interval_coalesce": j14_interval_coalesce,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -152,3 +152,21 @@ def test_interval_overlap_join_bins_and_boundaries(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r["a_id"], r["b_id"], r["overlap_s"]) == (1, 10, 120.0)
+
+
+def test_j14_interval_coalesce_island_invariants(spark):
+    """Island count is bounded by raw intervals, covered time sits
+    between one hold window per island and the raw interval mass, and
+    the merge ratio stays in [0, 1)."""
+    from mbta_etl_spark.plans.registry import j14_interval_coalesce
+    from tests.conftest import SF_DIR_SMALL
+
+    rows = j14_interval_coalesce(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_islands <= r.n_intervals
+        # every island covers at least one full hold window
+        assert r.covered_us >= r.n_islands * 300 * 1_000_000
+        # covered time can never exceed raw interval mass
+        assert r.covered_us <= r.n_intervals * 300 * 1_000_000
+        assert 0.0 <= r.merge_ratio < 1.0
