@@ -8294,6 +8294,69 @@ _ORACLES["ts30_stl_decompose"] = f"""
 """
 
 
+def q100_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode per group: the most frequent integer value bucket per
+    event type, with a lowest-bucket deterministic tie-break — the
+    categorical summary statistic SQL lacks a portable aggregate for
+    (Spark's ``mode()`` and DuckDB's ``mode()`` both leave ties
+    implementation-defined, so the portable form is count + rank, which
+    is also the shape that scales: one map-side-combinable (type,
+    bucket) count, then a rank window over the tiny count table).
+    Reports the mode bucket, its count, and its share of the type."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    from pyspark.sql import Window
+
+    counts = (
+        _events(spark, sf_dir)
+        .select(
+            "event_type", F.floor(F.col("value")).cast("long").alias("bucket")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.groupBy("event_type").agg(F.sum("n").alias("_tot"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), F.asc("bucket")
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            F.col("bucket").alias("mode_bucket"),
+            F.col("n").alias("mode_n"),
+            r6(F.col("n").cast("double") / F.col("_tot").cast("double")).alias(
+                "mode_share"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLES["q100_mode_per_group"] = """
+    WITH counts AS (
+      SELECT event_type,
+             CAST(FLOOR(value) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot
+            FROM counts GROUP BY 1),
+    ranked AS (
+      SELECT event_type, bucket, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, bucket ASC) AS rn
+      FROM counts)
+    SELECT r.event_type,
+           r.bucket AS mode_bucket,
+           r.n AS mode_n,
+           FLOOR(CAST(r.n AS DOUBLE) / CAST(t.tot AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS mode_share
+    FROM ranked r JOIN tot t ON t.event_type = r.event_type
+    WHERE r.rn = 1 ORDER BY r.event_type
+"""
+
+
 COALESCE_HOLD_S = 300
 
 
@@ -9287,6 +9350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t28_bigram_lm": llm_registry.t28_bigram_lm,
             "g05_co_engagement": g05_co_engagement,
             "j14_interval_coalesce": j14_interval_coalesce,
+            "q100_mode_per_group": q100_mode_per_group,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -469,3 +469,30 @@ def test_g05_co_engagement_bounds(spark):
         assert r.lift > 0.0
     # 5 event types → at most C(5,2)=10 pairs
     assert len(rows) <= 10
+
+
+def test_q100_mode_is_the_argmax_bucket(spark):
+    from mbta_etl_spark.sources.tables import load_table
+
+    rows = registry.q100_mode_per_group(spark, SF_DIR_SMALL).collect()
+    assert rows
+    # independently recompute the (type, bucket) counts and check argmax
+    import collections
+
+    raw = (
+        load_table(spark, SF_DIR_SMALL, "events")
+        .selectExpr("event_type", "CAST(FLOOR(value) AS LONG) AS bucket")
+        .collect()
+    )
+    counts = collections.Counter((r.event_type, r.bucket) for r in raw)
+    per_type = collections.defaultdict(dict)
+    for (t, b), n in counts.items():
+        per_type[t][b] = n
+    for r in rows:
+        best_n = max(per_type[r.event_type].values())
+        best_buckets = [
+            b for b, n in per_type[r.event_type].items() if n == best_n
+        ]
+        assert r.mode_n == best_n
+        assert r.mode_bucket == min(best_buckets)  # lowest-bucket tiebreak
+        assert 0.0 < r.mode_share <= 1.0
