@@ -1217,3 +1217,53 @@ def forecast_backtest(
             r6(F.col("es").cast("double") / F.col("e1").cast("double")),
         ).alias("mase"),
     ).orderBy(*key_cols)
+
+
+def seasonality_strength(stl: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Hyndman-style strength-of-components diagnostics over an
+    ``stl_decompose`` output: per series,
+      seasonal_strength = max(0, 1 − Var(resid) / Var(x − trend))
+      trend_strength    = max(0, 1 − Var(resid) / Var(x − seasonal))
+    — the [0, 1] scalars that rank thousands of series by "how seasonal"
+    / "how trended" they are (the triage view over ts30's full
+    decomposition: you read strengths for every series, full components
+    only for the interesting ones).
+
+    Exactness: the three component series are re-pinned onto an integer
+    MILLI grid (|v3| ≤ 1e6 keeps n·Σv² inside int64 — a micro grid
+    would overflow), variances form as n·Σv² − (Σv)² integer sums, and
+    each strength is one pinned double division. Deterministic because
+    both engines floor the SAME doubles (stl's outputs are themselves
+    pinned or exactly-rounded expressions of pinned ints).
+
+    Shape: one map-side-combinable aggregate over the already
+    series·bucket-sized stl table — O(series) output."""
+    p3 = lambda c: F.floor(c * F.lit(1e3) + F.lit(0.5)).cast("long")  # noqa: E731
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    v = stl.select(
+        *key_cols,
+        p3(F.col("resid")).alias("r3"),
+        p3(F.col("x") - F.col("trend")).alias("d3"),
+        p3(F.col("x") - F.col("seasonal")).alias("t3"),
+    )
+    g = v.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r3").alias("sr"),
+        F.sum(F.col("r3") * F.col("r3")).alias("srr"),
+        F.sum("d3").alias("sd"),
+        F.sum(F.col("d3") * F.col("d3")).alias("sdd"),
+        F.sum("t3").alias("st"),
+        F.sum(F.col("t3") * F.col("t3")).alias("stt"),
+    )
+    n = F.col("n")
+    varr = (n * F.col("srr") - F.col("sr") * F.col("sr")).cast("double")
+    vard = (n * F.col("sdd") - F.col("sd") * F.col("sd")).cast("double")
+    vart = (n * F.col("stt") - F.col("st") * F.col("st")).cast("double")
+    fs = F.when(vard > 0, F.greatest(F.lit(0.0), F.lit(1.0) - varr / vard))
+    ft = F.when(vart > 0, F.greatest(F.lit(0.0), F.lit(1.0) - varr / vart))
+    return g.select(
+        *key_cols,
+        "n",
+        r6(fs).alias("seasonal_strength"),
+        r6(ft).alias("trend_strength"),
+    ).orderBy(*key_cols)

@@ -8294,6 +8294,54 @@ _ORACLES["ts30_stl_decompose"] = f"""
 """
 
 
+def ts32_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman strength-of-components per event type over ts30's STL
+    decomposition: seasonal and trend strengths in [0, 1] — the triage
+    scalars that rank series by how much weekly structure / drift they
+    carry (operators/timeseries.seasonality_strength). Integer
+    milli-grid variance sums, one pinned division each."""
+    from mbta_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).select("event_type", "ts", "value")
+    stl = timeseries.stl_decompose(ev, ["event_type"], "ts", "value", STL_PERIOD)
+    return timeseries.seasonality_strength(stl, ["event_type"])
+
+
+def _ts32_oracle() -> str:
+    return f"""
+    WITH stl AS ({_ORACLES["ts30_stl_decompose"]}),
+    v AS (
+      SELECT event_type,
+             CAST(FLOOR(resid * 1e3 + 0.5) AS BIGINT) AS r3,
+             CAST(FLOOR((x - trend) * 1e3 + 0.5) AS BIGINT) AS d3,
+             CAST(FLOOR((x - seasonal) * 1e3 + 0.5) AS BIGINT) AS t3
+      FROM stl),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r3) AS BIGINT) AS sr,
+             CAST(SUM(r3 * r3) AS BIGINT) AS srr,
+             CAST(SUM(d3) AS BIGINT) AS sd,
+             CAST(SUM(d3 * d3) AS BIGINT) AS sdd,
+             CAST(SUM(t3) AS BIGINT) AS st,
+             CAST(SUM(t3 * t3) AS BIGINT) AS stt
+      FROM v GROUP BY 1)
+    SELECT event_type, n,
+           FLOOR(CASE WHEN (n * sdd - sd * sd) > 0 THEN
+                   GREATEST(0.0, 1.0 - CAST(n * srr - sr * sr AS DOUBLE)
+                                       / CAST(n * sdd - sd * sd AS DOUBLE))
+                 END * 1e6 + 0.5) / 1e6 AS seasonal_strength,
+           FLOOR(CASE WHEN (n * stt - st * st) > 0 THEN
+                   GREATEST(0.0, 1.0 - CAST(n * srr - sr * sr AS DOUBLE)
+                                       / CAST(n * stt - st * st AS DOUBLE))
+                 END * 1e6 + 0.5) / 1e6 AS trend_strength
+    FROM g ORDER BY event_type
+    """
+
+
+_ORACLES["ts32_seasonality_strength"] = _ts32_oracle()
+
+
 def q100_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact mode per group: the most frequent integer value bucket per
     event type, with a lowest-bucket deterministic tie-break — the
@@ -9351,6 +9399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "g05_co_engagement": g05_co_engagement,
             "j14_interval_coalesce": j14_interval_coalesce,
             "q100_mode_per_group": q100_mode_per_group,
+            "ts32_seasonality_strength": ts32_seasonality_strength,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -390,3 +390,41 @@ def test_forecast_backtest_perfect_weekly_cycle(spark):
     assert out["cyc"].mae_naive > 1.0
     assert out["trend"].mae_naive == 1.0 and out["trend"].mae_seasonal == 7.0
     assert abs(out["trend"].mase - 7.0) < 1e-6
+
+
+def test_seasonality_strength_separates_cyclic_from_noise(spark):
+    """A pure weekly cycle scores seasonal_strength ~1; white-ish noise
+    with no weekly structure scores near 0; both stay in [0, 1]."""
+    import datetime as dt
+
+    from mbta_etl_spark.operators.timeseries import (
+        seasonality_strength,
+        stl_decompose,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    offsets = [30.0, -10.0, 0.0, 20.0, -20.0, 10.0, -30.0]
+    rows = [
+        ("cyc", base + dt.timedelta(days=d), 100.0 + offsets[d % 7])
+        for d in range(28)
+    ] + [
+        # deterministic aperiodic wiggle (period 11 vs season 7)
+        ("noise", base + dt.timedelta(days=d), 100.0 + ((d * d) % 11) - 5.0)
+        for d in range(28)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp_ntz, value double"
+    )
+    stl = stl_decompose(df, ["event_type"], "ts", "value")
+    out = {
+        r["event_type"]: r
+        for r in seasonality_strength(stl, ["event_type"]).collect()
+    }
+    for r in out.values():
+        assert 0.0 <= r.seasonal_strength <= 1.0
+        # NULL when Var(x - seasonal) == 0 (e.g. a pure cycle: trend +
+        # resid is constant, so trend strength is undefined)
+        if r.trend_strength is not None:
+            assert 0.0 <= r.trend_strength <= 1.0
+    assert out["cyc"].seasonal_strength > 0.99
+    assert out["noise"].seasonal_strength < out["cyc"].seasonal_strength - 0.2
