@@ -1015,3 +1015,85 @@ def pq_codebook(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("subspace", "cluster")
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_sub: int = 4,
+    n_iter: int = 2,
+    stride: int = IVF_STRIDE,
+    max_centroids: int = IVF_MAX_CENTROIDS,
+    exclude_id=None,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search — the companion search
+    path to ``pq_codebook``: each vector is represented ONLY by its
+    n_sub codes, and its distance to the query is the sum of
+    precomputed (subspace, code) lookup-table entries, so the scan
+    touches codes, never raw vectors (Jégou et al. 2011). Smallest
+    approximate squared distance wins, vec_id tie-break.
+
+    The LUT is tiny driver state — n_sub × C pinned entries computed
+    with a SEQUENTIAL index-order float loop (the same accumulation
+    order an engine's list-sum uses, so the pinned values replay
+    engine-side), inlined as a literal map: the per-vector distance is
+    an integer map-lookup sum, no vector math in the scan at all. At
+    100 TB this is why PQ serves interactive ANN: codes are ~n_sub
+    bytes/vector and the LUT is broadcast-free literal plan state.
+
+    Shape: n_sub zero-shuffle assignment passes + an id-co-partitioned
+    n_sub-way join of code columns + TakeOrdered(k). In a persisted
+    index the n_sub codes live in ONE struct column per vector (written
+    once at ingest, like s21's cell-partitioned IVF layout), so the
+    join disappears and a query is a single code-table scan."""
+    r6lit = 1e6
+    sub = len(query) // n_sub
+    parts = []
+    for m in range(n_sub):
+        qm = query[m * sub : (m + 1) * sub]
+        sliced = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), m * sub + 1, sub).alias("_sub"),
+        )
+        cents = kmeans_final_centroids(
+            sliced, "_sub", id_col, n_iter, stride, max_centroids
+        )
+        lut6 = []
+        for c in cents:
+            d2 = 0.0
+            for i in range(sub):
+                diff = qm[i] - c[i]
+                d2 += diff * diff
+            lut6.append(int(math.floor(d2 * r6lit + 0.5)))
+        assigned = _kmeans_assign(sliced, "_sub", id_col, cents).select(
+            F.col(id_col),
+            F.element_at(
+                F.create_map(
+                    *[
+                        x
+                        for j, v in enumerate(lut6)
+                        for x in (F.lit(j), F.lit(v))
+                    ]
+                ),
+                F.col("cluster"),
+            ).alias(f"_d{m}"),
+        )
+        parts.append(assigned)
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = joined.join(p, id_col)
+    total = sum(F.col(f"_d{m}") for m in range(1, n_sub)) + F.col("_d0")
+    out = joined.select(F.col(id_col), total.alias("_adc6"))
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return (
+        out.orderBy(F.asc("_adc6"), F.asc(id_col))
+        .limit(k)
+        .select(
+            F.col(id_col),
+            (F.col("_adc6").cast("double") / F.lit(1e6)).alias("adc_d2"),
+        )
+    )

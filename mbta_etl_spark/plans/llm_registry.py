@@ -5455,6 +5455,74 @@ def _pq_oracle() -> str:
 _ORACLES["s23_pq_codebook"] = _pq_oracle()
 
 
+PQ_ADC_K = 10
+
+
+def s24_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (operators/similarity.pq_adc_topk):
+    vectors reduced to 4 subspace codes, query distance = sum of
+    (subspace, code) LUT entries — the search path the s23 codebooks
+    exist for. Query = vec_id 0's embedding, excluded from results."""
+    q = _query_vector(spark, sf_dir)
+    return similarity.pq_adc_topk(
+        _emb(spark, sf_dir),
+        "embedding",
+        "vec_id",
+        q,
+        k=PQ_ADC_K,
+        n_sub=PQ_SUBSPACES,
+        n_iter=KMEANS_ITER,
+        exclude_id=QUERY_VEC_ID,
+    )
+
+
+def _pq_adc_oracle() -> str:
+    """Replays pq_adc_topk: per subspace, the k01 CTE chain over the
+    sliced vectors yields codes; the LUT is SUM over vector positions of
+    the squared diff between the query slice and each final centroid
+    (sequential index order — the same accumulation the Spark side's
+    driver loop uses), pinned to the 1e-6 grid; total ADC distance is
+    the integer sum of the four lookups."""
+    sub = PQ_DIM // PQ_SUBSPACES
+    blocks = []
+    for m in range(PQ_SUBSPACES):
+        lo, hi = m * sub + 1, (m + 1) * sub
+        vexpr = f"(embedding::DOUBLE[])[{lo}:{hi}]"
+        blocks.append(f"""
+        (
+          WITH {_kmeans_prefix(vexpr)},
+          a AS ({_KMEANS_ASSIGN_SQL.format(cent="c1")}),
+          qm AS (SELECT {vexpr} AS q FROM embeddings
+                 WHERE vec_id = {QUERY_VEC_ID}),
+          lut AS (
+            SELECT cluster,
+                   CAST(FLOOR(SUM((qm.q[pos] - x) * (qm.q[pos] - x))
+                              * 1e6 + 0.5) AS BIGINT) AS d6
+            FROM (SELECT cluster, generate_subscripts(cv, 1) AS pos,
+                         unnest(cv) AS x
+                  FROM c1) cc, qm
+            GROUP BY cluster)
+          SELECT a.vec_id, lut.d6 AS d6_{m}
+          FROM a JOIN lut USING (cluster)
+        ) m{m}""")
+    joins = " JOIN ".join(
+        [blocks[0]]
+        + [f"{b} USING (vec_id)" for b in blocks[1:]]
+    )
+    total = " + ".join(f"d6_{m}" for m in range(PQ_SUBSPACES))
+    return f"""
+    SELECT vec_id,
+           CAST({total} AS DOUBLE) / 1e6 AS adc_d2
+    FROM {joins}
+    WHERE vec_id <> {QUERY_VEC_ID}
+    ORDER BY ({total}) ASC, vec_id ASC
+    LIMIT {PQ_ADC_K}
+    """
+
+
+_ORACLES["s24_pq_adc_topk"] = _pq_adc_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "t01_token_stats": t01_token_stats,

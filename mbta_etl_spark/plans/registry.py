@@ -9400,6 +9400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "j14_interval_coalesce": j14_interval_coalesce,
             "q100_mode_per_group": q100_mode_per_group,
             "ts32_seasonality_strength": ts32_seasonality_strength,
+            "s24_pq_adc_topk": llm_registry.s24_pq_adc_topk,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

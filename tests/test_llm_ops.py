@@ -1056,3 +1056,39 @@ def test_bigram_lm_rewards_typical_pairs(spark):
     assert out["typ"].mean_lp > out["atyp"].mean_lp
     for r in out.values():
         assert r.min_lp <= r.mean_lp <= r.max_lp <= 0.0
+
+
+def test_pq_adc_topk_orders_and_approximates(spark):
+    """ADC results are ascending non-negative distances, exclude the
+    query, and the ADC top-10 overlaps the exact Euclidean top-10 (the
+    codebook carries real signal, not noise)."""
+    from mbta_etl_spark.plans import llm_registry
+    from tests.conftest import SF_DIR_SMALL
+
+    rows = llm_registry.s24_pq_adc_topk(spark, SF_DIR_SMALL).collect()
+    assert len(rows) == 10
+    dists = [r.adc_d2 for r in rows]
+    assert all(d >= 0.0 for d in dists)
+    assert dists == sorted(dists)
+    assert all(r.vec_id != llm_registry.QUERY_VEC_ID for r in rows)
+    # exact euclidean top-10 for overlap
+    import math
+
+    emb = {
+        r.vec_id: r.embedding
+        for r in llm_registry._emb(spark, SF_DIR_SMALL).collect()
+    }
+    q = emb[llm_registry.QUERY_VEC_ID]
+    exact = sorted(
+        (
+            (sum((q[i] - v[i]) ** 2 for i in range(len(q))), vid)
+            for vid, v in emb.items()
+            if vid != llm_registry.QUERY_VEC_ID
+        )
+    )[:10]
+    exact_ids = {vid for _, vid in exact}
+    overlap = sum(1 for r in rows if r.vec_id in exact_ids)
+    assert overlap >= 3, f"ADC top-10 shares only {overlap} with exact"
+    # ADC distance lower-bounds nothing but should be in the exact
+    # distance's ballpark for the best hit
+    assert abs(math.sqrt(dists[0]) - math.sqrt(exact[0][0])) < 5.0
