@@ -8342,6 +8342,103 @@ def _ts32_oracle() -> str:
 _ORACLES["ts32_seasonality_strength"] = _ts32_oracle()
 
 
+STL_ANOM_K = 3  # MAD multiples for the anomaly threshold
+
+
+def ts33_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly census on STL residuals: after ts30 strips trend and
+    weekly seasonality, a bucket is anomalous when its residual
+    deviates from the residual median by more than K=3 residual-MADs —
+    the robust detector ts27 runs on RAW seasonal buckets, upgraded to
+    run on the decomposed remainder (so a drifting level or a strong
+    weekday cycle no longer masks true outliers). Per series: buckets,
+    anomaly count, the median/MAD location-scale pair, max |deviation|.
+
+    Exactness: residuals are 1e-6-grid doubles, so median, deviation,
+    and MAD are exact grid arithmetic; medians are the discrete
+    lower-median (q09's integer-division OFFSET idiom via rank
+    windows). Shape: two rank windows + aggregates over the
+    bucket-count-sized stl table — nothing event-sized."""
+    from pyspark.sql import Window
+
+    from mbta_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).select("event_type", "ts", "value")
+    stl = timeseries.stl_decompose(
+        ev, ["event_type"], "ts", "value", STL_PERIOD
+    ).select("event_type", "bucket", "resid")
+    wcnt = Window.partitionBy("event_type")
+    wmed = Window.partitionBy("event_type").orderBy("resid", "bucket")
+    med = (
+        stl.withColumn("_n", F.count(F.lit(1)).over(wcnt))
+        .withColumn("_rn", F.row_number().over(wmed))
+        .filter(F.col("_rn") == F.expr("(_n - 1) div 2 + 1"))
+        .select("event_type", F.col("resid").alias("med"))
+    )
+    dev = stl.join(med, "event_type").withColumn(
+        "dev", F.abs(F.col("resid") - F.col("med"))
+    )
+    wmad = Window.partitionBy("event_type").orderBy("dev", "bucket")
+    mad = (
+        dev.withColumn("_n", F.count(F.lit(1)).over(wcnt))
+        .withColumn("_rn", F.row_number().over(wmad))
+        .filter(F.col("_rn") == F.expr("(_n - 1) div 2 + 1"))
+        .select("event_type", F.col("dev").alias("mad"))
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(
+                (F.col("dev") > F.lit(STL_ANOM_K) * F.col("mad")).cast("long")
+            ).alias("n_anomalies"),
+            F.min("med").alias("resid_median"),
+            F.min("mad").alias("resid_mad"),
+            F.max("dev").alias("max_dev"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _ts33_oracle() -> str:
+    return f"""
+    WITH stl AS ({_ORACLES["ts30_stl_decompose"]}),
+    r AS (SELECT event_type, bucket, resid FROM stl),
+    med AS (
+      SELECT event_type, resid AS med FROM (
+        SELECT event_type, resid,
+               COUNT(*) OVER (PARTITION BY event_type) AS n,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY resid, bucket) AS rn
+        FROM r)
+      WHERE rn = (n - 1) // 2 + 1),
+    dev AS (
+      SELECT r.event_type, r.bucket, ABS(r.resid - m.med) AS dev, m.med
+      FROM r JOIN med m ON m.event_type = r.event_type),
+    mad AS (
+      SELECT event_type, dev AS mad FROM (
+        SELECT event_type, dev,
+               COUNT(*) OVER (PARTITION BY event_type) AS n,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY dev, bucket) AS rn
+        FROM dev)
+      WHERE rn = (n - 1) // 2 + 1)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN d.dev > {STL_ANOM_K} * a.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           MIN(d.med) AS resid_median,
+           MIN(a.mad) AS resid_mad,
+           MAX(d.dev) AS max_dev
+    FROM dev d JOIN mad a ON a.event_type = d.event_type
+    GROUP BY d.event_type ORDER BY d.event_type
+    """
+
+
+_ORACLES["ts33_stl_anomaly"] = _ts33_oracle()
+
+
 def q100_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact mode per group: the most frequent integer value bucket per
     event type, with a lowest-bucket deterministic tie-break — the
@@ -9401,6 +9498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q100_mode_per_group": q100_mode_per_group,
             "ts32_seasonality_strength": ts32_seasonality_strength,
             "s24_pq_adc_topk": llm_registry.s24_pq_adc_topk,
+            "ts33_stl_anomaly": ts33_stl_anomaly,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

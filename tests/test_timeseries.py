@@ -428,3 +428,22 @@ def test_seasonality_strength_separates_cyclic_from_noise(spark):
             assert 0.0 <= r.trend_strength <= 1.0
     assert out["cyc"].seasonal_strength > 0.99
     assert out["noise"].seasonal_strength < out["cyc"].seasonal_strength - 0.2
+
+
+def test_ts33_residual_anomaly_invariants(spark):
+    """Anomaly count bounded by buckets, MAD non-negative and bounded
+    by the max deviation, and zero anomalies whenever nothing exceeds
+    the 3-MAD threshold."""
+    from mbta_etl_spark.plans.registry import ts33_stl_anomaly
+    from tests.conftest import SF_DIR_SMALL
+
+    rows = ts33_stl_anomaly(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_anomalies <= r.n_buckets
+        assert r.resid_mad >= 0.0
+        assert r.max_dev >= r.resid_mad  # max deviation bounds the MAD
+        # anomalies require deviation beyond 3 MADs, so if MAD > 0 and
+        # nothing exceeds it, the count must be zero
+        if r.max_dev <= 3 * r.resid_mad:
+            assert r.n_anomalies == 0
