@@ -8342,6 +8342,54 @@ def _ts32_oracle() -> str:
 _ORACLES["ts32_seasonality_strength"] = _ts32_oracle()
 
 
+V22_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def v22_duplicate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row duplicate census for every warehouse table: row count,
+    distinct full-row count, and the duplicate surplus — the ingestion
+    double-load detector (v17's pk-unique flag catches key collisions;
+    this catches the re-ingested batch whose rows are entirely
+    identical, which a pk-distinct check on a generated key misses).
+    One scan per table with a two-stage exact distinct over the full
+    row struct (map-side dedup first — shuffled rows ~ #distinct, the
+    q24 envelope); the 10-row union is plan-level."""
+    out = None
+    for tbl in V22_TABLES:
+        df = load_table(spark, sf_dir, tbl)
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(F.struct(*df.columns)).alias("n_distinct"),
+        ).select(
+            F.lit(tbl).alias("tbl"),
+            "n_rows",
+            "n_distinct",
+            (F.col("n_rows") - F.col("n_distinct")).alias("n_dup_rows"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("tbl")
+
+
+_ORACLES["v22_duplicate_rows"] = " UNION ALL ".join(
+    f"""
+    SELECT '{tbl}' AS tbl,
+           CAST((SELECT COUNT(*) FROM {tbl}) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM (SELECT DISTINCT * FROM {tbl}))
+                AS BIGINT) AS n_distinct,
+           CAST((SELECT COUNT(*) FROM {tbl})
+                - (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM {tbl}))
+                AS BIGINT) AS n_dup_rows
+    """
+    for tbl in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+) + " ORDER BY tbl"
+
+
 STL_ANOM_K = 3  # MAD multiples for the anomaly threshold
 
 
@@ -9499,6 +9547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts32_seasonality_strength": ts32_seasonality_strength,
             "s24_pq_adc_topk": llm_registry.s24_pq_adc_topk,
             "ts33_stl_anomaly": ts33_stl_anomaly,
+            "v22_duplicate_rows": v22_duplicate_rows,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -129,3 +129,17 @@ def test_quarantine_split_first_fail_wins(spark):
     assert out[2] == ("v_positive", False)
     assert out[3] == ("v_positive", False)  # first failing rule wins
     assert out[4] == ("s_ok", False)
+
+
+def test_v22_duplicate_rows_covers_all_tables(spark):
+    from mbta_etl_spark.plans.registry import V22_TABLES, v22_duplicate_rows
+    from tests.conftest import SF_DIR_SMALL
+
+    rows = {r.tbl: r for r in v22_duplicate_rows(spark, SF_DIR_SMALL).collect()}
+    assert set(rows) == set(V22_TABLES)
+    for r in rows.values():
+        assert r.n_rows >= r.n_distinct >= 0
+        assert r.n_dup_rows == r.n_rows - r.n_distinct
+    # tables with a unique generated key can't hold full-row duplicates
+    assert rows["events"].n_dup_rows == 0
+    assert rows["orders"].n_dup_rows == 0
