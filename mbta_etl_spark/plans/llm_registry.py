@@ -5455,6 +5455,60 @@ def _pq_oracle() -> str:
 _ORACLES["s23_pq_codebook"] = _pq_oracle()
 
 
+def d33_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup method-agreement audit: the candidate-pair sets of d04
+    (MinHash+LSH on shingle Jaccard) and d09 (SimHash banded hamming)
+    compared as sets — pair counts per method, the intersection, and
+    the pair-set Jaccard. The methodological readout that says whether
+    the two detectors see the SAME near-dup structure or complementary
+    slices (low agreement ⇒ run both; high ⇒ keep the cheaper one).
+    Composes two verified pipelines; the join runs on their tiny pair
+    outputs, never the corpus."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    m = d04_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    s = d09_simhash_band_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    ma = m.agg(F.count(F.lit(1)).alias("n_minhash"))
+    sa = s.agg(F.count(F.lit(1)).alias("n_simhash"))
+    ba = m.join(s, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_both")
+    )
+    union = (
+        F.col("n_minhash") + F.col("n_simhash") - F.col("n_both")
+    ).cast("double")
+    return (
+        ma.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(ba))
+        .select(
+            "n_minhash",
+            "n_simhash",
+            "n_both",
+            F.when(
+                union > 0, r6(F.col("n_both").cast("double") / union)
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pair_jaccard"),
+        )
+    )
+
+
+_ORACLES["d33_method_agreement"] = f"""
+    WITH m AS (SELECT doc_a, doc_b FROM ({_ORACLES["d04_minhash_lsh_pairs"]})),
+    s AS (SELECT doc_a, doc_b FROM ({_ORACLES["d09_simhash_band_pairs"]})),
+    c AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_minhash,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_simhash,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM m JOIN s USING (doc_a, doc_b)) AS n_both)
+    SELECT n_minhash, n_simhash, n_both,
+           CASE WHEN (n_minhash + n_simhash - n_both) > 0 THEN
+             FLOOR(CAST(n_both AS DOUBLE)
+                   / CAST(n_minhash + n_simhash - n_both AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6
+           ELSE 0.0 END AS pair_jaccard
+    FROM c
+"""
+
+
 PQ_ADC_K = 10
 
 

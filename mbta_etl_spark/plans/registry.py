@@ -9548,6 +9548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s24_pq_adc_topk": llm_registry.s24_pq_adc_topk,
             "ts33_stl_anomaly": ts33_stl_anomaly,
             "v22_duplicate_rows": v22_duplicate_rows,
+            "d33_method_agreement": llm_registry.d33_method_agreement,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

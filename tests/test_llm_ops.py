@@ -1092,3 +1092,15 @@ def test_pq_adc_topk_orders_and_approximates(spark):
     # ADC distance lower-bounds nothing but should be in the exact
     # distance's ballpark for the best hit
     assert abs(math.sqrt(dists[0]) - math.sqrt(exact[0][0])) < 5.0
+
+
+def test_method_agreement_consistent_with_components(spark):
+    from mbta_etl_spark.plans import llm_registry
+    from tests.conftest import SF_DIR_SMALL
+
+    r = llm_registry.d33_method_agreement(spark, SF_DIR_SMALL).collect()[0]
+    nm = llm_registry.d04_minhash_lsh_pairs(spark, SF_DIR_SMALL).count()
+    ns = llm_registry.d09_simhash_band_pairs(spark, SF_DIR_SMALL).count()
+    assert r.n_minhash == nm and r.n_simhash == ns
+    assert 0 <= r.n_both <= min(nm, ns)
+    assert 0.0 <= r.pair_jaccard <= 1.0
