@@ -5455,6 +5455,87 @@ def _pq_oracle() -> str:
 _ORACLES["s23_pq_codebook"] = _pq_oracle()
 
 
+def c29_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing efficiency: docs binned by
+    power-of-two token-length caps (the dataloader bucketing strategy),
+    per bin: doc/token mass, the observed in-bucket max, the pad-waste
+    fraction INSIDE the bucket (every doc padded to the bucket's
+    observed max — what a bucketed dataloader actually does) vs the
+    waste under naive global batching (every doc padded to the corpus
+    max) — the delta is the whole argument for length-bucketed
+    batching, and c26 measures the same thing for c05's packed bins.
+    One scan projecting token counts, one 1-row broadcast for the
+    global max, one tiny groupBy on the O(log max_len) bin key; every
+    waste fraction is a pinned division of int64 token sums."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    n = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    docs = (
+        _docs(spark, sf_dir)
+        .select(n.alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+    )
+    binned = docs.select(
+        "n_tok",
+        F.pow(F.lit(2.0), F.ceil(F.log2(F.col("n_tok"))))
+        .cast("long")
+        .alias("bin_cap"),
+    )
+    gmax = binned.agg(F.max("n_tok").alias("_gmax"))
+    g = binned.groupBy("bin_cap").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.max("n_tok").alias("bucket_max"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    return (
+        g.crossJoin(F.broadcast(gmax))
+        .select(
+            "bin_cap",
+            "n_docs",
+            "n_tokens",
+            "bucket_max",
+            r6(
+                F.lit(1.0)
+                - d(F.col("n_tokens"))
+                / d(F.col("n_docs") * F.col("bucket_max"))
+            ).alias("bucket_waste"),
+            r6(
+                F.lit(1.0)
+                - d(F.col("n_tokens")) / d(F.col("n_docs") * F.col("_gmax"))
+            ).alias("global_waste"),
+        )
+        .orderBy("bin_cap")
+    )
+
+
+_ORACLES["c29_length_buckets"] = """
+    WITH toks AS (
+      SELECT len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tok
+      FROM documents),
+    nz AS (SELECT n_tok FROM toks WHERE n_tok > 0),
+    binned AS (
+      SELECT n_tok,
+             CAST(POW(2.0, CEIL(LOG2(n_tok))) AS BIGINT) AS bin_cap
+      FROM nz),
+    gmax AS (SELECT CAST(MAX(n_tok) AS BIGINT) AS gmax FROM binned),
+    g AS (
+      SELECT bin_cap,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(MAX(n_tok) AS BIGINT) AS bucket_max
+      FROM binned GROUP BY 1)
+    SELECT bin_cap, n_docs, n_tokens, bucket_max,
+           FLOOR((1.0 - CAST(n_tokens AS DOUBLE)
+                        / CAST(n_docs * bucket_max AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS bucket_waste,
+           FLOOR((1.0 - CAST(n_tokens AS DOUBLE)
+                        / CAST(n_docs * gmax.gmax AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS global_waste
+    FROM g, gmax ORDER BY bin_cap
+"""
+
+
 def d33_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup method-agreement audit: the candidate-pair sets of d04
     (MinHash+LSH on shingle Jaccard) and d09 (SimHash banded hamming)

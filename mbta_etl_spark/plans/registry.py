@@ -9549,6 +9549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts33_stl_anomaly": ts33_stl_anomaly,
             "v22_duplicate_rows": v22_duplicate_rows,
             "d33_method_agreement": llm_registry.d33_method_agreement,
+            "c29_length_buckets": llm_registry.c29_length_buckets,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -1104,3 +1104,23 @@ def test_method_agreement_consistent_with_components(spark):
     assert r.n_minhash == nm and r.n_simhash == ns
     assert 0 <= r.n_both <= min(nm, ns)
     assert 0.0 <= r.pair_jaccard <= 1.0
+
+
+def test_length_buckets_dominate_global_padding(spark):
+    from mbta_etl_spark.plans import llm_registry
+    from tests.conftest import SF_DIR_SMALL
+
+    rows = llm_registry.c29_length_buckets(spark, SF_DIR_SMALL).collect()
+    assert rows
+    caps = [r.bin_cap for r in rows]
+    assert caps == sorted(caps)
+    for r in rows:
+        # every cap is a power of two bounding the bucket's observed max
+        assert r.bin_cap & (r.bin_cap - 1) == 0
+        assert r.bin_cap // 2 < r.bucket_max <= r.bin_cap
+        assert 0.0 <= r.bucket_waste < 0.5 or r.bin_cap == 1
+        # padding to the bucket max never wastes more than padding to
+        # the corpus max (bucket_max <= gmax)
+        assert r.bucket_waste <= r.global_waste + 1e-9
+    # some bin must strictly beat global padding for bucketing to matter
+    assert any(r.bucket_waste < r.global_waste - 0.05 for r in rows)
