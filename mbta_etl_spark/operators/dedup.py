@@ -1368,3 +1368,63 @@ def soft_dedup_weights(
         )
         .orderBy("source")
     )
+
+
+def dup_aware_sample_census(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    source_col: str,
+    salt: str = "dupsample",
+) -> DataFrame:
+    """Dedup-aware deterministic subsampling census: each copy of an
+    exact-dup group survives with probability 1/n_copies (keep iff
+    ``bucket(id)·n_copies < DENOM``, the salted-md5 bucket sampling
+    uses everywhere), so each group contributes ~one copy in
+    expectation — the sampling-time realization of d32's SoftDeDup
+    weights (downsample duplicates instead of carrying per-row
+    weights into training). Per source: raw docs, kept docs, the
+    expected keep mass (Σ 1/n on the 1e-6 grid), and kept/expected —
+    the calibration check that the hash thresholding actually delivers
+    the designed rate.
+
+    Shape: d01's sha-keyed groupBy + the same-key join back (one
+    shuffle, reused), then a map-side-combinable census; the keep
+    decision is pure per-row integer arithmetic on any partitioning —
+    no RNG, so re-runs keep the SAME docs (the property production
+    reruns need)."""
+    from mbta_etl_spark.operators.sampling import DENOM, _bucket
+
+    keyed = df.select(
+        F.sha2(text, 256).alias("text_sha"),
+        F.col(source_col).alias("source"),
+        id_col.alias("_id"),
+    )
+    sizes = keyed.groupBy("text_sha").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    w6 = F.floor(F.lit(1e6) / F.col("n_copies") + F.lit(0.5)).cast("long")
+    keep = (
+        _bucket(F.col("_id"), salt) * F.col("n_copies") < F.lit(DENOM)
+    ).cast("long")
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        keyed.join(sizes, "text_sha")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep).alias("n_kept"),
+            F.sum(w6).alias("_w_sum"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (F.col("_w_sum").cast("double") / F.lit(1e6)).alias("expected"),
+            r6(
+                F.col("n_kept").cast("double") * F.lit(1e6)
+                / F.col("_w_sum").cast("double")
+            ).alias("kept_vs_expected"),
+        )
+        .orderBy("source")
+    )

@@ -5455,6 +5455,44 @@ def _pq_oracle() -> str:
 _ORACLES["s23_pq_codebook"] = _pq_oracle()
 
 
+def d34_dup_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware deterministic subsampling: each exact-dup copy kept
+    with probability 1/n_copies via the salted-md5 bucket (no RNG —
+    re-runs keep identical docs), per-source kept-vs-expected
+    calibration (operators/dedup.dup_aware_sample_census) — the
+    sampling-time form of d32's SoftDeDup weights."""
+    return dedup.dup_aware_sample_census(
+        _docs(spark, sf_dir), F.col("text"), F.col("doc_id"), "source"
+    )
+
+
+_ORACLES["d34_dup_aware_sample"] = f"""
+    WITH keyed AS (
+      SELECT sha256(text) AS text_sha, source, doc_id FROM documents),
+    sizes AS (
+      SELECT text_sha, CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM keyed GROUP BY 1),
+    per_doc AS (
+      SELECT k.source,
+             CAST(FLOOR(1e6 / s.n_copies + 0.5) AS BIGINT) AS w6,
+             CASE WHEN CAST({_bucket_sql('k.doc_id', 'dupsample')} AS BIGINT)
+                       * s.n_copies < 10000
+                  THEN 1 ELSE 0 END AS keep
+      FROM keyed k JOIN sizes s USING (text_sha)),
+    g AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(keep) AS BIGINT) AS n_kept,
+             CAST(SUM(w6) AS BIGINT) AS w_sum
+      FROM per_doc GROUP BY 1)
+    SELECT source, n_docs, n_kept,
+           CAST(w_sum AS DOUBLE) / 1e6 AS expected,
+           FLOOR(CAST(n_kept AS DOUBLE) * 1e6 / CAST(w_sum AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS kept_vs_expected
+    FROM g ORDER BY source
+"""
+
+
 def c29_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-length bucketing efficiency: docs binned by
     power-of-two token-length caps (the dataloader bucketing strategy),

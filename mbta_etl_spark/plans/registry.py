@@ -9550,6 +9550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "v22_duplicate_rows": v22_duplicate_rows,
             "d33_method_agreement": llm_registry.d33_method_agreement,
             "c29_length_buckets": llm_registry.c29_length_buckets,
+            "d34_dup_aware_sample": llm_registry.d34_dup_aware_sample,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -1124,3 +1124,30 @@ def test_length_buckets_dominate_global_padding(spark):
         assert r.bucket_waste <= r.global_waste + 1e-9
     # some bin must strictly beat global padding for bucketing to matter
     assert any(r.bucket_waste < r.global_waste - 0.05 for r in rows)
+
+
+def test_dup_aware_sample_keeps_about_one_per_group(spark):
+    """A planted 10-copy group keeps ~1 copy (deterministically);
+    unique docs keep with rate DENOM-bucket < DENOM/n = full rate 1."""
+    from mbta_etl_spark.operators.dedup import dup_aware_sample_census
+
+    rows = (
+        [(f"copy copy copy", "dup", i) for i in range(10)]
+        + [(f"unique {i}", "uniq", 100 + i) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "text string, source string, doc_id long")
+    out = {
+        r["source"]: r
+        for r in dup_aware_sample_census(
+            df, F.col("text"), F.col("doc_id"), "source"
+        ).collect()
+    }
+    # unique docs: n_copies=1 → bucket*1 < 10000 always → all kept
+    assert out["uniq"].n_kept == 20
+    assert abs(out["uniq"].expected - 20.0) < 1e-6
+    assert abs(out["uniq"].kept_vs_expected - 1.0) < 1e-6
+    # dup group: expected ~1 kept of 10; hash determinism makes the
+    # exact count stable across runs — just bound it loosely
+    assert out["dup"].n_docs == 10
+    assert 0 <= out["dup"].n_kept <= 4
+    assert abs(out["dup"].expected - 1.0) < 1e-5
