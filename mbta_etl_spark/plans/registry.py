@@ -8342,6 +8342,74 @@ def _ts32_oracle() -> str:
 _ORACLES["ts32_seasonality_strength"] = _ts32_oracle()
 
 
+def j15_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click attaches the NEXT purchase by the
+    same user at-or-after the click, plus the whole-second conversion
+    lag — j01's attribution mirrored into time-to-convert. Same
+    union-tag single-shuffle merge shape (operators/temporal.asof_join
+    with direction="forward"); the lag is exact after second-truncating
+    both operands (the v20 cross-engine rule)."""
+    from pyspark.sql import Window
+
+    from mbta_etl_spark.operators import temporal
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    # deterministic winner on (user, ts) ties: max purchase_id
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("purchase_id").desc())
+    purchases = (
+        purchases.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    out = temporal.asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        ts="ts",
+        payload=["purchase_id", "purchase_value"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("r_ts").alias("purchase_ts"),
+        F.col("r_purchase_id").alias("purchase_id"),
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('second', ts),"
+            " date_trunc('second', r_ts))"
+        ).alias("secs_to_convert"),
+    )
+
+
+_ORACLES["j15_asof_forward"] = """
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+      QUALIFY row_number()
+        OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS purchase_ts, p.purchase_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT)
+             AS secs_to_convert
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
 V22_TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -9551,6 +9619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d33_method_agreement": llm_registry.d33_method_agreement,
             "c29_length_buckets": llm_registry.c29_length_buckets,
             "d34_dup_aware_sample": llm_registry.d34_dup_aware_sample,
+            "j15_asof_forward": j15_asof_forward,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

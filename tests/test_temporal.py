@@ -170,3 +170,20 @@ def test_j14_interval_coalesce_island_invariants(spark):
         # covered time can never exceed raw interval mass
         assert r.covered_us <= r.n_intervals * 300 * 1_000_000
         assert 0.0 <= r.merge_ratio < 1.0
+
+
+def test_j15_forward_asof_is_next_at_or_after(spark):
+    from mbta_etl_spark.plans.registry import j15_asof_forward
+    from tests.conftest import SF_DIR_SMALL
+
+    rows = j15_asof_forward(spark, SF_DIR_SMALL).collect()
+    assert rows
+    matched = [r for r in rows if r.purchase_ts is not None]
+    assert matched, "some clicks must convert"
+    for r in matched:
+        assert r.purchase_ts >= r.ts  # forward: at-or-after
+        assert r.secs_to_convert >= 0
+    # unmatched clicks have null lag too
+    for r in rows:
+        if r.purchase_ts is None:
+            assert r.secs_to_convert is None and r.purchase_id is None
