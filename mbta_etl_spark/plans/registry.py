@@ -8342,6 +8342,102 @@ def _ts32_oracle() -> str:
 _ORACLES["ts32_seasonality_strength"] = _ts32_oracle()
 
 
+def ts34_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per event stream (Goh & Barabási):
+    B = (σ−μ)/(σ+μ) over the whole-second gaps between consecutive
+    events of a type — B→−1 periodic, B≈0 Poisson, B→+1 bursty. The
+    one-scalar answer to "is this stream machine-regular or
+    human-bursty", which decides q97's retry window and j14's coalesce
+    hold.
+
+    Exactness: gaps are integers (both operands second-truncated, the
+    v20 rule), Σg and Σg² accumulate as int64 (gap ≤ 3e6 s, gap² ≤
+    9e12 — inside int64 at any realistic stream length), and μ, σ, B
+    derive in one pinned double expression per series. One window
+    shuffle on event_type over (ts, event_id) order — the q18
+    envelope — then a map-side-combinable aggregate."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    ev = _events(spark, sf_dir).select("event_type", "ts", "event_id")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("_prev", F.lag("ts").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "event_type",
+            F.expr(
+                "timestampdiff(SECOND, date_trunc('second', _prev),"
+                " date_trunc('second', ts))"
+            ).alias("gap_s"),
+        )
+    )
+    g = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_s").alias("sg"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("sgg"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("sg").cast("double") / n
+    var = (F.col("sgg").cast("double") - F.col("sg").cast("double") * mu) / n
+    sigma = F.sqrt(var)
+    return g.select(
+        "event_type",
+        "n_gaps",
+        r6(mu).alias("mean_gap_s"),
+        F.when(mu > 0, r6(sigma / mu)).alias("cv"),
+        F.when(sigma + mu > 0, r6((sigma - mu) / (sigma + mu))).alias(
+            "burstiness"
+        ),
+    ).orderBy("event_type")
+
+
+_ORACLES["ts34_burstiness"] = """
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(date_diff('second',
+                            LAG(ts) OVER (PARTITION BY event_type
+                                          ORDER BY ts, event_id),
+                            ts) AS BIGINT) AS gap_s
+      FROM events QUALIFY gap_s IS NOT NULL),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap_s) AS BIGINT) AS sg,
+             CAST(SUM(gap_s * gap_s) AS BIGINT) AS sgg
+      FROM gaps GROUP BY 1)
+    SELECT event_type, n_gaps,
+           FLOOR(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS mean_gap_s,
+           CASE WHEN sg > 0 THEN
+             FLOOR(SQRT((CAST(sgg AS DOUBLE)
+                         - CAST(sg AS DOUBLE)
+                           * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+                        / CAST(n_gaps AS DOUBLE))
+                   / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                   * 1e6 + 0.5) / 1e6
+           END AS cv,
+           CASE WHEN SQRT((CAST(sgg AS DOUBLE)
+                           - CAST(sg AS DOUBLE)
+                             * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+                          / CAST(n_gaps AS DOUBLE))
+                     + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) > 0 THEN
+             FLOOR((SQRT((CAST(sgg AS DOUBLE)
+                          - CAST(sg AS DOUBLE)
+                            * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+                         / CAST(n_gaps AS DOUBLE))
+                    - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                   / (SQRT((CAST(sgg AS DOUBLE)
+                            - CAST(sg AS DOUBLE)
+                              * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+                           / CAST(n_gaps AS DOUBLE))
+                      + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                   * 1e6 + 0.5) / 1e6
+           END AS burstiness
+    FROM g ORDER BY event_type
+"""
+
+
 def j15_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join: each click attaches the NEXT purchase by the
     same user at-or-after the click, plus the whole-second conversion
@@ -9620,6 +9716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "c29_length_buckets": llm_registry.c29_length_buckets,
             "d34_dup_aware_sample": llm_registry.d34_dup_aware_sample,
             "j15_asof_forward": j15_asof_forward,
+            "ts34_burstiness": ts34_burstiness,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

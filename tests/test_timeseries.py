@@ -447,3 +447,18 @@ def test_ts33_residual_anomaly_invariants(spark):
         # nothing exceeds it, the count must be zero
         if r.max_dev <= 3 * r.resid_mad:
             assert r.n_anomalies == 0
+
+
+def test_burstiness_bounds_and_gap_consistency(spark):
+    """B stays in [-1, 1] (it is (σ−μ)/(σ+μ) with σ, μ ≥ 0), CV is
+    non-negative, and every stream with ≥2 events yields gaps."""
+    from mbta_etl_spark.plans.registry import ts34_burstiness
+    from tests.conftest import SF_DIR_SMALL
+
+    rows = {r.event_type: r for r in ts34_burstiness(spark, SF_DIR_SMALL).collect()}
+    for r in rows.values():
+        assert r.n_gaps > 0 and r.mean_gap_s >= 0
+        if r.cv is not None:
+            assert r.cv >= 0
+        if r.burstiness is not None:
+            assert -1.0 <= r.burstiness <= 1.0
