@@ -8342,6 +8342,141 @@ def _ts32_oracle() -> str:
 _ORACLES["ts32_seasonality_strength"] = _ts32_oracle()
 
 
+def ts35_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type: the MEDIAN of all
+    pairwise slopes between daily means — the slope estimator that
+    shrugs off the outlier days that bend an OLS fit (up to ~29%
+    contamination), reported next to the OLS slope from the same
+    integer sums so the gap itself flags outlier pressure.
+
+    Exactness: daily means on the milli grid (ts29 discipline), each
+    pairwise slope is ONE int/int IEEE division pinned to the 1e-6
+    grid, the median is the discrete lower-median with a (slope, i, j)
+    tie-break, and the OLS slope derives from int64 Pearson sums in
+    one pinned expression.
+
+    Shape: the pair join runs on the POST-aggregate daily table —
+    O(series·days²) pairs with days bounded by the calendar (30 days →
+    435 pairs/series), never event-sized. At multi-year horizons the
+    standard fix is windowed Theil–Sen (pairs within a sliding month),
+    same plan with a rn-distance predicate."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    b = F.date_trunc("day", F.col("ts")).cast("timestamp_ntz")
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", b.alias("bucket"))
+        .agg(
+            F.floor(F.avg("value") * F.lit(1e3) + F.lit(0.5))
+            .cast("long")
+            .alias("x3")
+        )
+    )
+    seq = daily.select(
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("bucket"))
+        .alias("rn"),
+        "x3",
+    )
+    a = seq.select(
+        "event_type", F.col("rn").alias("i"), F.col("x3").alias("xi")
+    )
+    bb = seq.select(
+        "event_type", F.col("rn").alias("j"), F.col("x3").alias("xj")
+    )
+    pairs = a.join(bb, "event_type").filter(F.col("j") > F.col("i"))
+    slope6 = F.floor(
+        (F.col("xj") - F.col("xi")).cast("double")
+        / (F.col("j") - F.col("i")).cast("double")
+        * F.lit(1e3)
+        + F.lit(0.5)
+    ).cast("long")
+    sl = pairs.select("event_type", "i", "j", slope6.alias("s6"))
+    wmed = Window.partitionBy("event_type").orderBy("s6", "i", "j")
+    wn = Window.partitionBy("event_type")
+    med = (
+        sl.withColumn("_n", F.count(F.lit(1)).over(wn))
+        .withColumn("_rn", F.row_number().over(wmed))
+        .filter(F.col("_rn") == F.expr("(_n - 1) div 2 + 1"))
+        .select(
+            "event_type",
+            F.col("_n").alias("n_pairs"),
+            (F.col("s6").cast("double") / F.lit(1e6)).alias("ts_slope"),
+        )
+    )
+    g = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("rn").alias("st"),
+        F.sum(F.col("rn") * F.col("rn")).alias("stt"),
+        F.sum("x3").alias("sx"),
+        F.sum(F.col("rn") * F.col("x3")).alias("stx"),
+    )
+    n = F.col("n_days")
+    ols = F.when(
+        (n * F.col("stt") - F.col("st") * F.col("st")) > 0,
+        r6(
+            (n * F.col("stx") - F.col("st") * F.col("sx")).cast("double")
+            / (n * F.col("stt") - F.col("st") * F.col("st")).cast("double")
+            / F.lit(1e3)
+        ),
+    )
+    return (
+        g.join(med, "event_type")
+        .select("event_type", "n_days", "n_pairs", "ts_slope", ols.alias("ols_slope"))
+        .orderBy("event_type")
+    )
+
+
+_ORACLES["ts35_theil_sen"] = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             CAST(FLOOR(AVG(value) * 1e3 + 0.5) AS BIGINT) AS x3
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY bucket) AS rn,
+             x3
+      FROM daily),
+    pairs AS (
+      SELECT a.event_type, a.rn AS i, b.rn AS j,
+             CAST(FLOOR(CAST(b.x3 - a.x3 AS DOUBLE)
+                        / CAST(b.rn - a.rn AS DOUBLE) * 1e3 + 0.5)
+                  AS BIGINT) AS s6
+      FROM seq a JOIN seq b
+      ON b.event_type = a.event_type AND b.rn > a.rn),
+    med AS (
+      SELECT event_type, n AS n_pairs,
+             CAST(s6 AS DOUBLE) / 1e6 AS ts_slope
+      FROM (
+        SELECT event_type, s6,
+               COUNT(*) OVER (PARTITION BY event_type) AS n,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY s6, i, j) AS rn
+        FROM pairs)
+      WHERE rn = (n - 1) // 2 + 1),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(rn) AS BIGINT) AS st,
+             CAST(SUM(rn * rn) AS BIGINT) AS stt,
+             CAST(SUM(x3) AS BIGINT) AS sx,
+             CAST(SUM(rn * x3) AS BIGINT) AS stx
+      FROM seq GROUP BY 1)
+    SELECT g.event_type, g.n_days, m.n_pairs, m.ts_slope,
+           CASE WHEN (g.n_days * g.stt - g.st * g.st) > 0 THEN
+             FLOOR(CAST(g.n_days * g.stx - g.st * g.sx AS DOUBLE)
+                   / CAST(g.n_days * g.stt - g.st * g.st AS DOUBLE)
+                   / 1e3 * 1e6 + 0.5) / 1e6
+           END AS ols_slope
+    FROM g JOIN med m ON m.event_type = g.event_type
+    ORDER BY g.event_type
+"""
+
+
 def ts34_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival burstiness per event stream (Goh & Barabási):
     B = (σ−μ)/(σ+μ) over the whole-second gaps between consecutive
@@ -9717,6 +9852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d34_dup_aware_sample": llm_registry.d34_dup_aware_sample,
             "j15_asof_forward": j15_asof_forward,
             "ts34_burstiness": ts34_burstiness,
+            "ts35_theil_sen": ts35_theil_sen,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

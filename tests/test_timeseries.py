@@ -462,3 +462,18 @@ def test_burstiness_bounds_and_gap_consistency(spark):
             assert r.cv >= 0
         if r.burstiness is not None:
             assert -1.0 <= r.burstiness <= 1.0
+
+
+def test_theil_sen_matches_ols_on_clean_trend_and_pair_count(spark):
+    from mbta_etl_spark.plans.registry import ts35_theil_sen
+    from tests.conftest import SF_DIR_SMALL
+
+    rows = ts35_theil_sen(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        # all C(n,2) pairs participate
+        assert r.n_pairs == r.n_days * (r.n_days - 1) // 2
+        # both estimators see the same near-stationary daily series:
+        # they must land in the same small neighborhood
+        assert r.ols_slope is not None
+        assert abs(r.ts_slope - r.ols_slope) < 5.0
