@@ -5455,6 +5455,99 @@ def _pq_oracle() -> str:
 _ORACLES["s23_pq_codebook"] = _pq_oracle()
 
 
+SOURCE_KEYWORDS_K = 5
+SOURCE_KEYWORDS_MIN_TF = 10
+
+
+def t30_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keyword extraction by frequency LIFT: the terms whose
+    in-source share most exceeds their corpus share — the "what is
+    this slice about" labels a corpus card shows per source, one level
+    up from t08's per-doc TF-IDF. Lift is the right statistic when the
+    vocabulary is shared across sources (document-frequency IDF
+    degenerates to zero the moment every term appears everywhere —
+    measured: at sf0.1 every term has df = #sources); a min-tf floor
+    keeps rare-term noise out of the top-K, lexicographic tie-break.
+
+    Exactness: lift = (tf_s·len_corpus)/(len_s·tf_corpus) — int64
+    cross-products (≤ ~1e13 at any realistic slice) and ONE pinned
+    division per (source, term). Shape: one explode → per-(source,
+    term) and per-term map-side-combinable counts → vocab-sized join →
+    per-source rank window."""
+    from pyspark.sql import Window
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    lens = tf.groupBy("source").agg(F.sum("tf").alias("len_s"))
+    corpus = tf.groupBy("term").agg(F.sum("tf").alias("tf_c"))
+    total = corpus.agg(F.sum("tf_c").alias("_len_c"))
+    d = lambda c: c.cast("double")  # noqa: E731
+    lift6 = F.floor(
+        d(F.col("tf") * F.col("_len_c"))
+        / d(F.col("len_s") * F.col("tf_c"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        tf.filter(F.col("tf") >= SOURCE_KEYWORDS_MIN_TF)
+        .join(F.broadcast(lens), "source")
+        .join(corpus, "term")
+        .crossJoin(F.broadcast(total))
+        .select("source", "term", "tf", lift6.alias("l6"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("l6"), F.asc("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= SOURCE_KEYWORDS_K)
+        .select(
+            "source",
+            F.col("_rn").alias("rank"),
+            "term",
+            "tf",
+            (F.col("l6").cast("double") / F.lit(1e6)).alias("lift"),
+        )
+        .orderBy("source", "rank")
+    )
+
+
+_ORACLES["t30_source_keywords"] = f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    nz AS (SELECT source, term FROM toks WHERE term <> ''),
+    tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM nz GROUP BY 1, 2),
+    lens AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS len_s
+             FROM tf GROUP BY 1),
+    corpus AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS tf_c
+               FROM tf GROUP BY 1),
+    total AS (SELECT CAST(SUM(tf_c) AS BIGINT) AS len_c FROM corpus),
+    scored AS (
+      SELECT tf.source, tf.term, tf.tf,
+             CAST(FLOOR(CAST(tf.tf * total.len_c AS DOUBLE)
+                        / CAST(lens.len_s * corpus.tf_c AS DOUBLE)
+                        * 1e6 + 0.5) AS BIGINT) AS l6
+      FROM tf
+      JOIN lens USING (source) JOIN corpus USING (term), total
+      WHERE tf.tf >= {SOURCE_KEYWORDS_MIN_TF}),
+    ranked AS (
+      SELECT source, term, tf, l6,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY l6 DESC, term ASC) AS rank
+      FROM scored)
+    SELECT source, CAST(rank AS BIGINT) AS rank, term, tf,
+           CAST(l6 AS DOUBLE) / 1e6 AS lift
+    FROM ranked WHERE rank <= {SOURCE_KEYWORDS_K}
+    ORDER BY source, rank
+"""
+
+
 def d34_dup_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-aware deterministic subsampling: each exact-dup copy kept
     with probability 1/n_copies via the salted-md5 bucket (no RNG —

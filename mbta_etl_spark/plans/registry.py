@@ -9853,6 +9853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "j15_asof_forward": j15_asof_forward,
             "ts34_burstiness": ts34_burstiness,
             "ts35_theil_sen": ts35_theil_sen,
+            "t30_source_keywords": llm_registry.t30_source_keywords,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -1151,3 +1151,24 @@ def test_dup_aware_sample_keeps_about_one_per_group(spark):
     assert out["dup"].n_docs == 10
     assert 0 <= out["dup"].n_kept <= 4
     assert abs(out["dup"].expected - 1.0) < 1e-5
+
+
+def test_source_keywords_lift_properties(spark):
+    from mbta_etl_spark.plans import llm_registry
+    from tests.conftest import SF_DIR_SMALL
+
+    rows = llm_registry.t30_source_keywords(spark, SF_DIR_SMALL).collect()
+    assert rows
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for source, rs in by_source.items():
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= llm_registry.SOURCE_KEYWORDS_K
+        lifts = [r.lift for r in rs]
+        assert lifts == sorted(lifts, reverse=True)
+        for r in rs:
+            assert r.tf >= llm_registry.SOURCE_KEYWORDS_MIN_TF
+            assert r.lift > 0
+    # a keyword is over-represented in its source: top lift > 1
+    assert all(rs[0].lift >= 1.0 for rs in by_source.values())
