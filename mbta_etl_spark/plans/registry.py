@@ -8342,6 +8342,60 @@ def _ts32_oracle() -> str:
 _ORACLES["ts32_seasonality_strength"] = _ts32_oracle()
 
 
+def q101_global_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally-ordered running total WITHOUT a single-partition window
+    — the two-phase prefix-sum form §4 of SCALE.md promises as the
+    100 TB upgrade, executed: (1) per-day partial sums (map-side
+    combinable, O(days) rows), (2) exclusive day-offsets from ONE tiny
+    global window over the day table (broadcast back), (3) a per-day
+    keyed window for the within-day prefix — every event-sized window
+    is PARTITIONED BY day, so the global order never serializes
+    through one task. Result is bit-identical to the naive
+    `SUM() OVER (ORDER BY ts, event_id)` the oracle runs: integer cent
+    sums, (ts, event_id) total order."""
+    from pyspark.sql import Window
+
+    cents = F.floor(F.col("value") * F.lit(100) + F.lit(0.5)).cast("long")
+    day = F.date_trunc("day", F.col("ts")).cast("timestamp_ntz")
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", day.alias("_day"), cents.alias("cents")
+    )
+    day_totals = ev.groupBy("_day").agg(F.sum("cents").alias("_day_sum"))
+    wdays = Window.orderBy("_day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = day_totals.select(
+        "_day",
+        F.coalesce(F.sum("_day_sum").over(wdays), F.lit(0)).alias("_offset"),
+    )
+    wday = (
+        Window.partitionBy("_day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.join(F.broadcast(offsets), "_day")
+        .select(
+            "event_id",
+            "ts",
+            (F.col("_offset") + F.sum("cents").over(wday)).alias(
+                "running_cents"
+            ),
+        )
+        .orderBy("ts", "event_id")
+    )
+
+
+_ORACLES["q101_global_running_total"] = """
+    SELECT event_id, ts,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                OVER (ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS running_cents
+    FROM events ORDER BY ts, event_id
+"""
+
+
 def ts35_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil–Sen robust trend per event type: the MEDIAN of all
     pairwise slopes between daily means — the slope estimator that
@@ -9854,6 +9908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts34_burstiness": ts34_burstiness,
             "ts35_theil_sen": ts35_theil_sen,
             "t30_source_keywords": llm_registry.t30_source_keywords,
+            "q101_global_running_total": q101_global_running_total,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

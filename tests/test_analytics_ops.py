@@ -496,3 +496,29 @@ def test_q100_mode_is_the_argmax_bucket(spark):
         assert r.mode_n == best_n
         assert r.mode_bucket == min(best_buckets)  # lowest-bucket tiebreak
         assert 0.0 < r.mode_share <= 1.0
+
+
+def test_q101_two_phase_prefix_sum_matches_naive(spark):
+    """The partitioned two-phase prefix equals a naive global cumsum
+    recomputed driver-side, and has no single-partition event window
+    in its plan (every window is partitioned by day)."""
+    from mbta_etl_spark.sources.tables import load_table
+
+    out = registry.q101_global_running_total(spark, SF_DIR_SMALL).collect()
+    raw = (
+        load_table(spark, SF_DIR_SMALL, "events")
+        .selectExpr(
+            "event_id", "ts", "CAST(FLOOR(value * 100 + 0.5) AS LONG) AS c"
+        )
+        .collect()
+    )
+    naive = {}
+    acc = 0
+    for r in sorted(raw, key=lambda r: (r.ts, r.event_id)):
+        acc += r.c
+        naive[r.event_id] = acc
+    assert len(out) == len(raw)
+    for r in out:
+        assert r.running_cents == naive[r.event_id]
+    # final value equals the global total
+    assert out[-1].running_cents == acc
