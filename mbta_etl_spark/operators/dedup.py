@@ -1428,3 +1428,75 @@ def dup_aware_sample_census(
         )
         .orderBy("source")
     )
+
+
+def pointer_doubling_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components by min-label propagation WITH pointer
+    jumping — the O(log diameter) variant ``connected_components``'s
+    docstring defers to for deep graphs, executed: each round first
+    pulls the minimum neighbor label (as in d07), then SHORTCUTS by
+    relabeling every node with its label's label (l(v) ← l(l(v)), the
+    path-halving step), so label distances halve per round instead of
+    shrinking by one hop. Output is identical to
+    ``connected_components`` — (node, component = min reachable id) —
+    and the d07 oracle verifies it as such.
+
+    Cost per round: the same two keyed shuffles as plain propagation
+    plus ONE label-on-label self-join (all on edge/label-sized tables,
+    never the corpus), with per-round localCheckpoint lineage guards;
+    rounds ≈ log₂(diameter) instead of diameter. On shallow near-dup
+    clusters both converge fast — on web-scale chains this is the one
+    that finishes."""
+    p = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
+    edges = (
+        p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # 1) neighbor-min pull (one join + one groupBy, edge-sized)
+        nbr = edges.join(labels, edges["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("label")
+        )
+        pulled = (
+            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        )
+        # 2) pointer jump: l(v) <- l(l(v)) — path halving
+        jump_src = pulled.select(
+            F.col("node").alias("_jn"), F.col("label").alias("_jl")
+        )
+        jumped = (
+            pulled.join(jump_src, pulled["label"] == jump_src["_jn"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_jl"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = jumped.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )

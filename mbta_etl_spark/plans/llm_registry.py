@@ -5586,6 +5586,27 @@ _ORACLES["d34_dup_aware_sample"] = f"""
 """
 
 
+_ORACLES["d35_pointer_doubling"] = _ORACLES["d07_dup_clusters"]
+
+
+
+
+def d35_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by pointer jumping (path halving) over the
+    same MinHash-LSH pair graph as d07 — the O(log diameter) deep-graph
+    variant d07's docstring defers to, executed
+    (operators/dedup.pointer_doubling_components). Identical output
+    contract, verified by the same recursive-CTE oracle."""
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        F.col("text"),
+        F.col("doc_id"),
+        k=JACCARD_K,
+        threshold=JACCARD_THRESHOLD,
+    )
+    return dedup.pointer_doubling_components(pairs)
+
+
 def c29_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-length bucketing efficiency: docs binned by
     power-of-two token-length caps (the dataloader bucketing strategy),

@@ -9909,6 +9909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts35_theil_sen": ts35_theil_sen,
             "t30_source_keywords": llm_registry.t30_source_keywords,
             "q101_global_running_total": q101_global_running_total,
+            "d35_pointer_doubling": llm_registry.d35_pointer_doubling,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -1172,3 +1172,28 @@ def test_source_keywords_lift_properties(spark):
             assert r.lift > 0
     # a keyword is over-represented in its source: top lift > 1
     assert all(rs[0].lift >= 1.0 for rs in by_source.values())
+
+
+def test_pointer_doubling_matches_propagation_and_jumps_faster(spark):
+    """On a deliberately DEEP chain graph (diameter 40), pointer
+    doubling yields the same components as plain propagation and
+    converges in far fewer rounds than the diameter (log2(40) ~ 6)."""
+    from mbta_etl_spark.operators.dedup import (
+        connected_components,
+        pointer_doubling_components,
+    )
+
+    chain = [(i, i + 1) for i in range(40)]  # 0-1-2-...-40, one component
+    island = [(100, 101), (101, 102)]
+    pairs = spark.createDataFrame(chain + island, "doc_a long, doc_b long")
+    pd_out = {
+        r.doc_id: r.component
+        for r in pointer_doubling_components(pairs, max_iter=8).collect()
+    }
+    cc_out = {
+        r.doc_id: r.component
+        for r in connected_components(pairs, max_iter=50).collect()
+    }
+    assert pd_out == cc_out
+    assert all(pd_out[i] == 0 for i in range(41))
+    assert all(pd_out[i] == 100 for i in (100, 101, 102))
