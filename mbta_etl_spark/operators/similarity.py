@@ -1097,3 +1097,74 @@ def pq_adc_topk(
             (F.col("_adc6").cast("double") / F.lit(1e6)).alias("adc_d2"),
         )
     )
+
+
+# --- binary (sign) signatures: packed-word Hamming search -------------------
+
+HAMMING_WORD_BITS = 32
+
+
+def sign_pack_words(vec: Column, dim: int) -> list[Column]:
+    """Pack the sign pattern of ``vec`` (bit i set iff component i > 0)
+    into 32-bit words carried in BIGINTs, little-endian within each word.
+
+    32-bit words (not 64) so the top bit never lands in a BIGINT sign
+    bit — both Spark and the DuckDB oracle then agree on the packed
+    value with plain integer arithmetic, no unsigned-cast gymnastics.
+    The whole expression is a chain of WHEN/shift/adds: pure Catalyst,
+    whole-stage-codegen'd, one pass over the array per word.
+    """
+    words: list[Column] = []
+    for w in range(0, dim, HAMMING_WORD_BITS):
+        bits = None
+        for i in range(w, min(w + HAMMING_WORD_BITS, dim)):
+            bit = (
+                F.when(
+                    F.element_at(vec, i + 1).cast("double") > 0.0,
+                    F.lit(1 << (i - w)),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+            )
+            bits = bit if bits is None else bits + bit
+        words.append(bits)
+    return words
+
+
+def hamming_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    exclude_id=None,
+) -> DataFrame:
+    """Top-k by Hamming distance between sign-binarized embeddings.
+
+    The 100 TB rationale: a d-dim float32 vector is 4d bytes; its sign
+    signature is d bits — a 32x shrink (64-dim -> 8 bytes) that turns a
+    re-ranking prefilter scan into pure integer popcounts. The packed
+    words are computed in the same scan (or persisted once by an index
+    build), distance is bit_count(xor) per word — no Python, no shuffle;
+    the top-k is a TakeOrderedAndProject, so the only data movement is
+    k rows per partition to the driver-side final heap.
+    """
+    dim = len(query)
+    qwords: list[int] = []
+    for w in range(0, dim, HAMMING_WORD_BITS):
+        word = 0
+        for i in range(w, min(w + HAMMING_WORD_BITS, dim)):
+            if query[i] > 0:
+                word |= 1 << (i - w)
+        qwords.append(word)
+    vwords = sign_pack_words(F.col(vec_col), dim)
+    ham = None
+    for vw, qw in zip(vwords, qwords):
+        h = F.bit_count(vw.bitwiseXOR(F.lit(qw)))
+        ham = h if ham is None else ham + h
+    out = df.select(
+        F.col(id_col), F.col("label"), ham.cast("long").alias("hamming")
+    )
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return out.orderBy(F.asc("hamming"), F.asc(id_col)).limit(k)

@@ -5810,6 +5810,55 @@ def _pq_adc_oracle() -> str:
 _ORACLES["s24_pq_adc_topk"] = _pq_adc_oracle()
 
 
+def s25_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-binarized packed-word Hamming top-k
+    (operators/similarity.hamming_topk): each 64-dim vector collapses to
+    two 32-bit sign words; distance to the query is two
+    bit_count(xor) popcounts. The binary-signature prefilter tier of an
+    ANN stack — 32x smaller than the float vectors it summarizes.
+    Query = vec_id 0's embedding, excluded from results."""
+    q = _query_vector(spark, sf_dir)
+    return similarity.hamming_topk(
+        _emb(spark, sf_dir),
+        "embedding",
+        "vec_id",
+        q,
+        k=TOPK,
+        exclude_id=QUERY_VEC_ID,
+    )
+
+
+def _hamming_topk_oracle() -> str:
+    """Replays the packing bit-for-bit: 32-bit little-endian sign words
+    via list comprehension over the double-cast embedding, then
+    bit_count(xor) per word. Strict > 0.0 on exact float->double values
+    in both engines, so the signatures agree exactly."""
+    wexprs = []
+    for wi, base in enumerate((0, 32)):
+        wexprs.append(
+            f"CAST(list_sum([CASE WHEN v[i + {base + 1}] > 0.0"
+            f" THEN (1::BIGINT << i) ELSE 0 END"
+            f" FOR i IN range(0, 32)]) AS BIGINT) AS w{wi}"
+        )
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    w AS (SELECT vec_id, label, {', '.join(wexprs)} FROM e),
+    q AS (SELECT w0 AS q0, w1 AS q1 FROM w
+          WHERE vec_id = {QUERY_VEC_ID})
+    SELECT vec_id, label,
+           CAST(bit_count(xor(w0, q0)) + bit_count(xor(w1, q1))
+                AS BIGINT) AS hamming
+    FROM w, q
+    WHERE vec_id <> {QUERY_VEC_ID}
+    ORDER BY hamming ASC, vec_id ASC
+    LIMIT {TOPK}
+    """
+
+
+_ORACLES["s25_hamming_topk"] = _hamming_topk_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "t01_token_stats": t01_token_stats,

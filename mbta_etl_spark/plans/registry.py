@@ -9910,6 +9910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t30_source_keywords": llm_registry.t30_source_keywords,
             "q101_global_running_total": q101_global_running_total,
             "d35_pointer_doubling": llm_registry.d35_pointer_doubling,
+            "s25_hamming_topk": llm_registry.s25_hamming_topk,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

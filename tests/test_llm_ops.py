@@ -1197,3 +1197,39 @@ def test_pointer_doubling_matches_propagation_and_jumps_faster(spark):
     assert pd_out == cc_out
     assert all(pd_out[i] == 0 for i in range(41))
     assert all(pd_out[i] == 100 for i in (100, 101, 102))
+
+
+def test_hamming_topk_zero_distance_and_monotone(spark):
+    """A vector with the same sign pattern as the query is at distance
+    0; distances are nondecreasing and bounded by the dimension."""
+    from mbta_etl_spark.operators.similarity import hamming_topk
+
+    q = [1.0, -2.0, 0.5, -0.25] * 16  # 64-dim, alternating signs
+    same_sign = [0.1 if x > 0 else -0.1 for x in q]
+    flipped = [-x for x in q]
+    rows = [
+        (1, same_sign, 0),
+        (2, flipped, 1),
+        (3, [abs(x) for x in q], 2),  # all-positive: differs on negatives
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = hamming_topk(df, "embedding", "vec_id", q, k=3).collect()
+    assert [r.vec_id for r in out] == [1, 3, 2]
+    assert out[0].hamming == 0
+    assert out[2].hamming == 64  # exact complement flips every bit
+    hams = [r.hamming for r in out]
+    assert hams == sorted(hams) and all(0 <= h <= 64 for h in hams)
+
+
+def test_hamming_topk_registry_entry_shape(spark):
+    from mbta_etl_spark.plans import llm_registry
+    from tests.conftest import SF_DIR_SMALL
+
+    out = llm_registry.s25_hamming_topk(spark, SF_DIR_SMALL)
+    rows = out.collect()
+    assert len(rows) == llm_registry.TOPK
+    assert all(r.vec_id != llm_registry.QUERY_VEC_ID for r in rows)
+    hams = [r.hamming for r in rows]
+    assert hams == sorted(hams)
