@@ -1267,3 +1267,71 @@ def seasonality_strength(stl: DataFrame, key_cols: Sequence[str]) -> DataFrame:
         r6(fs).alias("seasonal_strength"),
         r6(ft).alias("trend_strength"),
     ).orderBy(*key_cols)
+
+
+TIMEDECAY_BASE = "TIMESTAMP_NTZ'2024-01-01 00:00:00'"
+
+
+def timedecay_smooth(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    order_tiebreak: str,
+    value_col: str,
+    lookback: int = 16,
+    tau_us: int = 600_000_000,
+) -> DataFrame:
+    """Irregular-gap kernel smoother: each observation is replaced by a
+    weighted mean of its trailing ``lookback``+current frame, with
+    hyperbolic time-decay weights w_j = tau / (tau + (t_i - t_j)) — the
+    attention-like smoother for series whose rows are NOT equally
+    spaced, where a row-count EWMA (ts06) over-weights whatever burst
+    happens to precede the row. tau is the half-influence scale: an
+    observation tau microseconds back carries half a current one.
+
+    Cross-engine exactness: the weights are RATIONAL in the integer
+    microsecond gap — one IEEE divide per term, no exp()/libm whose
+    last-ulp behavior differs between the JVM and the oracle engine.
+    Each term is therefore bit-identical on both sides, and both sides
+    fold the frame in the same window order (collect_list + aggregate
+    here; list window + left list_reduce in the oracle), so num/den are
+    bit-identical before the single pinned 6dp scaled-floor.
+
+    Shape at 100 TB: one shuffle on the series key, bounded ROWS frame
+    (lookback+1 structs of 16 bytes in flight per row), the fold is a
+    JVM higher-order function — no Python tier, state O(lookback), and
+    timestamps enter only as DIFFERENCES from a fixed NTZ base so the
+    result is timezone-independent (no epoch/DST trap)."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(-lookback, Window.currentRow)
+    )
+    t_us = F.expr(
+        f"timestampdiff(MICROSECOND, {TIMEDECAY_BASE}, {ts_col})"
+    )
+    staged = df.select("*", t_us.alias("_t_us")).select(
+        "*",
+        F.collect_list(
+            F.struct(F.col("_t_us").alias("t"), F.col(value_col).alias("v"))
+        )
+        .over(w)
+        .alias("_win"),
+    )
+    tau = F.lit(float(tau_us))
+
+    def _wgt(s: Column) -> Column:
+        return tau / (tau + (F.col("_t_us") - s["t"]).cast("double"))
+
+    num = F.aggregate(
+        F.col("_win"), F.lit(0.0), lambda acc, s: acc + s["v"] * _wgt(s)
+    )
+    den = F.aggregate(F.col("_win"), F.lit(0.0), lambda acc, s: acc + _wgt(s))
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return staged.select(
+        *key_cols,
+        order_tiebreak,
+        F.col(value_col),
+        F.size("_win").cast("long").alias("n_window"),
+        r6(num / den).alias("smoothed"),
+    )

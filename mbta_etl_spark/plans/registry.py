@@ -8531,6 +8531,51 @@ _ORACLES["ts35_theil_sen"] = """
 """
 
 
+def ts36_timedecay_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular-gap kernel smoother over each user's event series
+    (operators/timeseries.timedecay_smooth): hyperbolic time-decay
+    weights tau/(tau + gap_us) over the trailing-16+current frame —
+    the gap-aware complement to ts06's row-count EWMA (which
+    over-weights bursts on irregular series). Weights are rational in
+    the integer microsecond gap, so every term is bit-identical in
+    the oracle; one pinned 6dp division at the end."""
+    from mbta_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    return timeseries.timedecay_smooth(
+        ev, ["user_id"], "ts", "event_id", "value", lookback=16
+    )
+
+
+_ORACLES["ts36_timedecay_smooth"] = """
+    WITH b AS (
+      SELECT user_id, event_id, ts, value, epoch_us(ts) AS t_us
+      FROM events),
+    w AS (
+      SELECT user_id, event_id, t_us, value,
+             list(struct_pack(t := t_us, v := value)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 16 PRECEDING AND CURRENT ROW) AS win
+      FROM b),
+    s AS (
+      SELECT user_id, event_id, value,
+             list_reduce(list_prepend(0.0, list_transform(win,
+               s -> s.v * (600000000.0
+                           / (600000000.0 + CAST(t_us - s.t AS DOUBLE))))),
+               (acc, x) -> acc + x) AS num,
+             list_reduce(list_prepend(0.0, list_transform(win,
+               s -> 600000000.0
+                    / (600000000.0 + CAST(t_us - s.t AS DOUBLE)))),
+               (acc, x) -> acc + x) AS den,
+             len(win) AS n_window
+      FROM w)
+    SELECT user_id, event_id, value,
+           CAST(n_window AS BIGINT) AS n_window,
+           FLOOR(num / den * 1e6 + 0.5) / 1e6 AS smoothed
+    FROM s
+"""
+
+
 def ts34_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival burstiness per event stream (Goh & Barabási):
     B = (σ−μ)/(σ+μ) over the whole-second gaps between consecutive
@@ -9911,6 +9956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q101_global_running_total": q101_global_running_total,
             "d35_pointer_doubling": llm_registry.d35_pointer_doubling,
             "s25_hamming_topk": llm_registry.s25_hamming_topk,
+            "ts36_timedecay_smooth": ts36_timedecay_smooth,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -477,3 +477,41 @@ def test_theil_sen_matches_ols_on_clean_trend_and_pair_count(spark):
         # they must land in the same small neighborhood
         assert r.ols_slope is not None
         assert abs(r.ts_slope - r.ols_slope) < 5.0
+
+
+def test_timedecay_smooth_constant_series_and_gap_awareness(spark):
+    """A constant series smooths to itself exactly (weights cancel); on
+    a two-point series the smoothed value leans toward the CURRENT
+    point more when the gap is larger — the property ts06's row-count
+    EWMA cannot express."""
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, sec, val, uid=1):
+        return (eid, uid, base + datetime.timedelta(seconds=sec), float(val))
+
+    schema = "event_id long, user_id long, ts timestamp_ntz, value double"
+    const = spark.createDataFrame(
+        [ev(i, 60 * i, 7.5) for i in range(5)], schema
+    )
+    out = timeseries.timedecay_smooth(
+        const, ["user_id"], "ts", "event_id", "value"
+    ).collect()
+    assert all(r.smoothed == 7.5 for r in out)
+    assert [r.n_window for r in sorted(out, key=lambda r: r.event_id)] == [
+        1, 2, 3, 4, 5,
+    ]
+
+    # same two values, small vs large gap: with a 1s gap the old point
+    # keeps ~half weight (smoothed near the midpoint of 0 and 10); with
+    # a 2h gap its weight decays to ~1/13 (smoothed well above 9)
+    small_gap = spark.createDataFrame([ev(0, 0, 0.0), ev(1, 1, 10.0)], schema)
+    large_gap = spark.createDataFrame(
+        [ev(0, 0, 0.0), ev(1, 7200, 10.0)], schema
+    )
+    s = {r.event_id: r.smoothed for r in timeseries.timedecay_smooth(
+        small_gap, ["user_id"], "ts", "event_id", "value").collect()}
+    g = {r.event_id: r.smoothed for r in timeseries.timedecay_smooth(
+        large_gap, ["user_id"], "ts", "event_id", "value").collect()}
+    assert 4.9 < s[1] < 5.1
+    assert g[1] > 9.0
+    assert g[1] > s[1]
