@@ -9063,6 +9063,184 @@ _ORACLES["j14_interval_coalesce"] = f"""
 """
 
 
+KCORE_SAMPLE_RATE = 0.10
+KCORE_SALT = "g06"
+KCORE_ROUNDS = 6
+
+
+def g06_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peel of the customer co-purchase graph — the
+    cohesion filter web/graph pipelines run before trusting a cluster
+    (a dense core survives; tendrils and stars do not). Nodes are
+    customers, edges connect customers that bought the same part;
+    parts are 10% hash-sampled (deterministic md5 bucket, the q26
+    mechanism) so the projection cost is tunable independently of SF.
+    k = ceil(E/N), the half-mean-degree threshold, derived from the
+    graph itself so the entry is scale-adaptive; the peel runs exactly
+    KCORE_ROUNDS rounds (remove nodes with degree < k, drop their
+    edges, repeat) and reports the per-round census plus whether the
+    peel reached its fixpoint — bounded-round semantics, identical in
+    the unrolled-CTE oracle.
+
+    Shape at 100 TB: the projection's quadratic term is bounded by
+    customers-per-part (~30, constant in SF — the g05 bipartite
+    argument); each round is one map-side-combinable degree agg and
+    two semi-join-shaped filters on a localCheckpointed, monotonically
+    SHRINKING edge table; census counts are O(1) driver values, never
+    node lists."""
+    from mbta_etl_spark.operators.sampling import hash_sample
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    li = hash_sample(
+        li, F.col("l_partkey"), KCORE_SAMPLE_RATE, salt=KCORE_SALT
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    inc = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .select(F.col("l_partkey").alias("pk"), F.col("o_custkey").alias("ck"))
+        .distinct()
+    )
+    a = inc.select("pk", F.col("ck").alias("ua"))
+    b = inc.select("pk", F.col("ck").alias("ub"))
+    edges = (
+        a.join(b, "pk")
+        .filter(F.col("ua") < F.col("ub"))
+        .select("ua", "ub")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _census(e: DataFrame) -> tuple[int, int]:
+        """(n_nodes, n_edges) in ONE job: explode both endpoints, then
+        exact distinct-node count alongside half the row count."""
+        row = (
+            e.select(
+                F.explode(F.array(F.col("ua"), F.col("ub"))).alias("node")
+            )
+            .agg(
+                F.count_distinct(F.col("node")).alias("n"),
+                (F.count(F.lit(1)) / 2).cast("long").alias("m"),
+            )
+            .collect()[0]
+        )
+        return int(row["n"]), int(row["m"])
+
+    n0, e0 = _census(edges)
+    k = (e0 + n0 - 1) // n0 if n0 else 0
+    census = [(0, n0, e0)]
+    e = edges
+    for i in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            e.select(F.col("ua").alias("node"))
+            .unionAll(e.select("ub"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        alive = deg.filter(F.col("d") >= k).select("node")
+        e = (
+            e.join(alive.withColumnRenamed("node", "ua"), "ua")
+            .join(alive.withColumnRenamed("node", "ub"), "ub")
+            .select("ua", "ub")
+            .localCheckpoint(eager=True)
+        )
+        census.append((i, *_census(e)))
+    converged = census[-1][2] == census[-2][2]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("long").alias("round"),
+                F.lit(n).cast("long").alias("n_nodes"),
+                F.lit(m).cast("long").alias("n_edges"),
+            )
+            for r, n, m in census
+        ]
+    )
+    return (
+        spark.range(1)
+        .select(F.explode(rows).alias("s"))
+        .select(
+            F.col("s.round").alias("round"),
+            F.lit(int(k)).cast("long").alias("k"),
+            F.col("s.n_nodes").alias("n_nodes"),
+            F.col("s.n_edges").alias("n_edges"),
+            F.lit(bool(converged)).alias("converged"),
+        )
+    )
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peel rounds as MATERIALIZED CTEs (DuckDB inlines plain
+    CTEs, which makes the chained references exponential)."""
+    bucket = (
+        "CAST(('0x' || substr(md5('"
+        + KCORE_SALT
+        + "' || CAST(l.l_partkey AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000"
+    )
+    parts = [
+        f"""
+    inc AS MATERIALIZED (
+      SELECT DISTINCT l.l_partkey AS pk, o.o_custkey AS ck
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE {bucket} < {int(KCORE_SAMPLE_RATE * 10000)}
+    ),
+    r0 AS MATERIALIZED (
+      SELECT DISTINCT a.ck AS ua, b.ck AS ub
+      FROM inc a JOIN inc b ON a.pk = b.pk AND a.ck < b.ck
+    ),
+    n0 AS MATERIALIZED (SELECT ua AS node FROM r0 UNION SELECT ub FROM r0),
+    kv AS MATERIALIZED (
+      SELECT CAST(((SELECT COUNT(*) FROM r0) + (SELECT COUNT(*) FROM n0) - 1)
+                  // (SELECT COUNT(*) FROM n0) AS BIGINT) AS k)"""
+    ]
+    for i in range(1, KCORE_ROUNDS + 1):
+        p = i - 1
+        parts.append(
+            f"""
+    d{i} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT ua AS node FROM r{p} UNION ALL SELECT ub FROM r{p})
+      GROUP BY 1),
+    a{i} AS MATERIALIZED (
+      SELECT node FROM d{i} WHERE d >= (SELECT k FROM kv)),
+    r{i} AS MATERIALIZED (
+      SELECT e.ua, e.ub FROM r{p} e
+      JOIN a{i} x ON e.ua = x.node JOIN a{i} y ON e.ub = y.node)"""
+        )
+    cens = ",\n".join(
+        f"""    c{i} AS MATERIALIZED (
+      SELECT {i} AS round,
+             (SELECT COUNT(*) FROM
+               (SELECT ua FROM r{i} UNION SELECT ub FROM r{i})) AS n_nodes,
+             (SELECT COUNT(*) FROM r{i}) AS n_edges)"""
+        for i in range(KCORE_ROUNDS + 1)
+    )
+    un = " UNION ALL ".join(
+        f"SELECT * FROM c{i}" for i in range(KCORE_ROUNDS + 1)
+    )
+    last, prev = KCORE_ROUNDS, KCORE_ROUNDS - 1
+    return (
+        "WITH "
+        + ",".join(parts)
+        + ",\n"
+        + cens
+        + f"""
+    SELECT CAST(round AS BIGINT) AS round, kv.k,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           ((SELECT n_edges FROM c{last}) = (SELECT n_edges FROM c{prev}))
+             AS converged
+    FROM ({un}) CROSS JOIN kv
+    """
+    )
+
+
+_ORACLES["g06_kcore_census"] = _kcore_oracle()
+
+
 def g05_co_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bipartite projection of the user↔event-type graph: for every
     pair of event types, how many users touch BOTH, with Jaccard
@@ -9957,6 +10135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d35_pointer_doubling": llm_registry.d35_pointer_doubling,
             "s25_hamming_topk": llm_registry.s25_hamming_topk,
             "ts36_timedecay_smooth": ts36_timedecay_smooth,
+            "g06_kcore_census": g06_kcore_census,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -522,3 +522,25 @@ def test_q101_two_phase_prefix_sum_matches_naive(spark):
         assert r.running_cents == naive[r.event_id]
     # final value equals the global total
     assert out[-1].running_cents == acc
+
+
+def test_g06_kcore_census_monotone_and_converged_flag(spark):
+    """Census shrinks monotonically; the converged flag is exactly
+    'last two rounds kept the same edge count'; k is the half-mean
+    degree of the round-0 graph."""
+    from mbta_etl_spark.plans.registry import KCORE_ROUNDS, g06_kcore_census
+    from tests.conftest import SF_DIR_SMALL
+
+    rows = sorted(
+        g06_kcore_census(spark, SF_DIR_SMALL).collect(),
+        key=lambda r: r.round,
+    )
+    assert [r.round for r in rows] == list(range(KCORE_ROUNDS + 1))
+    edges = [r.n_edges for r in rows]
+    nodes = [r.n_nodes for r in rows]
+    assert edges == sorted(edges, reverse=True)
+    assert nodes == sorted(nodes, reverse=True)
+    k = rows[0].k
+    assert k == (edges[0] + nodes[0] - 1) // nodes[0]
+    assert all(r.k == k for r in rows)
+    assert rows[0].converged == (edges[-1] == edges[-2])
