@@ -579,3 +579,46 @@ def byte_entropy(df: DataFrame) -> DataFrame:
         schema="doc_id long, n_bytes long, n_distinct_bytes long, "
         "entropy double",
     )
+
+
+VIT_PATCH = 16
+
+
+def patch_grid(features: DataFrame, patch: int = VIT_PATCH) -> DataFrame:
+    """ViT patch-grid budgeting over decoded image dims: pad each image
+    up to patch multiples, count the patch tokens it will occupy in a
+    vision-transformer batch (n_patches + 1 CLS), and the padding waste
+    the grid introduces — the image-side analog of c26's text pad-waste,
+    and the number a multimodal token-budget planner needs BEFORE any
+    pixels are decoded.
+
+    Input is any (media_id, width, height, n_channels) frame (real
+    decode or the m02 fake); everything here is pure integer Catalyst
+    arithmetic — ceil-division via DIV, one pinned 6dp division for the
+    waste fraction — so the grid math never leaves the JVM."""
+    p = F.lit(patch)
+    nx = F.expr(f"(width + {patch - 1}) DIV {patch}")
+    ny = F.expr(f"(height + {patch - 1}) DIV {patch}")
+    staged = features.select(
+        "media_id",
+        "width",
+        "height",
+        nx.alias("nx"),
+        ny.alias("ny"),
+    )
+    n_patches = (F.col("nx") * F.col("ny")).cast("long")
+    padded = (F.col("nx") * p * F.col("ny") * p).cast("double")
+    used = (F.col("width") * F.col("height")).cast("double")
+    pad_frac = F.floor(
+        (F.lit(1.0) - used / padded) * F.lit(1e6) + F.lit(0.5)
+    ) / F.lit(1e6)
+    return staged.select(
+        "media_id",
+        "width",
+        "height",
+        F.col("nx").cast("long").alias("nx"),
+        F.col("ny").cast("long").alias("ny"),
+        n_patches.alias("n_patches"),
+        (n_patches + 1).alias("vit_tokens"),
+        pad_frac.alias("pad_frac"),
+    )

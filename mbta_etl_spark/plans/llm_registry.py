@@ -5810,6 +5810,40 @@ def _pq_adc_oracle() -> str:
 _ORACLES["s24_pq_adc_topk"] = _pq_adc_oracle()
 
 
+def m13_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch-grid token budgeting (operators/multimodal.patch_grid)
+    over the m02 fake-decode dims: patches-per-image, ViT token count
+    (n_patches + 1 CLS), and grid pad waste — the image-side c26,
+    computed from metadata only (no pixel decode). Pure integer
+    Catalyst math on top of the mapInPandas dims frame."""
+    binary = multimodal.to_binary_table(_docs(spark, sf_dir), "text", "doc_id")
+    return multimodal.patch_grid(multimodal.fake_image_features(binary))
+
+
+_ORACLES["m13_patch_grid"] = """
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             64 + CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) % 192
+               AS width,
+             64 + CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) % 192
+               AS height
+      FROM documents),
+    g AS (SELECT media_id, width, height,
+                 (width + 15) // 16 AS nx,
+                 (height + 15) // 16 AS ny
+          FROM d)
+    SELECT media_id, width, height,
+           CAST(nx AS BIGINT) AS nx,
+           CAST(ny AS BIGINT) AS ny,
+           CAST(nx * ny AS BIGINT) AS n_patches,
+           CAST(nx * ny + 1 AS BIGINT) AS vit_tokens,
+           FLOOR((1.0 - CAST(width * height AS DOUBLE)
+                        / CAST(nx * 16 * ny * 16 AS DOUBLE)) * 1e6 + 0.5)
+             / 1e6 AS pad_frac
+    FROM g
+"""
+
+
 def s25_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-binarized packed-word Hamming top-k
     (operators/similarity.hamming_topk): each 64-dim vector collapses to

@@ -10136,6 +10136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s25_hamming_topk": llm_registry.s25_hamming_topk,
             "ts36_timedecay_smooth": ts36_timedecay_smooth,
             "g06_kcore_census": g06_kcore_census,
+            "m13_patch_grid": llm_registry.m13_patch_grid,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -1233,3 +1233,21 @@ def test_hamming_topk_registry_entry_shape(spark):
     assert all(r.vec_id != llm_registry.QUERY_VEC_ID for r in rows)
     hams = [r.hamming for r in rows]
     assert hams == sorted(hams)
+
+
+def test_patch_grid_exact_multiples_have_zero_waste(spark):
+    from mbta_etl_spark.operators.multimodal import patch_grid
+
+    dims = spark.createDataFrame(
+        [(1, 64, 128, 3), (2, 65, 128, 3), (3, 17, 17, 1)],
+        "media_id long, width long, height long, n_channels long",
+    )
+    out = {r.media_id: r for r in patch_grid(dims).collect()}
+    assert (out[1].nx, out[1].ny) == (4, 8)
+    assert out[1].n_patches == 32 and out[1].vit_tokens == 33
+    assert out[1].pad_frac == 0.0  # exact multiple: no padding
+    assert (out[2].nx, out[2].ny) == (5, 8)  # 65 -> 5 columns of 16
+    assert out[2].pad_frac > 0.0
+    assert (out[3].nx, out[3].ny) == (2, 2)
+    # 17x17 padded to 32x32: waste = 1 - 289/1024
+    assert abs(out[3].pad_frac - (1 - 289 / 1024)) < 1e-6
