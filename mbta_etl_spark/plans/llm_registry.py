@@ -5844,6 +5844,81 @@ _ORACLES["m13_patch_grid"] = """
 """
 
 
+def c30_multimodal_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source multimodal training-token budget: every document
+    contributes its BPE text tokens (t05's counter) AND the ViT patch
+    tokens of its paired image (m13's grid over the m02 fake decode) —
+    the combined number an image-text training run actually pays for a
+    sample. Reports per-source doc counts, both token pools, and the
+    image share of the budget. One doc-id co-keyed join of two
+    metadata-only frames, then a tiny per-source aggregate; no pixel
+    decode, no Python beyond the existing dims kernel."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    from mbta_etl_spark.functions import token_count_bpe
+
+    docs = _docs(spark, sf_dir)
+    text_tok = docs.select(
+        "doc_id", "source", token_count_bpe(F.col("text")).alias("t_tok")
+    )
+    binary = multimodal.to_binary_table(docs, "text", "doc_id")
+    img = multimodal.patch_grid(multimodal.fake_image_features(binary)).select(
+        F.col("media_id").alias("doc_id"), "vit_tokens"
+    )
+    g = (
+        text_tok.join(img, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t_tok").alias("text_tokens"),
+            F.sum("vit_tokens").alias("image_tokens"),
+        )
+    )
+    total = F.col("text_tokens") + F.col("image_tokens")
+    return g.select(
+        "source",
+        "n_docs",
+        "text_tokens",
+        "image_tokens",
+        total.alias("total_tokens"),
+        r6(F.col("image_tokens").cast("double") / total.cast("double")).alias(
+            "image_frac"
+        ),
+    )
+
+
+_ORACLES["c30_multimodal_budget"] = """
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(
+               text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS t_tok
+      FROM documents),
+    d AS (
+      SELECT doc_id,
+             64 + CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) % 192
+               AS width,
+             64 + CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) % 192
+               AS height
+      FROM documents),
+    i AS (SELECT doc_id,
+                 ((width + 15) // 16) * ((height + 15) // 16) + 1
+                   AS vit_tokens
+          FROM d),
+    g AS (
+      SELECT t.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(t.t_tok) AS BIGINT) AS text_tokens,
+             CAST(SUM(i.vit_tokens) AS BIGINT) AS image_tokens
+      FROM t JOIN i ON t.doc_id = i.doc_id
+      GROUP BY t.source)
+    SELECT source, n_docs, text_tokens, image_tokens,
+           CAST(text_tokens + image_tokens AS BIGINT) AS total_tokens,
+           FLOOR(CAST(image_tokens AS DOUBLE)
+                 / CAST(text_tokens + image_tokens AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS image_frac
+    FROM g
+"""
+
+
 def s25_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-binarized packed-word Hamming top-k
     (operators/similarity.hamming_topk): each 64-dim vector collapses to

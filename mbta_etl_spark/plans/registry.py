@@ -10137,6 +10137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts36_timedecay_smooth": ts36_timedecay_smooth,
             "g06_kcore_census": g06_kcore_census,
             "m13_patch_grid": llm_registry.m13_patch_grid,
+            "c30_multimodal_budget": llm_registry.c30_multimodal_budget,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

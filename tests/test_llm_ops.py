@@ -1251,3 +1251,18 @@ def test_patch_grid_exact_multiples_have_zero_waste(spark):
     assert (out[3].nx, out[3].ny) == (2, 2)
     # 17x17 padded to 32x32: waste = 1 - 289/1024
     assert abs(out[3].pad_frac - (1 - 289 / 1024)) < 1e-6
+
+
+def test_multimodal_budget_consistency(spark):
+    from mbta_etl_spark.plans import llm_registry
+    from tests.conftest import SF_DIR_SMALL
+
+    rows = llm_registry.c30_multimodal_budget(spark, SF_DIR_SMALL).collect()
+    assert rows
+    n_docs_total = sum(r.n_docs for r in rows)
+    assert n_docs_total == llm_registry._docs(spark, SF_DIR_SMALL).count()
+    for r in rows:
+        assert r.total_tokens == r.text_tokens + r.image_tokens
+        assert 0.0 < r.image_frac < 1.0
+        # every image contributes at least ceil(64/16)^2+1 = 17 tokens
+        assert r.image_tokens >= r.n_docs * 17
