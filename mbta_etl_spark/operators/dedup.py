@@ -1500,3 +1500,62 @@ def pointer_doubling_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     )
+
+
+def bbit_minhash_audit(
+    df: DataFrame,
+    text: Column,
+    id_col: Column,
+    k: int = 3,
+    threshold: float = 0.5,
+    n_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """b-bit MinHash compression audit (Li & Koenig 2010): for every
+    verified near-dup pair, the full-signature Jaccard estimate
+    (matching minhashes / n_hashes) next to the 1-bit estimate
+    (2·bit_agreement − 1, the unbiased correction for b=1) and the true
+    Jaccard — the measured answer to "how much signature can we throw
+    away": 1 bit per hash is a 32x signature shrink, paid for in
+    estimator variance that this audit quantifies on the real corpus.
+
+    Shape: the pair pipeline and the wide signature share ONE persisted
+    shingle table; estimates are a CASE-sum over the 2·n_hashes wide
+    columns after two doc-keyed joins — pure JVM, no extra shuffle
+    beyond the joins."""
+    sh = _shingle_table(df, text, id_col, k).persist()
+    sh.count()
+    pairs = minhash_lsh_pairs(
+        df, text, id_col, k=k, threshold=threshold,
+        n_hashes=n_hashes, shingles=sh,
+    )
+    wide = _minhash_wide(sh, n_hashes)
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{s}").alias(f"_a{s}") for s in range(n_hashes)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{s}").alias(f"_b{s}") for s in range(n_hashes)],
+    )
+    j = pairs.join(wa, "doc_a").join(wb, "doc_b")
+    full = sum(
+        F.when(F.col(f"_a{s}") == F.col(f"_b{s}"), 1).otherwise(0)
+        for s in range(n_hashes)
+    )
+    bit = sum(
+        F.when(F.col(f"_a{s}") % 2 == F.col(f"_b{s}") % 2, 1).otherwise(0)
+        for s in range(n_hashes)
+    )
+    n = F.lit(float(n_hashes))
+    _r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        full.cast("long").alias("n_full_match"),
+        bit.cast("long").alias("n_bit_match"),
+        _r6(full.cast("double") / n).alias("est_full"),
+        _r6(F.lit(2.0) * bit.cast("double") / n - F.lit(1.0)).alias(
+            "est_1bit"
+        ),
+    )

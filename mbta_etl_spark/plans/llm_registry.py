@@ -5844,6 +5844,49 @@ _ORACLES["m13_patch_grid"] = """
 """
 
 
+def d36_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit MinHash compression audit
+    (operators/dedup.bbit_minhash_audit): full-signature vs 1-bit
+    Jaccard estimates against true Jaccard on d04's verified pairs —
+    how much estimator the 32x signature shrink costs on THIS corpus."""
+    return dedup.bbit_minhash_audit(
+        _docs(spark, sf_dir),
+        F.col("text"),
+        F.col("doc_id"),
+        k=JACCARD_K,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+_ORACLES["d36_bbit_minhash"] = f"""
+    WITH RECURSIVE {{shingle}},
+    {{pair_ctes}},
+    est AS (
+      SELECT p.doc_a, p.doc_b,
+             SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS n_full,
+             SUM(CASE WHEN ma.mh % 2 = mb.mh % 2 THEN 1 ELSE 0 END) AS n_bit
+      FROM pairs p
+      JOIN mh ma ON ma.doc_id = p.doc_a
+      JOIN mh mb ON mb.doc_id = p.doc_b AND mb.seed = ma.seed
+      GROUP BY 1, 2),
+    jx AS (
+      SELECT i.doc_a, i.doc_b,
+             ROUND(i.n_inter / (sa.set_size + sb.set_size - i.n_inter), 6)
+               AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b)
+    SELECT e.doc_a, e.doc_b, j.jaccard,
+           CAST(e.n_full AS BIGINT) AS n_full_match,
+           CAST(e.n_bit AS BIGINT) AS n_bit_match,
+           FLOOR(e.n_full / {dedup.NUM_HASHES}.0 * 1e6 + 0.5) / 1e6
+             AS est_full,
+           FLOOR((2.0 * e.n_bit / {dedup.NUM_HASHES}.0 - 1.0) * 1e6 + 0.5)
+             / 1e6 AS est_1bit
+    FROM est e JOIN jx j ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b
+""".format(shingle=_SHINGLE_CTE, pair_ctes=_minhash_pair_ctes())
+
+
 def c30_multimodal_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source multimodal training-token budget: every document
     contributes its BPE text tokens (t05's counter) AND the ViT patch

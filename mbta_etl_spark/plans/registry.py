@@ -10138,6 +10138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "g06_kcore_census": g06_kcore_census,
             "m13_patch_grid": llm_registry.m13_patch_grid,
             "c30_multimodal_budget": llm_registry.c30_multimodal_budget,
+            "d36_bbit_minhash": llm_registry.d36_bbit_minhash,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -1266,3 +1266,21 @@ def test_multimodal_budget_consistency(spark):
         assert 0.0 < r.image_frac < 1.0
         # every image contributes at least ceil(64/16)^2+1 = 17 tokens
         assert r.image_tokens >= r.n_docs * 17
+
+
+def test_bbit_minhash_estimators_bracket_truth(spark, docs):
+    """Identical docs estimate 1.0 under both signatures; the 1-bit
+    estimate is a coarser (higher-variance) version of the full one and
+    both live in valid ranges."""
+    out = dedup.bbit_minhash_audit(
+        docs, F.col("text"), F.col("doc_id"), k=3, threshold=0.5
+    ).collect()
+    rows = {(r.doc_a, r.doc_b): r for r in out}
+    ident = rows[(1, 2)]  # exact duplicates
+    assert ident.jaccard == 1.0
+    assert ident.est_full == 1.0 and ident.est_1bit == 1.0
+    assert ident.n_full_match == dedup.NUM_HASHES
+    for r in out:
+        assert 0.0 <= r.est_full <= 1.0
+        assert -1.0 <= r.est_1bit <= 1.0
+        assert r.n_bit_match >= r.n_full_match  # bit match is implied
