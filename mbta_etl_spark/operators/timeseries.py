@@ -1335,3 +1335,57 @@ def timedecay_smooth(
         F.size("_win").cast("long").alias("n_window"),
         r6(num / den).alias("smoothed"),
     )
+
+
+def m4_downsample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    order_tiebreak: str,
+    value_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """M4 visual downsampling (Jugel et al., VLDB 2014): per time bucket
+    keep the four points a pixel column can actually show — first, last,
+    min, max — instead of an average that flattens spikes. The standard
+    lossless-for-rendering reducer behind dashboard charts.
+
+    One groupBy aggregate, map-side combinable: each extreme is a
+    MIN/MAX over a struct whose field order encodes the tie rule
+    (min/first break ties toward the earliest (ts, id); max/last toward
+    the latest), so re-runs and re-partitions are bit-stable. No window,
+    no second shuffle; output is O(4 points per key-bucket)."""
+    b = F.date_trunc(bucket, F.col(ts_col)).cast("timestamp_ntz")
+    t, i, v = F.col(ts_col), F.col(order_tiebreak), F.col(value_col)
+    g = (
+        df.select(*key_cols, b.alias("bucket"), t, i, v)
+        .groupBy(*key_cols, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min(F.struct(t.alias("t"), i.alias("i"), v.alias("v"))).alias(
+                "_f"
+            ),
+            F.max(F.struct(t.alias("t"), i.alias("i"), v.alias("v"))).alias(
+                "_l"
+            ),
+            F.min(F.struct(v.alias("v"), t.alias("t"), i.alias("i"))).alias(
+                "_mn"
+            ),
+            F.max(F.struct(v.alias("v"), t.alias("t"), i.alias("i"))).alias(
+                "_mx"
+            ),
+        )
+    )
+    return g.select(
+        *key_cols,
+        "bucket",
+        "n_points",
+        F.col("_f.t").alias("first_ts"),
+        F.col("_f.v").alias("first_v"),
+        F.col("_l.t").alias("last_ts"),
+        F.col("_l.v").alias("last_v"),
+        F.col("_mn.t").alias("min_ts"),
+        F.col("_mn.v").alias("min_v"),
+        F.col("_mx.t").alias("max_ts"),
+        F.col("_mx.v").alias("max_v"),
+    )

@@ -8576,6 +8576,53 @@ _ORACLES["ts36_timedecay_smooth"] = """
 """
 
 
+def ts37_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visual downsampling (operators/timeseries.m4_downsample):
+    per (event_type, hour) the first/last/min/max POINTS — the
+    lossless-for-rendering dashboard reducer, vs ts07's last-wins.
+    Struct-ordered extremes pin the tie rules (min/first earliest,
+    max/last latest), so the oracle's explicit ORDER BY windows land on
+    the identical rows."""
+    from mbta_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).select("event_type", "ts", "event_id", "value")
+    return timeseries.m4_downsample(
+        ev, ["event_type"], "ts", "event_id", "value"
+    )
+
+
+_ORACLES["ts37_m4_downsample"] = """
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             ts, event_id, value
+      FROM events),
+    r AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                           ORDER BY ts, event_id) AS rf,
+        ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                           ORDER BY ts DESC, event_id DESC) AS rl,
+        ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                           ORDER BY value, ts, event_id) AS rmn,
+        ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                           ORDER BY value DESC, ts DESC, event_id DESC)
+          AS rmx,
+        COUNT(*) OVER (PARTITION BY event_type, bucket) AS n
+      FROM b)
+    SELECT event_type, bucket,
+           CAST(MAX(n) AS BIGINT) AS n_points,
+           MAX(CASE WHEN rf = 1 THEN ts END) AS first_ts,
+           MAX(CASE WHEN rf = 1 THEN value END) AS first_v,
+           MAX(CASE WHEN rl = 1 THEN ts END) AS last_ts,
+           MAX(CASE WHEN rl = 1 THEN value END) AS last_v,
+           MAX(CASE WHEN rmn = 1 THEN ts END) AS min_ts,
+           MAX(CASE WHEN rmn = 1 THEN value END) AS min_v,
+           MAX(CASE WHEN rmx = 1 THEN ts END) AS max_ts,
+           MAX(CASE WHEN rmx = 1 THEN value END) AS max_v
+    FROM r GROUP BY event_type, bucket
+"""
+
+
 def ts34_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival burstiness per event stream (Goh & Barabási):
     B = (σ−μ)/(σ+μ) over the whole-second gaps between consecutive
@@ -10139,6 +10186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "m13_patch_grid": llm_registry.m13_patch_grid,
             "c30_multimodal_budget": llm_registry.c30_multimodal_budget,
             "d36_bbit_minhash": llm_registry.d36_bbit_minhash,
+            "ts37_m4_downsample": ts37_m4_downsample,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

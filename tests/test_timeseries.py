@@ -515,3 +515,31 @@ def test_timedecay_smooth_constant_series_and_gap_awareness(spark):
     assert 4.9 < s[1] < 5.1
     assert g[1] > 9.0
     assert g[1] > s[1]
+
+
+def test_m4_downsample_extremes_and_tie_rules(spark):
+    """The four M4 points are the real extremes; value ties resolve
+    min/first to the earliest point and max/last to the latest."""
+    base = datetime.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        # one hour bucket, crafted: duplicate max value at 10:05 and 10:20
+        (1, base + datetime.timedelta(minutes=1), 5.0),
+        (2, base + datetime.timedelta(minutes=5), 9.0),
+        (3, base + datetime.timedelta(minutes=10), 1.0),
+        (4, base + datetime.timedelta(minutes=20), 9.0),
+        (5, base + datetime.timedelta(minutes=30), 4.0),
+    ]
+    df = spark.createDataFrame(
+        [(f"t", i, ts, v) for i, ts, v in rows],
+        "event_type string, event_id long, ts timestamp_ntz, value double",
+    )
+    out = timeseries.m4_downsample(
+        df, ["event_type"], "ts", "event_id", "value"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_points == 5
+    assert r.first_v == 5.0 and r.first_ts.minute == 1
+    assert r.last_v == 4.0 and r.last_ts.minute == 30
+    assert r.min_v == 1.0 and r.min_ts.minute == 10
+    assert r.max_v == 9.0 and r.max_ts.minute == 20  # tie -> latest
