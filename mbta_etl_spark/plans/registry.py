@@ -8719,6 +8719,55 @@ _ORACLES["ts34_burstiness"] = """
 """
 
 
+J16_HORIZON_S = 3600
+
+
+def j16_orphan_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANTI as-of join: purchases with NO view by the same user within
+    the preceding hour — the attribution-QA complement of j01 (which
+    attaches the match; this surfaces the rows that have none). Same
+    union-tag single-shuffle merge, then the negative filter on the
+    carried timestamp: no extra join, no NOT-EXISTS subquery, no
+    nested loop. gap_s is whole-second (both operands second-truncated,
+    the v20 rule); NULL gap = the user never viewed before buying."""
+    from mbta_etl_spark.operators import temporal
+
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = temporal.asof_join(
+        purchases, views, on="user_id", ts="ts", payload=[]
+    )
+    gap = F.expr(
+        "timestampdiff(SECOND, date_trunc('second', r_ts),"
+        " date_trunc('second', ts))"
+    ).cast("long")
+    return (
+        j.select("event_id", "user_id", "ts", gap.alias("gap_s"))
+        .filter(F.col("gap_s").isNull() | (F.col("gap_s") > J16_HORIZON_S))
+    )
+
+
+_ORACLES["j16_orphan_conversions"] = f"""
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    lastv AS (
+      SELECT p.event_id, p.user_id, p.ts, MAX(v.ts) AS view_ts
+      FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+      GROUP BY 1, 2, 3)
+    SELECT event_id, user_id, ts,
+           CAST(date_diff('second', date_trunc('second', view_ts),
+                          date_trunc('second', ts)) AS BIGINT) AS gap_s
+    FROM lastv
+    WHERE view_ts IS NULL
+       OR date_diff('second', date_trunc('second', view_ts),
+                    date_trunc('second', ts)) > {J16_HORIZON_S}
+"""
+
+
 def j15_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join: each click attaches the NEXT purchase by the
     same user at-or-after the click, plus the whole-second conversion
@@ -10187,6 +10236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "c30_multimodal_budget": llm_registry.c30_multimodal_budget,
             "d36_bbit_minhash": llm_registry.d36_bbit_minhash,
             "ts37_m4_downsample": ts37_m4_downsample,
+            "j16_orphan_conversions": j16_orphan_conversions,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

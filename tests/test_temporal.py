@@ -187,3 +187,46 @@ def test_j15_forward_asof_is_next_at_or_after(spark):
     for r in rows:
         if r.purchase_ts is None:
             assert r.secs_to_convert is None and r.purchase_id is None
+
+
+def test_orphan_conversions_negative_asof_semantics(spark):
+    """A purchase with a view 30 min before is NOT orphaned; one with a
+    view 2 h before IS (gap reported); one with no view at all IS
+    (gap NULL)."""
+    import datetime
+
+    from mbta_etl_spark.plans.registry import (
+        J16_HORIZON_S,
+        j16_orphan_conversions,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def row(eid, uid, etype, mins):
+        return (
+            eid,
+            base + datetime.timedelta(minutes=mins),
+            uid,
+            etype,
+            1.0,
+            "{}",
+        )
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    rows = [
+        row(1, 1, "view", -30), row(2, 1, "purchase", 0),    # covered
+        row(3, 2, "view", -120), row(4, 2, "purchase", 0),   # stale view
+        row(5, 3, "purchase", 0),                             # never viewed
+    ]
+    df = spark.createDataFrame(rows, schema)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {r.event_id: r for r in j16_orphan_conversions(spark, d).collect()}
+    assert 2 not in out                      # fresh view: not orphan
+    assert out[4].gap_s == 7200 and out[4].gap_s > J16_HORIZON_S
+    assert out[5].gap_s is None
