@@ -10,6 +10,7 @@ doubles, round floats to 6dp before comparison/thresholding.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -5885,6 +5886,94 @@ _ORACLES["d36_bbit_minhash"] = f"""
              / 1e6 AS est_1bit
     FROM est e JOIN jx j ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b
 """.format(shingle=_SHINGLE_CTE, pair_ctes=_minhash_pair_ctes())
+
+
+NDCG_DISCOUNTS = {
+    p: int(math.floor(1e6 / math.log2(p + 1) + 0.5)) for p in range(1, TOPK + 1)
+}
+
+
+def s26_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k of the LSH-bucketed search (s02) against the exact
+    cosine top-k (s01) as binary ground truth — the position-aware
+    complement of s11's set recall: a sketch that finds the right
+    neighbors in the wrong ORDER loses DCG that recall can't see.
+
+    Cross-engine exactness: the per-position discounts 1/log2(pos+1)
+    are pinned to the 1e-6 integer grid DRIVER-side (no libm in either
+    engine) and the DCG is an integer sum — order-free — with one
+    pinned division at the end."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    from pyspark.sql import Window
+
+    q = _query_vector(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    lsh = similarity.lsh_topk(
+        emb, "embedding", "vec_id", q, k=TOPK, exclude_id=QUERY_VEC_ID
+    )
+    exact = similarity.cosine_topk(
+        emb, "embedding", "vec_id", q, k=TOPK, exclude_id=QUERY_VEC_ID
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    ranked = lsh.select("vec_id", "cosine").withColumn(
+        "pos", F.row_number().over(w)
+    )
+    rel = exact.select("vec_id", F.lit(1).alias("rel"))
+    dmap = F.create_map(
+        *[
+            x
+            for p, v in NDCG_DISCOUNTS.items()
+            for x in (F.lit(p), F.lit(v))
+        ]
+    )
+    idcg = sum(NDCG_DISCOUNTS.values())
+    j = ranked.join(F.broadcast(rel), "vec_id", "left").select(
+        F.coalesce("rel", F.lit(0)).alias("rel"),
+        (F.coalesce("rel", F.lit(0)) * F.element_at(dmap, F.col("pos"))).alias(
+            "g"
+        ),
+    )
+    return j.agg(
+        F.sum("rel").cast("long").alias("n_hits"),
+        F.sum("g").cast("long").alias("dcg_scaled"),
+    ).select(
+        F.lit(TOPK).cast("long").alias("k"),
+        "n_hits",
+        "dcg_scaled",
+        F.lit(idcg).cast("long").alias("idcg_scaled"),
+        r6(F.col("dcg_scaled").cast("double") / F.lit(float(idcg))).alias(
+            "ndcg"
+        ),
+    )
+
+
+def _ndcg_oracle() -> str:
+    disc_case = " ".join(
+        f"WHEN {p} THEN {v}" for p, v in NDCG_DISCOUNTS.items()
+    )
+    idcg = sum(NDCG_DISCOUNTS.values())
+    return f"""
+    WITH lsh AS ({_lsh_topk_oracle()}),
+    exact AS ({_cosine_topk_oracle()}),
+    ranked AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS pos
+      FROM lsh),
+    rel AS (SELECT vec_id, 1 AS rel FROM exact),
+    j AS (
+      SELECT COALESCE(r.rel, 0) AS rel,
+             COALESCE(r.rel, 0) * (CASE pos {disc_case} END) AS g
+      FROM ranked LEFT JOIN rel r USING (vec_id))
+    SELECT CAST({TOPK} AS BIGINT) AS k,
+           CAST(SUM(rel) AS BIGINT) AS n_hits,
+           CAST(SUM(g) AS BIGINT) AS dcg_scaled,
+           CAST({idcg} AS BIGINT) AS idcg_scaled,
+           FLOOR(SUM(g) / {idcg}.0 * 1e6 + 0.5) / 1e6 AS ndcg
+    FROM j
+    """
+
+
+_ORACLES["s26_ndcg_audit"] = _ndcg_oracle()
 
 
 def c30_multimodal_budget(spark: SparkSession, sf_dir: str) -> DataFrame:

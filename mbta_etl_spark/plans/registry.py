@@ -10237,6 +10237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d36_bbit_minhash": llm_registry.d36_bbit_minhash,
             "ts37_m4_downsample": ts37_m4_downsample,
             "j16_orphan_conversions": j16_orphan_conversions,
+            "s26_ndcg_audit": llm_registry.s26_ndcg_audit,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

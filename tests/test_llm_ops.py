@@ -1284,3 +1284,18 @@ def test_bbit_minhash_estimators_bracket_truth(spark, docs):
         assert 0.0 <= r.est_full <= 1.0
         assert -1.0 <= r.est_1bit <= 1.0
         assert r.n_bit_match >= r.n_full_match  # bit match is implied
+
+
+def test_ndcg_audit_bounds_and_perfect_case(spark):
+    from mbta_etl_spark.plans import llm_registry
+    from tests.conftest import SF_DIR_SMALL
+
+    r = llm_registry.s26_ndcg_audit(spark, SF_DIR_SMALL).collect()[0]
+    assert r.k == llm_registry.TOPK
+    assert 0 <= r.n_hits <= r.k
+    assert 0 <= r.dcg_scaled <= r.idcg_scaled
+    assert 0.0 <= r.ndcg <= 1.0
+    # if LSH returned the exact set in order, dcg == idcg; if it found
+    # n_hits of k, dcg is at most the top-n_hits discount mass
+    top = sorted(llm_registry.NDCG_DISCOUNTS.values(), reverse=True)
+    assert r.dcg_scaled <= sum(top[: r.n_hits])
