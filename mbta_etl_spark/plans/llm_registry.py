@@ -5976,6 +5976,125 @@ def _ndcg_oracle() -> str:
 _ORACLES["s26_ndcg_audit"] = _ndcg_oracle()
 
 
+LSH_PLAN_CONFIGS = [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]
+
+
+def _lsh_plan_rows() -> list[tuple[int, int, int, float, float]]:
+    """(n_bands, rows_per_band, j_bucket, p_candidate, p_miss) literals:
+    the S-curve P = 1-(1-J^r)^b evaluated at each J-decile midpoint,
+    pinned to 6dp DRIVER-side so both engines multiply identical
+    constants (no pow() in either engine)."""
+    rows = []
+    for b, r in LSH_PLAN_CONFIGS:
+        for bucket in range(10):
+            jm = (bucket + 0.5) / 10.0
+            p = 1.0 - (1.0 - jm**r) ** b
+            p6 = math.floor(p * 1e6 + 0.5) / 1e6
+            pm6 = math.floor((1.0 - p6) * 1e6 + 0.5) / 1e6
+            rows.append((b, r, bucket, p6, pm6))
+    return rows
+
+
+def d37_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding planner: for every (bands, rows) split of the 16-hash
+    signature budget, the expected candidate yield and expected misses
+    per observed Jaccard decile of THIS corpus — d14's single-config
+    S-curve turned into the decision table that picks the banding
+    before a 100 TB dedup run commits to one. The observed histogram is
+    d03's exact capped-df pair table (one bounded self-join) bucketed to
+    deciles; the 50 S-curve probabilities are pure driver literals
+    joined on the bucket key — per-row cost is two pinned multiplies."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        F.col("text"),
+        F.col("doc_id"),
+        k=JACCARD_K,
+        threshold=0.000001,
+        max_shingle_df=JACCARD_MAX_SHINGLE_DF,
+    )
+    hist = (
+        pairs.select(
+            F.least(F.floor(F.col("jaccard") * 10), F.lit(9))
+            .cast("long")
+            .alias("j_bucket")
+        )
+        .groupBy("j_bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    plan = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("n_bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.lit(bucket).cast("long").alias("j_bucket"),
+                F.lit(p).alias("p_candidate"),
+                F.lit(pm).alias("p_miss"),
+            )
+            for b, r, bucket, p, pm in _lsh_plan_rows()
+        ]
+    )
+    grid = spark.range(1).select(F.explode(plan).alias("s")).select("s.*")
+    n = F.col("n_pairs").cast("double")
+    return grid.join(F.broadcast(hist), "j_bucket").select(
+        "n_bands",
+        "rows_per_band",
+        "j_bucket",
+        "n_pairs",
+        "p_candidate",
+        r6(n * F.col("p_candidate")).alias("exp_candidates"),
+        r6(n * F.col("p_miss")).alias("exp_misses"),
+    )
+
+
+def _lsh_planner_oracle() -> str:
+    vals = ", ".join(
+        f"({b}, {r}, {bucket}, {p!r}, {pm!r})"
+        for b, r, bucket, p, pm in _lsh_plan_rows()
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    rare AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING COUNT(*) <= {JACCARD_MAX_SHINGLE_DF}
+    ),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    csizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shc GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM shc a JOIN shc b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jp AS (
+      SELECT ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6)
+               AS jaccard
+      FROM inter
+      JOIN csizes sa ON sa.doc_id = doc_a
+      JOIN csizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6)
+              >= 0.000001
+    ),
+    hist AS (
+      SELECT CAST(LEAST(FLOOR(jaccard * 10), 9) AS BIGINT) AS j_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM jp GROUP BY 1
+    ),
+    grid(n_bands, rows_per_band, j_bucket, p_candidate, p_miss)
+      AS (VALUES {vals})
+    SELECT CAST(n_bands AS BIGINT) AS n_bands,
+           CAST(rows_per_band AS BIGINT) AS rows_per_band,
+           g.j_bucket, h.n_pairs, g.p_candidate,
+           FLOOR(h.n_pairs * g.p_candidate * 1e6 + 0.5) / 1e6
+             AS exp_candidates,
+           FLOOR(h.n_pairs * g.p_miss * 1e6 + 0.5) / 1e6 AS exp_misses
+    FROM grid g JOIN hist h ON h.j_bucket = g.j_bucket
+    """
+
+
+_ORACLES["d37_lsh_planner"] = _lsh_planner_oracle()
+
+
 def c30_multimodal_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source multimodal training-token budget: every document
     contributes its BPE text tokens (t05's counter) AND the ViT patch

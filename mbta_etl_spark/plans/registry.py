@@ -10238,6 +10238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts37_m4_downsample": ts37_m4_downsample,
             "j16_orphan_conversions": j16_orphan_conversions,
             "s26_ndcg_audit": llm_registry.s26_ndcg_audit,
+            "d37_lsh_planner": llm_registry.d37_lsh_planner,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -1299,3 +1299,28 @@ def test_ndcg_audit_bounds_and_perfect_case(spark):
     # n_hits of k, dcg is at most the top-n_hits discount mass
     top = sorted(llm_registry.NDCG_DISCOUNTS.values(), reverse=True)
     assert r.dcg_scaled <= sum(top[: r.n_hits])
+
+
+def test_lsh_planner_scurve_shape(spark):
+    """More bands at fixed budget = more candidates at every J (the
+    planner's whole point); expected candidates + misses = n_pairs."""
+    from mbta_etl_spark.plans import llm_registry
+    from tests.conftest import SF_DIR_SMALL
+
+    rows = llm_registry.d37_lsh_planner(spark, SF_DIR_SMALL).collect()
+    assert rows
+    byconf = {}
+    for r in rows:
+        byconf.setdefault((r.n_bands, r.rows_per_band), {})[r.j_bucket] = r
+    assert set(byconf) == set(llm_registry.LSH_PLAN_CONFIGS)
+    buckets = sorted({r.j_bucket for r in rows})
+    for j in buckets:
+        # P(candidate) is monotone in n_bands at fixed 16-hash budget
+        ordered = sorted(
+            (conf for conf in byconf if j in byconf[conf]),
+            key=lambda c: c[0],
+        )
+        ps = [byconf[c][j].p_candidate for c in ordered]
+        assert ps == sorted(ps)
+    for r in rows:
+        assert abs((r.exp_candidates + r.exp_misses) - r.n_pairs) < 2e-6 * max(r.n_pairs, 1)
