@@ -6170,6 +6170,64 @@ _ORACLES["c30_multimodal_budget"] = """
 """
 
 
+def c31_pack_attention_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document attention waste of c05's packed bins: within a
+    bin of docs with lengths l_i, unmasked attention pays (Σl)² pair
+    FLOPs but only Σl_i² are intra-document — the rest is cross-doc
+    contamination unless the trainer applies document masking. Per
+    source: bins, docs, both quadratic masses (exact int64), and the
+    waste fraction — the number that decides whether block-diagonal
+    masking is worth wiring into the dataloader. One tiny two-level
+    aggregate over the packed table; the packing itself is the cost."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    packed = c05_greedy_pack(spark, sf_dir)
+    bins = packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("s1"),
+        F.sum(F.col("n_tokens") * F.col("n_tokens")).alias("s2"),
+    )
+    g = bins.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum(F.col("s1") * F.col("s1")).alias("pair_flops"),
+        F.sum("s2").alias("intra_flops"),
+    )
+    waste = (F.col("pair_flops") - F.col("intra_flops")).cast("double") / F.col(
+        "pair_flops"
+    ).cast("double")
+    return g.select(
+        "source",
+        "n_bins",
+        "n_docs",
+        "pair_flops",
+        "intra_flops",
+        r6(waste).alias("cross_waste_frac"),
+    )
+
+
+_ORACLES["c31_pack_attention_waste"] = """
+    WITH packed AS ({c05}),
+    bins AS (
+      SELECT source, bin,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS s1,
+             CAST(SUM(n_tokens * n_tokens) AS BIGINT) AS s2
+      FROM packed GROUP BY source, bin),
+    g AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_bins,
+             CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+             CAST(SUM(s1 * s1) AS BIGINT) AS pair_flops,
+             CAST(SUM(s2) AS BIGINT) AS intra_flops
+      FROM bins GROUP BY source)
+    SELECT source, n_bins, n_docs, pair_flops, intra_flops,
+           FLOOR(CAST(pair_flops - intra_flops AS DOUBLE)
+                 / CAST(pair_flops AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS cross_waste_frac
+    FROM g
+""".format(c05=_ORACLES["c05_greedy_pack"])
+
+
 def s25_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-binarized packed-word Hamming top-k
     (operators/similarity.hamming_topk): each 64-dim vector collapses to

@@ -10239,6 +10239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "j16_orphan_conversions": j16_orphan_conversions,
             "s26_ndcg_audit": llm_registry.s26_ndcg_audit,
             "d37_lsh_planner": llm_registry.d37_lsh_planner,
+            "c31_pack_attention_waste": llm_registry.c31_pack_attention_waste,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -1324,3 +1324,31 @@ def test_lsh_planner_scurve_shape(spark):
         assert ps == sorted(ps)
     for r in rows:
         assert abs((r.exp_candidates + r.exp_misses) - r.n_pairs) < 2e-6 * max(r.n_pairs, 1)
+
+
+def test_pack_attention_waste_formula(spark):
+    """Waste fraction matches the hand formula on the real packing, and
+    single-doc bins contribute zero cross waste."""
+    from mbta_etl_spark.plans import llm_registry
+    from tests.conftest import SF_DIR_SMALL
+
+    packed = {
+        (r.source, r.bin): []
+        for r in llm_registry.c05_greedy_pack(spark, SF_DIR_SMALL).collect()
+    }
+    for r in llm_registry.c05_greedy_pack(spark, SF_DIR_SMALL).collect():
+        packed[(r.source, r.bin)].append(r.n_tokens)
+    out = {r.source: r for r in
+           llm_registry.c31_pack_attention_waste(spark, SF_DIR_SMALL).collect()}
+    import collections
+    by_source = collections.defaultdict(lambda: [0, 0])
+    for (src, _), ls in packed.items():
+        s1 = sum(ls)
+        by_source[src][0] += s1 * s1
+        by_source[src][1] += sum(x * x for x in ls)
+    for src, (pair, intra) in by_source.items():
+        r = out[src]
+        assert r.pair_flops == pair and r.intra_flops == intra
+        assert 0.0 <= r.cross_waste_frac < 1.0
+        import math
+        assert r.cross_waste_frac == math.floor((pair - intra) / pair * 1e6 + 0.5) / 1e6
