@@ -44,3 +44,30 @@ def test_j07_salted_join_broadcasts_light_side(spark):
     assert m["rows_scanned"] >= 1000
     assert m["shuffle_records"] * 100 <= m["rows_scanned"]
     assert m["spill_bytes"] == 0
+
+
+def test_s25_hamming_topk_take_ordered_not_global_sort(spark):
+    """The packed-Hamming top-k must be a TakeOrderedAndProject: at most
+    k rows per partition reach the driver-side heap — never a global
+    sort of the corpus."""
+    from mbta_etl_spark.plans import llm_registry
+
+    m = plan_audit.audit(llm_registry.s25_hamming_topk(spark, SF_DIR_SMALL))
+    assert m["rows_scanned"] >= 400
+    assert m["shuffle_records"] <= 64
+    assert m["spill_bytes"] == 0
+
+
+def test_ts37_m4_is_one_partial_aggregate(spark):
+    """M4's four extremes ride ONE map-side-combinable aggregate: the
+    shuffle carries (key, bucket) partials, with zero spill and no
+    second exchange for a window."""
+    from mbta_etl_spark.plans import registry
+
+    m = plan_audit.audit(
+        registry.ts37_m4_downsample(spark, SF_DIR_SMALL)
+    )
+    assert m["rows_scanned"] >= 900
+    # one Exchange of bucket partials; never more rows than the scan
+    assert m["shuffle_records"] <= m["rows_scanned"]
+    assert m["spill_bytes"] == 0
