@@ -8623,6 +8623,68 @@ _ORACLES["ts37_m4_downsample"] = """
 """
 
 
+EQUIDEPTH_BUCKETS = 8
+
+
+def q102_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of l_quantity — the
+    optimizer-statistics build, complement of q29's fixed-WIDTH bins:
+    bucket boundaries chosen so each holds ~n/k rows, ties kept whole
+    (a distinct value never splits). Runs entirely on the compact
+    (value, count) relation: one map-side-combinable aggregate over the
+    fact table, then a cumulative window and the final k-row census
+    over ≤ #distinct rows — the 100 TB shape, because the fact table
+    never sorts; only its value-frequency summary does. Bucket id is
+    exact integer math: (cum_before · k) div n."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("v")
+    )
+    from pyspark.sql import Window
+
+    vc = li.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    staged = vc.select(
+        "v",
+        "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_before"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    bucket = F.expr(f"(cum_before * {EQUIDEPTH_BUCKETS}) div n")
+    return (
+        staged.select(bucket.cast("long").alias("bucket"), "v", "cnt")
+        .groupBy("bucket")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("cnt").alias("n_rows"),
+        )
+    )
+
+
+_ORACLES["q102_equidepth_histogram"] = f"""
+    WITH vc AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1),
+    s AS (
+      SELECT v, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY v
+               ROWS UNBOUNDED PRECEDING) - cnt AS BIGINT) AS cum_before,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n
+      FROM vc)
+    SELECT CAST((cum_before * {EQUIDEPTH_BUCKETS}) // n AS BIGINT) AS bucket,
+           MIN(v) AS lo, MAX(v) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows
+    FROM s GROUP BY 1
+"""
+
+
 def ts34_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival burstiness per event stream (Goh & Barabási):
     B = (σ−μ)/(σ+μ) over the whole-second gaps between consecutive
@@ -10240,6 +10302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s26_ndcg_audit": llm_registry.s26_ndcg_audit,
             "d37_lsh_planner": llm_registry.d37_lsh_planner,
             "c31_pack_attention_waste": llm_registry.c31_pack_attention_waste,
+            "q102_equidepth_histogram": q102_equidepth_histogram,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -544,3 +544,28 @@ def test_g06_kcore_census_monotone_and_converged_flag(spark):
     assert k == (edges[0] + nodes[0] - 1) // nodes[0]
     assert all(r.k == k for r in rows)
     assert rows[0].converged == (edges[-1] == edges[-2])
+
+
+def test_equidepth_histogram_balanced_and_covering(spark):
+    """Buckets partition the value domain without overlap, row mass per
+    bucket is within one tie-group of n/k, and totals reconcile."""
+    from mbta_etl_spark.plans.registry import (
+        EQUIDEPTH_BUCKETS,
+        q102_equidepth_histogram,
+    )
+    from mbta_etl_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_SMALL
+
+    rows = sorted(
+        q102_equidepth_histogram(spark, SF_DIR_SMALL).collect(),
+        key=lambda r: r.bucket,
+    )
+    li = load_table(spark, SF_DIR_SMALL, "lineitem")
+    n = li.count()
+    assert sum(r.n_rows for r in rows) == n
+    assert len(rows) <= EQUIDEPTH_BUCKETS
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi < b.lo  # disjoint, ordered ranges
+    target = n / EQUIDEPTH_BUCKETS
+    # equal-height within tie tolerance: no bucket more than 2x target
+    assert max(r.n_rows for r in rows) <= 2 * target
