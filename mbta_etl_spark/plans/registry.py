@@ -9656,6 +9656,48 @@ _ORACLES["q99_revenue_deciles"] = """
 TXN_LOG_FILES = 16
 
 
+SRC11_BUCKET = 4096
+
+
+def src11_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-truth audit (sources/files.footer_stats): write l_orderkey
+    partitioned into known key buckets, then read back ONLY the parquet
+    FOOTERS (pyarrow metadata inside mapInPandas — no data pages) and
+    prove the min/max statistics and row counts the row-group skipper
+    will prune against are exactly the data's own per-bucket order
+    statistics. The layout-debugging tool src02/src04 lean on when
+    skipping misbehaves, with the oracle recomputing the same numbers
+    from the raw table."""
+    import os
+
+    from mbta_etl_spark.sources.files import footer_stats
+    from mbta_etl_spark.sources.formats import scratch_dir
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(f"l_orderkey div {SRC11_BUCKET}").alias("ok_bucket"),
+    )
+    tag = f"src11_{os.path.basename(sf_dir.rstrip('/'))}"
+    out_dir = scratch_dir(spark, tag)
+    li.write.mode("overwrite").partitionBy("ok_bucket").parquet(out_dir)
+    fs = footer_stats(spark, out_dir, "l_orderkey")
+    bucket = F.regexp_extract("file", r"ok_bucket=(\d+)", 1).cast("long")
+    return fs.groupBy(bucket.alias("ok_bucket")).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.min("stat_min").alias("key_min"),
+        F.max("stat_max").alias("key_max"),
+    )
+
+
+_ORACLES["src11_footer_stats"] = f"""
+    SELECT CAST(l_orderkey // {SRC11_BUCKET} AS BIGINT) AS ok_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(l_orderkey) AS key_min,
+           MAX(l_orderkey) AS key_max
+    FROM lineitem GROUP BY 1
+"""
+
+
 def src10_txn_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lakehouse transaction-log replay with time travel: the table's
     state is a log of (file, version, add|remove) actions — v0 writes
@@ -10303,6 +10345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d37_lsh_planner": llm_registry.d37_lsh_planner,
             "c31_pack_attention_waste": llm_registry.c31_pack_attention_waste,
             "q102_equidepth_histogram": q102_equidepth_histogram,
+            "src11_footer_stats": src11_footer_stats,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -106,3 +106,86 @@ def write_jsonl_shards(
         .groupBy("shard")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+def footer_stats(
+    spark: SparkSession, table_path: str, stat_col: str
+) -> DataFrame:
+    """Parquet footer introspection WITHOUT scanning data: per row group
+    the row count, column count, uncompressed/compressed bytes, and the
+    min/max statistics of ``stat_col`` — the table you read when
+    partition pruning or row-group skipping misbehaves (src02/src04
+    measure skipping; this shows the stats the skipper sees).
+
+    Distributed shape: the file list rides a JVM-side literal array
+    (spark.range + element_at — no Python RDD scan) and each task opens
+    only FOOTERS via pyarrow inside mapInPandas. At a 10^5-file table
+    this is a metadata-only parallel sweep: bytes touched ~ footer size
+    per file, never the data."""
+    import os
+
+    if os.path.isdir(table_path):
+        files = sorted(
+            os.path.join(root, f)
+            for root, _, names in os.walk(table_path)
+            for f in names
+            if f.endswith(".parquet")
+        )
+    else:
+        files = [table_path]
+    base = table_path if os.path.isdir(table_path) else os.path.dirname(
+        table_path
+    )
+    arr = F.array(*[F.lit(f) for f in files])
+    fdf = spark.range(len(files)).select(
+        F.element_at(arr, (F.col("id") + 1).cast("int")).alias("path")
+    )
+
+    def _scan(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for path in pdf["path"]:
+                md = pq.ParquetFile(path).metadata
+                ci = md.schema.names.index(stat_col)
+                for i in range(md.num_row_groups):
+                    rg = md.row_group(i)
+                    st = rg.column(ci).statistics
+                    comp = sum(
+                        rg.column(j).total_compressed_size
+                        for j in range(rg.num_columns)
+                    )
+                    out.append(
+                        (
+                            os.path.relpath(path, base),
+                            i,
+                            rg.num_rows,
+                            rg.num_columns,
+                            rg.total_byte_size,
+                            comp,
+                            int(st.min),
+                            int(st.max),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "file",
+                    "row_group",
+                    "n_rows",
+                    "n_cols",
+                    "uncompressed_bytes",
+                    "compressed_bytes",
+                    "stat_min",
+                    "stat_max",
+                ],
+            )
+
+    return fdf.mapInPandas(
+        _scan,
+        schema="file string, row_group long, n_rows long, n_cols long,"
+        " uncompressed_bytes long, compressed_bytes long,"
+        " stat_min long, stat_max long",
+    )

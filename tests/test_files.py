@@ -197,3 +197,24 @@ def test_incremental_manifest_reads_only_new_files(spark, tmp_path):
     }
     assert fresh_files and fresh_files.isdisjoint(old_files)
     assert fresh_files <= all_files
+
+
+def test_footer_stats_reads_real_metadata(spark, tmp_path):
+    """Footer stats agree with the data that was written: row counts
+    and min/max per file come from the parquet footer, not a scan."""
+    from pyspark.sql import functions as F
+
+    from mbta_etl_spark.sources.files import footer_stats
+
+    df = spark.range(100).select(
+        (F.col("id") * 3).alias("k"), F.col("id").alias("v")
+    )
+    path = str(tmp_path / "t.parquet")
+    df.coalesce(2).write.parquet(path)
+    out = footer_stats(spark, path, "k").collect()
+    assert sum(r.n_rows for r in out) == 100
+    assert min(r.stat_min for r in out) == 0
+    assert max(r.stat_max for r in out) == 297
+    assert all(r.n_cols == 2 for r in out)
+    assert all(r.compressed_bytes > 0 for r in out)
+    assert all(r.uncompressed_bytes >= r.n_rows for r in out)
