@@ -2474,6 +2474,72 @@ def s13_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q103_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume decomposition of month-over-month revenue change per
+    nation (the BI mix-shift analysis q66's single growth number hides):
+    volume effect = Δqty at the PRIOR month's average price, price
+    effect = current qty at the price delta — an exact additive split of
+    Δrevenue (Laspeyres volume / Paasche price). Revenue accumulates as
+    CENTS in int64 (order-free, exact in both engines); only the two
+    effect columns divide, each once, pinned 6dp. One fact-dim join
+    chain with broadcast dims, one monthly aggregate, one lag window on
+    the tiny (nation, month) table."""
+    from pyspark.sql import Window
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    monthly = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(cust), od["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name", "month")
+        .agg(
+            F.sum("qty").alias("qty"),
+            F.sum("rev_cents").alias("rev_cents"),
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("month")
+    staged = monthly.select(
+        "n_name",
+        "month",
+        "qty",
+        "rev_cents",
+        F.lag("qty").over(w).alias("p_qty"),
+        F.lag("rev_cents").over(w).alias("p_rev"),
+    ).filter(F.col("p_qty").isNotNull() & (F.col("p_qty") > 0))
+    q, r = F.col("qty").cast("double"), F.col("rev_cents").cast("double")
+    pq, pr = F.col("p_qty").cast("double"), F.col("p_rev").cast("double")
+    volume_effect = r6((q - pq) * (pr / pq) / F.lit(100.0))
+    price_effect = r6(q * (r / q - pr / pq) / F.lit(100.0))
+    return staged.select(
+        "n_name",
+        "month",
+        "qty",
+        "rev_cents",
+        ((F.col("rev_cents") - F.col("p_rev")).cast("double") / F.lit(100.0))
+        .alias("delta_rev"),
+        volume_effect.alias("volume_effect"),
+        price_effect.alias("price_effect"),
+    )
+
+
 def q66_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month revenue growth: monthly order totals with the
     lag-based growth rate — the period-over-period BI staple. The lag
@@ -8685,6 +8751,44 @@ _ORACLES["q102_equidepth_histogram"] = f"""
 """
 
 
+_ORACLES["q103_price_volume_mix"] = """
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS rev_cents
+      FROM lineitem),
+    monthly AS (
+      SELECT n.n_name,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+             CAST(SUM(li.qty) AS BIGINT) AS qty,
+             CAST(SUM(li.rev_cents) AS BIGINT) AS rev_cents
+      FROM li
+      JOIN orders o ON li.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2),
+    staged AS (
+      SELECT *,
+             LAG(qty) OVER (PARTITION BY n_name ORDER BY month) AS p_qty,
+             LAG(rev_cents) OVER (PARTITION BY n_name ORDER BY month)
+               AS p_rev
+      FROM monthly)
+    SELECT n_name, month, qty, rev_cents,
+           CAST(rev_cents - p_rev AS DOUBLE) / 100.0 AS delta_rev,
+           FLOOR((CAST(qty - p_qty AS DOUBLE)
+                  * (CAST(p_rev AS DOUBLE) / CAST(p_qty AS DOUBLE))
+                  / 100.0) * 1e6 + 0.5) / 1e6 AS volume_effect,
+           FLOOR((CAST(qty AS DOUBLE)
+                  * (CAST(rev_cents AS DOUBLE) / CAST(qty AS DOUBLE)
+                     - CAST(p_rev AS DOUBLE) / CAST(p_qty AS DOUBLE))
+                  / 100.0) * 1e6 + 0.5) / 1e6 AS price_effect
+    FROM staged
+    WHERE p_qty IS NOT NULL AND p_qty > 0
+"""
+
+
+
+
 def ts34_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival burstiness per event stream (Goh & Barabási):
     B = (σ−μ)/(σ+μ) over the whole-second gaps between consecutive
@@ -10346,6 +10450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "c31_pack_attention_waste": llm_registry.c31_pack_attention_waste,
             "q102_equidepth_histogram": q102_equidepth_histogram,
             "src11_footer_stats": src11_footer_stats,
+            "q103_price_volume_mix": q103_price_volume_mix,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -569,3 +569,16 @@ def test_equidepth_histogram_balanced_and_covering(spark):
     target = n / EQUIDEPTH_BUCKETS
     # equal-height within tie tolerance: no bucket more than 2x target
     assert max(r.n_rows for r in rows) <= 2 * target
+
+
+def test_price_volume_mix_additive_identity(spark):
+    """Volume effect + price effect reconstructs the revenue delta to
+    the pinning grid — the whole point of the decomposition."""
+    from mbta_etl_spark.plans.registry import q103_price_volume_mix
+    from tests.conftest import SF_DIR_SMALL
+
+    rows = q103_price_volume_mix(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert abs((r.volume_effect + r.price_effect) - r.delta_rev) < 1e-4
+        assert r.qty > 0 and r.rev_cents > 0
