@@ -8885,6 +8885,122 @@ _ORACLES["ts34_burstiness"] = """
 """
 
 
+FUNNEL_WINDOW_S = 1800
+
+
+def j17_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel (the ClickHouse/analytics-engine operator): per
+    user, the deepest view→click→purchase chain where each step follows
+    the previous within 30 minutes, anchored at the user's EARLIEST
+    view. Built by CHAINING two forward as-of joins (the union-tag
+    single-shuffle merge, twice) — no per-user UDF scan, no
+    event-sequence explode; gaps are whole-second (v20 rule), depth is
+    pure CASE arithmetic on the carried timestamps."""
+    from mbta_etl_spark.operators import temporal
+
+    ev = _events(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    gap = lambda a, b: F.expr(  # noqa: E731
+        f"timestampdiff(SECOND, date_trunc('second', {a}),"
+        f" date_trunc('second', {b}))"
+    ).cast("long")
+    s2 = temporal.asof_join(
+        views, clicks, on="user_id", ts="ts", payload=[], direction="forward"
+    ).select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("r_ts").alias("click_ts"),
+        gap("ts", "r_ts").alias("gap1_s"),
+    )
+    s2 = s2.select(
+        "user_id",
+        "view_ts",
+        F.when(
+            F.col("gap1_s").isNotNull()
+            & (F.col("gap1_s") <= FUNNEL_WINDOW_S),
+            F.col("click_ts"),
+        ).alias("click_ts"),
+    )
+    # second hop: qualified clicks look forward to the next purchase
+    hop2 = s2.filter(F.col("click_ts").isNotNull()).select(
+        "user_id", F.col("click_ts").alias("ts")
+    )
+    s3 = temporal.asof_join(
+        hop2, purchases, on="user_id", ts="ts", payload=[],
+        direction="forward",
+    ).select(
+        "user_id",
+        F.col("ts").alias("click_ts2"),
+        F.when(
+            gap("ts", "r_ts").isNotNull()
+            & (gap("ts", "r_ts") <= FUNNEL_WINDOW_S),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("has_purchase"),
+    )
+    joined = s2.join(
+        s3.select("user_id", "has_purchase"), "user_id", "left"
+    )
+    depth = (
+        F.lit(1)
+        + F.when(F.col("click_ts").isNotNull(), 1).otherwise(0)
+        + F.coalesce(F.col("has_purchase"), F.lit(0))
+    )
+    return joined.select(
+        "user_id", depth.cast("long").alias("funnel_depth")
+    )
+
+
+_ORACLES["j17_window_funnel"] = f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS view_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    s2 AS (
+      SELECT v.user_id, v.view_ts, MIN(c.ts) AS click_raw
+      FROM v LEFT JOIN c ON c.user_id = v.user_id AND c.ts >= v.view_ts
+      GROUP BY 1, 2),
+    s2q AS (
+      SELECT user_id, view_ts,
+             CASE WHEN click_raw IS NOT NULL
+                   AND date_diff('second',
+                         date_trunc('second', view_ts),
+                         date_trunc('second', click_raw))
+                       <= {FUNNEL_WINDOW_S}
+                  THEN click_raw END AS click_ts
+      FROM s2),
+    s3 AS (
+      SELECT s.user_id, MIN(p.ts) AS purchase_raw
+      FROM s2q s JOIN p ON p.user_id = s.user_id AND p.ts >= s.click_ts
+      WHERE s.click_ts IS NOT NULL
+      GROUP BY 1),
+    s3q AS (
+      SELECT s.user_id,
+             CASE WHEN s3.purchase_raw IS NOT NULL
+                   AND date_diff('second',
+                         date_trunc('second', s.click_ts),
+                         date_trunc('second', s3.purchase_raw))
+                       <= {FUNNEL_WINDOW_S}
+                  THEN 1 ELSE 0 END AS has_purchase
+      FROM s2q s LEFT JOIN s3 ON s3.user_id = s.user_id
+      WHERE s.click_ts IS NOT NULL)
+    SELECT s.user_id,
+           CAST(1 + (CASE WHEN s.click_ts IS NOT NULL THEN 1 ELSE 0 END)
+                  + COALESCE(q.has_purchase, 0) AS BIGINT) AS funnel_depth
+    FROM s2q s LEFT JOIN s3q q ON q.user_id = s.user_id
+"""
+
+
 J16_HORIZON_S = 3600
 
 
@@ -10451,6 +10567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q102_equidepth_histogram": q102_equidepth_histogram,
             "src11_footer_stats": src11_footer_stats,
             "q103_price_volume_mix": q103_price_volume_mix,
+            "j17_window_funnel": j17_window_funnel,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

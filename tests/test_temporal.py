@@ -230,3 +230,37 @@ def test_orphan_conversions_negative_asof_semantics(spark):
     assert 2 not in out                      # fresh view: not orphan
     assert out[4].gap_s == 7200 and out[4].gap_s > J16_HORIZON_S
     assert out[5].gap_s is None
+
+
+def test_window_funnel_depths(spark):
+    """Crafted users hit each depth: full chain within windows → 3;
+    click in time but purchase too late → 2; click too late → 1."""
+    import datetime
+    import tempfile
+
+    from mbta_etl_spark.plans.registry import j17_window_funnel
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def row(eid, uid, etype, mins):
+        return (eid, base + datetime.timedelta(minutes=mins), uid, etype,
+                1.0, "{}")
+
+    schema = ("event_id long, ts timestamp_ntz, user_id long,"
+              " event_type string, value double, props string")
+    rows = [
+        # user 1: view -> click(+10m) -> purchase(+20m): depth 3
+        row(1, 1, "view", 0), row(2, 1, "click", 10), row(3, 1, "purchase", 30),
+        # user 2: click in time, purchase 2h after click: depth 2
+        row(4, 2, "view", 0), row(5, 2, "click", 10), row(6, 2, "purchase", 150),
+        # user 3: click 2h after view: depth 1
+        row(7, 3, "view", 0), row(8, 3, "click", 120),
+        # user 4: view only: depth 1
+        row(9, 4, "view", 0),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {r.user_id: r.funnel_depth
+               for r in j17_window_funnel(spark, d).collect()}
+    assert out == {1: 3, 2: 2, 3: 1, 4: 1}
