@@ -6095,6 +6095,107 @@ def _lsh_planner_oracle() -> str:
 _ORACLES["d37_lsh_planner"] = _lsh_planner_oracle()
 
 
+def d38_removal_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold → removal-budget calibration: for each candidate
+    Jaccard cutoff (0.1 … 0.9), how many DOCUMENTS the keep-min rule
+    would drop and what corpus fraction that is — the inverse question
+    of d18's pair bands ("which threshold fits my 5% removal budget",
+    not "how are pairs distributed"). A doc's fate at cutoff t depends
+    only on its STRONGEST link (max pair Jaccard as the kept-side
+    partner), so the sweep is one max-aggregate per doc, a 9-row band
+    census, and a descending cumulative window — all on the capped-df
+    pair table; nothing rescans text."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    from pyspark.sql import Window
+
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        F.col("text"),
+        F.col("doc_id"),
+        k=JACCARD_K,
+        threshold=SWEEP_MIN_J,
+        max_shingle_df=JACCARD_MAX_SHINGLE_DF,
+    )
+    mj = pairs.groupBy("doc_b").agg(F.max("jaccard").alias("mj"))
+    bands = (
+        mj.select(
+            F.least(F.floor(F.col("mj") * 10), F.lit(9))
+            .cast("long")
+            .alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_band"))
+    )
+    grid = spark.range(1, 10).select(F.col("id").cast("long").alias("band"))
+    filled = grid.join(bands, "band", "left").select(
+        "band", F.coalesce("n_band", F.lit(0)).alias("n_band")
+    )
+    w = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    n_docs = _docs(spark, sf_dir).count()
+    return filled.select(
+        (F.col("band").cast("double") / 10).alias("threshold"),
+        F.sum("n_band").over(w).cast("long").alias("n_removed"),
+    ).select(
+        "threshold",
+        "n_removed",
+        r6(F.col("n_removed").cast("double") / F.lit(float(n_docs))).alias(
+            "removal_frac"
+        ),
+    )
+
+
+def _removal_budget_oracle() -> str:
+    return f"""
+    WITH {_SHINGLE_CTE},
+    rare AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING COUNT(*) <= {JACCARD_MAX_SHINGLE_DF}
+    ),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    csizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shc GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM shc a JOIN shc b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jp AS (
+      SELECT doc_b,
+             ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6)
+               AS jaccard
+      FROM inter
+      JOIN csizes sa ON sa.doc_id = doc_a
+      JOIN csizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(n_inter / (sa.set_size + sb.set_size - n_inter), 6)
+              >= {SWEEP_MIN_J}
+    ),
+    mj AS (SELECT doc_b, MAX(jaccard) AS mj FROM jp GROUP BY doc_b),
+    bands AS (
+      SELECT CAST(LEAST(FLOOR(mj * 10), 9) AS BIGINT) AS band,
+             CAST(COUNT(*) AS BIGINT) AS n_band
+      FROM mj GROUP BY 1),
+    grid AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS band),
+    filled AS (
+      SELECT g.band, COALESCE(b.n_band, 0) AS n_band
+      FROM grid g LEFT JOIN bands b ON b.band = g.band),
+    cum AS (
+      SELECT band,
+             CAST(SUM(n_band) OVER (ORDER BY band DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_removed
+      FROM filled)
+    SELECT CAST(band AS DOUBLE) / 10 AS threshold, n_removed,
+           FLOOR(CAST(n_removed AS DOUBLE)
+                 / (SELECT COUNT(*) FROM documents) * 1e6 + 0.5) / 1e6
+             AS removal_frac
+    FROM cum
+    """
+
+
+_ORACLES["d38_removal_budget"] = _removal_budget_oracle()
+
+
 def c30_multimodal_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source multimodal training-token budget: every document
     contributes its BPE text tokens (t05's counter) AND the ViT patch

@@ -10568,6 +10568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "src11_footer_stats": src11_footer_stats,
             "q103_price_volume_mix": q103_price_volume_mix,
             "j17_window_funnel": j17_window_funnel,
+            "d38_removal_budget": llm_registry.d38_removal_budget,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -1352,3 +1352,23 @@ def test_pack_attention_waste_formula(spark):
         assert 0.0 <= r.cross_waste_frac < 1.0
         import math
         assert r.cross_waste_frac == math.floor((pair - intra) / pair * 1e6 + 0.5) / 1e6
+
+
+def test_removal_budget_monotone_and_bounded(spark):
+    """Removal count is nonincreasing in the threshold, fractions are
+    valid, and the strictest cutoff removes no more docs than pairs
+    exist."""
+    from mbta_etl_spark.plans import llm_registry
+    from tests.conftest import SF_DIR_SMALL
+
+    rows = sorted(
+        llm_registry.d38_removal_budget(spark, SF_DIR_SMALL).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert [r.threshold for r in rows] == [x / 10 for x in range(1, 10)]
+    removed = [r.n_removed for r in rows]
+    assert removed == sorted(removed, reverse=True)
+    n_docs = llm_registry._docs(spark, SF_DIR_SMALL).count()
+    for r in rows:
+        assert 0 <= r.n_removed <= n_docs
+        assert 0.0 <= r.removal_frac <= 1.0
