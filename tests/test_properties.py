@@ -448,3 +448,82 @@ def test_bm25_matches_python_reference(spark, texts):
         expected, key=lambda i: (-expected[i], i)
     )
     assert out[0]["doc_id"] == top
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+            min_size=64, max_size=64,
+        ),
+        min_size=2, max_size=12,
+    )
+)
+@_settings
+def test_hamming_topk_matches_python(spark, vecs):
+    """Packed-word Hamming distances equal the straight-line Python
+    popcount of sign disagreements, for arbitrary float vectors."""
+    from mbta_etl_spark.operators.similarity import hamming_topk
+
+    query = vecs[0]
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r.vec_id: r.hamming
+        for r in hamming_topk(
+            df, "embedding", "vec_id", query, k=len(vecs)
+        ).collect()
+    }
+
+    def sig(v):
+        # float32 storage: compare via the float32-rounded value
+        import struct
+
+        return [
+            struct.unpack("f", struct.pack("f", x))[0] > 0.0 for x in v
+        ]
+
+    qs = sig(query)
+    for i, v in enumerate(vecs):
+        expect = sum(a != b for a, b in zip(sig(v), qs))
+        assert out[i] == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000_000),
+            st.floats(min_value=-1000, max_value=1000, allow_nan=False),
+        ),
+        min_size=1, max_size=25, unique_by=lambda t: t[0],
+    )
+)
+@_settings
+def test_timedecay_smooth_is_convex_combination(spark, points):
+    """The smoothed value is a weighted mean: it must lie within the
+    [min, max] of its window's raw values, and a singleton window
+    reproduces the value exactly."""
+    import datetime
+
+    from mbta_etl_spark.operators.timeseries import timedecay_smooth
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, base + datetime.timedelta(seconds=s), float(v))
+        for i, (s, v) in enumerate(sorted(points))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, value double"
+    )
+    out = sorted(
+        timedecay_smooth(df, ["user_id"], "ts", "event_id", "value").collect(),
+        key=lambda r: r.event_id,
+    )
+    vals = [r[3] for r in rows]
+    for idx, r in enumerate(out):
+        lo = min(vals[max(0, idx - 16): idx + 1]) - 1e-6
+        hi = max(vals[max(0, idx - 16): idx + 1]) + 1e-6
+        assert lo <= r.smoothed <= hi
+    assert abs(out[0].smoothed - vals[0]) < 1e-6
