@@ -622,3 +622,36 @@ def patch_grid(features: DataFrame, patch: int = VIT_PATCH) -> DataFrame:
         (n_patches + 1).alias("vit_tokens"),
         pad_frac.alias("pad_frac"),
     )
+
+
+def arrow_byte_stats(df: DataFrame) -> DataFrame:
+    """Binary metadata via ``mapInArrow`` — the zero-pandas kernel tier:
+    each batch stays a pyarrow RecordBatch end-to-end and every stat is
+    a vectorized Arrow compute call (binary_length, binary_slice) — no
+    pandas materialization, no per-row Python. Use this tier when the
+    kernel is expressible in Arrow compute; drop to mapInPandas
+    (binary_meta) only when it needs numpy/stdlib per element.
+
+    Columns: doc_id, n_bytes, head (first 4 bytes), tail (last 4 bytes)
+    — head/tail surface as strings (the synthetic corpus is ASCII; the
+    slice itself is byte-defined)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _stats(batches):
+        for batch in batches:
+            payload = batch.column("payload")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.binary_length(payload).cast(pa.int64()),
+                    pc.binary_slice(payload, 0, 4).cast(pa.string()),
+                    pc.binary_slice(payload, -4, None).cast(pa.string()),
+                ],
+                names=["doc_id", "n_bytes", "head", "tail"],
+            )
+
+    return df.mapInArrow(
+        _stats,
+        schema="doc_id long, n_bytes long, head string, tail string",
+    )

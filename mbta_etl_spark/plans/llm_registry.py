@@ -6095,6 +6095,26 @@ def _lsh_planner_oracle() -> str:
 _ORACLES["d37_lsh_planner"] = _lsh_planner_oracle()
 
 
+def m14_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow kernel tier (operators/multimodal.arrow_byte_stats):
+    byte stats computed entirely in vectorized Arrow compute — no
+    pandas materialization, no per-element Python — the lowest-overhead
+    Python kernel Spark offers, demonstrated next to m01's mapInPandas
+    form of the same job."""
+    binary = multimodal.to_binary_table(_docs(spark, sf_dir), "text", "doc_id")
+    return multimodal.arrow_byte_stats(binary)
+
+
+_ORACLES["m14_arrow_byte_stats"] = """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           substr(text, 1, 4) AS head,
+           CASE WHEN length(text) <= 4 THEN text
+                ELSE substr(text, length(text) - 3, 4) END AS tail
+    FROM documents
+"""
+
+
 def d38_removal_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-threshold → removal-budget calibration: for each candidate
     Jaccard cutoff (0.1 … 0.9), how many DOCUMENTS the keep-min rule

@@ -10569,6 +10569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q103_price_volume_mix": q103_price_volume_mix,
             "j17_window_funnel": j17_window_funnel,
             "d38_removal_budget": llm_registry.d38_removal_budget,
+            "m14_arrow_byte_stats": llm_registry.m14_arrow_byte_stats,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -1372,3 +1372,14 @@ def test_removal_budget_monotone_and_bounded(spark):
     for r in rows:
         assert 0 <= r.n_removed <= n_docs
         assert 0.0 <= r.removal_frac <= 1.0
+
+
+def test_arrow_byte_stats_pure_arrow_kernel(spark, docs):
+    out = {r.doc_id: r for r in multimodal.arrow_byte_stats(
+        multimodal.to_binary_table(docs, "text", "doc_id")
+    ).collect()}
+    texts = dict(DOCS)
+    for i, t in texts.items():
+        assert out[i].n_bytes == len(t.encode())
+        assert out[i].head == t[:4]
+        assert out[i].tail == t[-4:]
