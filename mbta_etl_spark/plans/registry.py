@@ -8885,6 +8885,65 @@ _ORACLES["ts34_burstiness"] = """
 """
 
 
+def v23_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight data-quality counters via ``df.observe()`` (the
+    Observation API): the QA aggregates ride the SAME job as the
+    pipeline pass — zero extra scans, unlike v01's dedicated audit
+    query. The observed pass here is q15's hourly-rollup shape executed
+    to a noop sink; the entry returns the observation as a 1-row table.
+    At 100 TB this is how ingest QA actually runs: counters accumulate
+    map-side inside the already-paid scan, and the driver reads O(1)
+    metric values — no second pass, no sampling."""
+    from pyspark.sql import Observation
+
+    ev = _events(spark, sf_dir)
+    obs = Observation("v23")
+    staged = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias(
+            "n_negative_value"
+        ),
+        F.sum(F.when(F.col("event_type").isNull(), 1).otherwise(0)).alias(
+            "n_null_type"
+        ),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+    # the observed pass: the q15 hourly rollup, run to completion
+    (
+        staged.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    m = obs.get
+    return spark.range(1).select(
+        F.lit(int(m["n_rows"])).cast("long").alias("n_rows"),
+        F.lit(int(m["n_negative_value"])).cast("long").alias(
+            "n_negative_value"
+        ),
+        F.lit(int(m["n_null_type"])).cast("long").alias("n_null_type"),
+        F.lit(m["min_ts"]).cast("timestamp_ntz").alias("min_ts"),
+        F.lit(m["max_ts"]).cast("timestamp_ntz").alias("max_ts"),
+    )
+
+
+_ORACLES["v23_observed_metrics"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative_value,
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_type,
+           MIN(ts) AS min_ts,
+           MAX(ts) AS max_ts
+    FROM events
+"""
+
+
 FUNNEL_WINDOW_S = 1800
 
 
@@ -10570,6 +10629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "j17_window_funnel": j17_window_funnel,
             "d38_removal_budget": llm_registry.d38_removal_budget,
             "m14_arrow_byte_stats": llm_registry.m14_arrow_byte_stats,
+            "v23_observed_metrics": v23_observed_metrics,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

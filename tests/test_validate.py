@@ -143,3 +143,25 @@ def test_v22_duplicate_rows_covers_all_tables(spark):
     # tables with a unique generated key can't hold full-row duplicates
     assert rows["events"].n_dup_rows == 0
     assert rows["orders"].n_dup_rows == 0
+
+
+def test_observed_metrics_match_direct_aggregates(spark):
+    """The Observation-API counters equal a direct aggregate pass —
+    the metrics really describe the observed job's input."""
+    from mbta_etl_spark.plans.registry import _events, v23_observed_metrics
+    from tests.conftest import SF_DIR_SMALL
+
+    from pyspark.sql import functions as F
+
+    got = v23_observed_metrics(spark, SF_DIR_SMALL).collect()[0]
+    ev = _events(spark, SF_DIR_SMALL)
+    direct = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("neg"),
+        F.min("ts").alias("mn"),
+        F.max("ts").alias("mx"),
+    ).collect()[0]
+    assert got.n_rows == direct.n
+    assert got.n_negative_value == (direct.neg or 0)
+    assert got.min_ts == direct.mn and got.max_ts == direct.mx
+    assert got.n_null_type == 0
