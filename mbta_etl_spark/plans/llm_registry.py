@@ -6095,6 +6095,68 @@ def _lsh_planner_oracle() -> str:
 _ORACLES["d37_lsh_planner"] = _lsh_planner_oracle()
 
 
+FILTERED_ANN_LABEL = 2
+
+
+def s27_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (the pgvector/Qdrant `WHERE label = ?`
+    capability): exact cosine top-k restricted to one metadata label —
+    the PRE-filter strategy, where the predicate prunes the scan before
+    any distance is computed (pushable to the parquet reader; at scale,
+    to the partition layout). Each hit is annotated with whether a
+    POST-filter strategy (global top-k, then filter) would have found
+    it — the rows marked false are exactly the recall a post-filtering
+    engine silently loses. Cost: one filtered s01 scan plus a k-row
+    broadcast membership probe."""
+    q = _query_vector(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    pre = similarity.cosine_topk(
+        emb.filter(F.col("label") == FILTERED_ANN_LABEL),
+        "embedding",
+        "vec_id",
+        q,
+        k=TOPK,
+        exclude_id=QUERY_VEC_ID,
+    )
+    global_topk = similarity.cosine_topk(
+        emb, "embedding", "vec_id", q, k=TOPK, exclude_id=QUERY_VEC_ID
+    ).select("vec_id", F.lit(True).alias("in_postfilter"))
+    return pre.join(F.broadcast(global_topk), "vec_id", "left").select(
+        "vec_id",
+        "label",
+        "cosine",
+        F.coalesce("in_postfilter", F.lit(False)).alias("in_postfilter"),
+    )
+
+
+def _filtered_ann_oracle() -> str:
+    return f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = {QUERY_VEC_ID}),
+    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT vec_id, label,
+             ROUND({_dot('v', 'qv')} /
+                   (sqrt({_dot('v', 'v')}) * sqrt({_dot('qv', 'qv')})), 6)
+               AS cosine
+      FROM e, q WHERE vec_id <> {QUERY_VEC_ID}),
+    pre AS (
+      SELECT vec_id, label, cosine FROM scored
+      WHERE label = {FILTERED_ANN_LABEL}
+      ORDER BY cosine DESC, vec_id ASC LIMIT {TOPK}),
+    gl AS (
+      SELECT vec_id FROM scored
+      ORDER BY cosine DESC, vec_id ASC LIMIT {TOPK})
+    SELECT p.vec_id, p.label, p.cosine,
+           (p.vec_id IN (SELECT vec_id FROM gl)) AS in_postfilter
+    FROM pre p
+    """
+
+
+_ORACLES["s27_filtered_ann"] = _filtered_ann_oracle()
+
+
 def m14_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInArrow kernel tier (operators/multimodal.arrow_byte_stats):
     byte stats computed entirely in vectorized Arrow compute — no

@@ -10630,6 +10630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d38_removal_budget": llm_registry.d38_removal_budget,
             "m14_arrow_byte_stats": llm_registry.m14_arrow_byte_stats,
             "v23_observed_metrics": v23_observed_metrics,
+            "s27_filtered_ann": llm_registry.s27_filtered_ann,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

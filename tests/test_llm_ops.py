@@ -1383,3 +1383,19 @@ def test_arrow_byte_stats_pure_arrow_kernel(spark, docs):
         assert out[i].n_bytes == len(t.encode())
         assert out[i].head == t[:4]
         assert out[i].tail == t[-4:]
+
+
+def test_filtered_ann_prefilter_semantics(spark):
+    """Every hit carries the requested label; hits absent from the
+    global top-k are exactly the post-filter recall loss."""
+    from mbta_etl_spark.plans import llm_registry
+    from tests.conftest import SF_DIR_SMALL
+
+    rows = llm_registry.s27_filtered_ann(spark, SF_DIR_SMALL).collect()
+    assert len(rows) == llm_registry.TOPK
+    assert all(r.label == llm_registry.FILTERED_ANN_LABEL for r in rows)
+    cos = [r.cosine for r in rows]
+    assert cos == sorted(cos, reverse=True)
+    # the global top-k over ~4 labels rarely contains 10 of one label:
+    # at least one pre-filter hit must be invisible to post-filtering
+    assert any(not r.in_postfilter for r in rows)
