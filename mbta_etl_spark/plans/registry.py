@@ -8927,8 +8927,15 @@ def v23_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_negative_value"
         ),
         F.lit(int(m["n_null_type"])).cast("long").alias("n_null_type"),
-        F.lit(m["min_ts"]).cast("timestamp_ntz").alias("min_ts"),
-        F.lit(m["max_ts"]).cast("timestamp_ntz").alias("max_ts"),
+        # string -> NTZ parse is timezone-free; F.lit(datetime) would
+        # round-trip through an LTZ literal in the SESSION zone and
+        # shift under a non-UTC driver session
+        F.lit(m["min_ts"].isoformat(sep=" "))
+        .cast("timestamp_ntz")
+        .alias("min_ts"),
+        F.lit(m["max_ts"].isoformat(sep=" "))
+        .cast("timestamp_ntz")
+        .alias("max_ts"),
     )
 
 
