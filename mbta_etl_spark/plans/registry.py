@@ -8885,6 +8885,238 @@ _ORACLES["ts34_burstiness"] = """
 """
 
 
+MARKOV_ITERS = 12
+MARKOV_CHANNELS = ("click", "error", "signup", "view")
+_MARKOV_SCALE = 1_000_000  # transition probs on the 1e-6 integer grid
+_MARKOV_VSCALE = 1000  # lifts p6 to the 1e-9 value grid
+
+
+def _markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, p6): journey transition probabilities on the 1e-6
+    integer grid. Journeys are per-user event sequences ordered by
+    (ts, event_id), truncated at the first purchase; START precedes the
+    first event, and journeys that end without purchasing emit a
+    terminal → 'NULL' transition. p6 = (n · 1e6) DIV row_total — floor
+    division, exact in any engine."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.withColumn("rn", F.row_number().over(w))
+    fp = (
+        r.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("fp_rn"))
+    )
+    j = r.join(fp, "user_id", "left").filter(
+        F.col("fp_rn").isNull() | (F.col("rn") <= F.col("fp_rn"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    lagged = j.withColumn("prev", F.lag("event_type").over(w2))
+    trans = lagged.select(
+        F.coalesce("prev", F.lit("START")).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    last = (
+        j.withColumn(
+            "mx", F.max("rn").over(Window.partitionBy("user_id"))
+        )
+        .filter((F.col("rn") == F.col("mx")) & (F.col("event_type") != "purchase"))
+        .select(F.col("event_type").alias("src"), F.lit("NULL").alias("dst"))
+    )
+    counts = (
+        trans.unionAll(last)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.groupBy("src").agg(F.sum("n").alias("total"))
+    return counts.join(tot, "src").select(
+        "src",
+        "dst",
+        F.expr(f"(n * {_MARKOV_SCALE}) DIV total").cast("long").alias("p6"),
+    )
+
+
+def _markov_conv9(
+    p6: dict[tuple[str, str], int], removed: str | None
+) -> int:
+    """Absorption value at START on the 1e-9 integer grid after
+    MARKOV_ITERS exact integer iterations:
+    v'(s) = Σ_dst [dst=purchase ? p6·1000 : (p6·v(dst)) div 1e6].
+    Pure int64 arithmetic — the oracle unrolls the identical steps."""
+    states = sorted({s for s, _ in p6})
+    v = {s: 0 for s in states}
+    for _ in range(MARKOV_ITERS):
+        nv = {}
+        for s in states:
+            if s == removed:
+                continue
+            acc = 0
+            for (src, dst), p in p6.items():
+                if src != s or dst == removed:
+                    continue
+                if dst == "purchase":
+                    acc += p * _MARKOV_VSCALE
+                else:
+                    acc += (p * v.get(dst, 0)) // _MARKOV_SCALE
+            nv[s] = acc
+        v = nv
+    return v.get("START", 0)
+
+
+def j18_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain channel attribution by removal effect (the
+    marketing-analytics standard, Anderl et al.): the event log
+    collapses to a 6-state journey transition matrix in ONE distributed
+    pass (the g01 pattern — window lag + aggregate; nothing data-sized
+    afterward); conversion probability from START comes from a
+    fixed-iteration absorbing-chain solve, re-run with each channel
+    removed (its transitions break the journey). A channel's
+    attribution share is its normalized conversion drop. All chain
+    arithmetic is exact int64 on pinned grids, identical in the
+    unrolled-CTE oracle; driver state is O(states²)."""
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    rows = _markov_transitions(spark, sf_dir).collect()  # ≤ 36 rows
+    p6 = {(r["src"], r["dst"]): int(r["p6"]) for r in rows}
+    full = _markov_conv9(p6, None)
+    effects = {c: full - _markov_conv9(p6, c) for c in MARKOV_CHANNELS}
+    tot_eff = sum(effects.values())
+    out = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("channel"),
+                F.lit(int(effects[c])).cast("long").alias("effect9"),
+            )
+            for c in MARKOV_CHANNELS
+        ]
+    )
+    base = spark.range(1).select(F.explode(out).alias("s")).select("s.*")
+    return base.select(
+        "channel",
+        (F.lit(float(full)) / F.lit(1e9)).alias("conv_p"),
+        (F.col("effect9").cast("double") / F.lit(1e9)).alias(
+            "removal_effect"
+        ),
+        (
+            r6(F.col("effect9").cast("double") / F.lit(float(tot_eff)))
+            if tot_eff > 0
+            else F.lit(None).cast("double")
+        ).alias("attribution_share"),
+    )
+
+
+def _markov_oracle() -> str:
+    trans = f"""
+    ev AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    fp AS (
+      SELECT user_id, MIN(rn) AS fp_rn FROM ev
+      WHERE event_type = 'purchase' GROUP BY user_id),
+    j AS (
+      SELECT ev.* FROM ev LEFT JOIN fp ON fp.user_id = ev.user_id
+      WHERE fp.fp_rn IS NULL OR ev.rn <= fp.fp_rn),
+    lagged AS (
+      SELECT user_id, rn, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY rn)
+               AS prev,
+             MAX(rn) OVER (PARTITION BY user_id) AS mx
+      FROM j),
+    trans AS (
+      SELECT COALESCE(prev, 'START') AS src, event_type AS dst
+      FROM lagged
+      UNION ALL
+      SELECT event_type AS src, 'NULL' AS dst FROM lagged
+      WHERE rn = mx AND event_type <> 'purchase'),
+    counts AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM trans GROUP BY 1, 2),
+    p AS MATERIALIZED (
+      SELECT c.src, c.dst,
+             CAST((c.n * {_MARKOV_SCALE})
+                  // SUM(c.n) OVER (PARTITION BY c.src) AS BIGINT) AS p6
+      FROM counts c)"""
+    # unrolled integer iterations per scenario (None + each channel)
+    scen_ctes = []
+    scen_final = {}
+    for tag, removed in [("full", None)] + [
+        (c, c) for c in MARKOV_CHANNELS
+    ]:
+        cond = (
+            f"src <> '{removed}' AND dst <> '{removed}'"
+            if removed
+            else "TRUE"
+        )
+        scen_ctes.append(
+            f"p_{tag} AS MATERIALIZED (SELECT * FROM p WHERE {cond})"
+        )
+        prev = None
+        for i in range(MARKOV_ITERS):
+            name = f"v_{tag}_{i}"
+            if prev is None:
+                term = (
+                    f"CASE WHEN p.dst = 'purchase'"
+                    f" THEN p.p6 * {_MARKOV_VSCALE} ELSE 0 END"
+                )
+                scen_ctes.append(
+                    f"""{name} AS MATERIALIZED (
+      SELECT p.src AS state, CAST(SUM({term}) AS BIGINT) AS v9
+      FROM p_{tag} p GROUP BY 1)"""
+                )
+            else:
+                term = (
+                    f"CASE WHEN p.dst = 'purchase'"
+                    f" THEN p.p6 * {_MARKOV_VSCALE}"
+                    f" ELSE (p.p6 * COALESCE(v.v9, 0)) // {_MARKOV_SCALE}"
+                    f" END"
+                )
+                scen_ctes.append(
+                    f"""{name} AS MATERIALIZED (
+      SELECT p.src AS state, CAST(SUM({term}) AS BIGINT) AS v9
+      FROM p_{tag} p LEFT JOIN {prev} v ON v.state = p.dst
+      GROUP BY 1)"""
+                )
+            prev = name
+        scen_final[tag] = (
+            f"(SELECT COALESCE(MAX(v9), 0) FROM {prev}"
+            f" WHERE state = 'START')"
+        )
+    full = scen_final["full"]
+    eff = {c: f"({full} - {scen_final[c]})" for c in MARKOV_CHANNELS}
+    tot = " + ".join(eff.values())
+    rows = ", ".join(f"('{c}')" for c in MARKOV_CHANNELS)
+    arms = " ".join(
+        f"WHEN '{c}' THEN {eff[c]}" for c in MARKOV_CHANNELS
+    )
+    return (
+        "WITH "
+        + trans
+        + ",\n"
+        + ",\n".join(scen_ctes)
+        + f""",
+    chan(channel) AS (VALUES {rows}),
+    eff AS (SELECT channel,
+                   CAST(CASE channel {arms} END AS BIGINT) AS effect9
+            FROM chan)
+    SELECT channel,
+           CAST({full} AS DOUBLE) / 1e9 AS conv_p,
+           CAST(effect9 AS DOUBLE) / 1e9 AS removal_effect,
+           CASE WHEN ({tot}) > 0 THEN
+             FLOOR(CAST(effect9 AS DOUBLE) / CAST(({tot}) AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6
+           END AS attribution_share
+    FROM eff
+    """
+    )
+
+
+_ORACLES["j18_markov_attribution"] = _markov_oracle()
+
+
 def v23_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight data-quality counters via ``df.observe()`` (the
     Observation API): the QA aggregates ride the SAME job as the
@@ -10722,6 +10954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "v23_observed_metrics": v23_observed_metrics,
             "s27_filtered_ann": llm_registry.s27_filtered_ann,
             "g07_assortativity": g07_assortativity,
+            "j18_markov_attribution": j18_markov_attribution,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

@@ -264,3 +264,41 @@ def test_window_funnel_depths(spark):
         out = {r.user_id: r.funnel_depth
                for r in j17_window_funnel(spark, d).collect()}
     assert out == {1: 3, 2: 2, 3: 1, 4: 1}
+
+
+def test_markov_attribution_hand_chain(spark):
+    """On a hand-built two-channel chain the removal effects follow the
+    path structure: removing the only channel on the converting path
+    kills all conversion."""
+    import datetime
+    import tempfile
+
+    from mbta_etl_spark.plans.registry import j18_markov_attribution
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def row(eid, uid, etype, mins):
+        return (eid, base + datetime.timedelta(minutes=mins), uid, etype,
+                1.0, "{}")
+
+    schema = ("event_id long, ts timestamp_ntz, user_id long,"
+              " event_type string, value double, props string")
+    rows = []
+    eid = 0
+    # 10 users: view -> purchase (all conversion flows through 'view')
+    for u in range(10):
+        rows += [row(eid, u, "view", 0), row(eid + 1, u, "purchase", 5)]
+        eid += 2
+    # 5 users: click -> (end, no purchase)
+    for u in range(10, 15):
+        rows += [row(eid, u, "click", 0)]
+        eid += 1
+    df = spark.createDataFrame(rows, schema)
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {r.channel: r for r in
+               j18_markov_attribution(spark, d).collect()}
+    assert out["view"].removal_effect > 0
+    assert out["view"].attribution_share == 1.0
+    assert out["click"].removal_effect == 0.0
+    assert out["view"].conv_p > 0.6  # 10/15 journeys convert
