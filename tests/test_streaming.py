@@ -435,3 +435,72 @@ def test_streaming_near_dup_ingest(spark, tmp_path):
         .collect()
     )
     assert idx_docs == [1, 2, 12]
+
+
+def test_streaming_dedup_state_survives_restart(spark, tmp_path):
+    """Stateful recovery: the dedup state store is rebuilt from the
+    checkpoint across a FULL query restart — a key first seen before
+    the restart is still recognized as a duplicate after it. This is
+    the recovery contract a 100 TB ingest leans on (executor loss,
+    deploy, backfill pause): exactly-once within the watermark horizon
+    across restarts, not just within one query lifetime."""
+    import os
+
+    from mbta_etl_spark.streaming.ingest import dedup_stream_by_key
+
+    src = tmp_path / "events"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "out")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+
+    def write_file(name, rows, age):
+        path = src / name
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        now = time.time()
+        os.utime(path, (now - age, now - age))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            dedup_stream_by_key(stream, ["event_id"], "ts", "2 hours")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_query(q)
+
+    write_file("a.jsonl", [
+        {"event_id": 1, "ts": "2024-01-15T10:00:00", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-15T10:01:00", "value": 2.0},
+    ], age=100)
+    run_once()  # first query lifetime ends here
+
+    # new files arrive while the query is DOWN: a re-delivery of key 1
+    # and a fresh key 3; then a second, fully restarted query runs
+    write_file("b.jsonl", [
+        {"event_id": 1, "ts": "2024-01-15T10:02:00", "value": 99.0},
+        {"event_id": 3, "ts": "2024-01-15T10:03:00", "value": 3.0},
+    ], age=0)
+    run_once()
+
+    got = {
+        r["event_id"]: r["value"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0}  # key 1's redelivery dropped
