@@ -6157,6 +6157,127 @@ def _filtered_ann_oracle() -> str:
 _ORACLES["s27_filtered_ann"] = _filtered_ann_oracle()
 
 
+CDC_GRAM = 3  # breakpoint hash looks at the trailing 3-token window
+CDC_DIVISOR = 8  # expected chunk length ~= divisor tokens
+
+
+def d39_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the LBFS/FastCDC storage-dedup
+    primitive, token-granular): a chunk boundary falls wherever the
+    rolling 3-token hash ≡ 0 (mod 8), so boundaries move WITH content —
+    an insertion reshuffles only the chunks it touches, where d29's
+    fixed windows shift every downstream chunk. Output is the cross-doc
+    duplicate-chunk census (the dedup such chunking exists for): sha,
+    copies, docs, keep-min choice, redundant tokens. One posexplode +
+    per-doc window cumsum for chunk ids, one concat per chunk, one
+    sha-keyed census — shuffles on (doc, pos ordering) and the digest,
+    both well-distributed."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ",
+        *[
+            F.lag("tok", CDC_GRAM - 1 - i).over(w)
+            for i in range(CDC_GRAM)
+        ],
+    )
+    h = (
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+        % CDC_DIVISOR
+    )
+    bp = (
+        (F.col("pos") >= CDC_GRAM - 1) & (h == 0)
+    ).cast("long")
+    staged = toks.select("doc_id", "pos", "tok", bp.alias("bp"))
+    chunk = F.coalesce(
+        F.sum("bp").over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    chunks = (
+        staged.select("doc_id", "pos", "tok", chunk.alias("chunk"))
+        .groupBy("doc_id", "chunk")
+        .agg(
+            F.count(F.lit(1)).alias("chunk_len"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+            ).alias("chunk_text"),
+        )
+    )
+    return (
+        chunks.groupBy(F.md5("chunk_text").alias("chunk_sha"))
+        .agg(
+            F.max("chunk_len").alias("chunk_len"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+            ((F.count(F.lit(1)) - 1) * F.max("chunk_len")).alias(
+                "tokens_redundant"
+            ),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+
+
+_ORACLES["d39_cdc_chunking"] = f"""
+    WITH t0 AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    toks AS (
+      SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, toks[u.i] AS tok
+      FROM t0, UNNEST(generate_series(1, len(toks))) AS u(i)),
+    grams AS (
+      SELECT doc_id, pos, tok,
+             concat_ws(' ',
+               LAG(tok, {CDC_GRAM - 1})
+                 OVER (PARTITION BY doc_id ORDER BY pos),
+               LAG(tok, {CDC_GRAM - 2})
+                 OVER (PARTITION BY doc_id ORDER BY pos),
+               tok) AS gram
+      FROM toks),
+    bps AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN pos >= {CDC_GRAM - 1}
+                   AND CAST(('0x' || substr(md5(gram), 1, 8)) AS UBIGINT)
+                         % {CDC_DIVISOR} = 0
+                  THEN 1 ELSE 0 END AS bp
+      FROM grams),
+    assigned AS (
+      SELECT doc_id, pos, tok,
+             COALESCE(SUM(bp) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk
+      FROM bps),
+    chunks AS (
+      SELECT doc_id, chunk,
+             CAST(COUNT(*) AS BIGINT) AS chunk_len,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+      FROM assigned GROUP BY doc_id, chunk)
+    SELECT md5(chunk_text) AS chunk_sha,
+           CAST(MAX(chunk_len) AS BIGINT) AS chunk_len,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keep_doc,
+           CAST((COUNT(*) - 1) * MAX(chunk_len) AS BIGINT)
+             AS tokens_redundant
+    FROM chunks GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+
+
 def m14_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInArrow kernel tier (operators/multimodal.arrow_byte_stats):
     byte stats computed entirely in vectorized Arrow compute — no

@@ -10955,6 +10955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s27_filtered_ann": llm_registry.s27_filtered_ann,
             "g07_assortativity": g07_assortativity,
             "j18_markov_attribution": j18_markov_attribution,
+            "d39_cdc_chunking": llm_registry.d39_cdc_chunking,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

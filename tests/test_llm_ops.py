@@ -1399,3 +1399,27 @@ def test_filtered_ann_prefilter_semantics(spark):
     # the global top-k over ~4 labels rarely contains 10 of one label:
     # at least one pre-filter hit must be invisible to post-filtering
     assert any(not r.in_postfilter for r in rows)
+
+
+def test_cdc_chunking_insert_robustness(spark):
+    """The CDC property: inserting a token near the START of a doc
+    leaves the doc's LATER chunks identical (boundaries are content-
+    defined), so the two versions share duplicate chunks — where a
+    fixed-window chunker would shift every downstream chunk."""
+    from mbta_etl_spark.plans import llm_registry
+
+    base = " ".join(f"w{i}" for i in range(120))
+    shifted = "zzz " + base  # one token inserted at the front
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted)], ["doc_id", "text"]
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        dup = llm_registry.d39_cdc_chunking(spark, d).collect()
+    # the suffix chunks re-align → at least one cross-doc duplicate
+    assert any(r.n_docs == 2 for r in dup)
+    for r in dup:
+        assert r.tokens_redundant == (r.n_copies - 1) * r.chunk_len
+        assert r.keep_doc == 1
