@@ -6278,6 +6278,44 @@ _ORACLES["d39_cdc_chunking"] = f"""
 """
 
 
+def d40_chunker_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window (d29) vs content-defined (d39) chunking, scored on
+    the same corpus: duplicate chunks found, docs involved, and tokens
+    reclaimable under each strategy — the measured basis for choosing
+    the chunker before building a chunk-level dedup index. Two existing
+    pipelines + one 2-row aggregate each."""
+
+    def _summ(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_dup_chunks"),
+            F.sum("n_copies").alias("n_copies"),
+            F.sum("tokens_redundant").alias("tokens_redundant"),
+        ).select(F.lit(tag).alias("chunker"), "*")
+
+    fixed = _summ(d29_chunk_dedup(spark, sf_dir), "fixed_window")
+    cdc = _summ(d39_cdc_chunking(spark, sf_dir), "cdc")
+    return fixed.unionByName(cdc)
+
+
+_ORACLES["d40_chunker_comparison"] = """
+    WITH fixed AS ({d29}),
+    cdc AS ({d39})
+    SELECT 'fixed_window' AS chunker,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_chunks,
+           CAST(SUM(n_copies) AS BIGINT) AS n_copies,
+           CAST(SUM(tokens_redundant) AS BIGINT) AS tokens_redundant
+    FROM fixed
+    UNION ALL
+    SELECT 'cdc',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_copies) AS BIGINT),
+           CAST(SUM(tokens_redundant) AS BIGINT)
+    FROM cdc
+""".format(
+    d29=_ORACLES["d29_chunk_dedup"], d39=_ORACLES["d39_cdc_chunking"]
+)
+
+
 def m14_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInArrow kernel tier (operators/multimodal.arrow_byte_stats):
     byte stats computed entirely in vectorized Arrow compute — no

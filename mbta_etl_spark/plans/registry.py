@@ -10956,6 +10956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "g07_assortativity": g07_assortativity,
             "j18_markov_attribution": j18_markov_attribution,
             "d39_cdc_chunking": llm_registry.d39_cdc_chunking,
+            "d40_chunker_comparison": llm_registry.d40_chunker_comparison,
         }
     )
     # Rotate: never-driver-verified entries first (stable registration

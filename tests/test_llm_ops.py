@@ -1423,3 +1423,15 @@ def test_cdc_chunking_insert_robustness(spark):
     for r in dup:
         assert r.tokens_redundant == (r.n_copies - 1) * r.chunk_len
         assert r.keep_doc == 1
+
+
+def test_chunker_comparison_two_strategies(spark):
+    from mbta_etl_spark.plans import llm_registry
+    from tests.conftest import SF_DIR_SMALL
+
+    rows = {r.chunker: r for r in
+            llm_registry.d40_chunker_comparison(spark, SF_DIR_SMALL).collect()}
+    assert set(rows) == {"fixed_window", "cdc"}
+    for r in rows.values():
+        assert r.n_copies >= 2 * r.n_dup_chunks or r.n_dup_chunks == 0
+        assert r.tokens_redundant >= 0
