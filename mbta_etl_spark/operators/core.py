@@ -19,6 +19,21 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """Compute a multiply-consumed plan stage ONCE without pinning executor
+    storage for the session: eager ``localCheckpoint`` writes the stage to
+    executor-local blocks that the ContextCleaner reclaims when the plan is
+    garbage-collected. ``.persist()`` (the previous pattern) registers with
+    the CacheManager and holds storage memory until an explicit
+    ``unpersist`` — which a lazily-built registry entry has no hook to
+    issue, so long sweeps accumulated cached tables (ADVICE round 3).
+    Trade-off: lineage is truncated, so the stage can't be recomputed on
+    executor loss — acceptable for bounded intermediate tables inside one
+    query; NOT for hour-long pipelines on preemptible nodes (use a real
+    checkpoint dir there)."""
+    return df.localCheckpoint(eager=True)
+
+
 # ---------------------------------------------------------------------------
 # Q1 — top-k by measure (reference pipeline/queries.go:10-18:
 #   SELECT * FROM vehicles ORDER BY speed DESC LIMIT 10)

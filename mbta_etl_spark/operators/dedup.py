@@ -58,6 +58,13 @@ def fingerprint_dedup_groups(df: DataFrame, text: Column, id_col: Column) -> Dat
     )
 
 
+# Shared once-computed-stage helper (see its docstring for the
+# persist-vs-localCheckpoint trade-off). Callers that want a caller-owned
+# cache can still pass a pre-persisted table through the ``shingles=``
+# parameters.
+from mbta_etl_spark.operators.core import materialize as _materialize  # noqa: E402
+
+
 def _shingle_table(df: DataFrame, text: Column, id_col: Column, k: int) -> DataFrame:
     """(doc_id, sh64) exploded distinct-shingle table, keyed by the first
     60 bits of md5(shingle) as a long.
@@ -144,8 +151,7 @@ def ngram_jaccard_pairs(
     if shingles is not None:
         sh = shingles
     else:
-        sh = _shingle_table(df, text, id_col, k).persist()
-        sh.count()
+        sh = _materialize(_shingle_table(df, text, id_col, k))
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("sh64")
@@ -202,8 +208,7 @@ def ngram_containment_pairs(
     both directions are derived from that single count — the union is a
     projection, not a second join. ``max_shingle_df`` caps the quadratic
     hot-shingle term exactly as in d03."""
-    sh = _shingle_table(df, text, id_col, k).persist()
-    sh.count()
+    sh = _materialize(_shingle_table(df, text, id_col, k))
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("sh64")
@@ -361,8 +366,7 @@ def minhash_lsh_pairs(
     if shingles is not None:
         sh = shingles
     else:
-        sh = _shingle_table(df, text, id_col, k).persist()
-        sh.count()
+        sh = _materialize(_shingle_table(df, text, id_col, k))
     # band keys straight from the wide signature: one aggregation, then a
     # stack to (doc_id, band, band_key) rows for the collision join — no
     # per-(doc,seed) shuffle, no collect_list
@@ -420,8 +424,7 @@ def decontaminate_ngrams(
     standard shape: the benchmark-gram set rides along as a broadcast
     (or a bloom filter of it, trading exactness for memory)."""
     test_keys = _shingle_table(test, text, id_col, k).select("sh64").distinct()
-    train_sh = _shingle_table(train, text, id_col, k).persist()
-    train_sh.count()
+    train_sh = _materialize(_shingle_table(train, text, id_col, k))
     sizes = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
         train_sh.join(F.broadcast(test_keys), "sh64", "left_semi")
@@ -741,9 +744,9 @@ def connected_components(
     p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
         eager=True
     )
-    edges = p.union(
-        p.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().persist()
+    edges = _materialize(
+        p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    )
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
@@ -848,8 +851,7 @@ def minhash_estimate_audit(
     trusting a sketch at 100 TB. Zero-intersection candidates (pure
     band-hash collisions) are kept via a left join — they are exactly
     the worst-case estimate errors an inner join would hide."""
-    sh = _shingle_table(df, text, id_col, k).persist()
-    sh.count()
+    sh = _materialize(_shingle_table(df, text, id_col, k))
     wide = _minhash_wide(sh, n_hashes)
     n_bands = n_hashes // band_size
     band_keys = [
@@ -1455,10 +1457,8 @@ def pointer_doubling_components(
     p = pairs.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).localCheckpoint(eager=True)
-    edges = (
-        p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .persist()
+    edges = _materialize(
+        p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     )
     labels = (
         edges.select(F.col("a").alias("node"))
@@ -1522,8 +1522,7 @@ def bbit_minhash_audit(
     shingle table; estimates are a CASE-sum over the 2·n_hashes wide
     columns after two doc-keyed joins — pure JVM, no extra shuffle
     beyond the joins."""
-    sh = _shingle_table(df, text, id_col, k).persist()
-    sh.count()
+    sh = _materialize(_shingle_table(df, text, id_col, k))
     pairs = minhash_lsh_pairs(
         df, text, id_col, k=k, threshold=threshold,
         n_hashes=n_hashes, shingles=sh,

@@ -113,24 +113,32 @@ PNG_DECODE_SCHEMA = StructType(
 
 
 def decode_image(df: DataFrame) -> DataFrame:
-    """REAL image decode for PNG payloads (pure stdlib zlib + numpy —
-    ``functions/codecs.py``): signature check, IHDR parse, IDAT inflate,
-    full unfiltering; emits dimensions plus the exact integer pixel sum
-    so a SQL oracle can verify the decode end-to-end. Non-PNG payloads
-    still raise NotImplementedError naming the codec dependency (JPEG &
-    co. need Pillow, absent in this container) — same mapInPandas
+    """REAL image decode for PNG and baseline-JPEG payloads (pure
+    stdlib + numpy — ``functions/codecs.py``): PNG gets signature check,
+    IHDR parse, IDAT inflate, full unfiltering; JPEG gets the marker
+    walk, Huffman entropy decode, dequantize + IDCT. Emits dimensions
+    plus the exact integer pixel sum so a SQL oracle can verify the
+    decode end-to-end. Formats outside the two real codecs (progressive
+    JPEG, compressed audio/video containers) still raise
+    NotImplementedError naming the missing capability — same mapInPandas
     signature either way, so swapping in PIL touches only the kernel
     body."""
-    from mbta_etl_spark.functions.codecs import decode_png
+    from mbta_etl_spark.functions.codecs import decode_jpeg, decode_png
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(b: Any) -> tuple[int, int, int, int]:
             raw = bytes(b)
-            if raw[:8] != b"\x89PNG\r\n\x1a\n":
+            if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                px = decode_png(raw)
+            elif raw[:2] == b"\xff\xd8":
+                px = decode_jpeg(raw)
+                if px.ndim == 2:
+                    px = px[:, :, None]
+            else:
                 raise NotImplementedError(
-                    "decode_image: only PNG is decodable without Pillow"
+                    "decode_image: only PNG and baseline JPEG are"
+                    " decodable without Pillow"
                 )
-            px = decode_png(raw)
             return (
                 px.shape[1],
                 px.shape[0],
@@ -211,6 +219,50 @@ def synthetic_png_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             w, h = 4 + i % 8, 4 + (i // 8) % 8
             px = ((i * 31 + np.arange(w * h * 3) * 7) % 256).astype(np.uint8)
             return encode_png(px.reshape(h, w, 3))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": pdf[id_col].map(lambda i: one(int(i))),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        _make,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+def synthetic_jpeg_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL baseline-JPEG payloads from row ids: 1+id%3 by
+    1+(id//3)%3 blocks of 8x8, grayscale, block b (raster order) filled
+    with the constant 2·((id·37 + b·11) mod 128). Block-constant EVEN
+    values are the analytic-oracle trick for a LOSSY codec: a uniform
+    block has only a DC coefficient, and with the Annex-K q00=16 the DC
+    quantization round-trips even level-shifted values EXACTLY
+    (dcq = (v−128)/2 integral ⇒ decode returns v bit-for-bit) — so the
+    full lossy pipeline (FDCT, quantize, Huffman, IDCT) is exercised
+    while the decoded pixel sum stays SQL-derivable with no golden
+    files."""
+    import numpy as np
+
+    from mbta_etl_spark.functions.codecs import encode_jpeg_gray
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(i: int) -> bytes:
+            wb, hb = 1 + i % 3, 1 + (i // 3) % 3
+            img = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
+            for b in range(wb * hb):
+                v = 2 * ((i * 37 + b * 11) % 128)
+                by, bx = divmod(b, wb)
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+            return encode_jpeg_gray(img)
 
         for pdf in batches:
             yield pd.DataFrame(

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mbta_etl_spark.operators.core import materialize
+
 DENOM = 10_000  # basis points: rates quantized to 0.01%
 
 
@@ -631,14 +633,12 @@ def doremi_domain_weights(
     number of domains (tens, never data-sized), the same bounded-state
     pattern as k-means centroids. Final weights rejoin as a broadcast
     literal table."""
-    toks = (
+    toks = materialize(
         df.select(
             id_col.alias("doc_id"),
             F.col(source_col).alias("source"),
             F.explode(F.split(text, " ")).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
-        .persist()
+        ).filter(F.col("tok") != "")
     )
     totals = toks.agg(F.count(F.lit(1)).alias("n"))
     d = lambda c: c.cast("double")  # noqa: E731

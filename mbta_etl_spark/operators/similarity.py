@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -802,9 +803,9 @@ def int8_quant_distortion(
 PCA_TOP_K = 8
 
 
-def pca_eigen(df: DataFrame, vec_col: str, top_k: int = PCA_TOP_K):
-    """Distributed PCA: eigenvalues of the sample covariance matrix via
-    ONE distributed pass that reduces the corpus to O(d^2) state.
+def sample_covariance(df: DataFrame, vec_col: str):
+    """Distributed sample-covariance build: ONE pass reducing the corpus
+    to O(d^2) driver state; returns ``(cov ndarray, n_rows)``.
 
     Phase 1 (distributed): mapInPandas computes per-batch partials —
     the Gram matrix X^T X (numpy BLAS), the column sum, and the row
@@ -813,12 +814,7 @@ def pca_eigen(df: DataFrame, vec_col: str, top_k: int = PCA_TOP_K):
     — the treeAggregate shape expressed relationally, the standard way
     to fit covariance/PCA/linear models at 100 TB (d=64 -> 4096 cells).
     Phase 2 (driver): assemble cov = (G - n*mu*mu^T)/(n-1) — O(d^2)
-    driver memory, independent of corpus size — and eigh it.
-
-    Returns (eigenvalues_desc ndarray, n_rows). Eigensum == trace(cov)
-    == sum of per-dimension sample variances (s12), which is what the
-    tests pin. Real deployments persist the rotation for reuse; serving
-    the projection is a broadcast matmul (s03's tier).
+    driver memory, independent of corpus size.
     """
     import numpy as np
     import pandas as pd
@@ -857,8 +853,40 @@ def pca_eigen(df: DataFrame, vec_col: str, top_k: int = PCA_TOP_K):
             g[r.i, r.j] = r.v
     mu = s / n
     cov = (g - n * np.outer(mu, mu)) / (n - 1.0)
+    return cov, int(n)
+
+
+def pca_eigen(df: DataFrame, vec_col: str, top_k: int = PCA_TOP_K):
+    """Distributed PCA eigenvalues: the ``sample_covariance`` pass, then
+    a driver-side eigh of the O(d^2) matrix.
+
+    Returns (eigenvalues_desc ndarray[:top_k], n_rows, trace). Eigensum
+    == trace(cov) == sum of per-dimension sample variances (s12), which
+    is what the tests pin. Real deployments persist the rotation for
+    reuse; serving the projection is a broadcast matmul (s03's tier)."""
+    import numpy as np
+
+    cov, n = sample_covariance(df, vec_col)
     eig = np.linalg.eigvalsh(cov)[::-1]  # descending
-    return eig[:top_k], int(n), float(np.trace(cov))
+    return eig[:top_k], n, float(np.trace(cov))
+
+
+def pca_spectrum_moments(df, vec_col: str):
+    """FULL-spectrum moment invariants of the PCA eigenvalues, chosen
+    because plain SQL can verify them WITHOUT an eigensolver
+    (VERDICT r3 item 7): for symmetric cov, Σλ == trace(cov) == sum of
+    per-dim sample variances, and Σλ² == ‖cov‖_F² == sum of squared
+    pairwise sample covariances. Two independent constraints on the
+    spectrum — a bug anywhere in the distributed Gram pass or the
+    covariance assembly breaks at least one. Returns
+    ``(n_rows, sum_eig, sum_eig_sq)`` computed FROM the eigensolver
+    output, so the hash check exercises eigh itself, not just trace
+    bookkeeping."""
+    import numpy as np
+
+    cov, n = sample_covariance(df, vec_col)
+    eig = np.linalg.eigvalsh(cov)
+    return n, float(eig.sum()), float((eig * eig).sum())
 
 
 def rrf_fuse(
@@ -1138,8 +1166,14 @@ def hamming_topk(
     query: list[float],
     k: int = 10,
     exclude_id=None,
+    payload_cols: Sequence[str] = ("label",),
 ) -> DataFrame:
     """Top-k by Hamming distance between sign-binarized embeddings.
+
+    ``payload_cols`` — extra columns carried through to the result
+    (default keeps the embeddings table's ``label``; pass ``()`` for a
+    DataFrame that has no payload — the operator itself requires only
+    ``vec_col`` and ``id_col``, per ADVICE r3).
 
     The 100 TB rationale: a d-dim float32 vector is 4d bytes; its sign
     signature is d bits — a 32x shrink (64-dim -> 8 bytes) that turns a
@@ -1163,7 +1197,9 @@ def hamming_topk(
         h = F.bit_count(vw.bitwiseXOR(F.lit(qw)))
         ham = h if ham is None else ham + h
     out = df.select(
-        F.col(id_col), F.col("label"), ham.cast("long").alias("hamming")
+        F.col(id_col),
+        *[F.col(c) for c in payload_cols],
+        ham.cast("long").alias("hamming"),
     )
     if exclude_id is not None:
         out = out.filter(F.col(id_col) != exclude_id)

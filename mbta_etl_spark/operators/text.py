@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mbta_etl_spark.operators.core import materialize
+
 # Stopword profiles for the language-ID heuristic. Order matters for the
 # deterministic argmax tie-break (en > fr > de > es).
 LANG_PROFILES: list[tuple[str, tuple[str, ...]]] = [
@@ -307,11 +309,15 @@ def boilerplate_fraction(
     Shape: one shingle explode (the dedup family's mapInPandas shingle
     kernel), one document-frequency aggregation on the 8-byte shingle
     key, one join back, one per-doc aggregation — all hash-keyed
-    shuffles of (long, long) rows, never text. The fraction divides two
-    exact integers, scaled-floor-rounded for cross-engine stability."""
+    shuffles of (long, long) rows, never text. The shingle table feeds
+    BOTH the document-frequency branch and the join-back, so it is
+    materialized once — without that the Python shingle kernel (the
+    dominant cost) executes twice (r3 bench watch item). The fraction
+    divides two exact integers, scaled-floor-rounded for cross-engine
+    stability."""
     from mbta_etl_spark.operators.dedup import _shingle_table
 
-    sh = _shingle_table(df, text, id_col, k)
+    sh = materialize(_shingle_table(df, text, id_col, k))
     dfreq = sh.groupBy("sh64").agg(F.count(F.lit(1)).alias("_df"))
     joined = sh.join(dfreq, "sh64")
     return (
@@ -364,14 +370,12 @@ def dsir_importance(
     hash-join-on-token shape, broadcastable when the vocab fits and
     bucketable when it doesn't. The token table is persisted across
     its four consumers."""
-    toks = (
+    toks = materialize(
         df.select(
             id_col.alias("doc_id"),
             F.col(source_col).alias("source"),
             F.explode(F.split(text, " ")).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
-        .persist()
+        ).filter(F.col("tok") != "")
     )
     is_t = F.col("source") == target_source
     ct = toks.filter(is_t).groupBy("tok").agg(F.count(F.lit(1)).alias("ct"))
@@ -577,8 +581,8 @@ def bigram_lm_score(
             ).alias("bg"),
         )
         .select("doc_id", "source", F.col("bg.w1"), F.col("bg.w2"))
-        .persist()
     )
+    pairs = materialize(pairs)
     c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     v = pairs.agg(F.countDistinct("w2").alias("v"))

@@ -66,9 +66,11 @@ def corpus_stages(
         .drop("_keep")
     )
     # exact_kept feeds four branches (shingles, anti-join probe, survivor
-    # rows, final stats); cache it — minhash's eager shingle
-    # materialization populates the cache for the later branches
-    exact_kept = exact_kept.persist()
+    # rows, final stats); materialize it once (localCheckpoint, reclaimed
+    # on GC — see operators.core.materialize for the persist trade-off)
+    from mbta_etl_spark.operators.core import materialize
+
+    exact_kept = materialize(exact_kept)
 
     # near-dedup among the exact-kept set: drop doc_b of each pair
     pairs = dedup.minhash_lsh_pairs(

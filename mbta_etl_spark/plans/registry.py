@@ -8690,6 +8690,9 @@ _ORACLES["ts37_m4_downsample"] = """
 
 
 EQUIDEPTH_BUCKETS = 8
+# prefix-sum parallelism over the distinct-value summary; offsets table
+# stays O(EQUIDEPTH_CHUNKS) driver-window rows
+EQUIDEPTH_CHUNKS = 32
 
 
 def q102_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8698,26 +8701,55 @@ def q102_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket boundaries chosen so each holds ~n/k rows, ties kept whole
     (a distinct value never splits). Runs entirely on the compact
     (value, count) relation: one map-side-combinable aggregate over the
-    fact table, then a cumulative window and the final k-row census
-    over ≤ #distinct rows — the 100 TB shape, because the fact table
-    never sorts; only its value-frequency summary does. Bucket id is
-    exact integer math: (cum_before · k) div n."""
+    fact table, then a TWO-PHASE prefix sum over the value-frequency
+    summary (the q101 pattern, per ADVICE r3): range-partition the
+    distinct values, cumsum WITHIN each range chunk, and add exclusive
+    chunk offsets from one tiny window over the O(#chunks) chunk-total
+    table — no single-partition window, so the shape survives
+    high-cardinality value columns (timestamps, prices), not just
+    l_quantity's ~50 distinct values. The fact table never sorts; only
+    its summary does, and that in parallel. Bucket id is exact integer
+    math: (cum_before · k) div n."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").cast("long").alias("v")
     )
     from pyspark.sql import Window
 
-    vc = li.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    staged = vc.select(
-        "v",
-        "cnt",
-        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_before"),
-        F.sum("cnt").over(
-            Window.orderBy(F.lit(1)).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n"),
+    from mbta_etl_spark.operators.core import materialize
+
+    # range partitioner keeps ascending value ranges in ascending
+    # partition ids, so spark_partition_id() IS the chunk's sort key;
+    # materialize once — the chunked table feeds both the chunk-total
+    # aggregate and the within-chunk window
+    vcp = materialize(
+        li.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .repartitionByRange(EQUIDEPTH_CHUNKS, "v")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    chunk = vcp.groupBy("_pid").agg(F.sum("cnt").alias("_chunk_sum"))
+    wp = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = chunk.select(
+        "_pid",
+        F.coalesce(F.sum("_chunk_sum").over(wp), F.lit(0)).alias("_offset"),
+    )
+    total = chunk.agg(F.sum("_chunk_sum").alias("n"))
+    win = (
+        Window.partitionBy("_pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = (
+        vcp.join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "v",
+            "cnt",
+            (
+                F.col("_offset") + F.sum("cnt").over(win) - F.col("cnt")
+            ).alias("cum_before"),
+            "n",
+        )
     )
     bucket = F.expr(f"(cum_before * {EQUIDEPTH_BUCKETS}) div n")
     return (
@@ -9152,22 +9184,38 @@ def v23_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("overwrite")
         .save()
     )
-    m = obs.get
+    # Empty-input degradation (ADVICE r3): when the source is empty, AQE
+    # collapses the plan to an empty relation and the CollectMetrics node
+    # never runs a task, so the observation resolves to a SIZE-ZERO row
+    # with no schema (obs.get would die inside toPyRow on it, Spark
+    # 4.1.2). Zero tasks executed ⇒ zero input rows ⇒ the metrics are
+    # exactly the SQL oracle's empty-input aggregates: COUNT = 0,
+    # SUM/MIN/MAX = NULL.
+    if obs._jo.getRow().size() == 0:
+        m = {
+            "n_rows": 0,
+            "n_negative_value": None,
+            "n_null_type": None,
+            "min_ts": None,
+            "max_ts": None,
+        }
+    else:
+        m = obs.get
+    _long = lambda v: (  # noqa: E731
+        F.lit(int(v)) if v is not None else F.lit(None)
+    ).cast("long")
+    # string -> NTZ parse is timezone-free; F.lit(datetime) would
+    # round-trip through an LTZ literal in the SESSION zone and
+    # shift under a non-UTC driver session
+    _ts = lambda v: (  # noqa: E731
+        F.lit(v.isoformat(sep=" ")) if v is not None else F.lit(None)
+    ).cast("timestamp_ntz")
     return spark.range(1).select(
-        F.lit(int(m["n_rows"])).cast("long").alias("n_rows"),
-        F.lit(int(m["n_negative_value"])).cast("long").alias(
-            "n_negative_value"
-        ),
-        F.lit(int(m["n_null_type"])).cast("long").alias("n_null_type"),
-        # string -> NTZ parse is timezone-free; F.lit(datetime) would
-        # round-trip through an LTZ literal in the SESSION zone and
-        # shift under a non-UTC driver session
-        F.lit(m["min_ts"].isoformat(sep=" "))
-        .cast("timestamp_ntz")
-        .alias("min_ts"),
-        F.lit(m["max_ts"].isoformat(sep=" "))
-        .cast("timestamp_ntz")
-        .alias("max_ts"),
+        _long(m["n_rows"]).alias("n_rows"),
+        _long(m["n_negative_value"]).alias("n_negative_value"),
+        _long(m["n_null_type"]).alias("n_null_type"),
+        _ts(m["min_ts"]).alias("min_ts"),
+        _ts(m["max_ts"]).alias("max_ts"),
     )
 
 
@@ -10628,7 +10676,62 @@ _DRIVER_VERIFIED = frozenset({
     "t04_fingerprint", "t05_bpe_tokens", "t06_pii_scrub", "t07_vocab_df",
     "t08_tfidf", "t09_repetition", "t10_tokenize_udtf", "t11_unigram_lm",
     "v01_constraint_check", "v02_referential_check", "v03_snapshot_diff",
+    # --- round-3 greens (CORRECTNESS_r03.json: 49 all-green + 1
+    # rows-only-by-design r02_sketch_rollup, which the guard counts as
+    # verified because its weaker rows-only gate ran and recorded rows) ---
+    "c04_chunk_pack", "c08_weighted_sample", "c10_temperature_mix",
+    "c12_curriculum_shards",
+    "d10_ngram_containment", "d11_incremental_dedup",
+    "d12_normalized_dedup", "d13_lsh_recall_audit",
+    "j06_cogroup_funnel", "j07_salted_join", "j08_interval_overlap",
+    "j09_nearest_event", "j10_scd2_intervals",
+    "m05_phash_dupes", "m06_sniff_router", "m10_png_decode",
+    "m11_wav_decode",
+    "q47_variant_extract", "q48_analytic_battery", "q49_fuzzy_join",
+    "q50_bag_set_ops", "q51_retention_cohorts", "q52_topk_with_ties",
+    "q53_rolling_distinct", "q54_pair_cooccurrence",
+    "q55_transition_matrix", "q56_funnel_conversion",
+    "q57_mad_outliers", "q58_activity_streaks",
+    "r02_sketch_rollup",
+    "s08_multi_query_topk", "s09_mmr_rerank",
+    "t12_boilerplate_frac", "t13_zipf_spectrum", "t14_bigram_lift",
+    "ts01_locf", "ts02_delta_rate", "ts03_interpolate",
+    "ts04_rolling_zscore", "ts05_bucket_gapfill", "ts06_ewma",
+    "ts07_downsample", "ts08_minmax_norm", "ts09_gap_detect",
+    "ts10_locf_ttl", "ts11_mase", "ts12_ohlc",
+    "v04_apply_changelog", "v05_quarantine_split", "v06_profile_drift",
 })
+
+# Round-4 window stacking: among the never-driver-verified pool, these
+# names jump to the FRONT of the queue (in this order) so the driver's
+# 50-slot window covers the entries where Spark-vs-DuckDB drift is most
+# likely — iterative/numeric algorithms (PageRank, k-core,
+# Markov attribution, semantic dedup, PQ, Holt-Winters, STL) and the IO
+# round-trips (src01–src11) — per VERDICT.md round-3 item 2. Entries not
+# listed here keep their stable registration order after the priority
+# block; verified entries still come last.
+_WINDOW_PRIORITY = (
+    "g01_pagerank", "g02_triangles", "g03_degree_reciprocity",
+    "g04_dup_chain_depth", "g05_co_engagement", "g06_kcore_census",
+    "g07_assortativity",
+    "j18_markov_attribution", "d26_semantic_dedup",
+    "s23_pq_codebook", "s24_pq_adc_topk",
+    "ts25_holt_winters", "ts30_stl_decompose", "ts31_forecast_backtest",
+    "ts27_seasonal_anomaly", "ts28_changepoint", "ts33_stl_anomaly",
+    "src01_jsonl_roundtrip", "src02_partition_pruned_scan",
+    "src03_csv_roundtrip", "src04_zorder_layout",
+    "src05_bloom_runtime_filter", "src06_bucketed_join",
+    "src07_compacted_layout", "src08_schema_evolution",
+    "src09_incremental_manifest", "src10_txn_log", "src11_footer_stats",
+    "d30_bloom_decontam", "d33_method_agreement", "d35_pointer_doubling",
+    "k03_silhouette", "r03_histogram_quantile", "r04_cms_rollup",
+    "c27_dsir_importance", "c28_doremi_weights", "t27_gopher_rules",
+    "d31_embed_decontam", "d36_bbit_minhash", "s25_hamming_topk",
+    "j14_interval_coalesce", "j15_asof_forward", "j16_orphan_conversions",
+    "j17_window_funnel", "ts35_theil_sen", "ts37_m4_downsample",
+    "d38_removal_budget", "v23_observed_metrics", "s27_filtered_ann",
+    "q102_equidepth_histogram",
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -10801,6 +10904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts17_twap": ts17_twap,
             "d16_minhash_est_audit": llm_registry.d16_minhash_est_audit,
             "s15_pca_eigen": llm_registry.s15_pca_eigen,
+            "s15a_pca_invariants": llm_registry.s15a_pca_invariants,
             "q73_semi_additive": q73_semi_additive,
             "q74_new_vs_returning": q74_new_vs_returning,
             "q75_trimmed_mean": q75_trimmed_mean,
@@ -10959,10 +11063,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d40_chunker_comparison": llm_registry.d40_chunker_comparison,
         }
     )
-    # Rotate: never-driver-verified entries first (stable registration
-    # order within each group), so the driver's first-50 window always
-    # lands on entries that still need an independent row.
-    ordered = [k for k in out if k not in _DRIVER_VERIFIED]
+    # Rotate: never-driver-verified entries first (window-priority names
+    # ahead, then stable registration order), so the driver's first-50
+    # window always lands on entries that still need an independent row —
+    # and, within those, on the riskiest ones first.
+    prio = [k for k in _WINDOW_PRIORITY if k in out and k not in _DRIVER_VERIFIED]
+    ordered = prio
+    ordered += [k for k in out
+                if k not in _DRIVER_VERIFIED and k not in set(prio)]
     ordered += [k for k in out if k in _DRIVER_VERIFIED]
     return {k: out[k] for k in ordered}
 

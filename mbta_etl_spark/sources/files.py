@@ -121,7 +121,14 @@ def footer_stats(
     (spark.range + element_at — no Python RDD scan) and each task opens
     only FOOTERS via pyarrow inside mapInPandas. At a 10^5-file table
     this is a metadata-only parallel sweep: bytes touched ~ footer size
-    per file, never the data."""
+    per file, never the data.
+
+    Robustness (ADVICE r3): a writer may omit row-group statistics
+    (``st is None``), ``stat_col`` may be absent from some files (e.g. a
+    hive partition column lives in the path, not the footer), and stats
+    may be non-integer — all of those degrade to NULL ``stat_min`` /
+    ``stat_max`` for the affected row groups instead of an opaque
+    executor task failure."""
     import os
 
     if os.path.isdir(table_path):
@@ -149,14 +156,25 @@ def footer_stats(
             out = []
             for path in pdf["path"]:
                 md = pq.ParquetFile(path).metadata
-                ci = md.schema.names.index(stat_col)
+                names = md.schema.names
+                ci = names.index(stat_col) if stat_col in names else None
                 for i in range(md.num_row_groups):
                     rg = md.row_group(i)
-                    st = rg.column(ci).statistics
+                    st = (
+                        rg.column(ci).statistics if ci is not None else None
+                    )
                     comp = sum(
                         rg.column(j).total_compressed_size
                         for j in range(rg.num_columns)
                     )
+                    # missing column / omitted stats / non-integer stat
+                    # values all collapse to NULL min/max for this row
+                    # group rather than failing the task
+                    try:
+                        lo = int(st.min) if st is not None else None
+                        hi = int(st.max) if st is not None else None
+                    except (TypeError, ValueError):
+                        lo = hi = None
                     out.append(
                         (
                             os.path.relpath(path, base),
@@ -165,8 +183,8 @@ def footer_stats(
                             rg.num_columns,
                             rg.total_byte_size,
                             comp,
-                            int(st.min),
-                            int(st.max),
+                            lo,
+                            hi,
                         )
                     )
             yield pd.DataFrame(

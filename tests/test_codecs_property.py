@@ -46,3 +46,100 @@ def test_wav_roundtrip_any_length(n, ch, rate, seed):
     r, back = decode_wav_pcm16(encode_wav_pcm16(s, rate))
     assert r == rate
     assert np.array_equal(back, s)
+
+
+# --- baseline JPEG ----------------------------------------------------------
+
+from mbta_etl_spark.functions.codecs import (  # noqa: E402
+    _JPEG_QTABLE,
+    decode_jpeg,
+    encode_jpeg_gray,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    wb=st.integers(1, 3),
+    hb=st.integers(1, 3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_block_constant_even_values_roundtrip_exactly(wb, hb, seed):
+    """The analytic-oracle property m15 relies on: block-constant EVEN
+    pixel values survive the lossy pipeline bit-exactly (DC-only blocks,
+    q00 = 16 ⇒ quantized DC = (v−128)/2 integral)."""
+    rng = np.random.default_rng(seed)
+    img = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
+    for b in range(wb * hb):
+        by, bx = divmod(b, wb)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+            2 * int(rng.integers(0, 128))
+        )
+    out = decode_jpeg(encode_jpeg_gray(img))
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_arbitrary_images_bounded_error(h, w, seed):
+    """General (lossy) path: dimensions exact, reconstruction error
+    bounded — random noise is JPEG's worst case; the max per-pixel error
+    is bounded by the quantization table's energy (empirically < 130
+    with Annex-K tables at 'quality 50')."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_gray(img))
+    assert out.shape == (h, w)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 130
+    assert err.mean() <= 40
+
+
+def test_jpeg_smooth_images_small_error():
+    """Smooth gradients (JPEG's design target) reconstruct closely."""
+    x = np.arange(32)
+    img = ((x[:, None] * 3 + x[None, :] * 5) % 200 // 2 + 20).astype(
+        np.uint8
+    )
+    img = np.minimum(img + np.arange(32, dtype=np.uint8)[None, :], 255)
+    out = decode_jpeg(encode_jpeg_gray(img))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 12
+
+
+def test_jpeg_rejects_unsupported_features():
+    import pytest
+
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    data = bytearray(encode_jpeg_gray(img))
+    # flip SOF0 (0xFFC0) to SOF2 (progressive) — decoder must name it
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(bytes(data))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02")
+    # subsampled stream: rewrite sampling factors to 2x2
+    data = bytearray(encode_jpeg_gray(img))
+    i = bytes(data).find(b"\xff\xc0")
+    # SOF0 body: depth(1) h(2) w(2) ncomp(1) then per-component
+    # id/sampling/qid — the sampling byte is body[7]
+    data[i + 4 + 7] = 0x22  # component 1 sampling factors -> 2x2
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        decode_jpeg(bytes(data))
+
+
+def test_jpeg_dc_quantization_identity():
+    """Pin the q00 the oracle formula is derived from: a silent change
+    to the quantization table would break m15's analytic replay."""
+    assert int(_JPEG_QTABLE[0, 0]) == 16
+    # odd values quantize lossily ((v-128)/2 non-integral) — confirm the
+    # even-value restriction is load-bearing, not incidental
+    img_odd = np.full((8, 8), 101, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_gray(img_odd))
+    assert not np.array_equal(out, img_odd)
+    assert np.abs(out.astype(int) - 101).max() <= 1

@@ -218,3 +218,32 @@ def test_footer_stats_reads_real_metadata(spark, tmp_path):
     assert all(r.n_cols == 2 for r in out)
     assert all(r.compressed_bytes > 0 for r in out)
     assert all(r.uncompressed_bytes >= r.n_rows for r in out)
+
+
+def test_footer_stats_degrades_to_null_on_missing_stats(spark, tmp_path):
+    """ADVICE r3: a stat column that is absent from the footer (hive
+    partition column), or whose values aren't integers, yields NULL
+    stat_min/stat_max rows — never an executor task failure."""
+    from pyspark.sql import functions as F
+
+    from mbta_etl_spark.sources.files import footer_stats
+
+    df = spark.range(20).select(
+        (F.col("id") % 2).alias("p"), F.col("id").alias("v")
+    )
+    path = str(tmp_path / "part.parquet")
+    df.write.partitionBy("p").parquet(path)
+    # 'p' lives in the directory name, not the parquet footer
+    out = footer_stats(spark, path, "p").collect()
+    assert sum(r.n_rows for r in out) == 20
+    assert all(r.stat_min is None and r.stat_max is None for r in out)
+
+    # non-integer stat column: strings can't cast to long → NULL, not crash
+    sdf = spark.range(10).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("s"), F.col("id").alias("v")
+    )
+    spath = str(tmp_path / "s.parquet")
+    sdf.coalesce(1).write.parquet(spath)
+    sout = footer_stats(spark, spath, "s").collect()
+    assert sum(r.n_rows for r in sout) == 10
+    assert all(r.stat_min is None and r.stat_max is None for r in sout)

@@ -662,6 +662,33 @@ def test_s15_registry_rows(spark):
     assert fracs == sorted(fracs, reverse=True)
 
 
+def test_s15a_spectrum_moments_match_direct_covariance(spark):
+    """Σλ == trace and Σλ² == ‖cov‖_F² computed straight from the
+    assembled covariance matrix — the identities the DuckDB oracle
+    verifies from pairwise COVAR_SAMP (VERDICT r3 item 7)."""
+    import numpy as np
+
+    from mbta_etl_spark.operators.similarity import (
+        pca_spectrum_moments,
+        sample_covariance,
+    )
+    from mbta_etl_spark.plans.llm_registry import _emb
+
+    emb = _emb(spark, SF_DIR_SMALL)
+    n, se, se2 = pca_spectrum_moments(emb, "embedding")
+    cov, n2 = sample_covariance(emb, "embedding")
+    assert n == n2
+    assert abs(se - float(np.trace(cov))) < 1e-9 * max(1.0, abs(se))
+    assert abs(se2 - float((cov * cov).sum())) < 1e-9 * max(1.0, se2)
+    # and the registry entry carries exactly these, 6dp-floored
+    row = llm_registry.s15a_pca_invariants(spark, SF_DIR_SMALL).collect()[0]
+    import math
+
+    assert row.n_rows == n
+    assert row.eig_sum == math.floor(se * 1e6 + 0.5) / 1e6
+    assert row.eig_sq_sum == math.floor(se2 * 1e6 + 0.5) / 1e6
+
+
 # --- semi-additive / new-vs-returning ----------------------------------------
 
 

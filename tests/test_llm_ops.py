@@ -1223,6 +1223,29 @@ def test_hamming_topk_zero_distance_and_monotone(spark):
     assert hams == sorted(hams) and all(0 <= h <= 64 for h in hams)
 
 
+def test_hamming_topk_generic_payload(spark):
+    """ADVICE r3: the operator contract is generic — a DataFrame without
+    a 'label' column works with payload_cols=(), and arbitrary payload
+    columns pass through."""
+    from mbta_etl_spark.operators.similarity import hamming_topk
+
+    q = [1.0, -1.0] * 32
+    rows = [(1, q, "a"), (2, [-x for x in q], "b")]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, tag string"
+    )
+    bare = hamming_topk(
+        df.select("vec_id", "embedding"), "embedding", "vec_id", q, k=2,
+        payload_cols=(),
+    )
+    assert bare.columns == ["vec_id", "hamming"]
+    assert [r.vec_id for r in bare.collect()] == [1, 2]
+    tagged = hamming_topk(
+        df, "embedding", "vec_id", q, k=2, payload_cols=("tag",)
+    ).collect()
+    assert [r.tag for r in tagged] == ["a", "b"]
+
+
 def test_hamming_topk_registry_entry_shape(spark):
     from mbta_etl_spark.plans import llm_registry
     from tests.conftest import SF_DIR_SMALL

@@ -91,9 +91,25 @@ def test_unverified_pool_matches_correctness_files():
     )
 
 
-def test_c04_leads_round3_window():
-    """The one red r02 row, freshly fixed, must be re-verified first."""
-    assert list(entrymod.queries())[0] == "c04_chunk_pack"
+def test_round4_window_front_loads_risky_entries():
+    """Round 4 stacks the driver window with the entries where
+    Spark-vs-DuckDB drift is most likely (VERDICT r3 item 2): iterative /
+    numeric algorithms and the src IO round-trips lead the queue."""
+    from mbta_etl_spark.plans.registry import _WINDOW_PRIORITY
+
+    names = list(entrymod.queries())
+    window = set(names[:50])
+    must_cover = {
+        "g01_pagerank", "g06_kcore_census", "j18_markov_attribution",
+        "d26_semantic_dedup", "s23_pq_codebook", "s24_pq_adc_topk",
+        "ts25_holt_winters", "ts30_stl_decompose",
+        "src01_jsonl_roundtrip", "src11_footer_stats",
+    }
+    missing = must_cover - window
+    assert not missing, f"risky entries not in driver window: {sorted(missing)}"
+    # priority names still unverified must appear first, in priority order
+    prio = [n for n in _WINDOW_PRIORITY if n not in _DRIVER_VERIFIED]
+    assert names[: len(prio)] == prio
 
 
 def test_every_query_has_oracle_or_documented_exception():

@@ -165,3 +165,20 @@ def test_observed_metrics_match_direct_aggregates(spark):
     assert got.n_negative_value == (direct.neg or 0)
     assert got.min_ts == direct.mn and got.max_ts == direct.mx
     assert got.n_null_type == 0
+
+
+def test_observed_metrics_empty_input_degrades_to_nulls(spark, tmp_path):
+    """ADVICE r3: an empty events table yields (0, NULL, NULL, NULL,
+    NULL) — the same row the SQL oracle's empty-input aggregates
+    produce — instead of AttributeError on None.isoformat()."""
+    from mbta_etl_spark.plans.registry import _events, v23_observed_metrics
+    from tests.conftest import SF_DIR_SMALL
+
+    empty_dir = str(tmp_path / "sf_empty")
+    _events(spark, SF_DIR_SMALL).limit(0).write.parquet(
+        f"{empty_dir}/events.parquet"
+    )
+    got = v23_observed_metrics(spark, empty_dir).collect()[0]
+    assert got.n_rows == 0
+    assert got.n_negative_value is None and got.n_null_type is None
+    assert got.min_ts is None and got.max_ts is None
