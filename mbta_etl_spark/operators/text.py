@@ -624,3 +624,49 @@ def bigram_lm_score(
         )
         .orderBy("source")
     )
+
+
+def feature_hashing_census(
+    df: DataFrame,
+    text: Column,
+    n_buckets: int = 512,
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) collision census: tokens are
+    hashed into ``n_buckets`` fixed feature slots (first 8 hex digits of
+    md5 mod B — the portable recipe every entry here shares), then the
+    census reports, per collision class c (= distinct tokens sharing a
+    slot), how many slots have exactly c distinct tokens and how much
+    token MASS (total occurrences) those slots carry. This is the table
+    that sizes a hashed bag-of-words featurizer before training: the
+    expected collision class is Poisson(V/B), and mass concentrated in
+    high-c slots means the hash width is eating signal.
+
+    Shape: explode -> two map-side-combinable aggregates (token-keyed,
+    then bucket-keyed) -> O(B) census rows; nothing data-sized leaves
+    the shuffles, and B is a constant. 100 TB: identical plan — the
+    token vocabulary aggregate is the only corpus-sized shuffle and it
+    ships (token, count) pairs, not documents."""
+    toks = df.select(
+        F.explode(F.split(text, " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("occ"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    slots = vocab.select(bucket.alias("slot"), "occ").groupBy("slot").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("occ").alias("occurrences"),
+    )
+    return (
+        slots.groupBy("n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_slots"),
+            F.sum("occurrences").alias("total_occurrences"),
+        )
+        .select(
+            F.col("n_tokens").alias("collision_class"),
+            "n_slots",
+            "total_occurrences",
+        )
+    )

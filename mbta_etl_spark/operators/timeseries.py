@@ -1389,3 +1389,114 @@ def m4_downsample(
         F.col("_mx.t").alias("max_ts"),
         F.col("_mx.v").alias("max_v"),
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    order_tiebreak: str,
+    value_col: str,
+    lookback: int = 6,
+) -> DataFrame:
+    """Exact trailing-window median per series (lookback+current rows) —
+    the robust alternative to ts04's rolling mean/z for spike-laden
+    telemetry (one outlier moves a 7-point mean by 1/7th of its
+    magnitude but usually leaves the median untouched).
+
+    Exactness strategy: inputs are 6dp-floored FIRST (identical doubles
+    cross-engine), the frame is materialized as a sorted array via
+    collect_list over the row frame + array_sort — O(k log k) per row
+    with k = lookback+1 bounded and tiny, all JVM-side — and the median
+    is one explicit formula (middle element, or the mean of the two
+    middles for even frames) matching SQL MEDIAN over the same rounded
+    inputs. At 100 TB the shape is the standard keyed-window one
+    shuffle; for large k swap the array for the two-heap streaming
+    median inside applyInPandas (same contract, ts06's tier).
+    """
+
+    def _r6(c: Column) -> Column:
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(-lookback, Window.currentRow)
+    )
+    v6 = _r6(F.col(value_col).cast("double"))
+    staged = df.select(
+        *key_cols,
+        ts_col,
+        order_tiebreak,
+        F.array_sort(F.collect_list(v6).over(w)).alias("_frame"),
+    )
+    n = F.size("_frame")
+    # odd frame: the middle element; even frame: mean of the two middles
+    lo = F.element_at("_frame", (n / 2).cast("int"))
+    hi = F.element_at("_frame", (n / 2).cast("int") + 1)
+    med = F.when(
+        n % 2 == 1, F.element_at("_frame", ((n + 1) / 2).cast("int"))
+    ).otherwise((lo + hi) / F.lit(2.0))
+    return staged.select(
+        *key_cols,
+        ts_col,
+        order_tiebreak,
+        n.cast("long").alias("n_win"),
+        _r6(med).alias("rolling_median"),
+    )
+
+
+def compress_consecutive(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    order_tiebreak: str,
+    state_col: Column,
+    state_name: str = "state",
+) -> DataFrame:
+    """Run-length state compression: keep one row per RUN of equal
+    consecutive ``state_col`` values within each series, with the run's
+    length — the storage-side primitive for change-point telemetry
+    (store transitions, reconstruct with LOCF; a 99%-steady signal
+    shrinks 100x before it ever hits the lake).
+
+    Shape: one keyed window pass — lag() marks run starts, a running
+    count of run starts assigns run ids WITHOUT a second shuffle (same
+    window partitioning), then one aggregate per run emits
+    (start ts/id, state, run_len). Two window functions + one
+    aggregation, all on the same partitioning key, so Catalyst plans a
+    single Exchange."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, order_tiebreak)
+    staged = df.select(
+        *key_cols,
+        ts_col,
+        order_tiebreak,
+        state_col.alias(state_name),
+    )
+    prev = F.lag(state_name).over(w)
+    is_start = (
+        prev.isNull() | (prev != F.col(state_name))
+    ).cast("long")
+    runs = staged.select(
+        "*",
+        F.sum(is_start)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_run_id"),
+    )
+    return (
+        runs.groupBy(*key_cols, "_run_id")
+        .agg(
+            F.min(F.struct(ts_col, order_tiebreak)).alias("_start"),
+            # the state is constant within a run by construction; MIN is
+            # the deterministic way to say "any of them"
+            F.min(state_name).alias(state_name),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+        .select(
+            *key_cols,
+            F.col(f"_start.{ts_col}").alias(ts_col),
+            F.col(f"_start.{order_tiebreak}").alias(order_tiebreak),
+            state_name,
+            "run_len",
+        )
+    )

@@ -5630,6 +5630,43 @@ _ORACLES["t30_source_keywords"] = f"""
 """
 
 
+FEATURE_HASH_BUCKETS = 512
+
+
+def t31_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) collision census
+    (operators/text.feature_hashing_census): the corpus vocabulary
+    hashed into 512 feature slots (md5-bucket, the repo's portable
+    recipe), reported as collision classes — how many slots hold 1, 2,
+    3... distinct tokens and the token mass those slots carry. The
+    sizing table for a hashed bag-of-words featurizer: mass in high-
+    collision slots is the signal the hash width destroys."""
+    from mbta_etl_spark.operators.text import feature_hashing_census
+
+    return feature_hashing_census(
+        _docs(spark, sf_dir), F.col("text"), n_buckets=FEATURE_HASH_BUCKETS
+    )
+
+
+_ORACLES["t31_feature_hashing"] = f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS occ
+      FROM toks WHERE tok <> '' GROUP BY tok),
+    slots AS (
+      SELECT CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)
+               % {FEATURE_HASH_BUCKETS} AS slot,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(occ) AS BIGINT) AS occurrences
+      FROM vocab GROUP BY 1)
+    SELECT n_tokens AS collision_class,
+           CAST(COUNT(*) AS BIGINT) AS n_slots,
+           CAST(SUM(occurrences) AS BIGINT) AS total_occurrences
+    FROM slots GROUP BY 1
+"""
+
+
 def d34_dup_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-aware deterministic subsampling: each exact-dup copy kept
     with probability 1/n_copies via the salted-md5 bucket (no RNG —

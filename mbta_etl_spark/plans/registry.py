@@ -8689,6 +8689,89 @@ _ORACLES["ts37_m4_downsample"] = """
 """
 
 
+def ts38_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7 rolling median per event_type
+    (operators/timeseries.rolling_median): the robust spike-immune
+    smoother ts04's mean-based z-score is not. Inputs 6dp-floored first;
+    Spark sorts the bounded row frame as an array, the oracle replays
+    with SQL MEDIAN over the identical rounded inputs — both reduce to
+    the same two-middle-elements formula."""
+    from mbta_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", "ts", "event_id", "value"
+    )
+    return timeseries.rolling_median(
+        ev, ["event_type"], "ts", "event_id", "value", lookback=6
+    )
+
+
+_ORACLES["ts38_rolling_median"] = """
+    WITH v AS (
+      SELECT event_type, ts, event_id,
+             FLOOR(value * 1e6 + 0.5) / 1e6 AS v6
+      FROM events)
+    SELECT event_type, ts, event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+           FLOOR(MEDIAN(v6) OVER w * 1e6 + 0.5) / 1e6 AS rolling_median
+    FROM v
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+Q104_BAND_WIDTH = 20.0
+
+
+def q104_compress_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length state compression of the events stream
+    (operators/timeseries.compress_consecutive): per event_type series,
+    one row per run of equal consecutive value bands
+    (floor(value / 20)) with the run's start point and length — the
+    transition-only storage form a 100 TB telemetry lake keeps instead
+    of the raw steady-state stream (LOCF reconstructs it exactly). One
+    Exchange: lag, running run-id, and the per-run aggregate all share
+    the event_type partitioning."""
+    from mbta_etl_spark.operators import timeseries
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", "ts", "event_id", "value"
+    )
+    return timeseries.compress_consecutive(
+        ev,
+        ["event_type"],
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / F.lit(Q104_BAND_WIDTH)).cast("long"),
+        state_name="band",
+    )
+
+
+_ORACLES["q104_compress_consecutive"] = f"""
+    WITH s AS (
+      SELECT event_type, ts, event_id,
+             CAST(FLOOR(value / {Q104_BAND_WIDTH}) AS BIGINT) AS band
+      FROM events),
+    m AS (
+      SELECT *,
+             CASE WHEN lag(band) OVER w IS NULL
+                       OR lag(band) OVER w <> band
+                  THEN 1 ELSE 0 END AS is_start
+      FROM s
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+    r AS (
+      SELECT *,
+             SUM(is_start) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM m)
+    SELECT event_type, MIN(ts) AS ts,
+           FIRST(event_id ORDER BY ts, event_id) AS event_id,
+           MIN(band) AS band,
+           CAST(COUNT(*) AS BIGINT) AS run_len
+    FROM r GROUP BY event_type, run_id
+"""
+
+
 EQUIDEPTH_BUCKETS = 8
 # prefix-sum parallelism over the distinct-value summary; offsets table
 # stays O(EQUIDEPTH_CHUNKS) driver-window rows
@@ -11061,6 +11144,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "j18_markov_attribution": j18_markov_attribution,
             "d39_cdc_chunking": llm_registry.d39_cdc_chunking,
             "d40_chunker_comparison": llm_registry.d40_chunker_comparison,
+            # round-4 additions
+            "ts38_rolling_median": ts38_rolling_median,
+            "q104_compress_consecutive": q104_compress_consecutive,
+            "t31_feature_hashing": llm_registry.t31_feature_hashing,
         }
     )
     # Rotate: never-driver-verified entries first (window-priority names

@@ -1458,3 +1458,25 @@ def test_chunker_comparison_two_strategies(spark):
     for r in rows.values():
         assert r.n_copies >= 2 * r.n_dup_chunks or r.n_dup_chunks == 0
         assert r.tokens_redundant >= 0
+
+
+def test_t31_feature_hashing_census_invariants(spark):
+    """The census partitions the vocabulary exactly: sum over classes of
+    class*n_slots == distinct tokens, total_occurrences sums to the
+    corpus token count, and every slot id is < B by construction."""
+    from pyspark.sql import functions as F
+
+    from mbta_etl_spark.operators.text import feature_hashing_census
+    from tests.conftest import SF_DIR_SMALL
+
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    out = feature_hashing_census(docs, F.col("text"), n_buckets=64).collect()
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    v = toks.select("tok").distinct().count()
+    n = toks.count()
+    assert sum(r.collision_class * r.n_slots for r in out) == v
+    assert sum(r.total_occurrences for r in out) == n
+    # with V >> B=64 buckets every slot is hit: slots sum to exactly 64
+    assert sum(r.n_slots for r in out) <= 64

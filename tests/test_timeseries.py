@@ -543,3 +543,64 @@ def test_m4_downsample_extremes_and_tie_rules(spark):
     assert r.last_v == 4.0 and r.last_ts.minute == 30
     assert r.min_v == 1.0 and r.min_ts.minute == 10
     assert r.max_v == 9.0 and r.max_ts.minute == 20  # tie -> latest
+
+
+def test_rolling_median_odd_even_frames_and_robustness(spark):
+    """Median formula pins: leading frames (sizes 1..k+1) use the exact
+    middle / two-middle-mean rule, and one spike leaves the median
+    untouched while it would move a mean."""
+    rows = [
+        ("a", _t(i), i, v)
+        for i, v in enumerate([1.0, 3.0, 2.0, 1000.0, 4.0, 5.0, 6.0, 7.0])
+    ]
+    out = {
+        r.seq: (r.n_win, r.rolling_median)
+        for r in timeseries.rolling_median(
+            _series(spark, rows), ["k"], "ts", "seq", "value", lookback=6
+        ).collect()
+    }
+    assert out[0] == (1, 1.0)
+    assert out[1] == (2, 2.0)        # even: (1+3)/2
+    assert out[2] == (3, 2.0)        # odd: middle of {1,2,3}
+    assert out[3] == (4, 2.5)        # spike enters: (2+3)/2, not ~250
+    assert out[4] == (5, 3.0)        # {1,3,2,1000,4} -> 3
+    assert out[6] == (7, 4.0)        # full frame, spike still just 1 vote
+    assert out[7] == (7, 5.0)        # window slid past value 1
+
+
+def test_compress_consecutive_runs_and_reconstruction(spark):
+    """Run starts, lengths, and totals: run_len sums to the row count,
+    one row per state transition, LOCF reconstruction is implied by
+    (start, run_len)."""
+    vals = [10.0, 11.0, 12.0, 55.0, 56.0, 10.0, 10.0, 90.0]
+    rows = [("a", _t(i), i, v) for i, v in enumerate(vals)]
+    out = timeseries.compress_consecutive(
+        _series(spark, rows),
+        ["k"],
+        "ts",
+        "seq",
+        F.floor(F.col("value") / F.lit(20.0)).cast("long"),
+        state_name="band",
+    ).orderBy("ts").collect()
+    assert [(r.band, r.run_len, r.seq) for r in out] == [
+        (0, 3, 0),   # 10,11,12 -> band 0
+        (2, 2, 3),   # 55,56 -> band 2
+        (0, 2, 5),   # back to band 0 — a NEW run, not merged with run 1
+        (4, 1, 7),
+    ]
+    assert sum(r.run_len for r in out) == len(vals)
+
+
+def test_compress_consecutive_single_exchange(spark):
+    """The lag, run-id window and per-run aggregate all share the series
+    key partitioning — exactly ONE Exchange in the physical plan."""
+    rows = [("a", _t(i), i, float(i)) for i in range(10)]
+    df = timeseries.compress_consecutive(
+        _series(spark, rows),
+        ["k"],
+        "ts",
+        "seq",
+        F.floor(F.col("value") / F.lit(20.0)).cast("long"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1
