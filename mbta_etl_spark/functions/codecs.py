@@ -314,6 +314,91 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
 
+def _encode_block(bw, blk, prev_dc, dc_codes, ac_codes, q):
+    """FDCT + quantize + Huffman-encode one level-shifted 8x8 block;
+    returns the block's quantized DC (the next block's predictor)."""
+    f = _DCT @ blk @ _DCT.T
+    coef = np.floor(f / q + 0.5).astype(np.int64)
+    zz = [int(coef[r, c]) for r, c in _ZIGZAG]
+    diff = zz[0] - prev_dc
+    cat = _category(diff)
+    code, length = dc_codes[cat]
+    bw.put(code, length)
+    if cat:
+        bits = diff if diff > 0 else diff + (1 << cat) - 1
+        bw.put(bits, cat)
+    run = 0
+    for k in range(1, 64):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zrl, zl = ac_codes[0xF0]
+            bw.put(zrl, zl)
+            run -= 16
+        cat = _category(v)
+        code, length = ac_codes[(run << 4) | cat]
+        bw.put(code, length)
+        bits = v if v > 0 else v + (1 << cat) - 1
+        bw.put(bits, cat)
+        run = 0
+    if run:
+        eob, el = ac_codes[0x00]
+        bw.put(eob, el)
+    return zz[0]
+
+
+def _encode_jpeg(planes, h, w):
+    """Shared baseline encoder core: ``planes`` are level-shifted float64
+    (H, W) arrays (1 = grayscale, 3 = YCbCr 4:4:4), each already padded
+    to 8-multiples. Interleaved MCU order (one block per component per
+    MCU), independent DC predictors per component, one shared Annex-K
+    table pair — the minimal legal baseline stream."""
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    q = _JPEG_QTABLE.astype(np.float64)
+    bw = _BitWriter()
+    ph, pw = planes[0].shape
+    prev_dc = [0] * len(planes)
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci, plane in enumerate(planes):
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                prev_dc[ci] = _encode_block(
+                    bw, blk, prev_dc[ci], dc_codes, ac_codes, q
+                )
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    n = len(planes)
+    zz_q = bytes(int(_JPEG_QTABLE[r, c]) for r, c in _ZIGZAG)
+    dqt = seg(0xFFDB, b"\x00" + zz_q)
+    sof_comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(n))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, n) + sof_comps)
+    dht = seg(
+        0xFFC4,
+        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS),
+    )
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    sos_comps = b"".join(bytes([i + 1, 0x00]) for i in range(n))
+    sos = seg(0xFFDA, bytes([n]) + sos_comps + b"\x00\x3f\x00")
+    return (
+        b"\xff\xd8" + app0 + dqt + sof + dht + sos
+        + bytes(bw.buf) + b"\xff\xd9"
+    )
+
+
+def _pad8(arr: np.ndarray) -> np.ndarray:
+    h, w = arr.shape
+    return np.pad(
+        arr, ((0, -(-h // 8) * 8 - h), (0, -(-w // 8) * 8 - w)), mode="edge"
+    )
+
+
 def encode_jpeg_gray(pixels: np.ndarray) -> bytes:
     """Baseline grayscale JPEG writer (JFIF container): 8x8 FDCT,
     Annex-K luminance quantization, DC-difference + AC run-length
@@ -323,69 +408,26 @@ def encode_jpeg_gray(pixels: np.ndarray) -> bytes:
     if arr.ndim != 2:
         raise ValueError("encode_jpeg_gray expects a (H, W) gray array")
     h, w = arr.shape
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
+    plane = _pad8(arr.astype(np.float64) - 128.0)
+    return _encode_jpeg([plane], h, w)
 
-    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
-    q = _JPEG_QTABLE.astype(np.float64)
-    bw = _BitWriter()
-    prev_dc = 0
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            f = _DCT @ (blk.astype(np.float64) - 128.0) @ _DCT.T
-            coef = np.floor(f / q + 0.5).astype(np.int64)
-            zz = [int(coef[r, c]) for r, c in _ZIGZAG]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            cat = _category(diff)
-            code, length = dc_codes[cat]
-            bw.put(code, length)
-            if cat:
-                bits = diff if diff > 0 else diff + (1 << cat) - 1
-                bw.put(bits, cat)
-            run = 0
-            for k in range(1, 64):
-                v = zz[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zrl, zl = ac_codes[0xF0]
-                    bw.put(zrl, zl)
-                    run -= 16
-                cat = _category(v)
-                code, length = ac_codes[(run << 4) | cat]
-                bw.put(code, length)
-                bits = v if v > 0 else v + (1 << cat) - 1
-                bw.put(bits, cat)
-                run = 0
-            if run:
-                eob, el = ac_codes[0x00]
-                bw.put(eob, el)
-    bw.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    zz_q = bytes(int(_JPEG_QTABLE[r, c]) for r, c in _ZIGZAG)
-    dqt = seg(0xFFDB, b"\x00" + zz_q)
-    sof = seg(
-        0xFFC0,
-        struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]),
-    )
-    dht = seg(
-        0xFFC4,
-        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
-        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS),
-    )
-    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    sos = seg(0xFFDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")
-    return (
-        b"\xff\xd8" + app0 + dqt + sof + dht + sos
-        + bytes(bw.buf) + b"\xff\xd9"
-    )
+def encode_jpeg_rgb(pixels: np.ndarray) -> bytes:
+    """Baseline color JPEG writer: RGB -> JFIF YCbCr (BT.601 full
+    range), 4:4:4 (no subsampling — the subset the decoder supports),
+    interleaved 3-component MCUs with independent DC predictors."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_jpeg_rgb expects a (H, W, 3) RGB array")
+    h, w = arr.shape[:2]
+    r = arr[:, :, 0].astype(np.float64)
+    g = arr[:, :, 1].astype(np.float64)
+    b = arr[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    planes = [_pad8(p - 128.0) for p in (y, cb, cr)]
+    return _encode_jpeg(planes, h, w)
 
 
 class _BitReader:

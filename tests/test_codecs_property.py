@@ -143,3 +143,43 @@ def test_jpeg_dc_quantization_identity():
     out = decode_jpeg(encode_jpeg_gray(img_odd))
     assert not np.array_equal(out, img_odd)
     assert np.abs(out.astype(int) - 101).max() <= 1
+
+
+def test_jpeg_color_roundtrip_bounded_and_solid_near_exact():
+    """Color (3-component 4:4:4) path: the decoder's YCbCr->RGB branch
+    gets a real producer. Solid colors survive within chroma-rounding
+    (±2/channel); smooth gradients reconstruct closely."""
+    from mbta_etl_spark.functions.codecs import encode_jpeg_rgb
+
+    solid = np.zeros((8, 8, 3), np.uint8)
+    solid[:] = (120, 64, 200)
+    out = decode_jpeg(encode_jpeg_rgb(solid))
+    assert out.shape == (8, 8, 3)
+    assert np.abs(out.astype(int) - solid.astype(int)).max() <= 2
+
+    x = np.arange(16)
+    y = np.arange(24)
+    rgb = np.zeros((24, 16, 3), np.uint8)
+    for c in range(3):
+        rgb[:, :, c] = (
+            (y[:, None] * 2 + x[None, :] * 3 + c * 40) % 160 + 40
+        ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_rgb(rgb))
+    err = np.abs(out.astype(int) - rgb.astype(int))
+    assert err.mean() < 15
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_color_any_shape_dims_exact(h, w, seed):
+    from mbta_etl_spark.functions.codecs import encode_jpeg_rgb
+
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_rgb(rgb))
+    assert out.shape == (h, w, 3)
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 160
