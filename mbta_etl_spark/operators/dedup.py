@@ -1244,14 +1244,21 @@ def embedding_decontaminate(
     count/fraction, and the peak cosine observed.
 
     Shape: the eval set is benchmark-sized (thousands of items, never
-    corpus-sized), so it BROADCASTS and the scan over train is a single
-    BroadcastNestedLoopJoin pass — O(|train|·|eval|·d) flops spread over
-    train partitions with zero shuffle before the label rollup. Both
-    sides are unit-normalized once (O(d) fold per vector, not per pair).
-    At larger eval sets the same operator composes with s02's hyperplane
-    signatures to prefilter candidate pairs, exactly as d06's scale path
-    does. Cosines compare on the 6dp-rounded value (oracle ROUND
-    parity); max-of-rounded is order-independent."""
+    corpus-sized), so it rides each task as an O(|eval|·d) numpy matrix
+    (the bounded-driver-state pattern k-means centroids use) and the
+    scan over train is ONE Arrow-batched mapInPandas whose kernel is a
+    single BLAS matmul + row-max — zero joins, zero shuffle before the
+    label rollup, ~100x the per-pair throughput of the interpreted-HOF
+    nested-loop join it replaces (r4: 3.3 s → sub-second at sf0.1).
+    Both sides are unit-normalized once (O(d) fold per vector, not per
+    pair). At larger eval sets the same operator composes with s02's
+    hyperplane signatures to prefilter candidate pairs, exactly as d06's
+    scale path does. The kernel emits the RAW per-row peak; the engine
+    rounds it to 6dp (oracle ROUND parity — rounding is monotone, so
+    max-of-rounded == rounded-max and the aggregation order is free)."""
+    import numpy as np
+    import pandas as pd
+
     from mbta_etl_spark.operators import similarity
 
     unit = lambda c: F.transform(  # noqa: E731
@@ -1262,24 +1269,39 @@ def embedding_decontaminate(
         F.col(label_col).alias("label"),
         unit(F.col(vec_col)).alias("_u"),
     )
-    ev = base.filter(F.col("label") == eval_label).select(
-        F.col("_u").alias("_eu")
-    )
+    # benchmark-sized by contract — bounded task-side state, same
+    # O(C·d) argument as the k-means centroid collect
+    eval_vecs = [
+        r._u
+        for r in base.filter(F.col("label") == eval_label)
+        .select("_u")
+        .collect()
+    ]
     tr = base.filter(F.col("label") != eval_label)
-    cos = F.round(
-        F.aggregate(
-            F.zip_with(F.col("_u"), F.col("_eu"), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
-    peaks = (
-        tr.join(F.broadcast(ev))
-        .select("_id", "label", cos.alias("cos"))
-        .groupBy("_id", "label")
-        .agg(F.max("cos").alias("peak"))
-    )
+    if not eval_vecs:
+        # no eval set -> no cosines -> empty census, the same shape the
+        # old broadcast-join-with-empty-side plan produced
+        peaks = tr.select(
+            "label", F.lit(0.0).alias("peak")
+        ).limit(0)
+    else:
+        emat = np.array(eval_vecs, dtype=np.float64)
+
+        def _peaks(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.array(pdf["_u"].tolist(), dtype=np.float64)
+                yield pd.DataFrame(
+                    {
+                        "label": pdf["label"],
+                        "_raw": (m @ emat.T).max(axis=1),
+                    }
+                )
+
+        label_t = tr.schema["label"].dataType.simpleString()
+        raw = tr.mapInPandas(_peaks, schema=f"label {label_t}, _raw double")
+        peaks = raw.select("label", F.round("_raw", 6).alias("peak"))
     flagged = (F.col("peak") >= threshold).cast("long")
     return (
         peaks.groupBy("label")
