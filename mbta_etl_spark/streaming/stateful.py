@@ -308,3 +308,96 @@ def session_expiry_stream(events: DataFrame, idle_ms: int = 1000) -> DataFrame:
         outputMode="Update",
         timeMode="ProcessingTime",
     )
+
+
+RUN_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("band", LongType()),
+        StructField("run_len", LongType()),
+        StructField("start_ts", TimestampNTZType()),
+    ]
+)
+
+
+def run_length_stream(
+    events: DataFrame, band_width: float = 20.0
+) -> DataFrame:
+    """Streaming form of q104's run-length state compression
+    (operators/timeseries.compress_consecutive): per-key ValueState
+    holds the OPEN run (band, length, start); each micro-batch folds its
+    rows in event-time order, emitting a row per run it CLOSES — the
+    transition-only stream a telemetry pipeline persists instead of the
+    raw feed (LOCF reconstructs it; a steady signal emits ~nothing).
+
+    State is O(1) per key (three longs), RocksDB-backed, checkpointed —
+    the same recovery story as the other transformWithState operators.
+    Output mode Append: closed runs are immutable facts. The open run
+    is never emitted; a production variant adds a timer that flushes
+    runs idle past a horizon (session_expiry_stream shows the timer
+    plumbing)."""
+    from pyspark.sql.streaming import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("band", LongType()),
+            StructField("run_len", LongType()),
+            StructField("start_us", LongType()),
+        ]
+    )
+
+    class _RunLength(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._open = handle.getValueState("open_run", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            open_band = open_len = open_start = None
+            if self._open.exists():
+                prev = self._open.get()
+                open_band, open_len, open_start = (
+                    int(prev[0]),
+                    int(prev[1]),
+                    int(prev[2]),
+                )
+            closed: list[tuple[int, int, int]] = []
+            import math
+
+            for pdf in rows:
+                pdf = pdf.sort_values("ts")
+                ts_us = (
+                    pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+                ).tolist()
+                for v, t_us in zip(pdf["value"].tolist(), ts_us):
+                    band = int(math.floor(float(v) / band_width))
+                    if open_band is None:
+                        open_band, open_len, open_start = band, 1, t_us
+                    elif band == open_band:
+                        open_len += 1
+                    else:
+                        closed.append((open_band, open_len, open_start))
+                        open_band, open_len, open_start = band, 1, t_us
+            self._open.update((open_band, open_len, open_start))
+            if closed:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(closed),
+                        "band": [c[0] for c in closed],
+                        "run_len": [c[1] for c in closed],
+                        "start_ts": [
+                            pd.Timestamp(c[2] * 1000) for c in closed
+                        ],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunLength(),
+        outputStructType=RUN_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -183,3 +183,32 @@ def test_jpeg_color_any_shape_dims_exact(h, w, seed):
     out = decode_jpeg(encode_jpeg_rgb(rgb))
     assert out.shape == (h, w, 3)
     assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 160
+
+
+def test_jpeg_dct_matrix_matches_textbook_definition():
+    """Cross-check the matrix-form FDCT against an independent O(n^4)
+    implementation of the T.81 A.3.3 definition — the only part of the
+    JPEG codec with no second implementation elsewhere in the stack."""
+    from mbta_etl_spark.functions.codecs import _DCT
+
+    rng = np.random.default_rng(7)
+    f = rng.uniform(-128, 127, (8, 8))
+    fast = _DCT @ f @ _DCT.T
+    slow = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = np.sqrt(0.5) if u == 0 else 1.0
+            cv = np.sqrt(0.5) if v == 0 else 1.0
+            acc = 0.0
+            for x in range(8):
+                for y in range(8):
+                    acc += (
+                        f[x, y]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            slow[u, v] = 0.25 * cu * cv * acc
+    assert np.abs(fast - slow).max() < 1e-9
+    # and the inverse really inverts
+    back = _DCT.T @ fast @ _DCT
+    assert np.abs(back - f).max() < 1e-9

@@ -374,3 +374,81 @@ def test_transform_with_timers_session_expiry(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_transform_with_state_run_length_compression(spark, tmp_path):
+    """Streaming run-length compression (streaming form of q104): only
+    CLOSED runs are emitted, runs span micro-batch boundaries via
+    ValueState, and a steady signal emits nothing."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from mbta_etl_spark.streaming.stateful import run_length_stream
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        sink = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def drain():
+            stream = spark.readStream.schema(IN_SCHEMA).json(str(src))
+
+            def _append(batch_df, batch_id):
+                batch_df.write.mode("append").parquet(sink)
+
+            q = (
+                run_length_stream(stream, band_width=20.0)
+                .writeStream.foreachBatch(_append)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            drain_query(q)
+
+        # batch 1: user 1 opens band 0 (3 rows) then band 2 (1 row) —
+        # only the band-0 run closes; user 2 stays steady (no emission)
+        _write(src, "b1.jsonl", [
+            (1, "2024-01-01T10:00:00", 5.0),
+            (1, "2024-01-01T10:01:00", 12.0),
+            (1, "2024-01-01T10:02:00", 19.0),
+            (1, "2024-01-01T10:03:00", 45.0),
+            (2, "2024-01-01T10:00:00", 7.0),
+            (2, "2024-01-01T10:01:00", 8.0),
+        ])
+        drain()
+        # batch 2: user 1's band-2 run GROWS then closes when band 0
+        # returns; user 2 still steady
+        _write(src, "b2.jsonl", [
+            (1, "2024-01-01T10:04:00", 50.0),
+            (1, "2024-01-01T10:05:00", 2.0),
+            (2, "2024-01-01T10:02:00", 9.0),
+        ])
+        drain()
+
+        rows = sorted(
+            spark.read.parquet(sink).collect(),
+            key=lambda r: (r["user_id"], r["start_ts"]),
+        )
+        assert [
+            (r.user_id, r.band, r.run_len, r.start_ts.isoformat())
+            for r in rows
+        ] == [
+            (1, 0, 3, "2024-01-01T10:00:00"),
+            # the band-2 run spans the batch boundary: 1 row in b1 + 1
+            # in b2, closed by b2's return to band 0
+            (1, 2, 2, "2024-01-01T10:03:00"),
+        ]
+        # user 2 never changed band: zero rows — the compression claim
+        assert not [r for r in rows if r.user_id == 2]
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
