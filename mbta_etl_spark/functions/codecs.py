@@ -494,6 +494,20 @@ def _extend(v: int, cat: int) -> int:
 
 
 def decode_jpeg(data: bytes):
+    """Boundary wrapper: any structural failure inside the decoder
+    (truncated header slice -> IndexError, undefined table id ->
+    KeyError, short struct unpack) surfaces as ValueError so executor
+    tasks fail with one nameable corruption error, never a raw
+    IndexError (fuzz-test-pinned)."""
+    try:
+        return _decode_jpeg_impl(data)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(
+            f"malformed JPEG stream: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_jpeg_impl(data: bytes):
     """Real baseline JPEG decode: marker walk, DQT/DHT table build,
     Huffman entropy decode (with byte-unstuffing), dequantize, dezigzag,
     IDCT, level shift. Returns a (H, W) uint8 array for grayscale or

@@ -212,3 +212,31 @@ def test_jpeg_dct_matrix_matches_textbook_definition():
     # and the inverse really inverts
     back = _DCT.T @ fast @ _DCT
     assert np.abs(back - f).max() < 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), cut=st.floats(0.1, 0.95))
+def test_jpeg_decoder_rejects_corruption_cleanly(seed, cut):
+    """Truncation and byte flips raise ValueError/NotImplementedError —
+    never hangs, never silently returns garbage dims, never IndexErrors
+    (executor tasks must see clean, nameable failures)."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    data = bytearray(encode_jpeg_gray(img))
+    # truncate
+    trunc = bytes(data[: max(2, int(len(data) * cut))])
+    try:
+        out = decode_jpeg(trunc)
+        # a long-enough prefix can still decode fully — then dims hold
+        assert out.shape == (16, 16)
+    except (ValueError, NotImplementedError):
+        pass
+    # flip one byte somewhere after the header
+    pos = int(rng.integers(2, len(data)))
+    flipped = bytearray(data)
+    flipped[pos] ^= 0xFF
+    try:
+        out = decode_jpeg(bytes(flipped))
+        assert out.shape[0] > 0 and out.shape[1] > 0
+    except (ValueError, NotImplementedError):
+        pass
