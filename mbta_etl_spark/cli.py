@@ -34,6 +34,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sql", help="run arbitrary SQL against the vehicles table "
                                  "(registered as view `vehicles`) — the "
                                  "reference's generic SQL cursor, Spark-planned")
+    p.add_argument("--registry", metavar="ENTRY",
+                   help="run a named analytics-registry entry (351 "
+                        "operators; 'list' prints the names) against "
+                        "--sf-dir's parquet tables")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="table directory for --registry")
+    p.add_argument("--limit", type=int, default=100,
+                   help="max rows to show for --registry/--query output")
     args = p.parse_args(argv)
 
     spark = get_spark("mbta-etl-cli")
@@ -56,6 +64,22 @@ def main(argv: list[str] | None = None) -> int:
                 return 0
             n = etl.run(spark, args.db, api_url=args.api_url, body=body)
             print(f"ETL complete: {n} records loaded")
+            return 0
+        if args.registry:
+            from mbta_etl_spark.plans import registry as _reg
+
+            qs = _reg.queries()
+            if args.registry == "list":
+                for name in sorted(qs):
+                    print(name)
+                return 0
+            if args.registry not in qs:
+                print(f"unknown registry entry: {args.registry}",
+                      file=sys.stderr)
+                return 1
+            qs[args.registry](spark, args.sf_dir).show(
+                args.limit, truncate=False
+            )
             return 0
         if args.sql:
             spark.read.parquet(args.db).createOrReplaceTempView("vehicles")
