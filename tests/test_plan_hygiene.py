@@ -19,30 +19,60 @@ whole sweep is cheap.
 
 from __future__ import annotations
 
-import contextlib
-import io
+import json
+import os
 
 import pytest
 
 import __spark_entry__ as entrymod
+from mbta_etl_spark.plans.planmetrics import plan_text, shape_metrics
 from tests.conftest import SF_DIR_SMALL
 
 QUERIES = entrymod.queries()
 
 FORBIDDEN = ("BatchEvalPython", "CartesianProduct")
 
+_SNAP_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans_snapshot.json",
+)
+with open(_SNAP_PATH) as _f:
+    SNAPSHOT: dict[str, dict[str, int]] = json.load(_f)
+
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_plan_free_of_antipatterns(spark, name):
     df = QUERIES[name](spark, SF_DIR_SMALL)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    plan = buf.getvalue()
+    plan = plan_text(df)
     hits = [f for f in FORBIDDEN if f in plan]
     assert not hits, (
         f"{name}: physical plan contains banned operator(s) {hits} — "
         "use JVM expressions / Arrow-batched kernels instead of "
         "row-at-a-time Python, and an equi/broadcast join instead of a "
         "cartesian product"
+    )
+    # plan-SHAPE regression gate: operator counts must match the
+    # committed fingerprint (plans_snapshot.json). A mismatch means the
+    # physical plan changed — a broadcast degrading to sort-merge, a new
+    # shuffle, a Python stage in a JVM pipeline. If the change is
+    # deliberate, regenerate with scripts/plan_snapshot.py, review the
+    # diff, and commit it alongside the code change.
+    assert name in SNAPSHOT, (
+        f"{name}: no plan fingerprint — run scripts/plan_snapshot.py"
+    )
+    got = shape_metrics(plan)
+    assert got == SNAPSHOT[name], (
+        f"{name}: physical-plan shape drifted from plans_snapshot.json\n"
+        f"  snapshot: {SNAPSHOT[name]}\n"
+        f"  current : {got}\n"
+        "deliberate change? regenerate via scripts/plan_snapshot.py and "
+        "commit the reviewed diff"
+    )
+
+
+def test_snapshot_has_no_orphans():
+    orphans = set(SNAPSHOT) - set(QUERIES)
+    assert not orphans, (
+        f"plans_snapshot.json names entries that no longer exist: "
+        f"{sorted(orphans)} — regenerate via scripts/plan_snapshot.py"
     )
