@@ -7416,6 +7416,24 @@ def src03_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def src12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-boundary fidelity through ORC — Spark's second native
+    columnar format (vectorized scan + predicate pushdown into stripe
+    indexes, the same PushedFilters surface the parquet entries pin).
+    Digests must match the parquet-sourced oracle exactly: the
+    parquet -> ORC -> parquet-semantics boundary a mixed-format lake
+    crosses loses nothing."""
+    import os
+
+    from mbta_etl_spark.sources.formats import orc_roundtrip, scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = f"src12_{os.path.basename(sf_dir.rstrip('/'))}"
+    return _roundtrip_fidelity_agg(
+        orc_roundtrip(docs, scratch_dir(spark, tag))
+    )
+
+
 def q96_sql_udf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 SQL-defined functions, both kinds in one pipeline: a SQL
     TABLE function (``RETURNS TABLE``) tokenizes each document through a
@@ -7484,6 +7502,7 @@ _ORACLES["src02_partition_pruned_scan"] = _SRC_FIDELITY_ORACLE.format(
     where="WHERE source IN ('src2', 'src7')"
 )
 _ORACLES["src03_csv_roundtrip"] = _SRC_FIDELITY_ORACLE.format(where="")
+_ORACLES["src12_orc_roundtrip"] = _SRC_FIDELITY_ORACLE.format(where="")
 
 
 SRC07_TARGET_ROWS = 2000
@@ -11148,6 +11167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts38_rolling_median": ts38_rolling_median,
             "q104_compress_consecutive": q104_compress_consecutive,
             "t31_feature_hashing": llm_registry.t31_feature_hashing,
+            "src12_orc_roundtrip": src12_orc_roundtrip,
         }
     )
     # Rotate: never-driver-verified entries first (window-priority names

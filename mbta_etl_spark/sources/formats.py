@@ -40,6 +40,16 @@ def csv_roundtrip(df: DataFrame, path: str) -> DataFrame:
     )
 
 
+def orc_roundtrip(df: DataFrame, path: str) -> DataFrame:
+    """Write ``df`` as ORC and read it back — the second columnar format
+    Spark ships natively (vectorized reader, predicate pushdown into ORC
+    stripe/row-group indexes, same PushedFilters surface as parquet).
+    The round-trip pins type fidelity across the parquet->ORC boundary a
+    mixed-lake pipeline crosses."""
+    df.write.mode("overwrite").orc(path)
+    return df.sparkSession.read.orc(path)
+
+
 def partitioned_roundtrip(
     df: DataFrame, path: str, partition_col: str
 ) -> DataFrame:
