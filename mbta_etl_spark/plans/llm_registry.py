@@ -5667,6 +5667,63 @@ _ORACLES["t31_feature_hashing"] = f"""
 """
 
 
+WINNOW_K = 3
+WINNOW_W = 4
+WINNOW_MIN_SHARED = 2
+WINNOW_MAX_FP_DF = 50
+
+
+def d41_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) containment candidates
+    (operators/dedup.winnowing_pairs): positional k-gram hashes, window
+    minima, distinct — docs sharing >= 2 fingerprints, df-capped. The
+    guarantee MinHash doesn't give: any shared run of >= w+k-1 tokens
+    yields a shared fingerprint, so boilerplate/quotation containment
+    has a deterministic detection floor."""
+    return dedup.winnowing_pairs(
+        _docs(spark, sf_dir),
+        F.col("text"),
+        F.col("doc_id"),
+        k=WINNOW_K,
+        w=WINNOW_W,
+        min_shared=WINNOW_MIN_SHARED,
+        max_fp_df=WINNOW_MAX_FP_DF,
+    )
+
+
+_ORACLES["d41_winnowing_pairs"] = f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id,
+            CASE WHEN len(toks) >= {WINNOW_K}
+                 THEN list_transform(range(1, len(toks) - {WINNOW_K} + 2),
+                        i -> CAST(('0x' || substr(md5(array_to_string(
+                               list_slice(toks, i, i + {WINNOW_K} - 1), ' ')),
+                               1, 15)) AS UBIGINT))
+                 ELSE [CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT)]
+            END AS gh
+          FROM t),
+    w AS (SELECT doc_id,
+            CASE WHEN len(gh) >= {WINNOW_W}
+                 THEN list_distinct(list_transform(
+                        range(1, len(gh) - {WINNOW_W} + 2),
+                        j -> list_aggregate(
+                               list_slice(gh, j, j + {WINNOW_W} - 1), 'min')))
+                 ELSE [list_aggregate(gh, 'min')]
+            END AS fps
+          FROM g),
+    fp AS (SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM w),
+    rare AS (SELECT fp FROM fp GROUP BY fp
+             HAVING COUNT(*) <= {WINNOW_MAX_FP_DF}),
+    kept AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
 def d34_dup_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-aware deterministic subsampling: each exact-dup copy kept
     with probability 1/n_copies via the salted-md5 bucket (no RNG —

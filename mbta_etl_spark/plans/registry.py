@@ -11168,6 +11168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q104_compress_consecutive": q104_compress_consecutive,
             "t31_feature_hashing": llm_registry.t31_feature_hashing,
             "src12_orc_roundtrip": src12_orc_roundtrip,
+            "d41_winnowing_pairs": llm_registry.d41_winnowing_pairs,
         }
     )
     # Rotate: never-driver-verified entries first (window-priority names

@@ -1480,3 +1480,62 @@ def test_t31_feature_hashing_census_invariants(spark):
     assert sum(r.total_occurrences for r in out) == n
     # with V >> B=64 buckets every slot is hit: slots sum to exactly 64
     assert sum(r.n_slots for r in out) <= 64
+
+
+def test_winnowing_detection_floor_guarantee(spark):
+    """The MOSS guarantee the operator exists for: two docs sharing a
+    run of >= w+k-1 tokens ALWAYS share at least one fingerprint —
+    regardless of surrounding text — while unrelated docs (disjoint
+    vocabulary) share none."""
+    from pyspark.sql import functions as F
+
+    from mbta_etl_spark.operators.dedup import winnowing_pairs
+
+    k, w = 3, 4
+    shared = " ".join(f"s{i}" for i in range(w + k - 1))  # 6 tokens
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta"),
+        (2, "one two three " + shared),
+        (3, "p q r s t u v w x y z"),  # disjoint vocabulary
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnowing_pairs(
+            df, F.col("text"), F.col("doc_id"), k=k, w=w,
+            min_shared=1, max_fp_df=None,
+        ).collect()
+    }
+    assert (1, 2) in pairs  # the guaranteed detection
+    assert not any(3 in p for p in pairs)  # disjoint doc matches nothing
+
+
+def test_winnowing_density_and_short_doc_degradation(spark):
+    """Fingerprint density ~ 2/(w+1) of grams on random text, and the
+    short-doc contracts: fewer grams than a window -> one fingerprint,
+    fewer tokens than a gram -> whole-text hash (one fingerprint)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mbta_etl_spark.operators.dedup import winnowing_fingerprints
+
+    rng = random.Random(7)
+    long_text = " ".join(
+        f"t{rng.randrange(10**9)}" for _ in range(500)
+    )
+    rows = [(1, long_text), (2, "a b c d"), (3, "xy")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints(
+        df, F.col("text"), F.col("doc_id"), k=3, w=4
+    )
+    counts = {
+        r.doc_id: r.n for r in fps.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    n_grams = 500 - 2
+    # selection density: expected 2/(w+1) = 0.4; allow a wide band
+    assert 0.2 * n_grams < counts[1] < 0.6 * n_grams
+    assert counts[2] == 1  # 2 grams < w -> single whole-array min
+    assert counts[3] == 1  # 1 token < k -> whole-text hash
