@@ -527,3 +527,105 @@ def test_timedecay_smooth_is_convex_combination(spark, points):
         hi = max(vals[max(0, idx - 16): idx + 1]) + 1e-6
         assert lo <= r.smoothed <= hi
     assert abs(out[0].smoothed - vals[0]) < 1e-6
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),                     # series key
+            st.integers(0, 10**6),                 # seq / ts seconds
+            st.floats(-100, 100, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@_settings
+def test_rolling_median_matches_python(spark, rows):
+    """Differential check on RANDOM series (beyond the fixed testdata):
+    the trailing-7 rolling median equals a straight-line Python
+    median over the same 6dp-floored inputs."""
+    import datetime
+
+    from mbta_etl_spark.operators import timeseries
+
+    data = [
+        (str(k), datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s),
+         i, float(v))
+        for i, (k, s, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "k string, ts timestamp_ntz, seq long, value double"
+    )
+    out = {
+        (r.k, r.seq): r.rolling_median
+        for r in timeseries.rolling_median(
+            df, ["k"], "ts", "seq", "value", lookback=6
+        ).collect()
+    }
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    by_key: dict[str, list] = {}
+    for k, ts, seq, v in data:
+        by_key.setdefault(k, []).append((ts, seq, r6(v)))
+    for k, pts in by_key.items():
+        pts.sort()
+        for i in range(len(pts)):
+            frame = sorted(p[2] for p in pts[max(0, i - 6) : i + 1])
+            n = len(frame)
+            med = (
+                frame[n // 2]
+                if n % 2 == 1
+                else (frame[n // 2 - 1] + frame[n // 2]) / 2.0
+            )
+            assert out[(k, pts[i][1])] == r6(med), (k, i, frame)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(-5, 5)),
+        min_size=1,
+        max_size=50,
+    )
+)
+@_settings
+def test_compress_consecutive_reconstructs_exactly(spark, rows):
+    """Round-trip law on RANDOM band streams: expanding each (start,
+    band, run_len) run by LOCF reproduces the original band sequence
+    exactly, and the number of emitted rows equals the number of
+    transitions + 1 per series."""
+    import datetime
+
+    from mbta_etl_spark.operators import timeseries
+
+    data = [
+        (str(k), datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=i),
+         i, float(b * 20))
+        for i, (k, b) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "k string, ts timestamp_ntz, seq long, value double"
+    )
+    out = timeseries.compress_consecutive(
+        df, ["k"], "ts", "seq",
+        F.floor(F.col("value") / F.lit(20.0)).cast("long"),
+        state_name="band",
+    ).collect()
+    # reconstruct per series and compare to the source sequence
+    src: dict[str, list] = {}
+    for k, ts, seq, v in data:
+        src.setdefault(k, []).append((ts, seq, int(v // 20)))
+    for k, pts in src.items():
+        pts.sort()
+        runs = sorted(
+            ((r.ts, r.seq, r.band, r.run_len) for r in out if r.k == k)
+        )
+        rebuilt = [b for _, _, b, n in runs for _ in range(n)]
+        assert rebuilt == [b for _, _, b in pts]
+        n_transitions = sum(
+            1 for a, b in zip(pts, pts[1:]) if a[2] != b[2]
+        )
+        assert len(runs) == n_transitions + 1
