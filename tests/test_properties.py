@@ -629,3 +629,49 @@ def test_compress_consecutive_reconstructs_exactly(spark, rows):
             1 for a, b in zip(pts, pts[1:]) if a[2] != b[2]
         )
         assert len(runs) == n_transitions + 1
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=3),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_settings
+def test_winnowing_fingerprints_match_python(spark, tokens):
+    """Differential check of the winnowing selection on random token
+    streams: the Spark HOF pipeline selects exactly the same fingerprint
+    SET as a straight-line Python implementation of the algorithm."""
+    import hashlib
+
+    from mbta_etl_spark.operators.dedup import winnowing_fingerprints
+
+    k, w = 3, 4
+    text = " ".join(tokens)
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    if len(tokens) >= k:
+        grams = [
+            h(" ".join(tokens[i : i + k]))
+            for i in range(len(tokens) - k + 1)
+        ]
+    else:
+        grams = [h(text)]
+    if len(grams) >= w:
+        expected = {
+            min(grams[j : j + w]) for j in range(len(grams) - w + 1)
+        }
+    else:
+        expected = {min(grams)}
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        r.fp
+        for r in winnowing_fingerprints(
+            df, F.col("text"), F.col("doc_id"), k=k, w=w
+        ).collect()
+    }
+    assert got == expected
