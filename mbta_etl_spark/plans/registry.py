@@ -7434,6 +7434,48 @@ def src12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q105_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (`|>` — SPARK-49555): the linear
+    dataflow form of a filter -> aggregate -> derive -> order pipeline
+    over lineitem, compiled by Catalyst into exactly the plan the nested
+    SELECT version produces (same scan-with-pushed-filter, same partial
+    aggregate). One surface entry so the engine's coverage includes the
+    syntax modern SQL pipelines are migrating to; the DuckDB oracle is
+    the equivalent standard-SQL text."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "q105_li"
+    )
+    return spark.sql("""
+        FROM q105_li
+        |> WHERE l_shipdate >= DATE'1994-01-01'
+        |> AGGREGATE
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+           GROUP BY l_returnflag, l_linestatus
+        |> EXTEND CAST(FLOOR(rev_cents / n_items + 0.5) AS BIGINT)
+             AS cents_per_item
+        |> ORDER BY l_returnflag, l_linestatus
+    """)
+
+
+_ORACLES["q105_pipe_syntax"] = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_cents,
+           CAST(FLOOR(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                               AS BIGINT))
+                      / COUNT(*) + 0.5) AS BIGINT) AS cents_per_item
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1994-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
 def q96_sql_udf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 SQL-defined functions, both kinds in one pipeline: a SQL
     TABLE function (``RETURNS TABLE``) tokenizes each document through a
@@ -11169,6 +11211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t31_feature_hashing": llm_registry.t31_feature_hashing,
             "src12_orc_roundtrip": src12_orc_roundtrip,
             "d41_winnowing_pairs": llm_registry.d41_winnowing_pairs,
+            "q105_pipe_syntax": q105_pipe_syntax,
         }
     )
     # Rotate: never-driver-verified entries first (window-priority names
