@@ -35,13 +35,13 @@ def main(argv: list[str] | None = None) -> int:
                                  "(registered as view `vehicles`) — the "
                                  "reference's generic SQL cursor, Spark-planned")
     p.add_argument("--registry", metavar="ENTRY",
-                   help="run a named analytics-registry entry (351 "
-                        "operators; 'list' prints the names) against "
-                        "--sf-dir's parquet tables")
+                   help="run a named analytics-registry entry ('list' "
+                        "prints all names) against --sf-dir's parquet "
+                        "tables")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
                    help="table directory for --registry")
     p.add_argument("--limit", type=int, default=100,
-                   help="max rows to show for --registry/--query output")
+                   help="max rows to show for --registry/--query/--sql output")
     args = p.parse_args(argv)
 
     spark = get_spark("mbta-etl-cli")
@@ -83,7 +83,7 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         if args.sql:
             spark.read.parquet(args.db).createOrReplaceTempView("vehicles")
-            spark.sql(args.sql).show(100, truncate=False)
+            spark.sql(args.sql).show(args.limit, truncate=False)
             return 0
         if not args.query:
             p.print_usage()
@@ -102,7 +102,7 @@ def main(argv: list[str] | None = None) -> int:
             print(f"unknown query: {args.query}", file=sys.stderr)
             p.print_usage()
             return 1
-        dispatch[args.query]().show(100, truncate=False)
+        dispatch[args.query]().show(args.limit, truncate=False)
         return 0
     finally:
         spark.stop()

@@ -526,6 +526,10 @@ def _decode_jpeg_impl(data: bytes):
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — skip them so spec-legal padded streams decode
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -574,11 +578,20 @@ def _decode_jpeg_impl(data: bytes):
                 raise NotImplementedError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS
             ns = body[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "non-interleaved JPEG (multiple scans) unsupported"
+                )
             for i in range(ns):
                 cid, tt = body[1 + 2 * i], body[2 + 2 * i]
                 idx = next(
-                    j for j, (c, _, _) in enumerate(comps) if c == cid
+                    (j for j, (c, _, _) in enumerate(comps) if c == cid),
+                    None,
                 )
+                if idx is None:
+                    raise ValueError(
+                        f"JPEG SOS references undefined component id {cid}"
+                    )
                 scan_comps.append((idx, tt >> 4, tt & 0xF))
             ecs_start = pos + 2 + length
             break

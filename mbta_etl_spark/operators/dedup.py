@@ -1261,9 +1261,18 @@ def embedding_decontaminate(
 
     from mbta_etl_spark.operators import similarity
 
-    unit = lambda c: F.transform(  # noqa: E731
-        similarity._as_double(c), lambda x: x / similarity._norm(c)
-    )
+    # zero-norm guard doubles as the ANSI-mode guard: under Spark 4's
+    # default ANSI SQL a 0/0 in the transform raises DIVIDE_BY_ZERO
+    # instead of producing null — gate the division behind the norm
+    # check and let degenerate vectors become a NULL unit vector (the
+    # kernel maps those to a NULL peak)
+    def unit(c):
+        nrm = similarity._norm(c)
+        return F.when(
+            nrm > 0,
+            F.transform(similarity._as_double(c), lambda x: x / nrm),
+        )
+
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(label_col).alias("label"),
@@ -1288,20 +1297,40 @@ def embedding_decontaminate(
         emat = np.array(eval_vecs, dtype=np.float64)
 
         def _peaks(batches):
+            dim = emat.shape[1]
             for pdf in batches:
                 if pdf.empty:
                     continue
-                m = np.array(pdf["_u"].tolist(), dtype=np.float64)
-                yield pd.DataFrame(
-                    {
-                        "label": pdf["label"],
-                        "_raw": (m @ emat.T).max(axis=1),
-                    }
+                # degenerate vectors (NULL embedding, or zero-norm ->
+                # unit() emits null elements) must degrade to a NULL
+                # peak like the old join plan's null cosine — never a
+                # ragged-array crash, never a NaN that Spark would sort
+                # ABOVE the threshold
+                vecs = pdf["_u"].tolist()
+                valid = np.array(
+                    [
+                        v is not None
+                        and len(v) == dim
+                        and not any(x is None for x in v)
+                        for v in vecs
+                    ]
                 )
+                out = np.full(len(vecs), np.nan)
+                if valid.any():
+                    m = np.array(
+                        [v for v, ok in zip(vecs, valid) if ok],
+                        dtype=np.float64,
+                    )
+                    out[valid] = (m @ emat.T).max(axis=1)
+                yield pd.DataFrame({"label": pdf["label"], "_raw": out})
 
         label_t = tr.schema["label"].dataType.simpleString()
         raw = tr.mapInPandas(_peaks, schema=f"label {label_t}, _raw double")
-        peaks = raw.select("label", F.round("_raw", 6).alias("peak"))
+        r6p = F.round("_raw", 6)
+        peaks = raw.select(
+            "label",
+            F.when(F.isnan(r6p), F.lit(None)).otherwise(r6p).alias("peak"),
+        )
     flagged = (F.col("peak") >= threshold).cast("long")
     return (
         peaks.groupBy("label")

@@ -11218,11 +11218,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ahead, then stable registration order), so the driver's first-50
     # window always lands on entries that still need an independent row —
     # and, within those, on the riskiest ones first.
-    prio = [k for k in _WINDOW_PRIORITY if k in out and k not in _DRIVER_VERIFIED]
-    ordered = prio
-    ordered += [k for k in out
-                if k not in _DRIVER_VERIFIED and k not in set(prio)]
-    ordered += [k for k in out if k in _DRIVER_VERIFIED]
+    prio = [
+        k for k in _WINDOW_PRIORITY
+        if k in out and k not in _DRIVER_VERIFIED
+    ]
+    prio_set = set(prio)
+    ordered = [
+        *prio,
+        *(k for k in out
+          if k not in _DRIVER_VERIFIED and k not in prio_set),
+        *(k for k in out if k in _DRIVER_VERIFIED),
+    ]
     return {k: out[k] for k in ordered}
 
 

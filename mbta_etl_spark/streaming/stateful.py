@@ -365,12 +365,17 @@ def run_length_stream(
             closed: list[tuple[int, int, int]] = []
             import math
 
-            for pdf in rows:
-                pdf = pdf.sort_values("ts")
+            # a key's micro-batch may arrive as SEVERAL Arrow chunks;
+            # event-time order only exists across the concatenation, so
+            # collect all chunks and sort ONCE (stable mergesort keeps
+            # equal-ts rows in arrival order as the tiebreak)
+            batch = pd.concat(list(rows), ignore_index=True)
+            if not batch.empty:
+                batch = batch.sort_values("ts", kind="mergesort")
                 ts_us = (
-                    pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+                    pd.to_datetime(batch["ts"]).astype("int64") // 1000
                 ).tolist()
-                for v, t_us in zip(pdf["value"].tolist(), ts_us):
+                for v, t_us in zip(batch["value"].tolist(), ts_us):
                     band = int(math.floor(float(v) / band_width))
                     if open_band is None:
                         open_band, open_len, open_start = band, 1, t_us
@@ -379,7 +384,8 @@ def run_length_stream(
                     else:
                         closed.append((open_band, open_len, open_start))
                         open_band, open_len, open_start = band, 1, t_us
-            self._open.update((open_band, open_len, open_start))
+            if open_band is not None:
+                self._open.update((open_band, open_len, open_start))
             if closed:
                 yield pd.DataFrame(
                     {

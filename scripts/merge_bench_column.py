@@ -71,7 +71,7 @@ def main() -> None:
         lines[i] = "| " + " | ".join(cells) + " |"
         i += 1
 
-    n_old_cols = len(cols) if have_label else len(cols)
+    n_old_cols = len(cols)
     for name in sorted(set(mins) - seen):
         filler = ["—"] * (n_old_cols - 1 if not have_label else n_old_cols - 2)
         row = [name] + filler + [fmt(mins[name])]

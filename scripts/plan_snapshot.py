@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Generate (or refresh) the plan-shape snapshot the regression gate
 pins: one operator-count fingerprint per registry entry, written to
-plans/plan_snapshot.json.
+plans_snapshot.json at the repo root.
 
 Run after any DELIBERATE plan change (new entry, join-strategy rework),
 review the diff — every changed count is a physical-plan change a

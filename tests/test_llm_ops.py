@@ -1539,3 +1539,40 @@ def test_winnowing_density_and_short_doc_degradation(spark):
     assert 0.2 * n_grams < counts[1] < 0.6 * n_grams
     assert counts[2] == 1  # 2 grams < w -> single whole-array min
     assert counts[3] == 1  # 1 token < k -> whole-text hash
+
+
+def test_embedding_decontaminate_degenerate_vectors(spark):
+    """Review r4: NULL and zero-norm train vectors degrade to a NULL
+    peak (counted in n_train, never flagged, never NaN-flagged, no
+    ragged-numpy crash) — including under ANSI mode, where an unguarded
+    0/0 in the unit transform would raise DIVIDE_BY_ZERO."""
+    from mbta_etl_spark.operators.dedup import embedding_decontaminate
+
+    rows = [
+        (0, 0, [1.0, 0.0]),   # eval
+        (1, 1, [1.0, 0.0]),   # identical -> flagged
+        (2, 1, None),         # null vector
+        (3, 1, [0.0, 0.0]),   # zero norm
+        (4, 2, [0.0, 1.0]),   # orthogonal -> unflagged
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        out = {
+            r.label: r
+            for r in embedding_decontaminate(
+                df, "embedding", "vec_id", "label",
+                eval_label=0, threshold=0.9,
+            ).collect()
+        }
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+        else:
+            spark.conf.unset("spark.sql.ansi.enabled")
+    assert out[1].n_train == 3 and out[1].n_flagged == 1
+    assert out[1].peak_cosine == 1.0
+    assert out[2].n_train == 1 and out[2].n_flagged == 0
