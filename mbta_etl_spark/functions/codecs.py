@@ -479,11 +479,18 @@ def _huff_lut(bits: list[int], vals: list[int]) -> list:
         base = code << (16 - length)
         for fill in range(1 << (16 - length)):
             lut[base | fill] = (sym, length)
-    _HUFF_LUT_CACHE[key] = lut
+    # Bounded cache: only the handful of standard (Annex-K) specs
+    # benefit from reuse; a corpus of JPEGs with varied or adversarial
+    # custom DHTs must not pin an unbounded set of 65536-entry lists in
+    # a long-lived executor. Past the cap, return the LUT uncached —
+    # correctness is identical, the build just isn't amortized.
+    if len(_HUFF_LUT_CACHE) < _HUFF_LUT_CACHE_MAX:
+        _HUFF_LUT_CACHE[key] = lut
     return lut
 
 
 _HUFF_LUT_CACHE: dict = {}
+_HUFF_LUT_CACHE_MAX = 16  # 4 Annex-K specs + headroom; ~8 MB ceiling
 
 
 def _extend(v: int, cat: int) -> int:

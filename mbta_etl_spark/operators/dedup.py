@@ -1279,13 +1279,32 @@ def embedding_decontaminate(
         unit(F.col(vec_col)).alias("_u"),
     )
     # benchmark-sized by contract — bounded task-side state, same
-    # O(C·d) argument as the k-means centroid collect
-    eval_vecs = [
+    # O(C·d) argument as the k-means centroid collect. Eval-side
+    # degenerates get the same treatment as train-side ones: a NULL
+    # unit vector (zero-norm/NULL embedding), a ragged length, or a
+    # non-finite element would either crash np.array or poison every
+    # train row's peak through the matmul (one NaN column turns
+    # max(axis=1) into NaN fleet-wide), so they are dropped from the
+    # comparison matrix — matching the old broadcast-join plan, whose
+    # null cosines were simply ignored by F.max.
+    def _finite_vec(v, dim):
+        return (
+            v is not None
+            and (dim is None or len(v) == dim)
+            and not any(
+                x is None or x != x or x in (float("inf"), float("-inf"))
+                for x in v
+            )
+        )
+
+    _raw_eval = [
         r._u
         for r in base.filter(F.col("label") == eval_label)
         .select("_u")
         .collect()
     ]
+    _dim = next((len(v) for v in _raw_eval if _finite_vec(v, None)), None)
+    eval_vecs = [v for v in _raw_eval if _finite_vec(v, _dim)]
     tr = base.filter(F.col("label") != eval_label)
     if not eval_vecs:
         # no eval set -> no cosines -> empty census, the same shape the

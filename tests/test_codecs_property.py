@@ -240,3 +240,28 @@ def test_jpeg_decoder_rejects_corruption_cleanly(seed, cut):
         assert out.shape[0] > 0 and out.shape[1] > 0
     except (ValueError, NotImplementedError):
         pass
+
+
+def test_huff_lut_cache_bounded():
+    """ADVICE r4: the Huffman LUT cache must not grow without bound when
+    a corpus carries many distinct custom DHT specs — past the cap, LUTs
+    are built uncached (identical contents, no retention)."""
+    from mbta_etl_spark.functions import codecs
+
+    saved = dict(codecs._HUFF_LUT_CACHE)
+    codecs._HUFF_LUT_CACHE.clear()
+    try:
+        luts = []
+        for i in range(codecs._HUFF_LUT_CACHE_MAX + 8):
+            # distinct single-symbol specs: one 2-bit code, symbol i
+            bits = [0, 1] + [0] * 14
+            vals = [i]
+            luts.append(codecs._huff_lut(bits, vals))
+        assert len(codecs._HUFF_LUT_CACHE) <= codecs._HUFF_LUT_CACHE_MAX
+        # uncached builds are still correct: the last spec's LUT maps a
+        # prefix starting with its 2-bit code to (symbol, 2)
+        sym, length = luts[-1][0]
+        assert length == 2 and sym == codecs._HUFF_LUT_CACHE_MAX + 7
+    finally:
+        codecs._HUFF_LUT_CACHE.clear()
+        codecs._HUFF_LUT_CACHE.update(saved)

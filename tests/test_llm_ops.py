@@ -1576,3 +1576,56 @@ def test_embedding_decontaminate_degenerate_vectors(spark):
     assert out[1].n_train == 3 and out[1].n_flagged == 1
     assert out[1].peak_cosine == 1.0
     assert out[2].n_train == 1 and out[2].n_flagged == 0
+
+
+def test_embedding_decontaminate_degenerate_eval_vectors(spark):
+    """ADVICE r4: EVAL-side degenerates must not crash or poison the
+    comparison matrix. A NULL / zero-norm eval embedding makes unit()
+    yield NULL (None in the collected list -> np.array ValueError), and
+    a NULL *element* inside an eval vector becomes NaN in the matrix,
+    which would turn EVERY train row's peak into NaN through
+    (m @ emat.T).max(axis=1). Both must be dropped so the healthy eval
+    vector alone drives the peaks — the old broadcast-join plan's
+    behavior (null cosines ignored by F.max)."""
+    from mbta_etl_spark.operators.dedup import embedding_decontaminate
+
+    rows = [
+        (0, 0, [1.0, 0.0]),         # healthy eval
+        (1, 0, None),               # NULL eval vector
+        (2, 0, [0.0, 0.0]),         # zero-norm eval -> NULL unit
+        (3, 0, [None, 1.0]),        # NULL element -> NaN in matrix
+        (4, 1, [1.0, 0.0]),         # identical to healthy eval -> flagged
+        (5, 1, [0.0, 1.0]),         # orthogonal -> unflagged, peak 0.0
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    out = {
+        r.label: r
+        for r in embedding_decontaminate(
+            df, "embedding", "vec_id", "label",
+            eval_label=0, threshold=0.9,
+        ).collect()
+    }
+    assert out[1].n_train == 2 and out[1].n_flagged == 1
+    assert out[1].peak_cosine == 1.0  # not NaN, not NULL
+
+
+def test_embedding_decontaminate_all_eval_degenerate(spark):
+    """When every eval vector is degenerate the comparison matrix is
+    empty -> the documented empty-eval path (same contract as zero eval
+    rows): empty census, no crash."""
+    from mbta_etl_spark.operators.dedup import embedding_decontaminate
+
+    rows = [
+        (0, 0, None),
+        (1, 0, [0.0, 0.0]),
+        (2, 1, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    out = embedding_decontaminate(
+        df, "embedding", "vec_id", "label", eval_label=0, threshold=0.9
+    ).collect()
+    assert out == []
