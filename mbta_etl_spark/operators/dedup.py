@@ -1018,6 +1018,101 @@ def dup_span_extents(
     )
 
 
+def substring_dedup_pairs(
+    df: DataFrame,
+    text_col: Column,
+    id_col: Column,
+    w: int,
+    min_len: int,
+    max_win_occ: int,
+) -> DataFrame:
+    """Cross-document exact-substring dedup (the pairwise face of Lee et
+    al. 2022's ExactSubstr; ``dup_span_extents`` is the per-document
+    face): for every document pair sharing an exact token run of at
+    least ``min_len`` tokens, emit the pair and its longest common
+    substring length in tokens.
+
+    The paper's suffix array is replaced by its standard distributed
+    relaxation — fixed-width suffix PREFIXES: the positional ``w``-token
+    window starting at token p is exactly the width-``w`` prefix of the
+    suffix at p, so hash-partitioning on the window key is the
+    distributed sort into suffix-prefix blocks, and the within-block
+    neighbor compare is the equi-self-join below (never all-pairs).
+    Two documents share a run of L >= w tokens iff they share L - w + 1
+    CONSECUTIVE aligned windows, so the exact LCS length (down to
+    resolution w) is recovered by a diagonal run merge: group matches by
+    (pair, pa - pb), count consecutive positions, LCS = max run + w - 1.
+
+    Scale shape: windows shuffle as 64-bit hashes (text never shuffles,
+    the dup_span_extents discipline); blocks with more than
+    ``max_win_occ`` occurrences are dropped before the self-join, so the
+    quadratic per-block term is capped at max_win_occ² (a window in >N
+    positions corpus-wide is boilerplate, the d03 df-cap argument);
+    the run merge is one window partitioned by (pair, diagonal) whose
+    partitions are bounded by document length. Hash collisions
+    (xxhash64) can only ADD a false match row — the DuckDB oracle
+    replays the window TEXT itself, so any collision at test scale
+    breaks the differential hash.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(text_col, " ")
+    base = df.select(
+        id_col.alias("doc_id"), toks.alias("_t"), F.size(toks).alias("_n")
+    )
+    wins = base.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.col("_n") >= w,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_n") - w),
+                    lambda i: F.array_join(F.slice("_t", i + 1, w), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "_win"),
+    ).select("doc_id", "pos", F.xxhash64("_win").alias("_wh"))
+    keep = (
+        wins.groupBy("_wh")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ").between(2, max_win_occ))
+        .select("_wh")
+    )
+    dup = wins.join(keep, "_wh")
+    a = dup.select(
+        "_wh", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa")
+    )
+    b = dup.select(
+        "_wh", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    matches = (
+        a.join(b, "_wh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("pa") - F.col("pb")).alias("diag"),
+            "pa",
+        )
+        .distinct()
+    )
+    wspec = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = matches.select(
+        "doc_a",
+        "doc_b",
+        "diag",
+        (F.col("pa") - F.row_number().over(wspec)).alias("_grp"),
+    )
+    runlen = runs.groupBy("doc_a", "doc_b", "diag", "_grp").agg(
+        F.count(F.lit(1)).alias("_r")
+    )
+    return (
+        runlen.groupBy("doc_a", "doc_b")
+        .agg((F.max("_r") + F.lit(w - 1)).cast("long").alias("lcs_tokens"))
+        .filter(F.col("lcs_tokens") >= min_len)
+    )
+
+
 def canonical_selection(
     components: DataFrame,
     scored: DataFrame,

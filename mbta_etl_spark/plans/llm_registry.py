@@ -5724,6 +5724,58 @@ _ORACLES["d41_winnowing_pairs"] = f"""
 """
 
 
+SUBSTR_W = 8          # window width = suffix-prefix resolution (tokens)
+SUBSTR_MIN_LEN = 12   # report pairs sharing a run of >= this many tokens
+SUBSTR_MAX_WIN_OCC = 50  # boilerplate cap: drop windows in > N positions
+
+
+def d42_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc exact-substring dedup (ExactSubstr, Lee et al. 2022 —
+    VERDICT r4 item 5): doc pairs sharing an exact token run of >=
+    SUBSTR_MIN_LEN tokens, with the exact longest-common-substring
+    length, via distributed suffix-prefix blocks + diagonal run merge
+    (operators/dedup.substring_dedup_pairs). Complements d27 (the
+    per-document span census over the same window table) and d41
+    (winnowing gives a probabilistic containment floor; this is the
+    exact pairwise measurement). See COVERAGE.md for the d03/d41/d42
+    recall comparison."""
+    return dedup.substring_dedup_pairs(
+        _docs(spark, sf_dir),
+        F.col("text"),
+        F.col("doc_id"),
+        w=SUBSTR_W,
+        min_len=SUBSTR_MIN_LEN,
+        max_win_occ=SUBSTR_MAX_WIN_OCC,
+    )
+
+
+_ORACLES["d42_substring_dedup"] = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    wins AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(t[i:i+{SUBSTR_W - 1}], ' ') AS win
+      FROM toks, UNNEST(generate_series(
+               1, GREATEST(len(t) - {SUBSTR_W} + 1, 0))) AS u(i)),
+    keep AS (SELECT win FROM wins GROUP BY win
+             HAVING COUNT(*) BETWEEN 2 AND {SUBSTR_MAX_WIN_OCC}),
+    d AS (SELECT w.doc_id, w.pos, w.win FROM wins w JOIN keep USING (win)),
+    m AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.pos - b.pos AS diag, a.pos AS pa
+          FROM d a JOIN d b ON a.win = b.win AND a.doc_id < b.doc_id),
+    runs AS (SELECT doc_a, doc_b, diag, pa,
+                    pa - ROW_NUMBER() OVER (
+                      PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+             FROM m),
+    rl AS (SELECT doc_a, doc_b, COUNT(*) AS r
+           FROM runs GROUP BY doc_a, doc_b, diag, grp)
+    SELECT doc_a, doc_b,
+           CAST(MAX(r) + {SUBSTR_W - 1} AS BIGINT) AS lcs_tokens
+    FROM rl GROUP BY doc_a, doc_b
+    HAVING MAX(r) + {SUBSTR_W - 1} >= {SUBSTR_MIN_LEN}
+"""
+
+
 def d34_dup_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-aware deterministic subsampling: each exact-dup copy kept
     with probability 1/n_copies via the salted-md5 bucket (no RNG —

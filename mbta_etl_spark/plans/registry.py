@@ -118,13 +118,60 @@ def q09_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core.discrete_percentiles(df, F.col("value"))
 
 
+Q09A_ACCURACY = 10000  # percentile_approx accuracy => rank error <= n/accuracy
+
+
 def q09a_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path variant of Q9: single-pass mergeable sketch
-    (percentile_approx) instead of global sort+offset. Rows-only check —
-    approximation differs from DuckDB's quantile algorithm by design; the
-    exact variant (q09) carries the oracle."""
+    """Scale-path variant of Q9 with a COMPOSED oracle (VERDICT r4
+    item 3, the d13 pattern): the single-pass mergeable sketch
+    (percentile_approx) runs as before, then the entry measures the
+    estimate's EXACT rank against the sketch's published guarantee
+    (rank error <= n/accuracy) and emits the hash-checkable audit row
+    (pct, n, rank_tol, in_bounds) — the estimate itself is
+    engine-specific so it stays out of the hashed columns, but a sketch
+    drift past its contract flips in_bounds and breaks the driver hash.
+    Two scans of the filtered column, zero sorts, state O(accuracy):
+    still the 100 TB path (q09's exact global sort is the parity op).
+
+    in_bounds: percentile_approx returns an element whose rank interval
+    [count(<v)+1, count(<=v)] must intersect [p*n - tol, p*n + tol]."""
     df = _events(spark, sf_dir).filter(F.col("value") > 0)
-    return core.approx_percentiles(df, F.col("value"))
+    fracs = [("p50", 0.5), ("p90", 0.9), ("p95", 0.95)]
+    sk = df.agg(
+        F.percentile_approx(
+            F.col("value"), [p for _, p in fracs], Q09A_ACCURACY
+        ).alias("qs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranked = df.join(F.broadcast(sk)).agg(
+        F.first("n").alias("n"),
+        *[
+            agg
+            for i, _ in enumerate(fracs)
+            for agg in (
+                F.sum(
+                    (F.col("value") < F.col("qs")[i]).cast("long")
+                ).alias(f"lt{i}"),
+                F.sum(
+                    (F.col("value") <= F.col("qs")[i]).cast("long")
+                ).alias(f"le{i}"),
+            )
+        ],
+    )
+    tol = F.ceil(F.col("n") / F.lit(Q09A_ACCURACY)) + F.lit(1)
+    rows = [
+        F.struct(
+            F.lit(label).alias("pct"),
+            F.col("n").alias("n"),
+            tol.cast("long").alias("rank_tol"),
+            (
+                (F.col(f"le{i}") >= F.ceil(F.lit(p) * F.col("n") - tol))
+                & ((F.col(f"lt{i}") + F.lit(1)) <= F.lit(p) * F.col("n") + tol)
+            ).alias("in_bounds"),
+        )
+        for i, (label, p) in enumerate(fracs)
+    ]
+    return ranked.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
 
 
 def q10_between_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1377,17 +1424,53 @@ def q49_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+R02_REL_BOUND = 0.08  # ~4 sigma for lgConfigK=12 (rsd ~1.6%)
+
+
 def r02_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL distinct-user rollup per day + sketch-union total
-    (null bucket) — COUNT(DISTINCT) made incremental. Rows-only by
-    design, like the other sketch entries (q09a/q24a): estimates leave
-    sparse-mode exactness at sf0.1 cardinalities, so no SQL oracle can
-    replay them; the merge algebra (union of bucket sketches ≡ one
-    full-corpus sketch) is pinned exactly in tests/test_rollup.py."""
+    (null bucket) — COUNT(DISTINCT) made incremental — now with a
+    COMPOSED oracle (VERDICT r4 item 3, the d13 pattern). The sketch
+    path runs unchanged (operators/rollup.sketch_rollup: per-bucket
+    hll_sketch_agg, total = union of bucket sketches, never a re-scan);
+    the entry then audits every estimate against the exact per-bucket
+    distinct and emits (bucket, n_exact, est_in_bounds), where the flag
+    is |est - exact| <= max(rel * exact, 2). The estimate itself is
+    engine-specific so it stays out of the hashed columns; the merge
+    algebra (union estimate ≈ single-pass estimate ≈ exact) remains
+    exactly pinned in tests/test_rollup.py. The oracle replays the
+    exact rollup (per-day + grand-total distinct) and asserts the flag,
+    so an HLL or union regression breaks the driver hash."""
     from mbta_etl_spark.operators.rollup import sketch_rollup
 
     ev = _events(spark, sf_dir).select("ts", "user_id")
-    return sketch_rollup(ev, "ts", "user_id")
+    est = sketch_rollup(ev, "ts", "user_id")
+    day = F.date_trunc("day", F.col("ts")).cast("timestamp_ntz")
+    # exact side in ONE scan: cube on the single bucket column emits the
+    # per-day groups plus the NULL-bucket grand total — the same
+    # (bucket, total) shape sketch_rollup's union row uses, without a
+    # second aggregate + unionAll leg (ts is non-null so the NULL key is
+    # unambiguously the rollup row)
+    exact = ev.cube(day.alias("bucket")).agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    err = F.abs(
+        F.col("distinct_entities").cast("double")
+        - F.col("n_exact").cast("double")
+    )
+    band = F.greatest(
+        F.lit(R02_REL_BOUND) * F.col("n_exact").cast("double"), F.lit(2.0)
+    )
+    return (
+        est.join(
+            exact, est["bucket"].eqNullSafe(exact["bucket"]), "full_outer"
+        )
+        .select(
+            exact["bucket"].alias("bucket"),
+            "n_exact",
+            (err <= band).alias("est_in_bounds"),
+        )
+    )
 
 
 R03_QUANTILES = (0.5, 0.95, 0.99)
@@ -2123,17 +2206,39 @@ def q24_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q24A_RSD = 0.02  # HLL++ relative standard deviation
+Q24A_REL_BOUND = 0.08  # 4-sigma acceptance band on the estimate
+
+
 def q24a_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimate — the 100 TB path where an exact
+    """HyperLogLog++ distinct estimate with a COMPOSED oracle (VERDICT
+    r4 item 3, the d13 pattern) — the 100 TB path where an exact
     distinct would shuffle every key. Sketches merge associatively, so
-    the combine is one fixed-size buffer per group per partition.
-    Rows-only check by design: HLL estimates are engine-specific."""
-    return (
+    the combine is one fixed-size buffer per group per partition. The
+    estimate itself is engine-specific (never hash-comparable), so the
+    entry computes the exact distinct beside it IN THE SAME aggregate
+    and emits (event_type, n_users_exact, est_in_bounds): the flag is
+    |est - exact| <= max(rel_bound * exact, 2), a 4-sigma band around
+    the rsd=0.02 contract. The oracle replays the exact distinct and
+    asserts the flag — an HLL regression breaks the driver hash."""
+    rel = F.lit(Q24A_REL_BOUND)
+    out = (
         _events(spark, sf_dir)
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
-        .orderBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id", rsd=Q24A_RSD).alias("_est"),
+        )
     )
+    err = F.abs(F.col("_est") - F.col("n_users_exact")).cast("double")
+    band = F.greatest(
+        rel * F.col("n_users_exact").cast("double"), F.lit(2.0)
+    )
+    return out.select(
+        "event_type",
+        "n_users_exact",
+        (err <= band).alias("est_in_bounds"),
+    ).orderBy("event_type")
 
 
 def j01_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4776,6 +4881,19 @@ _ORACLES: dict[str, str] = {
         UNION ALL
         (SELECT 'p95' AS pct, value FROM m ORDER BY value LIMIT 1 OFFSET (SELECT (n * 95) // 100 FROM n))
     """,
+    # q09a composed oracle (d13 pattern): exact n + rank tolerance from
+    # the sketch contract; in_bounds is asserted TRUE — a sketch drift
+    # past rank error n/accuracy flips the Spark-side flag and breaks
+    # the hash. The estimate itself is engine-specific and not emitted.
+    "q09a_percentiles_approx": f"""
+        WITH m AS (SELECT value FROM events WHERE value > 0),
+             n AS (SELECT COUNT(*) AS n FROM m)
+        SELECT t.pct,
+               CAST(n.n AS BIGINT) AS n,
+               CAST(CEIL(n.n / {Q09A_ACCURACY}.0) + 1 AS BIGINT) AS rank_tol,
+               TRUE AS in_bounds
+        FROM n, (VALUES ('p50'), ('p90'), ('p95')) t(pct)
+    """,
     "q10_between_filter": f"""
         SELECT p_partkey, p_name, p_size
         FROM part
@@ -5981,6 +6099,30 @@ _ORACLES: dict[str, str] = {
                COUNT(DISTINCT user_id) AS n_users,
                COUNT(*) AS n_events
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    # q24a composed oracle (d13 pattern): exact distinct beside an
+    # asserted in-bounds flag; an HLL regression breaks the hash.
+    "q24a_distinct_approx": """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+               TRUE AS est_in_bounds
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    # r02 composed oracle (d13 pattern): exact per-day + grand-total
+    # distinct rollup; flags asserted TRUE.
+    "r02_sketch_rollup": """
+        WITH per AS (
+          SELECT date_trunc('day', ts) AS bucket,
+                 COUNT(DISTINCT user_id) AS n_exact
+          FROM events GROUP BY 1
+        ), tot AS (
+          SELECT NULL AS bucket, COUNT(DISTINCT user_id) AS n_exact
+          FROM events
+        )
+        SELECT CAST(bucket AS TIMESTAMP) AS bucket,
+               CAST(n_exact AS BIGINT) AS n_exact,
+               TRUE AS est_in_bounds
+        FROM (SELECT * FROM per UNION ALL SELECT * FROM tot)
     """,
     "j01_asof_attribution": """
         WITH c AS (
@@ -10860,13 +11002,16 @@ _DRIVER_VERIFIED = frozenset({
     "q01_top10_by_value", "q02_prefix_classify", "q03_class_breakdown",
     "q04_global_stats", "q05_status_counts", "q06_share_pct",
     "q07_orderstatus_counts", "q08_threshold_split",
-    "q09_percentiles_exact", "q09a_percentiles_approx",
+    # q09a/q24a/r02 were driver-green as rows-only entries in r1/r3 but
+    # are HELD OUT for re-verification: round 5 gave them composed
+    # oracles with new output schemas (VERDICT r4 item 3).
+    "q09_percentiles_exact",
     "q10_between_filter", "q11_cardinal_histogram", "q12_count",
     "q13_point_lookup", "q14_upsert_latest", "q15_hourly_rollup",
     "q16_pricing_summary", "q17_top_customers", "q18_sessionization",
     "q18a_session_windows", "q19_running_totals", "q20_priority_rollup",
     "q21_status_set_ops", "q22_segment_revenue", "q23_json_extract",
-    "q24_distinct_counts", "q24a_distinct_approx", "q25_pivot_counts",
+    "q24_distinct_counts", "q25_pivot_counts",
     "q26_stratified_sample", "q27_cube_breakdown", "q28_corr_stats",
     "q29_value_histogram", "q30_regional_revenue", "q31_topn_per_group",
     "q32_order_max_item", "q33_moving_avg", "q34_gap_fill_days",
@@ -10882,9 +11027,9 @@ _DRIVER_VERIFIED = frozenset({
     "t04_fingerprint", "t05_bpe_tokens", "t06_pii_scrub", "t07_vocab_df",
     "t08_tfidf", "t09_repetition", "t10_tokenize_udtf", "t11_unigram_lm",
     "v01_constraint_check", "v02_referential_check", "v03_snapshot_diff",
-    # --- round-3 greens (CORRECTNESS_r03.json: 49 all-green + 1
-    # rows-only-by-design r02_sketch_rollup, which the guard counts as
-    # verified because its weaker rows-only gate ran and recorded rows) ---
+    # --- round-3 greens (CORRECTNESS_r03.json: 49 all-green; the 50th,
+    # r02_sketch_rollup, passed its rows-only gate then but is held out
+    # above with the rest of the re-oracled trio) ---
     "c04_chunk_pack", "c08_weighted_sample", "c10_temperature_mix",
     "c12_curriculum_shards",
     "d10_ngram_containment", "d11_incremental_dedup",
@@ -10898,7 +11043,6 @@ _DRIVER_VERIFIED = frozenset({
     "q53_rolling_distinct", "q54_pair_cooccurrence",
     "q55_transition_matrix", "q56_funnel_conversion",
     "q57_mad_outliers", "q58_activity_streaks",
-    "r02_sketch_rollup",
     "s08_multi_query_topk", "s09_mmr_rerank",
     "t12_boilerplate_frac", "t13_zipf_spectrum", "t14_bigram_lift",
     "ts01_locf", "ts02_delta_rate", "ts03_interpolate",
@@ -10934,35 +11078,43 @@ _DRIVER_VERIFIED = frozenset({
     "v23_observed_metrics",
 })
 
-# Round-4 window stacking: among the never-driver-verified pool, these
-# names jump to the FRONT of the queue (in this order) so the driver's
-# 50-slot window covers the entries where Spark-vs-DuckDB drift is most
-# likely — iterative/numeric algorithms (PageRank, k-core,
-# Markov attribution, semantic dedup, PQ, Holt-Winters, STL) and the IO
-# round-trips (src01–src11) — per VERDICT.md round-3 item 2. Entries not
-# listed here keep their stable registration order after the priority
-# block; verified entries still come last.
+# Round-5 window stacking (VERDICT r4 item 1): among the
+# never-driver-verified pool, these names jump to the FRONT of the queue
+# (in this order) so the driver's 50-slot window covers the
+# highest-drift-risk entries first — the round-4 additions that have
+# never seen a driver check (winnowing, JPEG decode, rolling median,
+# run-length compression, feature hashing, PCA invariants, pipe syntax,
+# ORC round-trip), the round-5 additions (the approx-sketch trio with
+# their new composed oracles, substring dedup, the streaming
+# batch-equivalence entry), then the numeric/iterative audits where
+# Spark-vs-DuckDB float drift is most likely. Entries not listed here
+# keep their stable registration order after the priority block;
+# verified entries still come last. Names not (yet) registered or
+# already verified are filtered out harmlessly.
 _WINDOW_PRIORITY = (
-    "g01_pagerank", "g02_triangles", "g03_degree_reciprocity",
-    "g04_dup_chain_depth", "g05_co_engagement", "g06_kcore_census",
-    "g07_assortativity",
-    "j18_markov_attribution", "d26_semantic_dedup",
-    "s23_pq_codebook", "s24_pq_adc_topk",
-    "ts25_holt_winters", "ts30_stl_decompose", "ts31_forecast_backtest",
-    "ts27_seasonal_anomaly", "ts28_changepoint", "ts33_stl_anomaly",
-    "src01_jsonl_roundtrip", "src02_partition_pruned_scan",
-    "src03_csv_roundtrip", "src04_zorder_layout",
-    "src05_bloom_runtime_filter", "src06_bucketed_join",
-    "src07_compacted_layout", "src08_schema_evolution",
-    "src09_incremental_manifest", "src10_txn_log", "src11_footer_stats",
-    "d30_bloom_decontam", "d33_method_agreement", "d35_pointer_doubling",
-    "k03_silhouette", "r03_histogram_quantile", "r04_cms_rollup",
-    "c27_dsir_importance", "c28_doremi_weights", "t27_gopher_rules",
-    "d31_embed_decontam", "d36_bbit_minhash", "s25_hamming_topk",
-    "j14_interval_coalesce", "j15_asof_forward", "j16_orphan_conversions",
-    "j17_window_funnel", "ts35_theil_sen", "ts37_m4_downsample",
-    "d38_removal_budget", "v23_observed_metrics", "s27_filtered_ann",
-    "q102_equidepth_histogram",
+    # round-4 additions, never driver-sampled
+    "d41_winnowing_pairs", "m15_jpeg_decode", "ts38_rolling_median",
+    "q104_compress_consecutive", "t31_feature_hashing",
+    "s15a_pca_invariants", "q105_pipe_syntax", "src12_orc_roundtrip",
+    # round-5 additions / re-verifications (composed oracles, new ops)
+    "q09a_percentiles_approx", "q24a_distinct_approx",
+    "r02_sketch_rollup", "d42_substring_dedup", "st01_stream_batch_equiv",
+    # numeric / iterative audits (float-drift risk)
+    "d20_hamming_histogram", "d28_canonical_selection",
+    "d16_minhash_est_audit", "d14_lsh_scurve", "d24_transitivity_audit",
+    "d18_jaccard_threshold_sweep", "d32_soft_dedup",
+    "s11_ivf_recall_audit", "s13_matryoshka_audit", "s14_knn_classify",
+    "s16_centroid_separation", "s17_anisotropy", "s19_embedding_drift",
+    "s26_ndcg_audit", "s10_int8_quant", "s20_hybrid_rrf",
+    "s22_random_projection",
+    "ts13_cusum", "ts14_holt_linear", "ts15_seasonal_decompose",
+    "ts16_acf", "ts19_max_drawdown", "ts21_seasonality_strength",
+    "ts26_subseq_search", "ts29_acf",
+    "v09_welch_ttest", "v13_ks_test", "v15_chi2_independence",
+    "t15_js_divergence", "t16_corpus_entropy", "t24_bm25",
+    "c20_perplexity_bands", "k02_cluster_profile",
+    "q75_trimmed_mean", "q89_moment_battery", "q92_gini",
+    "q60_percentile_battery",
 )
 
 
@@ -11135,7 +11287,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q72_top5_plus_other": q72_top5_plus_other,
             "ts17_twap": ts17_twap,
             "d16_minhash_est_audit": llm_registry.d16_minhash_est_audit,
-            "s15_pca_eigen": llm_registry.s15_pca_eigen,
+            # s15_pca_eigen retired from the registry (VERDICT r4 item
+            # 3): it was the last rows-only entry with no oracle path;
+            # s15a_pca_invariants hash-verifies the same distributed
+            # Gram pass + driver eigh via the spectrum invariants. The
+            # operator and its unit/property tests remain.
             "s15a_pca_invariants": llm_registry.s15a_pca_invariants,
             "q73_semi_additive": q73_semi_additive,
             "q74_new_vs_returning": q74_new_vs_returning,
@@ -11300,6 +11456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "src12_orc_roundtrip": src12_orc_roundtrip,
             "d41_winnowing_pairs": llm_registry.d41_winnowing_pairs,
             "q105_pipe_syntax": q105_pipe_syntax,
+            # round-5 additions
+            "d42_substring_dedup": llm_registry.d42_substring_dedup,
         }
     )
     # Rotate: never-driver-verified entries first (window-priority names

@@ -1629,3 +1629,67 @@ def test_embedding_decontaminate_all_eval_degenerate(spark):
         df, "embedding", "vec_id", "label", eval_label=0, threshold=0.9
     ).collect()
     assert out == []
+
+
+def test_substring_dedup_exact_lcs_and_threshold(spark):
+    """d42's operator recovers the EXACT longest-common-substring length
+    (w=4, resolution-complete for runs >= w) and drops pairs below
+    min_len; an overlapping-but-short run never leaks in."""
+    from mbta_etl_spark.operators.dedup import substring_dedup_pairs
+
+    shared10 = " ".join(f"s{i}" for i in range(10))
+    shared5 = " ".join(f"u{i}" for i in range(5))
+    rows = [
+        (1, "a b c " + shared10 + " d e"),
+        (2, shared10 + " x y z"),          # 10-token run with doc 1
+        (3, "p q " + shared5 + " r"),
+        (4, shared5 + " m n o"),           # only a 5-token run with doc 3
+        (5, "k1 k2 k3 k4 k5 k6 k7 k8"),    # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_a, r.doc_b): r.lcs_tokens
+        for r in substring_dedup_pairs(
+            df, F.col("text"), F.col("doc_id"),
+            w=4, min_len=8, max_win_occ=50,
+        ).collect()
+    }
+    assert out == {(1, 2): 10}  # exact LCS; (3,4)'s 5 < 8 dropped
+
+
+def test_substring_dedup_diagonal_merge_not_fooled_by_repeats(spark):
+    """A token run shared at DIFFERENT offsets (and a window repeated
+    within one doc) must still merge per diagonal: the reported LCS is
+    the longest single aligned run, not the sum of scattered matches."""
+    from mbta_etl_spark.operators.dedup import substring_dedup_pairs
+
+    run = " ".join(f"r{i}" for i in range(6))  # 6-token run
+    rows = [
+        # doc 1 contains the run twice (two diagonals vs doc 2)
+        (1, run + " mid1 mid2 " + run),
+        (2, "x1 x2 " + run + " y1 y2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = substring_dedup_pairs(
+        df, F.col("text"), F.col("doc_id"), w=3, min_len=6, max_win_occ=50
+    ).collect()
+    assert len(out) == 1 and out[0].lcs_tokens == 6
+
+
+def test_substring_dedup_boilerplate_cap_drops_hot_window(spark):
+    """max_win_occ: a window occurring corpus-wide above the cap is
+    excluded from pair generation (the d03 df-cap argument), so
+    boilerplate cannot create a quadratic block."""
+    from mbta_etl_spark.operators.dedup import substring_dedup_pairs
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    rows = [(i, boiler + f" tail{i}") for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kwargs = dict(w=4, min_len=8, max_win_occ=50)
+    assert substring_dedup_pairs(
+        df, F.col("text"), F.col("doc_id"), **kwargs
+    ).count() == 15  # 6 choose 2 below the cap
+    capped = substring_dedup_pairs(
+        df, F.col("text"), F.col("doc_id"), w=4, min_len=8, max_win_occ=5
+    )
+    assert capped.count() == 0  # every shared window occurs 6x > cap

@@ -78,7 +78,15 @@ def test_unverified_pool_matches_correctness_files():
     green = _green_driver_rows()
     # c04: r02 hash red (oracle HUGEINT typing, fixed round 3) — its only
     # rows were never all-green, so it's naturally outside green anyway.
-    deliberately_held_out: set[str] = set()
+    # The approx-sketch trio passed earlier rounds as rows-only entries
+    # but gained composed oracles with NEW output schemas in round 5
+    # (VERDICT r4 item 3) — held out so the driver re-verifies the new
+    # shape end-to-end. s15_pca_eigen's old rows-only green is moot: the
+    # entry was retired from the registry (s15a carries its oracle).
+    deliberately_held_out: set[str] = {
+        "q09a_percentiles_approx", "q24a_distinct_approx",
+        "r02_sketch_rollup", "s15_pca_eigen",
+    }
     phantom = _DRIVER_VERIFIED - green
     assert not phantom, (
         f"_DRIVER_VERIFIED contains names with no green driver row: "
@@ -91,35 +99,43 @@ def test_unverified_pool_matches_correctness_files():
     )
 
 
-def test_round4_window_front_loads_risky_entries():
-    """Round 4 stacks the driver window with the entries where
-    Spark-vs-DuckDB drift is most likely (VERDICT r3 item 2): iterative /
-    numeric algorithms and the src IO round-trips lead the queue."""
+def test_round5_window_front_loads_risky_entries():
+    """Round 5 stacks the driver window with the entries where
+    Spark-vs-DuckDB drift is most likely (VERDICT r4 item 1): the
+    round-4 additions that have never seen a driver check, the round-5
+    additions, then the numeric/iterative audits."""
     from mbta_etl_spark.plans.registry import _WINDOW_PRIORITY
 
     names = list(entrymod.queries())
     window = set(names[:50])
     must_cover = {
-        "g01_pagerank", "g06_kcore_census", "j18_markov_attribution",
-        "d26_semantic_dedup", "s23_pq_codebook", "s24_pq_adc_topk",
-        "ts25_holt_winters", "ts30_stl_decompose",
-        "src01_jsonl_roundtrip", "src11_footer_stats",
+        "d41_winnowing_pairs", "m15_jpeg_decode", "ts38_rolling_median",
+        "q104_compress_consecutive", "t31_feature_hashing",
+        "s15a_pca_invariants", "q105_pipe_syntax", "src12_orc_roundtrip",
+        "d16_minhash_est_audit", "s11_ivf_recall_audit",
+        "ts14_holt_linear", "v13_ks_test",
     }
     missing = must_cover - window
     assert not missing, f"risky entries not in driver window: {sorted(missing)}"
-    # priority names still unverified must appear first, in priority order
-    prio = [n for n in _WINDOW_PRIORITY if n not in _DRIVER_VERIFIED]
+    # priority names still unverified must appear first, in priority
+    # order (names not yet registered are filtered, matching queries())
+    prio = [
+        n for n in _WINDOW_PRIORITY
+        if n not in _DRIVER_VERIFIED and n in set(names)
+    ]
     assert names[: len(prio)] == prio
 
 
 def test_every_query_has_oracle_or_documented_exception():
-    """rows-only entries are a deliberate, enumerated set — anything else
-    must carry an oracle."""
+    """Round 5 closed the last no-oracle gaps (VERDICT r4 item 3): the
+    approx-sketch trio carries composed oracles (exact statistic +
+    asserted in-bounds flag, the d13 pattern) and s15_pca_eigen was
+    retired in favor of the oracle-checked s15a invariants — EVERY
+    registry entry must now have a DuckDB oracle."""
     qs = set(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     rows_only = qs - oracles
-    assert rows_only == {"q09a_percentiles_approx", "q24a_distinct_approx",
-                         "r02_sketch_rollup", "s15_pca_eigen"}, (
+    assert rows_only == set(), (
         f"unexpected rows-only entries: {sorted(rows_only)}"
     )
     assert not (oracles - qs), "orphan oracles with no query entry"
