@@ -5776,6 +5776,34 @@ _ORACLES["d42_substring_dedup"] = f"""
 """
 
 
+def st01_stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming/batch equivalence (VERDICT r4 item 7): the documents
+    table replayed as 4 micro-batches through a real Structured
+    Streaming pipeline — file source, stateful streaming groupBy
+    (StateStore), foreachBatch snapshot sink — whose final standing
+    table must equal the one-shot batch exact dedup (d01), which the
+    DuckDB oracle replays. Covers the streaming family (unit-tested in
+    tests/test_streaming.py) with a driver-hash-checked entry
+    (streaming/dedup_stream.stream_exact_dedup_equiv)."""
+    import os
+
+    from mbta_etl_spark.sources.formats import scratch_dir
+    from mbta_etl_spark.streaming.dedup_stream import (
+        stream_exact_dedup_equiv,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tag = f"st01_{os.path.basename(sf_dir.rstrip('/'))}"
+    return stream_exact_dedup_equiv(docs, scratch_dir(spark, tag))
+
+
+_ORACLES["st01_stream_batch_equiv"] = """
+    SELECT sha256(text) AS text_sha, COUNT(*) AS n_copies,
+           MIN(doc_id) AS keep_doc_id
+    FROM documents GROUP BY 1
+"""
+
+
 def d34_dup_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-aware deterministic subsampling: each exact-dup copy kept
     with probability 1/n_copies via the salted-md5 bucket (no RNG —

@@ -11458,6 +11458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q105_pipe_syntax": q105_pipe_syntax,
             # round-5 additions
             "d42_substring_dedup": llm_registry.d42_substring_dedup,
+            "st01_stream_batch_equiv": llm_registry.st01_stream_batch_equiv,
         }
     )
     # Rotate: never-driver-verified entries first (window-priority names

@@ -504,3 +504,37 @@ def test_streaming_dedup_state_survives_restart(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     }
     assert got == {1: 1.0, 2: 2.0, 3: 3.0}  # key 1's redelivery dropped
+
+
+def test_stream_exact_dedup_equiv_split_invariant(spark, tmp_path):
+    """st01's harness: the final standing table equals the one-shot
+    batch exact dedup regardless of batch count — including duplicate
+    groups whose copies land in DIFFERENT micro-batches (doc_id % n
+    splits 0/4 and 1/5 apart), which is where a first-wins streaming
+    dedup would diverge from the merge algebra."""
+    from mbta_etl_spark.operators.dedup import exact_dedup_groups
+    from mbta_etl_spark.streaming.dedup_stream import stream_exact_dedup_equiv
+
+    rows = [
+        (0, "alpha beta gamma"),
+        (4, "alpha beta gamma"),   # dup of 0, different batch at n=4? no:
+        (1, "delta epsilon"),      # 0 and 4 share batch at n=4; 1 and 5
+        (5, "delta epsilon"),      # share batch at n=4 but not at n=3
+        (2, "unique two"),
+        (3, "unique three"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {
+        (r.text_sha): (r.n_copies, r.keep_doc_id)
+        for r in exact_dedup_groups(
+            docs, F.col("text"), F.col("doc_id")
+        ).collect()
+    }
+    for n in (1, 3, 4):
+        got = {
+            r.text_sha: (r.n_copies, r.keep_doc_id)
+            for r in stream_exact_dedup_equiv(
+                docs, str(tmp_path / f"wd{n}"), n_batches=n
+            ).collect()
+        }
+        assert got == batch, f"divergence at n_batches={n}"
