@@ -92,17 +92,29 @@ def main() -> None:
             pass
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "registry_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "registry_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+    # Provenance (VERDICT r4 item 8): the driver's BENCH_r{N}.json keeps
+    # only a truncated tail of stdout, so also persist the full
+    # per-query map beside the repo — round-over-round comparison reads
+    # this file directly instead of depending on BASELINE.md edits.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_FULL.json"),
+            "w",
+        ) as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as e:
+        print(f"# bench: could not write BENCH_FULL.json: {e}",
+              file=sys.stderr)
     spark.stop()
 
 

@@ -1424,6 +1424,57 @@ def q49_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st02_stream_rollup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous-aggregate equivalence (the second face of
+    VERDICT r4 item 7, beside st01's stateful-engine dedup): events
+    replayed as 4 micro-batches through
+    streaming/rollup.start_rollup_stream — file source, foreachBatch
+    partial-aggregate + rollup_merge into a standing parquet table via
+    atomic_publish (state in the TABLE, not the engine) — then
+    rollup_read derives the read-time measures. Because the rollup
+    algebra is associative-commutative (r01's driver-proven property),
+    the final table equals the one-shot aggregation over ALL events no
+    matter how the replay splits, so r01's exact oracle hash-verifies
+    the streaming execution. Floats follow r01's discipline: sums are
+    6dp-rounded at read, avg derived from the rounded sum with the
+    shared scaled-floor."""
+    import os
+    import shutil
+
+    from mbta_etl_spark.operators.rollup import rollup_read
+    from mbta_etl_spark.sources.formats import scratch_dir
+    from mbta_etl_spark.streaming.replay import land_replay_log
+    from mbta_etl_spark.streaming.rollup import start_rollup_stream
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    base = scratch_dir(spark, f"st02_{os.path.basename(sf_dir.rstrip('/'))}")
+    in_dir = os.path.join(base, "input")
+    tbl = os.path.join(base, "rollup")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    land_replay_log(ev, in_dir, 4, "event_id")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+        .drop("event_id")
+    )
+    query = start_rollup_stream(stream, tbl, ckpt)
+    query.awaitTermination()
+    out = rollup_read(spark.read.parquet(tbl))
+    return out.select(
+        "bucket",
+        "event_type",
+        "cnt",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+        "avg_value",
+    )
+
+
 R02_REL_BOUND = 0.08  # ~4 sigma for lgConfigK=12 (rsd ~1.6%)
 
 
@@ -5758,6 +5809,19 @@ _ORACLES: dict[str, str] = {
         FROM o FULL OUTER JOIN n ON o.event_id = n.event_id
     """,
     "r01_incremental_rollup": """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+               event_type,
+               COUNT(*) AS cnt,
+               ROUND(SUM(value), 6) AS sum_value,
+               ROUND(MIN(value), 6) AS min_value,
+               ROUND(MAX(value), 6) AS max_value,
+               FLOOR(ROUND(SUM(value), 6) / COUNT(*) * 1000000 + 0.5)
+                 / 1000000 AS avg_value
+        FROM events GROUP BY 1, 2
+    """,
+    # st02: the streamed 4-batch rollup merge must equal the one-shot
+    # aggregation over all events — same oracle as r01 by design.
+    "st02_stream_rollup_equiv": """
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
                event_type,
                COUNT(*) AS cnt,
@@ -11099,6 +11163,7 @@ _WINDOW_PRIORITY = (
     # round-5 additions / re-verifications (composed oracles, new ops)
     "q09a_percentiles_approx", "q24a_distinct_approx",
     "r02_sketch_rollup", "d42_substring_dedup", "st01_stream_batch_equiv",
+    "st02_stream_rollup_equiv",
     # numeric / iterative audits (float-drift risk)
     "d20_hamming_histogram", "d28_canonical_selection",
     "d16_minhash_est_audit", "d14_lsh_scurve", "d24_transitivity_audit",
@@ -11114,7 +11179,6 @@ _WINDOW_PRIORITY = (
     "t15_js_divergence", "t16_corpus_entropy", "t24_bm25",
     "c20_perplexity_bands", "k02_cluster_profile",
     "q75_trimmed_mean", "q89_moment_battery", "q92_gini",
-    "q60_percentile_battery",
 )
 
 
@@ -11459,6 +11523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round-5 additions
             "d42_substring_dedup": llm_registry.d42_substring_dedup,
             "st01_stream_batch_equiv": llm_registry.st01_stream_batch_equiv,
+            "st02_stream_rollup_equiv": st02_stream_rollup_equiv,
         }
     )
     # Rotate: never-driver-verified entries first (window-priority names

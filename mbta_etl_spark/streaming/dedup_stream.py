@@ -137,26 +137,17 @@ def stream_exact_dedup_equiv(
     pipeline flips outputMode to update and merges the delta into the
     table (same algebra, incremental IO), per streaming/rollup.py.
     """
-    import glob
     import os
     import shutil
+
+    from mbta_etl_spark.streaming.replay import land_replay_log
 
     spark = docs.sparkSession
     in_dir = os.path.join(work_dir, "input")
     ckpt = os.path.join(work_dir, "ckpt")
     out_dir = os.path.join(work_dir, "out")
     shutil.rmtree(work_dir, ignore_errors=True)
-    os.makedirs(in_dir, exist_ok=True)
-    # land the replay log: one JSONL file per micro-batch (the move is
-    # driver-side METADATA only — data is written by executors)
-    for b in range(n_batches):
-        part_dir = os.path.join(in_dir, f"_stage{b}")
-        docs.filter(F.col("doc_id") % n_batches == b).coalesce(1).write.mode(
-            "overwrite"
-        ).json(part_dir)
-        (part_file,) = glob.glob(os.path.join(part_dir, "part-*.json"))
-        os.rename(part_file, os.path.join(in_dir, f"batch_{b}.json"))
-        shutil.rmtree(part_dir, ignore_errors=True)
+    land_replay_log(docs, in_dir, n_batches, "doc_id")
 
     stream = (
         spark.readStream.schema(docs.schema)
