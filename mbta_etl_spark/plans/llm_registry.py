@@ -5804,6 +5804,94 @@ _ORACLES["st01_stream_batch_equiv"] = """
 """
 
 
+ST03_PHI = 0.02  # heavy-hitter threshold (matches t18's batch entry)
+
+
+def st03_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters made EXACT — the third streaming face
+    beside st01 (engine StateStore) and st02 (mergeable table state):
+    SKETCH state in the table. Document tokens replayed as 4
+    micro-batches through streaming/frequent_stream.start_heavy_hitter_
+    stream (foreachBatch Misra-Gries summarize + merge into a standing
+    O(capacity) summary), then ONE exact recount of the final candidate
+    set over the corpus. The MG merge guarantee — any token with true
+    frequency > N/capacity survives the merged summary (Agarwal et al.
+    PODS'12) — makes the streamed candidates a superset of the true
+    heavy hitters, so recount + strict phi filter equals the exact
+    batch answer (t18's oracle shape), no matter how the replay splits.
+    State is O(capacity) rows regardless of stream length; the recount
+    is one broadcast-semi pass."""
+    import math
+    import os
+    import shutil
+
+    from mbta_etl_spark.sources.formats import scratch_dir
+    from mbta_etl_spark.streaming.frequent_stream import (
+        start_heavy_hitter_stream,
+    )
+    from mbta_etl_spark.streaming.replay import land_replay_log
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = scratch_dir(spark, f"st03_{os.path.basename(sf_dir.rstrip('/'))}")
+    in_dir = os.path.join(base, "input")
+    tbl = os.path.join(base, "mg")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    land_replay_log(docs, in_dir, 4, "doc_id")
+    toks_stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    capacity = max(1, math.ceil(1.0 / ST03_PHI))
+    query = start_heavy_hitter_stream(
+        toks_stream, tbl, ckpt, key="tok", capacity=capacity,
+        available_now=True,
+    )
+    query.awaitTermination()
+    candidates = spark.read.parquet(tbl).select("tok").distinct()
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        toks.join(F.broadcast(candidates), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") > F.lit(ST03_PHI) * F.col("_total"))
+        .select(
+            "tok",
+            "n_occurrences",
+            (
+                F.floor(
+                    F.col("n_occurrences") / F.col("_total") * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("share"),
+        )
+    )
+
+
+_ORACLES["st03_stream_heavy_hitters"] = f"""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    w2 AS (SELECT tok FROM w WHERE tok <> ''),
+    tot AS (SELECT COUNT(*) AS n FROM w2)
+    SELECT tok,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           FLOOR(COUNT(*) * 1.0 / MAX(tot.n) * 1e6 + 0.5) / 1e6 AS share
+    FROM w2 CROSS JOIN tot
+    GROUP BY tok
+    HAVING COUNT(*) > {ST03_PHI} * MAX(tot.n)
+"""
+
+
 def d34_dup_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-aware deterministic subsampling: each exact-dup copy kept
     with probability 1/n_copies via the salted-md5 bucket (no RNG —

@@ -11163,7 +11163,7 @@ _WINDOW_PRIORITY = (
     # round-5 additions / re-verifications (composed oracles, new ops)
     "q09a_percentiles_approx", "q24a_distinct_approx",
     "r02_sketch_rollup", "d42_substring_dedup", "st01_stream_batch_equiv",
-    "st02_stream_rollup_equiv",
+    "st02_stream_rollup_equiv", "st03_stream_heavy_hitters",
     # numeric / iterative audits (float-drift risk)
     "d20_hamming_histogram", "d28_canonical_selection",
     "d16_minhash_est_audit", "d14_lsh_scurve", "d24_transitivity_audit",
@@ -11524,6 +11524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "d42_substring_dedup": llm_registry.d42_substring_dedup,
             "st01_stream_batch_equiv": llm_registry.st01_stream_batch_equiv,
             "st02_stream_rollup_equiv": st02_stream_rollup_equiv,
+            "st03_stream_heavy_hitters": llm_registry.st03_stream_heavy_hitters,
         }
     )
     # Rotate: never-driver-verified entries first (window-priority names

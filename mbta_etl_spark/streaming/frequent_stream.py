@@ -29,9 +29,13 @@ def start_heavy_hitter_stream(
     checkpoint: str,
     key: str = "k",
     capacity: int = 50,
+    available_now: bool = False,
 ):
     """keyed stream (one column ``key``) → continuously-merged MG
-    summary table at ``table_path``. Returns the StreamingQuery."""
+    summary table at ``table_path``. Returns the StreamingQuery.
+    ``available_now=True`` runs a bounded replay (process everything
+    available, then terminate) — the st03 equivalence-harness mode;
+    the default is a continuous stream."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         inc = mg_summarize(batch_df, key, capacity)
@@ -43,9 +47,11 @@ def start_heavy_hitter_stream(
             out = inc
         atomic_publish(out, table_path)
 
-    return (
+    writer = (
         keyed.writeStream.foreachBatch(_merge)
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
