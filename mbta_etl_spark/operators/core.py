@@ -202,13 +202,19 @@ def discrete_percentiles(
 
 
 def approx_percentiles(
-    df: DataFrame, measure: Column, fractions: Sequence[float] = (0.5, 0.9, 0.95)
+    df: DataFrame,
+    measure: Column,
+    fractions: Sequence[float] = (0.5, 0.9, 0.95),
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Scale-path percentiles: single-pass mergeable t-digest-style sketch
-    (``percentile_approx``), no global sort. This is what runs at 100 TB."""
+    (``percentile_approx``), no global sort. This is what runs at 100 TB;
+    the registry's q09a entry wraps THIS operator in a rank audit whose
+    composed oracle hash-checks the sketch's rank-error contract
+    (<= n/accuracy)."""
     labels = [f"p{int(f*100)}" for f in fractions]
     agg = df.agg(
-        F.percentile_approx(measure, list(fractions), 10000).alias("qs")
+        F.percentile_approx(measure, list(fractions), accuracy).alias("qs")
     )
     cols = [F.col("qs")[i].alias(lbl) for i, lbl in enumerate(labels)]
     return agg.select(*cols)

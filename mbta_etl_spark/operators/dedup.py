@@ -1044,15 +1044,20 @@ def substring_dedup_pairs(
     (pair, pa - pb), count consecutive positions, LCS = max run + w - 1.
 
     Scale shape: windows shuffle as 64-bit hashes (text never shuffles,
-    the dup_span_extents discipline); blocks with more than
-    ``max_win_occ`` occurrences are dropped before the self-join, so the
-    quadratic per-block term is capped at max_win_occ² (a window in >N
-    positions corpus-wide is boilerplate, the d03 df-cap argument);
-    the run merge is one window partitioned by (pair, diagonal) whose
-    partitions are bounded by document length. Hash collisions
-    (xxhash64) can only ADD a false match row — the DuckDB oracle
-    replays the window TEXT itself, so any collision at test scale
-    breaks the differential hash.
+    the dup_span_extents discipline); the hashed window table is
+    MATERIALIZED once (localCheckpoint) and feeds all three consumers —
+    the occurrence census and both self-join sides — so the corpus is
+    tokenized and windowed in one pass, not three. Blocks with more
+    than ``max_win_occ`` occurrences are dropped before the self-join,
+    so the quadratic per-block term is capped at max_win_occ² (a window
+    in >N positions corpus-wide is boilerplate, the d03 df-cap
+    argument); the run merge is one window partitioned by (pair,
+    diagonal) whose partitions are bounded by document length. Hash
+    collisions (xxhash64) perturb the OCCURRENCE table — a collision
+    can add a false match row, or push a merged hash bucket past the
+    occurrence cap and drop true pairs — and the DuckDB oracle replays
+    the window TEXT itself, so a collision of either direction at test
+    scale breaks the differential hash.
     """
     from pyspark.sql import Window
 
@@ -1072,6 +1077,7 @@ def substring_dedup_pairs(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("pos", "_win"),
     ).select("doc_id", "pos", F.xxhash64("_win").alias("_wh"))
+    wins = _materialize(wins)
     keep = (
         wins.groupBy("_wh")
         .agg(F.count(F.lit(1)).alias("_occ"))

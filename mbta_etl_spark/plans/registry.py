@@ -134,27 +134,27 @@ def q09a_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     still the 100 TB path (q09's exact global sort is the parity op).
 
     in_bounds: percentile_approx returns an element whose rank interval
-    [count(<v)+1, count(<=v)] must intersect [p*n - tol, p*n + tol]."""
+    [count(<v)+1, count(<=v)] must intersect [p*n - tol, p*n + tol].
+    The sketch side IS the production operator
+    (``core.approx_percentiles`` — the single-pass 100 TB path); this
+    entry wraps it in the rank audit."""
     df = _events(spark, sf_dir).filter(F.col("value") > 0)
     fracs = [("p50", 0.5), ("p90", 0.9), ("p95", 0.95)]
-    sk = df.agg(
-        F.percentile_approx(
-            F.col("value"), [p for _, p in fracs], Q09A_ACCURACY
-        ).alias("qs"),
-        F.count(F.lit(1)).alias("n"),
+    sk = core.approx_percentiles(
+        df, F.col("value"), [p for _, p in fracs], Q09A_ACCURACY
     )
     ranked = df.join(F.broadcast(sk)).agg(
-        F.first("n").alias("n"),
+        F.count(F.lit(1)).alias("n"),
         *[
             agg
-            for i, _ in enumerate(fracs)
+            for lbl, _ in fracs
             for agg in (
                 F.sum(
-                    (F.col("value") < F.col("qs")[i]).cast("long")
-                ).alias(f"lt{i}"),
+                    (F.col("value") < F.col(lbl)).cast("long")
+                ).alias(f"lt_{lbl}"),
                 F.sum(
-                    (F.col("value") <= F.col("qs")[i]).cast("long")
-                ).alias(f"le{i}"),
+                    (F.col("value") <= F.col(lbl)).cast("long")
+                ).alias(f"le_{lbl}"),
             )
         ],
     )
@@ -165,11 +165,14 @@ def q09a_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n"),
             tol.cast("long").alias("rank_tol"),
             (
-                (F.col(f"le{i}") >= F.ceil(F.lit(p) * F.col("n") - tol))
-                & ((F.col(f"lt{i}") + F.lit(1)) <= F.lit(p) * F.col("n") + tol)
+                (F.col(f"le_{label}") >= F.ceil(F.lit(p) * F.col("n") - tol))
+                & (
+                    (F.col(f"lt_{label}") + F.lit(1))
+                    <= F.lit(p) * F.col("n") + tol
+                )
             ).alias("in_bounds"),
         )
-        for i, (label, p) in enumerate(fracs)
+        for label, p in fracs
     ]
     return ranked.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
 
@@ -11154,7 +11157,11 @@ _DRIVER_VERIFIED = frozenset({
 # Spark-vs-DuckDB float drift is most likely. Entries not listed here
 # keep their stable registration order after the priority block;
 # verified entries still come last. Names not (yet) registered or
-# already verified are filtered out harmlessly.
+# already verified are filtered out harmlessly. The list holds 51
+# live names for a 50-slot window ON PURPOSE: the round-5 additions
+# (st03) pushed the tail audit (q92_gini) to position 51, where it
+# LEADS the round-6 queue instead of falling back to registration
+# order — the overflow is the head of next round's window.
 _WINDOW_PRIORITY = (
     # round-4 additions, never driver-sampled
     "d41_winnowing_pairs", "m15_jpeg_decode", "ts38_rolling_median",

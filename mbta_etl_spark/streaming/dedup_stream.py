@@ -149,22 +149,17 @@ def stream_exact_dedup_equiv(
     shutil.rmtree(work_dir, ignore_errors=True)
     land_replay_log(docs, in_dir, n_batches, "doc_id")
 
+    from mbta_etl_spark.operators.dedup import exact_dedup_groups
+
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
         .json(in_dir)
     )
-    agg = (
-        stream.select(
-            F.sha2(F.col("text"), 256).alias("text_sha"),
-            F.col("doc_id").alias("_id"),
-        )
-        .groupBy("text_sha")
-        .agg(
-            F.count(F.lit(1)).alias("n_copies"),
-            F.min("_id").alias("keep_doc_id"),
-        )
-    )
+    # the REAL batch operator applied to the streaming frame (it is a
+    # pure DataFrame transform) — so the equivalence claim is about the
+    # operator itself, not a copy that could drift from it
+    agg = exact_dedup_groups(stream, F.col("text"), F.col("doc_id"))
     query = (
         agg.writeStream.outputMode("complete")
         .option("checkpointLocation", ckpt)

@@ -22,11 +22,24 @@ def land_replay_log(
 
     shutil.rmtree(in_dir, ignore_errors=True)
     os.makedirs(in_dir, exist_ok=True)
+    # ONE scan of the source: a hive-partitioned write on the batch id.
+    # repartition(n, "_b") puts each batch id entirely in one task, so
+    # every partition directory holds exactly one part file (one FILE
+    # per intended micro-batch — maxFilesPerTrigger=1 then replays the
+    # landing as exactly n_batches batches). The partition column stays
+    # out of the JSON payload, so the replayed schema equals df.schema.
+    staging = os.path.join(in_dir, "_staging")
+    (
+        df.withColumn("_b", (F.col(split_col) % n_batches).cast("int"))
+        .repartition(n_batches, "_b")
+        .write.partitionBy("_b")
+        .mode("overwrite")
+        .json(staging)
+    )
     for b in range(n_batches):
-        part_dir = os.path.join(in_dir, f"_stage{b}")
-        df.filter(F.col(split_col) % n_batches == b).coalesce(1).write.mode(
-            "overwrite"
-        ).json(part_dir)
-        (part_file,) = glob.glob(os.path.join(part_dir, "part-*.json"))
+        files = glob.glob(os.path.join(staging, f"_b={b}", "part-*.json"))
+        if not files:  # an empty batch lands no file — nothing to replay
+            continue
+        (part_file,) = files
         os.rename(part_file, os.path.join(in_dir, f"batch_{b}.json"))
-        shutil.rmtree(part_dir, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)

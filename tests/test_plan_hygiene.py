@@ -14,7 +14,18 @@ entries, so a new entry (or a refactor) can never silently introduce:
   allowed.
 
 Plans are compiled driver-side only (explain, no execution), so the
-whole sweep is cheap.
+whole sweep is cheap — with one documented exception: the streaming
+equivalence entries (st01–st03) EXECUTE their replay inside the entry
+call (a streaming query cannot be compiled without running), so for
+them this gate sees only the final standing-table read and the sweep
+pays their replay cost (~10 s each). Their INNER streamed aggregates
+are the same operator functions pinned by batch twins elsewhere:
+st01 = operators/dedup.exact_dedup_groups (d01's plan), st02 =
+operators/rollup.rollup_increment/rollup_merge (r01's plan), st03 =
+operators/frequent.mg_summarize/mg_merge (guarantee pinned by
+tests/test_frequent_and_r2b.py and the hypothesis property in
+tests/test_properties.py) — so an anti-pattern creeping into those
+operators is still caught through the batch entries that share them.
 """
 
 from __future__ import annotations
