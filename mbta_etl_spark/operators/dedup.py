@@ -1091,6 +1091,10 @@ def substring_dedup_pairs(
     b = dup.select(
         "_wh", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
     )
+    # match rows are unique by construction — wins has one row per
+    # (doc, pos), and (doc_a, pa, diag) determines pb — so no distinct
+    # is needed before the run merge (it would add a full shuffle over
+    # the operator's largest intermediate for zero semantic effect)
     matches = (
         a.join(b, "_wh")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -1100,7 +1104,6 @@ def substring_dedup_pairs(
             (F.col("pa") - F.col("pb")).alias("diag"),
             "pa",
         )
-        .distinct()
     )
     wspec = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     runs = matches.select(

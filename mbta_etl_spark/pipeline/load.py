@@ -57,15 +57,26 @@ def _next_version_dir(base: str) -> str:
         n += 1
 
 
-def atomic_publish(df: DataFrame, path: str) -> None:
+def atomic_publish(df: DataFrame, path: str, marker: str | None = None) -> None:
     """Write ``df`` as a fresh immutable version dir and atomically point
     ``path`` (a symlink) at it. Readers resolving mid-swap see either the
     old version or the new — never a missing or half-written table. Old
     versions and stale temp links (from crashed writers) are swept after
-    the publish."""
+    the publish.
+
+    ``marker`` (optional, must start with ``_`` so parquet readers skip
+    it) is landed INSIDE the version dir before the symlink swap, so it
+    commits atomically WITH the data — the mechanism the streaming
+    merges use to record the last merged batch id and make at-least-once
+    foreachBatch redelivery exactly-once (``published_marker`` reads it
+    back)."""
     base = path.rstrip("/")
     version_dir = _next_version_dir(base)
     df.write.mode("overwrite").parquet(version_dir)
+    if marker is not None:
+        assert marker.startswith("_"), "marker must be reader-invisible"
+        with open(os.path.join(version_dir, marker), "w"):
+            pass
 
     # atomic symlink replacement (os.replace of a symlink over a symlink
     # is atomic on POSIX; a temp link in the same dir guarantees
@@ -95,6 +106,20 @@ def atomic_publish(df: DataFrame, path: str) -> None:
             os.remove(full)
         else:
             shutil.rmtree(full)
+
+
+def published_marker(path: str, prefix: str) -> str | None:
+    """Read back the marker (if any) landed with the CURRENTLY published
+    version at ``path`` (see ``atomic_publish(marker=...)``); returns
+    the marker's suffix after ``prefix``, or None. Used by the streaming
+    merges to skip an already-merged (redelivered) micro-batch."""
+    base = os.path.realpath(path.rstrip("/"))
+    if not os.path.isdir(base):
+        return None
+    for name in os.listdir(base):
+        if name.startswith(prefix):
+            return name[len(prefix):]
+    return None
 
 
 def compact_parquet(

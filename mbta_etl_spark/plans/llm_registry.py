@@ -5760,7 +5760,7 @@ _ORACLES["d42_substring_dedup"] = f"""
     keep AS (SELECT win FROM wins GROUP BY win
              HAVING COUNT(*) BETWEEN 2 AND {SUBSTR_MAX_WIN_OCC}),
     d AS (SELECT w.doc_id, w.pos, w.win FROM wins w JOIN keep USING (win)),
-    m AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  a.pos - b.pos AS diag, a.pos AS pa
           FROM d a JOIN d b ON a.win = b.win AND a.doc_id < b.doc_id),
     runs AS (SELECT doc_a, doc_b, diag, pa,
@@ -5829,7 +5829,10 @@ def st03_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mbta_etl_spark.streaming.frequent_stream import (
         start_heavy_hitter_stream,
     )
-    from mbta_etl_spark.streaming.replay import land_replay_log
+    from mbta_etl_spark.streaming.replay import (
+        land_replay_log,
+        open_replay_stream,
+    )
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     base = scratch_dir(spark, f"st03_{os.path.basename(sf_dir.rstrip('/'))}")
@@ -5839,9 +5842,7 @@ def st03_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     land_replay_log(docs, in_dir, 4, "doc_id")
     toks_stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .json(in_dir)
+        open_replay_stream(spark, in_dir, docs.schema)
         .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
         .filter(F.col("tok") != "")
     )

@@ -119,6 +119,11 @@ def q09_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q09A_ACCURACY = 10000  # percentile_approx accuracy => rank error <= n/accuracy
+Q09A_FRACTIONS = (0.5, 0.9, 0.95)
+# label rule mirrors core.approx_percentiles (f"p{int(f*100)}") — one
+# constant feeds the operator call, the audit structs AND the oracle's
+# VALUES list, so a fraction change cannot desynchronize them
+Q09A_LABELS = tuple(f"p{int(f * 100)}" for f in Q09A_FRACTIONS)
 
 
 def q09a_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,9 +144,9 @@ def q09a_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``core.approx_percentiles`` — the single-pass 100 TB path); this
     entry wraps it in the rank audit."""
     df = _events(spark, sf_dir).filter(F.col("value") > 0)
-    fracs = [("p50", 0.5), ("p90", 0.9), ("p95", 0.95)]
+    fracs = list(zip(Q09A_LABELS, Q09A_FRACTIONS))
     sk = core.approx_percentiles(
-        df, F.col("value"), [p for _, p in fracs], Q09A_ACCURACY
+        df, F.col("value"), list(Q09A_FRACTIONS), Q09A_ACCURACY
     )
     ranked = df.join(F.broadcast(sk)).agg(
         F.count(F.lit(1)).alias("n"),
@@ -1446,7 +1451,10 @@ def st02_stream_rollup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mbta_etl_spark.operators.rollup import rollup_read
     from mbta_etl_spark.sources.formats import scratch_dir
-    from mbta_etl_spark.streaming.replay import land_replay_log
+    from mbta_etl_spark.streaming.replay import (
+        land_replay_log,
+        open_replay_stream,
+    )
     from mbta_etl_spark.streaming.rollup import start_rollup_stream
 
     ev = _events(spark, sf_dir).select(
@@ -1458,12 +1466,7 @@ def st02_stream_rollup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(base, "ckpt")
     shutil.rmtree(base, ignore_errors=True)
     land_replay_log(ev, in_dir, 4, "event_id")
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .json(in_dir)
-        .drop("event_id")
-    )
+    stream = open_replay_stream(spark, in_dir, ev.schema).drop("event_id")
     query = start_rollup_stream(stream, tbl, ckpt)
     query.awaitTermination()
     out = rollup_read(spark.read.parquet(tbl))
@@ -4946,7 +4949,7 @@ _ORACLES: dict[str, str] = {
                CAST(n.n AS BIGINT) AS n,
                CAST(CEIL(n.n / {Q09A_ACCURACY}.0) + 1 AS BIGINT) AS rank_tol,
                TRUE AS in_bounds
-        FROM n, (VALUES ('p50'), ('p90'), ('p95')) t(pct)
+        FROM n, (VALUES {", ".join(f"('{lbl}')" for lbl in Q09A_LABELS)}) t(pct)
     """,
     "q10_between_filter": f"""
         SELECT p_partkey, p_name, p_size
@@ -5822,19 +5825,6 @@ _ORACLES: dict[str, str] = {
                  / 1000000 AS avg_value
         FROM events GROUP BY 1, 2
     """,
-    # st02: the streamed 4-batch rollup merge must equal the one-shot
-    # aggregation over all events — same oracle as r01 by design.
-    "st02_stream_rollup_equiv": """
-        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
-               event_type,
-               COUNT(*) AS cnt,
-               ROUND(SUM(value), 6) AS sum_value,
-               ROUND(MIN(value), 6) AS min_value,
-               ROUND(MAX(value), 6) AS max_value,
-               FLOOR(ROUND(SUM(value), 6) / COUNT(*) * 1000000 + 0.5)
-                 / 1000000 AS avg_value
-        FROM events GROUP BY 1, 2
-    """,
     "q15_hourly_rollup": """
         SELECT date_trunc('hour', ts) AS hour,
                COUNT(*) AS cnt,
@@ -6236,6 +6226,12 @@ _ORACLES: dict[str, str] = {
 }
 
 _ORACLES["g01_pagerank"] = _pagerank_oracle()
+
+# st02: the streamed 4-batch rollup merge must equal the one-shot
+# aggregation over all events — r01's oracle IS the invariant, aliased
+# (not copied) so a future fix to r01's float/rounding discipline can
+# never silently drift from st02's.
+_ORACLES["st02_stream_rollup_equiv"] = _ORACLES["r01_incremental_rollup"]
 
 # Recursive-CTE replay of the per-series CUSUM recursion (same oracle
 # tier as c04/c05): inputs are 6dp-rounded on both sides before the

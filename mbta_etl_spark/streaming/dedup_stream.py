@@ -140,7 +140,10 @@ def stream_exact_dedup_equiv(
     import os
     import shutil
 
-    from mbta_etl_spark.streaming.replay import land_replay_log
+    from mbta_etl_spark.streaming.replay import (
+        land_replay_log,
+        open_replay_stream,
+    )
 
     spark = docs.sparkSession
     in_dir = os.path.join(work_dir, "input")
@@ -151,11 +154,7 @@ def stream_exact_dedup_equiv(
 
     from mbta_etl_spark.operators.dedup import exact_dedup_groups
 
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .json(in_dir)
-    )
+    stream = open_replay_stream(spark, in_dir, docs.schema)
     # the REAL batch operator applied to the streaming frame (it is a
     # pure DataFrame transform) — so the equivalence claim is about the
     # operator itself, not a copy that could drift from it

@@ -4,8 +4,10 @@ operator in operators/frequent.py.
 
 State lives in the TABLE (an MG summary is mergeable, Agarwal et al.
 PODS'12), not the stream engine, so like streaming/rollup.py the
-aggregate survives restarts via checkpoint replay + exactly-once
-foreachBatch merges. Per-batch cost: one batch-sized groupBy plus a
+aggregate survives restarts via checkpoint replay; redelivered batches
+(foreachBatch is at-least-once) are skipped through the batch-id
+marker published atomically with the data, making the merges
+exactly-once. Per-batch cost: one batch-sized groupBy plus a
 merge over <= 2*capacity summary rows; standing state is O(capacity)
 regardless of stream length. Counts are LOWER BOUNDS with error at most
 N/capacity — the consumer reads "keys that might exceed phi" and, as in
@@ -20,7 +22,36 @@ import os
 from pyspark.sql import DataFrame
 
 from mbta_etl_spark.operators.frequent import mg_merge, mg_summarize
-from mbta_etl_spark.pipeline.load import atomic_publish
+from mbta_etl_spark.pipeline.load import atomic_publish, published_marker
+
+_BATCH_MARKER = "_merged_batch_"
+
+
+def merge_mg_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_path: str,
+    key: str,
+    capacity: int,
+) -> None:
+    """One idempotent foreachBatch merge. foreachBatch is AT-LEAST-once,
+    so the merge records the batch id inside the published version
+    (atomic_publish marker — data + id commit in one symlink swap) and
+    skips a redelivered batch. Without the skip, a replayed batch would
+    inflate effective N past the trim bound (error > N/capacity), which
+    would break the 'candidates ⊇ true heavy hitters' guarantee the
+    exact-recount consumers (st03) rely on."""
+    prev = published_marker(table_path, _BATCH_MARKER)
+    if prev is not None and batch_id <= int(prev):
+        return  # redelivered batch: already merged and published
+    inc = mg_summarize(batch_df, key, capacity)
+    spark = batch_df.sparkSession
+    if os.path.exists(table_path):
+        existing = spark.read.parquet(table_path)
+        out = mg_merge(existing, inc, key, capacity)
+    else:
+        out = inc
+    atomic_publish(out, table_path, marker=f"{_BATCH_MARKER}{batch_id}")
 
 
 def start_heavy_hitter_stream(
@@ -36,19 +67,12 @@ def start_heavy_hitter_stream(
     ``available_now=True`` runs a bounded replay (process everything
     available, then terminate) — the st03 equivalence-harness mode;
     the default is a continuous stream."""
-
-    def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        inc = mg_summarize(batch_df, key, capacity)
-        spark = batch_df.sparkSession
-        if os.path.exists(table_path):
-            existing = spark.read.parquet(table_path)
-            out = mg_merge(existing, inc, key, capacity)
-        else:
-            out = inc
-        atomic_publish(out, table_path)
-
     writer = (
-        keyed.writeStream.foreachBatch(_merge)
+        keyed.writeStream.foreachBatch(
+            lambda batch_df, batch_id: merge_mg_batch(
+                batch_df, batch_id, table_path, key, capacity
+            )
+        )
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )

@@ -1,16 +1,31 @@
 """Deterministic replay-log landing for streaming/batch equivalence
-entries (st01/st02): split a batch DataFrame into ``n_batches`` JSONL
-files — one per intended micro-batch — so a file source with
+entries (st01/st02/st03): split a batch DataFrame into ``n_batches``
+JSONL files — one per intended micro-batch — so a file source with
 ``maxFilesPerTrigger=1`` under an availableNow trigger replays it as a
-multi-batch stream. The split key is ``key % n_batches``, so the batch
+multi-batch stream. The split key is ``pmod(key, n_batches)`` (pmod,
+not %, so SIGNED keys — e.g. an xxhash64-derived id — land in a valid
+batch instead of a ``_b=-1`` directory the rename loop would silently
+destroy); NULL keys route deterministically to batch 0. Batch
 composition is a pure function of the data (replayable, host-order
 independent). Executors write the data; the driver only RENAMES the
-single part file per batch (metadata work, O(n_batches))."""
+single part file per batch (metadata work, O(n_batches)).
+
+Timestamp fidelity: JSON's default TIMESTAMP_NTZ format truncates to
+milliseconds, so the landing pins a microsecond format on the writer —
+and ``open_replay_stream`` pins the SAME format on the reader — making
+the round trip exact for the micros this repo's tables carry
+(load_table truncates parquet nanos to micros). Entries should open
+the landed log through ``open_replay_stream`` so the two options can
+never drift apart.
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_TS_NTZ_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
 
 def land_replay_log(
@@ -29,10 +44,14 @@ def land_replay_log(
     # landing as exactly n_batches batches). The partition column stays
     # out of the JSON payload, so the replayed schema equals df.schema.
     staging = os.path.join(in_dir, "_staging")
+    batch_of = F.pmod(
+        F.coalesce(F.col(split_col), F.lit(0)), F.lit(n_batches)
+    ).cast("int")
     (
-        df.withColumn("_b", (F.col(split_col) % n_batches).cast("int"))
+        df.withColumn("_b", batch_of)
         .repartition(n_batches, "_b")
         .write.partitionBy("_b")
+        .option("timestampNTZFormat", _TS_NTZ_FORMAT)
         .mode("overwrite")
         .json(staging)
     )
@@ -43,3 +62,17 @@ def land_replay_log(
         (part_file,) = files
         os.rename(part_file, os.path.join(in_dir, f"batch_{b}.json"))
     shutil.rmtree(staging, ignore_errors=True)
+
+
+def open_replay_stream(
+    spark, in_dir: str, schema: StructType
+) -> DataFrame:
+    """File-source reader matched to ``land_replay_log``'s writer: one
+    landed file per micro-batch, and the same microsecond
+    TIMESTAMP_NTZ format so timestamps replay bit-exactly."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("timestampNTZFormat", _TS_NTZ_FORMAT)
+        .json(in_dir)
+    )

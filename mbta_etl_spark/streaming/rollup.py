@@ -5,10 +5,11 @@ the same atomic publish the upsert sink uses.
 
 This is the foreachBatch form of a materialized view: state lives in the
 TABLE (mergeable partials), not the stream engine, so the aggregate
-survives restarts for free (checkpoint replays unmerged batches; merging
-a batch is idempotent against re-aggregation of the same rows only if
-each batch is merged exactly once — which the streaming checkpoint
-guarantees for foreachBatch with deterministic batch ids).
+survives restarts for free. foreachBatch is AT-LEAST-once — the
+checkpoint can redeliver the last batch after a crash between publish
+and commit — so each merge records its batch id inside the published
+version (atomic_publish marker: data + id in one symlink swap) and
+skips redelivered ids, making the merge exactly-once end to end.
 
 Scale: per micro-batch cost is one partial aggregation of the batch plus
 a merge shuffle over partial ROWS (bucket × key cardinality), never the
@@ -23,7 +24,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mbta_etl_spark.operators.rollup import rollup_increment, rollup_merge
-from mbta_etl_spark.pipeline.load import atomic_publish
+from mbta_etl_spark.pipeline.load import atomic_publish, published_marker
+
+_BATCH_MARKER = "_merged_batch_"
+
+
+def merge_rollup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_path: str,
+    keys: list[str],
+    bucket: str = "hour",
+) -> None:
+    """One idempotent foreachBatch merge. foreachBatch is AT-LEAST-once
+    (a crash between the table publish and the checkpoint commit
+    redelivers the same batch id on restart), so the merge records the
+    batch id INSIDE the published version via atomic_publish's marker —
+    data and batch id commit in one symlink swap — and a redelivered
+    batch whose id is already published is skipped. That upgrade makes
+    the merge exactly-once end to end; without it a replayed batch
+    would double-count into cnt/sum."""
+    prev = published_marker(table_path, _BATCH_MARKER)
+    if prev is not None and batch_id <= int(prev):
+        return  # redelivered batch: already merged and published
+    inc = rollup_increment(
+        batch_df, F.col("ts"), F.col("value"), keys, bucket
+    )
+    spark = batch_df.sparkSession
+    import os
+
+    if os.path.exists(table_path):
+        existing = spark.read.parquet(table_path)
+        merged = rollup_merge(existing, inc)
+    else:
+        merged = inc
+    atomic_publish(
+        merged, table_path, marker=f"{_BATCH_MARKER}{batch_id}"
+    )
 
 
 def start_rollup_stream(
@@ -37,22 +74,12 @@ def start_rollup_stream(
     table at ``table_path``. Returns the StreamingQuery."""
     keys = keys or ["event_type"]
 
-    def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        inc = rollup_increment(
-            batch_df, F.col("ts"), F.col("value"), keys, bucket
-        )
-        spark = batch_df.sparkSession
-        import os
-
-        if os.path.exists(table_path):
-            existing = spark.read.parquet(table_path)
-            merged = rollup_merge(existing, inc)
-        else:
-            merged = inc
-        atomic_publish(merged, table_path)
-
     return (
-        events.writeStream.foreachBatch(_merge)
+        events.writeStream.foreachBatch(
+            lambda batch_df, batch_id: merge_rollup_batch(
+                batch_df, batch_id, table_path, keys, bucket
+            )
+        )
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
         .trigger(availableNow=True)

@@ -184,3 +184,24 @@ def test_cms_rollup_one_sided_error_and_merge_algebra(spark):
     ).collect()
     for r in sub:
         assert r["overcount"] >= 0
+
+
+def test_merge_rollup_batch_redelivery_is_exactly_once(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between table publish and
+    checkpoint commit redelivers the same batch id. The batch-id marker
+    published atomically with the data must make the redelivered merge
+    a no-op — without it, cnt/sum double-count."""
+    from mbta_etl_spark.streaming.rollup import merge_rollup_batch
+
+    table = str(tmp_path / "rollup")
+    b0 = _events_df(spark, ROWS[:3])
+    b1 = _events_df(spark, ROWS[3:])
+    merge_rollup_batch(b0, 0, table, ["event_type"])
+    once = _canon(spark.read.parquet(table))
+    merge_rollup_batch(b0, 0, table, ["event_type"])  # redelivery
+    assert _canon(spark.read.parquet(table)) == once
+    merge_rollup_batch(b1, 1, table, ["event_type"])  # next batch merges
+    after = _canon(spark.read.parquet(table))
+    assert after != once
+    merge_rollup_batch(b1, 1, table, ["event_type"])  # redelivery again
+    assert _canon(spark.read.parquet(table)) == after
