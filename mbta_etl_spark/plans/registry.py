@@ -1481,6 +1481,89 @@ def st02_stream_rollup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st04_stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time session windows under a real WATERMARK — the fourth
+    streaming face (st01 engine hash state, st02 mergeable table state,
+    st03 sketch state; this one is engine SESSION state with
+    watermark-driven eviction): events replayed in TIME ORDER (four
+    day-range batches — the split must be time-monotone, or the first
+    batch's max ts would put every later batch behind the watermark and
+    drop it as late), streamed through the same session_window
+    expression q18a runs in batch, in APPEND mode — a session emits
+    exactly once, when the watermark passes its end. A sentinel row far
+    in the future rides the last batch so the final watermark advance
+    flushes the tail sessions (Spark's no-data batch emits them before
+    availableNow terminates); the sentinel's own session is filtered
+    from the result. Batch/stream share the operator expression, so the
+    final appended table equals q18a's batch sessionization and q18a's
+    oracle hash-verifies the streamed execution."""
+    import os
+    import shutil
+
+    from mbta_etl_spark.sources.formats import scratch_dir
+    from mbta_etl_spark.streaming.replay import (
+        land_replay_log,
+        open_replay_stream,
+    )
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    keyed = ev.withColumn(
+        "replay_key",
+        ((F.dayofmonth("ts") - 1) / F.lit(8)).cast("long"),
+    )
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("2099-01-01 00:00:00").cast("timestamp_ntz").alias("ts"),
+        F.lit(0.0).alias("value"),
+        F.lit(3).cast("long").alias("replay_key"),
+    )
+    keyed = keyed.unionByName(sentinel)
+    base = scratch_dir(spark, f"st04_{os.path.basename(sf_dir.rstrip('/'))}")
+    in_dir = os.path.join(base, "input")
+    out_dir = os.path.join(base, "sessions")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    land_replay_log(keyed, in_dir, 4, "replay_key")
+    # Watermarks require TIMESTAMP (LTZ), not NTZ: cast in, and cast the
+    # session bounds back out below. Both casts use the SAME session
+    # zone, so the wall-time round trip is exact (the data is a single
+    # DST-transition-free month; session-gap arithmetic itself runs on
+    # epoch micros and is zone-independent).
+    stream = (
+        open_replay_stream(spark, in_dir, keyed.schema)
+        .drop("replay_key")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sess = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            "user_id", F.session_window(F.col("ts"), SESSION_GAP).alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    query = (
+        sess.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+            lambda closed, _bid: closed.write.mode("append").parquet(out_dir)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir).filter(F.col("user_id") != -1)
+
+
 R02_REL_BOUND = 0.08  # ~4 sigma for lgConfigK=12 (rsd ~1.6%)
 
 
@@ -6232,6 +6315,10 @@ _ORACLES["g01_pagerank"] = _pagerank_oracle()
 # (not copied) so a future fix to r01's float/rounding discipline can
 # never silently drift from st02's.
 _ORACLES["st02_stream_rollup_equiv"] = _ORACLES["r01_incremental_rollup"]
+
+# st04: the watermarked streaming session windows must equal q18a's
+# batch sessionization — same alias-not-copy reasoning as st02.
+_ORACLES["st04_stream_session_equiv"] = _ORACLES["q18a_session_windows"]
 
 # Recursive-CTE replay of the per-series CUSUM recursion (same oracle
 # tier as c04/c05): inputs are 6dp-rounded on both sides before the
@@ -11167,6 +11254,7 @@ _WINDOW_PRIORITY = (
     "q09a_percentiles_approx", "q24a_distinct_approx",
     "r02_sketch_rollup", "d42_substring_dedup", "st01_stream_batch_equiv",
     "st02_stream_rollup_equiv", "st03_stream_heavy_hitters",
+    "st04_stream_session_equiv",
     # numeric / iterative audits (float-drift risk)
     "d20_hamming_histogram", "d28_canonical_selection",
     "d16_minhash_est_audit", "d14_lsh_scurve", "d24_transitivity_audit",
@@ -11528,6 +11616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st01_stream_batch_equiv": llm_registry.st01_stream_batch_equiv,
             "st02_stream_rollup_equiv": st02_stream_rollup_equiv,
             "st03_stream_heavy_hitters": llm_registry.st03_stream_heavy_hitters,
+            "st04_stream_session_equiv": st04_stream_session_equiv,
         }
     )
     # Rotate: never-driver-verified entries first (window-priority names

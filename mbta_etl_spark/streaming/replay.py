@@ -55,12 +55,23 @@ def land_replay_log(
         .mode("overwrite")
         .json(staging)
     )
+    import time
+
+    now = time.time()
     for b in range(n_batches):
         files = glob.glob(os.path.join(staging, f"_b={b}", "part-*.json"))
         if not files:  # an empty batch lands no file — nothing to replay
             continue
         (part_file,) = files
-        os.rename(part_file, os.path.join(in_dir, f"batch_{b}.json"))
+        dest = os.path.join(in_dir, f"batch_{b}.json")
+        os.rename(part_file, dest)
+        # the file source orders files by MODIFICATION TIME, and the
+        # four renames land within one clock tick — pin strictly
+        # ascending mtimes so batch k is always replayed k-th. Without
+        # this the pickup order is arbitrary, and for watermarked
+        # consumers (st04) an out-of-order time-range batch arrives
+        # behind the watermark and is silently dropped as late data.
+        os.utime(dest, (now - n_batches + b, now - n_batches + b))
     shutil.rmtree(staging, ignore_errors=True)
 
 
