@@ -122,6 +122,45 @@ def published_marker(path: str, prefix: str) -> str | None:
     return None
 
 
+_BATCH_MARKER_PREFIX = "_merged_batch_"
+
+
+def batch_marker(batch_id: int) -> str:
+    """Marker name recording a streaming merge's batch id (pass as
+    ``atomic_publish(..., marker=batch_marker(id))``)."""
+    return f"{_BATCH_MARKER_PREFIX}{batch_id}"
+
+
+def claim_batch(table_path: str, batch_id: int) -> bool:
+    """Shared idempotence guard for at-least-once foreachBatch merges
+    (the one mechanism both streaming sinks use — a single copy so the
+    marker string and the comparison can never drift apart):
+
+    - returns True when the batch should merge (id advances the table);
+    - returns False for a REDELIVERY of the exactly-one batch the
+      checkpoint can replay (the committed id itself) — skip silently;
+    - raises for an id REGRESSION (batch_id < published id), which
+      at-least-once delivery cannot produce: it means the checkpoint
+      was wiped or a fresh stream was pointed at an existing table.
+      Treating that as redelivery would silently DROP new data batch
+      after batch; failing loudly forces the operator to reset the
+      table or the checkpoint together."""
+    prev = published_marker(table_path, _BATCH_MARKER_PREFIX)
+    if prev is None:
+        return True
+    committed = int(prev)
+    if batch_id == committed:
+        return False
+    if batch_id < committed:
+        raise RuntimeError(
+            f"streaming merge lineage break at {table_path}: batch id "
+            f"{batch_id} is behind the published id {committed} — the "
+            f"checkpoint no longer matches the table (wiped checkpoint "
+            f"or fresh stream over an old table). Reset both together."
+        )
+    return True
+
+
 def compact_parquet(
     spark: SparkSession, path: str, target_files: int = 1
 ) -> int:

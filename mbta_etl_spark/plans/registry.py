@@ -1507,9 +1507,24 @@ def st04_stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    # time-quantile split relative to the ACTUAL data span — monotone
+    # for any span, not just the current single-month testdata (a split
+    # on dayofmonth alone would silently interleave months, put later
+    # data in earlier batches, and drop everything behind the watermark
+    # as late). One scalar min/max agg (driver-side metadata only);
+    # day arithmetic runs on NTZ-derived wall dates, so it is TZ-free.
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
+    n_days = (mx.date() - mn.date()).days + 1
+    days_per_batch = max(1, -(-n_days // 4))
+    day_off = F.datediff(
+        F.col("ts").cast("date"),
+        F.lit(mn.date().isoformat()).cast("date"),
+    )
     keyed = ev.withColumn(
         "replay_key",
-        ((F.dayofmonth("ts") - 1) / F.lit(8)).cast("long"),
+        F.least(
+            F.floor(day_off / F.lit(days_per_batch)), F.lit(3)
+        ).cast("long"),
     )
     sentinel = spark.range(1).select(
         F.lit(-1).cast("long").alias("user_id"),
@@ -1534,34 +1549,29 @@ def st04_stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("replay_key")
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
-    sess = (
-        stream.withWatermark("ts", "2 hours")
-        .groupBy(
-            "user_id", F.session_window(F.col("ts"), SESSION_GAP).alias("w")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
-        )
-        .select(
-            "user_id",
-            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
-            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
-            "n_events",
-            "sum_value",
-        )
-    )
+    # THE shared session expression (q18a's batch operator, not a copy)
+    # applied to the watermarked stream
+    sess = _session_window_agg(stream.withWatermark("ts", "2 hours"))
+    # idempotent sink: per-batch OVERWRITE into a batch_id partition
+    # (the dedup_stream discipline) — an at-least-once redelivery
+    # rewrites its own partition instead of appending duplicates
     query = (
         sess.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
         .foreachBatch(
-            lambda closed, _bid: closed.write.mode("append").parquet(out_dir)
+            lambda closed, bid: closed.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={bid}"
+            )
         )
         .trigger(availableNow=True)
         .start()
     )
     query.awaitTermination()
-    return spark.read.parquet(out_dir).filter(F.col("user_id") != -1)
+    return (
+        spark.read.parquet(out_dir)
+        .drop("batch_id")
+        .filter(F.col("user_id") != -1)
+    )
 
 
 R02_REL_BOUND = 0.08  # ~4 sigma for lgConfigK=12 (rsd ~1.6%)
@@ -1811,11 +1821,11 @@ SAMPLE_RATES = {"click": 0.5, "purchase": 1.0, "view": 0.1}
 SESSION_GAP = "30 minutes"
 
 
-def q18a_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native session_window sessionization (dynamic-gap windows merged by
-    the engine; batch and streaming share the operator). Same single
-    user-keyed shuffle as the hand-built island version (q18)."""
-    ev = _events(spark, sf_dir)
+def _session_window_agg(ev: DataFrame) -> DataFrame:
+    """THE session_window expression — one builder shared by q18a
+    (batch) and st04 (watermarked stream), so the two can never drift:
+    the equivalence st04 claims is about this exact expression, and its
+    oracle is aliased to q18a's for the same reason."""
     w = F.session_window(F.col("ts"), SESSION_GAP)
     return (
         ev.groupBy("user_id", w.alias("w"))
@@ -1831,6 +1841,14 @@ def q18a_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+def q18a_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization (dynamic-gap windows merged by
+    the engine; batch and streaming share the operator — see
+    ``_session_window_agg``). Same single user-keyed shuffle as the
+    hand-built island version (q18)."""
+    return _session_window_agg(_events(spark, sf_dir))
 
 
 def q25_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

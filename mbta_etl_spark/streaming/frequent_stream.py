@@ -22,9 +22,11 @@ import os
 from pyspark.sql import DataFrame
 
 from mbta_etl_spark.operators.frequent import mg_merge, mg_summarize
-from mbta_etl_spark.pipeline.load import atomic_publish, published_marker
-
-_BATCH_MARKER = "_merged_batch_"
+from mbta_etl_spark.pipeline.load import (
+    atomic_publish,
+    batch_marker,
+    claim_batch,
+)
 
 
 def merge_mg_batch(
@@ -37,12 +39,13 @@ def merge_mg_batch(
     """One idempotent foreachBatch merge. foreachBatch is AT-LEAST-once,
     so the merge records the batch id inside the published version
     (atomic_publish marker — data + id commit in one symlink swap) and
-    skips a redelivered batch. Without the skip, a replayed batch would
-    inflate effective N past the trim bound (error > N/capacity), which
-    would break the 'candidates ⊇ true heavy hitters' guarantee the
-    exact-recount consumers (st03) rely on."""
-    prev = published_marker(table_path, _BATCH_MARKER)
-    if prev is not None and batch_id <= int(prev):
+    the shared ``claim_batch`` guard skips a redelivered batch (raising
+    on id regression = broken checkpoint/table lineage). Without the
+    skip, a replayed batch would inflate effective N past the trim
+    bound (error > N/capacity), which would break the 'candidates ⊇
+    true heavy hitters' guarantee the exact-recount consumers (st03)
+    rely on."""
+    if not claim_batch(table_path, batch_id):
         return  # redelivered batch: already merged and published
     inc = mg_summarize(batch_df, key, capacity)
     spark = batch_df.sparkSession
@@ -51,7 +54,7 @@ def merge_mg_batch(
         out = mg_merge(existing, inc, key, capacity)
     else:
         out = inc
-    atomic_publish(out, table_path, marker=f"{_BATCH_MARKER}{batch_id}")
+    atomic_publish(out, table_path, marker=batch_marker(batch_id))
 
 
 def start_heavy_hitter_stream(

@@ -24,9 +24,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mbta_etl_spark.operators.rollup import rollup_increment, rollup_merge
-from mbta_etl_spark.pipeline.load import atomic_publish, published_marker
-
-_BATCH_MARKER = "_merged_batch_"
+from mbta_etl_spark.pipeline.load import (
+    atomic_publish,
+    batch_marker,
+    claim_batch,
+)
 
 
 def merge_rollup_batch(
@@ -40,12 +42,12 @@ def merge_rollup_batch(
     (a crash between the table publish and the checkpoint commit
     redelivers the same batch id on restart), so the merge records the
     batch id INSIDE the published version via atomic_publish's marker —
-    data and batch id commit in one symlink swap — and a redelivered
-    batch whose id is already published is skipped. That upgrade makes
-    the merge exactly-once end to end; without it a replayed batch
-    would double-count into cnt/sum."""
-    prev = published_marker(table_path, _BATCH_MARKER)
-    if prev is not None and batch_id <= int(prev):
+    data and batch id commit in one symlink swap — and the shared
+    ``claim_batch`` guard skips a redelivered batch (and fails loudly on
+    an id regression, which means checkpoint/table lineage broke). That
+    makes the merge exactly-once end to end; without it a replayed
+    batch would double-count into cnt/sum."""
+    if not claim_batch(table_path, batch_id):
         return  # redelivered batch: already merged and published
     inc = rollup_increment(
         batch_df, F.col("ts"), F.col("value"), keys, bucket
@@ -58,9 +60,7 @@ def merge_rollup_batch(
         merged = rollup_merge(existing, inc)
     else:
         merged = inc
-    atomic_publish(
-        merged, table_path, marker=f"{_BATCH_MARKER}{batch_id}"
-    )
+    atomic_publish(merged, table_path, marker=batch_marker(batch_id))
 
 
 def start_rollup_stream(

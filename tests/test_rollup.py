@@ -205,3 +205,21 @@ def test_merge_rollup_batch_redelivery_is_exactly_once(spark, tmp_path):
     assert after != once
     merge_rollup_batch(b1, 1, table, ["event_type"])  # redelivery again
     assert _canon(spark.read.parquet(table)) == after
+
+
+def test_claim_batch_raises_on_id_regression(spark, tmp_path):
+    """A batch id BEHIND the published one cannot be a redelivery (only
+    the single committed id replays) — it means the checkpoint was
+    wiped or a fresh stream was pointed at an old table. Treating it as
+    redelivery would silently drop new data; the guard must fail loudly
+    instead."""
+    import pytest
+
+    from mbta_etl_spark.streaming.rollup import merge_rollup_batch
+
+    table = str(tmp_path / "rollup")
+    merge_rollup_batch(_events_df(spark, ROWS[:3]), 5, table, ["event_type"])
+    with pytest.raises(RuntimeError, match="lineage break"):
+        merge_rollup_batch(
+            _events_df(spark, ROWS[3:]), 2, table, ["event_type"]
+        )
