@@ -108,11 +108,16 @@ def sketch_rollup(
     union is a few MB of driver-free aggregation.
 
     The total row carries a null bucket (grouping-sets convention).
-    Estimates carry the usual HLL error (~1.04/√2^(lgK/1) relative), so
-    this entry is rows-only by design — no SQL oracle can replay the
-    sketch — and the merge contract (union estimate ≈ single-pass
-    estimate ≈ exact, within error) is pinned in tests/test_rollup.py.
-    For oracle-exact distincts see q24 (two-stage exact) / r01."""
+    Estimates carry the usual HLL error (~1.04/√2^(lgK/2) relative).
+    The r02_sketch_rollup registry entry wraps this in a COMPOSED
+    oracle (round 5): the exact per-bucket distinct is computed beside
+    the estimate and the hash-checked output carries (bucket, n_exact,
+    est_in_bounds) — the estimate itself stays out of the hashed
+    columns, while an HLL or union regression flips the in-bounds flag
+    and breaks the driver hash. The merge contract (union estimate ≈
+    single-pass estimate ≈ exact, within error) is additionally pinned
+    in tests/test_rollup.py. For oracle-exact distincts see q24
+    (two-stage exact) / r01."""
     b = F.date_trunc(bucket, F.col(ts_col)).cast("timestamp_ntz")
     sketches = df.groupBy(b.alias("bucket")).agg(
         F.hll_sketch_agg(entity_col).alias("_sk")

@@ -5797,11 +5797,10 @@ def st01_stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_exact_dedup_equiv(docs, scratch_dir(spark, tag))
 
 
-_ORACLES["st01_stream_batch_equiv"] = """
-    SELECT sha256(text) AS text_sha, COUNT(*) AS n_copies,
-           MIN(doc_id) AS keep_doc_id
-    FROM documents GROUP BY 1
-"""
+# st01: the streamed StateStore dedup must equal d01's one-shot batch
+# dedup — ALIASED, not copied (the st02/st04 discipline), so a future
+# fix to d01's oracle can never silently drift from st01's.
+_ORACLES["st01_stream_batch_equiv"] = _ORACLES["d01_exact_dedup"]
 
 
 ST03_PHI = 0.02  # heavy-hitter threshold (matches t18's batch entry)

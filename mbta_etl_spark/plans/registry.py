@@ -1486,9 +1486,12 @@ def st04_stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming face (st01 engine hash state, st02 mergeable table state,
     st03 sketch state; this one is engine SESSION state with
     watermark-driven eviction): events replayed in TIME ORDER (four
-    day-range batches — the split must be time-monotone, or the first
-    batch's max ts would put every later batch behind the watermark and
-    drop it as late), streamed through the same session_window
+    day-range batches — the split must be time-monotone, or a batch
+    behind the watermark emits truncated session FRAGMENTS and silently
+    discards the sessions' remaining rows, diverging from the batch
+    answer; measured + pinned in tests/test_streaming.py::
+    test_session_window_late_batch_fragments_and_drops), streamed
+    through the same session_window
     expression q18a runs in batch, in APPEND mode — a session emits
     exactly once, when the watermark passes its end. A sentinel row far
     in the future rides the last batch so the final watermark advance
@@ -1572,6 +1575,139 @@ def st04_stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("batch_id")
         .filter(F.col("user_id") != -1)
     )
+
+
+def st05_stream_stream_join_equiv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-STREAM interval join — the fifth streaming face (VERDICT
+    r5 item 3; st01-st04 cover engine/table/sketch/session state, this
+    one covers dual-sided JOIN state): clicks and purchases land as TWO
+    separate watermarked file-source streams, each replayed as four
+    time-monotone micro-batches, inner-joined in append mode on user_id
+    plus the event-time range constraint equivalent to j08's interval
+    overlap (click window [ts, ts+5m) x purchase window [ts, ts+2m) ⇔
+    b_start in (a_start - 2m, a_start + 5m)). The range constraint on
+    the two watermarked columns is what lets the engine bound both state
+    stores: a click is evicted once the global (min-of-sources)
+    watermark passes a_start + 5m, by which point every purchase that
+    could still match would itself be late — so with the time-monotone
+    replay, eviction can never lose a pair and the appended result
+    equals the batch interval join. Inner-join rows emit in the
+    micro-batch where the second side arrives (no watermark flush or
+    sentinel needed, unlike st04's session windows). j08's oracle
+    hash-verifies the streamed execution; overlap seconds derive from
+    microsecond arithmetic on the two event times, zone-independent
+    under the NTZ→LTZ watermark casts (same round-trip argument as
+    st04)."""
+    import os
+    import shutil
+
+    from mbta_etl_spark.sources.formats import scratch_dir
+    from mbta_etl_spark.streaming.replay import (
+        land_replay_log,
+        open_replay_stream,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    # ONE global time-quantile split shared by both sides (computed from
+    # the full span like st04) so the two landings stay mutually aligned
+    # batch-for-batch; each side's files are independently time-monotone,
+    # which is all min-of-sources watermarking needs.
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
+    n_days = (mx.date() - mn.date()).days + 1
+    days_per_batch = max(1, -(-n_days // 4))
+    day_off = F.datediff(
+        F.col("ts").cast("date"),
+        F.lit(mn.date().isoformat()).cast("date"),
+    )
+    keyed = ev.withColumn(
+        "replay_key",
+        F.least(
+            F.floor(day_off / F.lit(days_per_batch)), F.lit(3)
+        ).cast("long"),
+    )
+    base = scratch_dir(spark, f"st05_{os.path.basename(sf_dir.rstrip('/'))}")
+    clicks_dir = os.path.join(base, "clicks")
+    purch_dir = os.path.join(base, "purchases")
+    out_dir = os.path.join(base, "pairs")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    clicks_src = keyed.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"), "replay_key",
+    )
+    purch_src = keyed.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"), "replay_key",
+    )
+    land_replay_log(clicks_src, clicks_dir, 4, "replay_key")
+    land_replay_log(purch_src, purch_dir, 4, "replay_key")
+    # Watermarks require TIMESTAMP (LTZ), not NTZ — cast in; the joined
+    # output carries only ids and a duration, so nothing casts back out.
+    from mbta_etl_spark.streaming.ingest import interval_overlap_streams
+
+    clicks = (
+        open_replay_stream(spark, clicks_dir, clicks_src.schema)
+        .drop("replay_key")
+        .withColumn("a_ts", F.col("a_ts").cast("timestamp"))
+    )
+    purchases = (
+        open_replay_stream(spark, purch_dir, purch_src.schema)
+        .drop("replay_key")
+        .withColumn("b_ts", F.col("b_ts").cast("timestamp"))
+    )
+    # THE shared overlap expression (streaming/ingest — unit-pinned
+    # against the batch interval_overlap_join), windows [ts, ts+5m) x
+    # [ts, ts+2m) matching j08's batch entry
+    joined = interval_overlap_streams(
+        clicks, purchases, "user_id", "b_user", "a_ts", "b_ts",
+        a_window="5 minutes", b_window="2 minutes",
+    ).select(
+        "user_id",
+        "a_id",
+        "b_id",
+        (
+            F.expr(
+                "timestampdiff(MICROSECOND, greatest(a_ts, b_ts), "
+                "least(a_ts + INTERVAL 5 MINUTES, b_ts + INTERVAL 2 MINUTES))"
+            )
+            / F.lit(1_000_000.0)
+        ).alias("overlap_s"),
+    )
+    # idempotent sink: per-batch OVERWRITE into a batch_id partition
+    # (st04's discipline) — an at-least-once redelivery rewrites its own
+    # partition instead of appending duplicate pairs.
+    #
+    # State partitioning: a stream-stream join instantiates FOUR state
+    # stores per shuffle partition (keyToNumValues + keyWithIndexToValue
+    # on each side), so the per-batch fixed cost is 4 x partitions x
+    # batches regardless of data volume. The shuffle-partition count is
+    # baked into the checkpoint at first run, so it is pinned explicitly
+    # here for the replay's lifetime and restored after: 8 at test scale
+    # (where store instantiation dominates); a production deployment of
+    # the same query raises it to match executor count, since at 100 TB
+    # the per-partition DATA, not the store count, is the knob.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            joined.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda pairs, bid: pairs.write.mode("overwrite").parquet(
+                    f"{out_dir}/batch_id={bid}"
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.read.parquet(out_dir).drop("batch_id")
 
 
 R02_REL_BOUND = 0.08  # ~4 sigma for lgConfigK=12 (rsd ~1.6%)
@@ -6337,6 +6473,11 @@ _ORACLES["st02_stream_rollup_equiv"] = _ORACLES["r01_incremental_rollup"]
 # st04: the watermarked streaming session windows must equal q18a's
 # batch sessionization — same alias-not-copy reasoning as st02.
 _ORACLES["st04_stream_session_equiv"] = _ORACLES["q18a_session_windows"]
+
+# st05: the dual-watermarked stream-stream interval join must equal the
+# batch interval-overlap join — j08's oracle, aliased (not copied) so a
+# future fix to j08's overlap arithmetic can never silently drift.
+_ORACLES["st05_stream_stream_join_equiv"] = _ORACLES["j08_interval_overlap"]
 
 # Recursive-CTE replay of the per-series CUSUM recursion (same oracle
 # tier as c04/c05): inputs are 6dp-rounded on both sides before the
@@ -11156,138 +11297,114 @@ _ORACLES["v20_freshness_lag"] = """
 """
 
 
-_DRIVER_VERIFIED = frozenset({
-    "c01_corpus_clean", "c02_corpus_mix", "c03_split_assign",
-    "c05_greedy_pack", "c06_token_budget", "c07_eval_sample",
-    "d01_exact_dedup", "d02_fingerprint_dedup", "d03_ngram_jaccard_pairs",
-    "d04_minhash_lsh_pairs", "d05_simhash", "d06_embed_cosine_pairs",
-    "d07_dup_clusters", "d08_decontaminate", "d09_simhash_band_pairs",
-    "j01_asof_attribution", "j02_range_attribution",
-    "j03_customers_no_orders", "j04_big_spenders_semi",
-    "j05_full_outer_reconcile", "k01_kmeans_clusters",
-    "m01_binary_meta", "m02_fake_image_features", "m03_frame_samples",
-    "m04_fake_resize",
-    "q01_top10_by_value", "q02_prefix_classify", "q03_class_breakdown",
-    "q04_global_stats", "q05_status_counts", "q06_share_pct",
-    "q07_orderstatus_counts", "q08_threshold_split",
-    # q09a/q24a/r02 were driver-green as rows-only entries in r1/r3 but
-    # are HELD OUT for re-verification: round 5 gave them composed
-    # oracles with new output schemas (VERDICT r4 item 3).
-    "q09_percentiles_exact",
-    "q10_between_filter", "q11_cardinal_histogram", "q12_count",
-    "q13_point_lookup", "q14_upsert_latest", "q15_hourly_rollup",
-    "q16_pricing_summary", "q17_top_customers", "q18_sessionization",
-    "q18a_session_windows", "q19_running_totals", "q20_priority_rollup",
-    "q21_status_set_ops", "q22_segment_revenue", "q23_json_extract",
-    "q24_distinct_counts", "q25_pivot_counts",
-    "q26_stratified_sample", "q27_cube_breakdown", "q28_corr_stats",
-    "q29_value_histogram", "q30_regional_revenue", "q31_topn_per_group",
-    "q32_order_max_item", "q33_moving_avg", "q34_gap_fill_days",
-    "q35_order_basket", "q36_grouping_sets", "q37_value_quartiles",
-    "q38_salted_agg", "q39_custdist", "q40_large_orders", "q41_union_tag",
-    "q42_user_journey", "q43_promo_share", "q44_late_ship_priority",
-    "q45_idle_rich_customers", "q46_column_profile",
-    "r01_incremental_rollup",
-    "s01_cosine_topk", "s02_lsh_topk", "s03_label_topk_pairs",
-    "s04_norm_zscore", "s05_ivf_topk", "s06_vector_norms",
-    "s07_label_median_norm",
-    "t01_token_stats", "t02_quality_score", "t03_lang_id",
-    "t04_fingerprint", "t05_bpe_tokens", "t06_pii_scrub", "t07_vocab_df",
-    "t08_tfidf", "t09_repetition", "t10_tokenize_udtf", "t11_unigram_lm",
-    "v01_constraint_check", "v02_referential_check", "v03_snapshot_diff",
-    # --- round-3 greens (CORRECTNESS_r03.json: 49 all-green; the 50th,
-    # r02_sketch_rollup, passed its rows-only gate then but is held out
-    # above with the rest of the re-oracled trio) ---
-    "c04_chunk_pack", "c08_weighted_sample", "c10_temperature_mix",
-    "c12_curriculum_shards",
-    "d10_ngram_containment", "d11_incremental_dedup",
-    "d12_normalized_dedup", "d13_lsh_recall_audit",
-    "j06_cogroup_funnel", "j07_salted_join", "j08_interval_overlap",
-    "j09_nearest_event", "j10_scd2_intervals",
-    "m05_phash_dupes", "m06_sniff_router", "m10_png_decode",
-    "m11_wav_decode",
-    "q47_variant_extract", "q48_analytic_battery", "q49_fuzzy_join",
-    "q50_bag_set_ops", "q51_retention_cohorts", "q52_topk_with_ties",
-    "q53_rolling_distinct", "q54_pair_cooccurrence",
-    "q55_transition_matrix", "q56_funnel_conversion",
-    "q57_mad_outliers", "q58_activity_streaks",
-    "s08_multi_query_topk", "s09_mmr_rerank",
-    "t12_boilerplate_frac", "t13_zipf_spectrum", "t14_bigram_lift",
-    "ts01_locf", "ts02_delta_rate", "ts03_interpolate",
-    "ts04_rolling_zscore", "ts05_bucket_gapfill", "ts06_ewma",
-    "ts07_downsample", "ts08_minmax_norm", "ts09_gap_detect",
-    "ts10_locf_ttl", "ts11_mase", "ts12_ohlc",
-    "v04_apply_changelog", "v05_quarantine_split", "v06_profile_drift",
-    # --- round-4 greens (CORRECTNESS_r04.json: 50/50 all-green, the first
-    # fully-green driver window) ---
-    "c27_dsir_importance", "c28_doremi_weights",
-    "d26_semantic_dedup", "d30_bloom_decontam", "d31_embed_decontam",
-    "d33_method_agreement", "d35_pointer_doubling", "d36_bbit_minhash",
-    "d38_removal_budget",
-    "g01_pagerank", "g02_triangles", "g03_degree_reciprocity",
-    "g04_dup_chain_depth", "g05_co_engagement", "g06_kcore_census",
-    "g07_assortativity",
-    "j14_interval_coalesce", "j15_asof_forward", "j16_orphan_conversions",
-    "j17_window_funnel", "j18_markov_attribution",
-    "k03_silhouette",
-    "q102_equidepth_histogram",
-    "r03_histogram_quantile", "r04_cms_rollup",
-    "s23_pq_codebook", "s24_pq_adc_topk", "s25_hamming_topk",
-    "s27_filtered_ann",
-    "src01_jsonl_roundtrip", "src02_partition_pruned_scan",
-    "src03_csv_roundtrip", "src04_zorder_layout",
-    "src05_bloom_runtime_filter", "src06_bucketed_join",
-    "src07_compacted_layout", "src08_schema_evolution",
-    "src09_incremental_manifest", "src10_txn_log", "src11_footer_stats",
-    "t27_gopher_rules",
-    "ts25_holt_winters", "ts27_seasonal_anomaly", "ts28_changepoint",
-    "ts30_stl_decompose", "ts31_forecast_backtest", "ts33_stl_anomaly",
-    "ts35_theil_sen", "ts37_m4_downsample",
-    "v23_observed_metrics",
-})
+# --- Driver-verified set: DERIVED, not hand-maintained ---------------------
+#
+# Rounds 3, 4, and 5 each ended with the same procedural red: the driver
+# writes CORRECTNESS_r{N}.json AFTER the round's final commit, so a
+# hand-maintained literal of green names was always one window behind and
+# the sentry test failed on the end-of-round tree. The set is therefore
+# derived at import time from the repo-root CORRECTNESS_r*.json files
+# themselves (VERDICT r5 item 1): a name is verified iff its MOST RECENT
+# driver row is all-green. Later rounds win, so a red that was re-run
+# green counts as green, and a green that later regressed red is
+# automatically re-queued for the next window.
+#
+# Only the holdout set stays hand-maintained: entries whose semantics or
+# oracle changed since their last green driver row, so the driver must
+# re-verify them even though an old green row exists. (Round 5 used this
+# for the q09a/q24a/r02 composed-oracle re-verification; all three came
+# back green in CORRECTNESS_r05.json, so round 6 starts empty.)
+_DRIVER_HOLDOUTS: frozenset[str] = frozenset()
 
-# Round-5 window stacking (VERDICT r4 item 1): among the
-# never-driver-verified pool, these names jump to the FRONT of the queue
-# (in this order) so the driver's 50-slot window covers the
-# highest-drift-risk entries first — the round-4 additions that have
-# never seen a driver check (winnowing, JPEG decode, rolling median,
-# run-length compression, feature hashing, PCA invariants, pipe syntax,
-# ORC round-trip), the round-5 additions (the approx-sketch trio with
-# their new composed oracles, substring dedup, the streaming
-# batch-equivalence entry), then the numeric/iterative audits where
-# Spark-vs-DuckDB float drift is most likely. Entries not listed here
+
+def _load_driver_verified() -> frozenset[str]:
+    """Union of latest-round all-green driver rows, minus holdouts."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    status: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue  # unreadable / partially-written file: ignore
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") == "no_oracle":
+                # historical rows-only gate (retired in round 5): the
+                # driver recorded spark_rows and compared nothing else
+                ok = row.get("spark_rows") is not None
+            else:
+                ok = (
+                    row.get("err") is None
+                    and bool(row.get("rows_match"))
+                    and row.get("schema_match") is not False
+                    and row.get("hash_match") is not False
+                )
+            status[name] = ok  # files sort by round: latest row wins
+    return frozenset(n for n, ok in status.items() if ok) - _DRIVER_HOLDOUTS
+
+
+_DRIVER_VERIFIED = _load_driver_verified()
+
+# Round-6 window stacking (VERDICT r5 item 2): among the 115 entries the
+# driver has never sampled, these names jump to the FRONT of the queue
+# (in this order). Risk ranking: q96 exercises Spark 4 SQL-UDF
+# resolution (the most upgrade-fragile plan in the registry), s21
+# persists IVF state to the filesystem, v22/d27 and the c2x epoch/
+# packing audits carry the most intricate oracle SQL, d37/d39/d40 are
+# the content-defined chunkers, q89/q92 are the round-5 deliberate
+# overflow pair (ADVICE r5), st05 is this round's new stream-stream
+# join, then the Python-kernel multimodal tier, token/text audits,
+# dedup audits, and remaining numeric entries. Entries not listed here
 # keep their stable registration order after the priority block;
-# verified entries still come last. Names not (yet) registered or
-# already verified are filtered out harmlessly. The list holds 51
-# live names for a 50-slot window ON PURPOSE: the round-5 additions
-# (st03) pushed the tail audit (q92_gini) to position 51, where it
-# LEADS the round-6 queue instead of falling back to registration
-# order — the overflow is the head of next round's window.
+# verified entries still come last; names not (yet) registered or
+# already verified are filtered out harmlessly. The list holds 53 live
+# names for a 50-slot window ON PURPOSE: q60_percentile_battery,
+# q90_mean_battery, and q91_cdf_point overflow at positions 51-53 and
+# LEAD the round-7 queue instead of falling back to registration order.
 _WINDOW_PRIORITY = (
-    # round-4 additions, never driver-sampled
-    "d41_winnowing_pairs", "m15_jpeg_decode", "ts38_rolling_median",
-    "q104_compress_consecutive", "t31_feature_hashing",
-    "s15a_pca_invariants", "q105_pipe_syntax", "src12_orc_roundtrip",
-    # round-5 additions / re-verifications (composed oracles, new ops)
-    "q09a_percentiles_approx", "q24a_distinct_approx",
-    "r02_sketch_rollup", "d42_substring_dedup", "st01_stream_batch_equiv",
-    "st02_stream_rollup_equiv", "st03_stream_heavy_hitters",
-    "st04_stream_session_equiv",
-    # numeric / iterative audits (float-drift risk)
-    "d20_hamming_histogram", "d28_canonical_selection",
-    "d16_minhash_est_audit", "d14_lsh_scurve", "d24_transitivity_audit",
-    "d18_jaccard_threshold_sweep", "d32_soft_dedup",
-    "s11_ivf_recall_audit", "s13_matryoshka_audit", "s14_knn_classify",
-    "s16_centroid_separation", "s17_anisotropy", "s19_embedding_drift",
-    "s26_ndcg_audit", "s10_int8_quant", "s20_hybrid_rrf",
-    "s22_random_projection",
-    "ts13_cusum", "ts14_holt_linear", "ts15_seasonal_decompose",
-    "ts16_acf", "ts19_max_drawdown", "ts21_seasonality_strength",
-    "ts26_subseq_search", "ts29_acf",
-    "v09_welch_ttest", "v13_ks_test", "v15_chi2_independence",
-    "t15_js_divergence", "t16_corpus_entropy", "t24_bm25",
-    "c20_perplexity_bands", "k02_cluster_profile",
-    "q75_trimmed_mean", "q89_moment_battery", "q92_gini",
+    # highest-risk never-sampled (VERDICT r5 item 2, in its order)
+    "q96_sql_udf_pipeline", "s21_ivf_persist", "v22_duplicate_rows",
+    "d27_dup_span_extents",
+    # round-6 addition: stream-stream join equivalence
+    "st05_stream_stream_join_equiv",
+    # epoch / packing audits
+    "c21_adaptive_quality_filter", "c22_epoch_plan", "c23_shuffle_shards",
+    "c24_epoch_materialize", "c25_overlap_chunks", "c26_pad_waste",
+    "c29_length_buckets", "c30_multimodal_budget",
+    "c31_pack_attention_waste",
+    # content-defined chunkers
+    "d37_lsh_planner", "d39_cdc_chunking", "d40_chunker_comparison",
+    # round-5 deliberate overflow pair
+    "q89_moment_battery", "q92_gini",
+    # Python-kernel / binary-format tier (Arrow batch shape risk)
+    "m07_audio_features", "m08_modality_census", "m09_byte_entropy",
+    "m12_media_shards", "m13_patch_grid", "m14_arrow_byte_stats",
+    # token / text audits
+    "t17_langid_confusion", "t18_heavy_hitter_tokens", "t19_readability",
+    "t20_tokenizer_fertility", "t25_ngram_novelty",
+    "t26_bpe_merge_candidates", "t28_bigram_lm",
+    # dedup audits
+    "d15_dup_by_source", "d17_dup_size_histogram",
+    "d19_cross_source_dups", "d21_dedup_savings", "d22_band_occupancy",
+    "d23_shingle_df_spectrum", "d29_chunk_dedup", "d34_dup_aware_sample",
+    # similarity / time-series / validation numerics
+    "s12_dim_stats", "s18_metric_agreement",
+    "ts17_twap", "ts32_seasonality_strength", "ts34_burstiness",
+    "ts36_timedecay_smooth",
+    "v07_benford", "v08_fd_audit", "v19_vector_validity",
+    "v21_benford_audit",
+    # deliberate overflow — leads round 7
+    "q60_percentile_battery", "q90_mean_battery", "q91_cdf_point",
 )
 
 
@@ -11635,6 +11752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st02_stream_rollup_equiv": st02_stream_rollup_equiv,
             "st03_stream_heavy_hitters": llm_registry.st03_stream_heavy_hitters,
             "st04_stream_session_equiv": st04_stream_session_equiv,
+            # round-6 additions
+            "st05_stream_stream_join_equiv": st05_stream_stream_join_equiv,
         }
     )
     # Rotate: never-driver-verified entries first (window-priority names

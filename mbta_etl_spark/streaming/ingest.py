@@ -178,6 +178,41 @@ def interval_join_streams(
     return l.join(r, cond, "inner")
 
 
+def interval_overlap_streams(
+    a: DataFrame,
+    b: DataFrame,
+    a_key: str,
+    b_key: str,
+    a_ts: str,
+    b_ts: str,
+    a_window: str = "5 minutes",
+    b_window: str = "2 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream INTERVAL-OVERLAP join — the symmetric sibling of
+    ``interval_join_streams``: each a-row owns the window
+    [a_ts, a_ts + a_window), each b-row [b_ts, b_ts + b_window), and a
+    pair joins when the windows overlap, i.e.
+    ``b_ts > a_ts - b_window AND b_ts < a_ts + a_window`` (strict: two
+    windows that merely touch do not overlap). The predicate is written
+    directly on the two WATERMARKED event-time columns so the engine
+    derives eviction bounds for BOTH state stores: an a-row drops once
+    the global watermark passes a_ts + a_window, a b-row once it passes
+    b_ts + b_window — state proportional to the window horizon, never
+    the stream history. This is the streaming twin of the batch
+    ``operators/temporal.interval_overlap_join`` (bin-bucketed there;
+    here the engine's state store plays the bins' role). Column names
+    must be disjoint across the two streams."""
+    wa = a.withWatermark(a_ts, watermark)
+    wb = b.withWatermark(b_ts, watermark)
+    cond = (
+        (F.col(a_key) == F.col(b_key))
+        & (F.col(b_ts) > F.col(a_ts) - F.expr(f"INTERVAL {b_window}"))
+        & (F.col(b_ts) < F.col(a_ts) + F.expr(f"INTERVAL {a_window}"))
+    )
+    return wa.join(wb, cond, "inner")
+
+
 def enrich_stream(
     events: DataFrame, dim: DataFrame, on: str, how: str = "left"
 ) -> DataFrame:

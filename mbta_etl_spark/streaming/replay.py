@@ -69,8 +69,12 @@ def land_replay_log(
         # four renames land within one clock tick — pin strictly
         # ascending mtimes so batch k is always replayed k-th. Without
         # this the pickup order is arbitrary, and for watermarked
-        # consumers (st04) an out-of-order time-range batch arrives
-        # behind the watermark and is silently dropped as late data.
+        # consumers (st04/st05) an out-of-order time-range batch
+        # arrives behind the watermark and silently corrupts the
+        # result (measured on session windows: the first late row
+        # emits a truncated session fragment, the rest are discarded —
+        # pinned by tests/test_streaming.py::
+        # test_session_window_late_batch_fragments_and_drops).
         os.utime(dest, (now - n_batches + b, now - n_batches + b))
     shutil.rmtree(staging, ignore_errors=True)
 

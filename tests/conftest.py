@@ -38,3 +38,25 @@ def spark():
     spark = get_spark("mbta_etl_spark-tests")
     yield spark
     spark.stop()
+
+
+# Streaming equivalence entries (st01–st05) EXECUTE their replay inside
+# the entry call — the only registry entries where calling the function
+# costs seconds, not milliseconds. Two suite modules need their result
+# (test_parity collects the rows, test_plan_hygiene reads the plan), so
+# the entry runs ONCE per session and the returned DataFrame — a plain
+# batch read of the standing output table the replay produced — is
+# shared. Safe because the entries are idempotent by design (fresh
+# scratch dir + per-batch-id overwrite sinks) and the cached DataFrame
+# only re-reads the already-materialized output on re-collection.
+_ST_ENTRY_CACHE: dict = {}
+
+
+@pytest.fixture
+def st_entry_once(spark):
+    def run(name: str, fn):
+        if name not in _ST_ENTRY_CACHE:
+            _ST_ENTRY_CACHE[name] = fn(spark, SF_DIR_SMALL)
+        return _ST_ENTRY_CACHE[name]
+
+    return run

@@ -59,8 +59,13 @@ def duck():
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(spark, duck, name):
-    sdf = QUERIES[name](spark, SF_DIR_SMALL)
+def test_query_matches_oracle(spark, duck, st_entry_once, name):
+    if name.startswith("st"):
+        # streaming entries execute their replay inside the call — run
+        # once per suite session and share with test_plan_hygiene
+        sdf = st_entry_once(name, QUERIES[name])
+    else:
+        sdf = QUERIES[name](spark, SF_DIR_SMALL)
     spark_cols = [c.lower() for c in sdf.columns]
     spark_rows = [tuple(r) for r in sdf.collect()]
 

@@ -15,17 +15,22 @@ entries, so a new entry (or a refactor) can never silently introduce:
 
 Plans are compiled driver-side only (explain, no execution), so the
 whole sweep is cheap — with one documented exception: the streaming
-equivalence entries (st01–st03) EXECUTE their replay inside the entry
+equivalence entries (st01–st05) EXECUTE their replay inside the entry
 call (a streaming query cannot be compiled without running), so for
-them this gate sees only the final standing-table read and the sweep
-pays their replay cost (~10 s each). Their INNER streamed aggregates
-are the same operator functions pinned by batch twins elsewhere:
-st01 = operators/dedup.exact_dedup_groups (d01's plan), st02 =
+them this gate sees only the final standing-table read. Since round 6
+their replay runs ONCE per suite session via the shared
+``st_entry_once`` fixture (test_parity, which sorts earlier, usually
+pays it), so this module is back to pure-compile cost with no coverage
+loss. Their INNER streamed computations are the same operator
+functions / expressions pinned by batch twins elsewhere: st01 =
+operators/dedup.exact_dedup_groups (d01's plan), st02 =
 operators/rollup.rollup_increment/rollup_merge (r01's plan), st03 =
 operators/frequent.mg_summarize/mg_merge (guarantee pinned by
 tests/test_frequent_and_r2b.py and the hypothesis property in
-tests/test_properties.py) — so an anti-pattern creeping into those
-operators is still caught through the batch entries that share them.
+tests/test_properties.py), st04 = the shared _session_window_agg
+expression (q18a's plan), st05 = the interval-overlap predicate j08's
+oracle replays — so an anti-pattern creeping into those operators is
+still caught through the batch entries that share them.
 """
 
 from __future__ import annotations
@@ -52,8 +57,11 @@ with open(_SNAP_PATH) as _f:
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_plan_free_of_antipatterns(spark, name):
-    df = QUERIES[name](spark, SF_DIR_SMALL)
+def test_plan_free_of_antipatterns(spark, st_entry_once, name):
+    if name.startswith("st"):
+        df = st_entry_once(name, QUERIES[name])
+    else:
+        df = QUERIES[name](spark, SF_DIR_SMALL)
     plan = plan_text(df)
     hits = [f for f in FORBIDDEN if f in plan]
     assert not hits, (

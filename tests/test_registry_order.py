@@ -1,14 +1,17 @@
 """Registry-order guard: the driver's correctness harness checks the
 FIRST 50 entries of queries() in iteration order. queries() reorders the
-registry so entries without a green driver CORRECTNESS row
-(``plans/registry._DRIVER_VERIFIED``) come first — the window rotates
-onto ~50 fresh entries each round. These tests pin that invariant so an
-accidental reorder can't silently strip entries of differential
-verification (the round-1 failure mode).
+registry so entries without a green driver CORRECTNESS row come first —
+the window rotates onto ~50 fresh entries each round. These tests pin
+that invariant so an accidental reorder can't silently strip entries of
+differential verification (the round-1 failure mode).
 
-Per-round maintenance: after CORRECTNESS_r{N}.json lands, append its
-green names to ``_DRIVER_VERIFIED`` (leave red/errored rows out so they
-are automatically re-checked next round).
+Since round 6, ``plans/registry._DRIVER_VERIFIED`` is DERIVED at import
+time from the repo-root CORRECTNESS_r*.json files (latest row per name
+wins), so the end-of-round state — driver writes CORRECTNESS_r{N}.json
+after the final commit — can never fail these tests again (the identical
+hand-maintenance red ended rounds 3, 4, and 5). The only hand-maintained
+piece is ``registry._DRIVER_HOLDOUTS``: entries whose semantics/oracle
+changed since their last green row, queued for driver re-verification.
 """
 
 from __future__ import annotations
@@ -17,15 +20,18 @@ import json
 import os
 
 import __spark_entry__ as entrymod
-from mbta_etl_spark.plans.registry import _DRIVER_VERIFIED
+from mbta_etl_spark.plans.registry import _DRIVER_HOLDOUTS, _DRIVER_VERIFIED
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _green_driver_rows():
-    """Union of all-green rows across every CORRECTNESS_r*.json present."""
-    green: set[str] = set()
-    red: set[str] = set()
+def _latest_green_rows() -> set[str]:
+    """Independent (double-entry) re-derivation of the driver-green set:
+    for each name, the row from the HIGHEST-numbered CORRECTNESS file
+    wins; a name is green iff that latest row is all-green. Deliberately
+    re-implemented here rather than imported so a parser bug in
+    registry._load_driver_verified() shows up as a mismatch."""
+    status: dict[str, bool] = {}
     for fn in sorted(os.listdir(REPO)):
         if not (fn.startswith("CORRECTNESS_r") and fn.endswith(".json")):
             continue
@@ -33,23 +39,17 @@ def _green_driver_rows():
             rows = json.load(f)
         for name, row in rows.items():
             if row.get("err") == "no_oracle":
-                # deliberate rows-only entry — the weaker gate ran; the
-                # driver records spark_rows and nothing else to compare
+                # historical rows-only gate (retired in round 5)
                 ok = row.get("spark_rows") is not None
             else:
                 ok = (
                     row.get("err") is None
-                    and row.get("rows_match")
+                    and bool(row.get("rows_match"))
                     and row.get("schema_match") is not False
                     and row.get("hash_match") is not False
                 )
-            (green if ok else red).add(name)
-    # a later red row trumps an earlier green one only if it's the most
-    # recent — keep it simple: red-ever means re-verify unless a LATER
-    # green exists; CORRECTNESS files don't record order per name, so we
-    # conservatively treat green-in-any-round as green (matches how
-    # _DRIVER_VERIFIED is maintained by hand each round).
-    return green
+            status[name] = ok
+    return {n for n, ok in status.items() if ok}
 
 
 def test_window_contains_only_unverified_entries():
@@ -69,51 +69,40 @@ def test_window_contains_only_unverified_entries():
     assert window == unverified[: len(window)] or len(unverified) < 50
 
 
-def test_unverified_pool_matches_correctness_files():
-    """_DRIVER_VERIFIED must stay consistent with the CORRECTNESS_r*.json
-    reports in the repo root: every name in the set has at least one
-    all-green driver row, and no all-green name is missing from the set
-    *unless* it was deliberately held out for re-verification (oracle or
-    plan changed). Holdouts are enumerated here."""
-    green = _green_driver_rows()
-    # c04: r02 hash red (oracle HUGEINT typing, fixed round 3) — its only
-    # rows were never all-green, so it's naturally outside green anyway.
-    # The approx-sketch trio passed earlier rounds as rows-only entries
-    # but gained composed oracles with NEW output schemas in round 5
-    # (VERDICT r4 item 3) — held out so the driver re-verifies the new
-    # shape end-to-end. s15_pca_eigen's old rows-only green is moot: the
-    # entry was retired from the registry (s15a carries its oracle).
-    deliberately_held_out: set[str] = {
-        "q09a_percentiles_approx", "q24a_distinct_approx",
-        "r02_sketch_rollup", "s15_pca_eigen",
-    }
-    phantom = _DRIVER_VERIFIED - green
-    assert not phantom, (
-        f"_DRIVER_VERIFIED contains names with no green driver row: "
-        f"{sorted(phantom)}"
-    )
-    stale = (green - _DRIVER_VERIFIED) - deliberately_held_out
-    assert not stale, (
-        f"green driver rows missing from _DRIVER_VERIFIED (append them so "
-        f"the window rotates): {sorted(stale)}"
-    )
+def test_driver_verified_is_derived_from_correctness_files():
+    """_DRIVER_VERIFIED must equal the latest-green rows of the
+    CORRECTNESS_r*.json reports minus the hand-maintained holdouts. This
+    holds by construction after any driver write — including the
+    end-of-round write that lands after the final commit — because both
+    sides read the same files; the double-entry derivation above guards
+    the parser itself."""
+    green = _latest_green_rows()
+    assert _DRIVER_VERIFIED == green - _DRIVER_HOLDOUTS
+    # holdouts must be real, registered entries that HAVE an old green
+    # row (otherwise they're already unverified and the holdout is dead
+    # weight that should be removed)
+    registered = set(entrymod.queries())
+    dead = {n for n in _DRIVER_HOLDOUTS if n not in green or n not in registered}
+    assert not dead, f"stale holdouts (no green row / not registered): {sorted(dead)}"
 
 
-def test_round5_window_front_loads_risky_entries():
-    """Round 5 stacks the driver window with the entries where
-    Spark-vs-DuckDB drift is most likely (VERDICT r4 item 1): the
-    round-4 additions that have never seen a driver check, the round-5
-    additions, then the numeric/iterative audits."""
+def test_round6_window_front_loads_risky_entries():
+    """Round 6 stacks the driver window with the riskiest of the 115
+    never-sampled entries (VERDICT r5 item 2): Spark-4 SQL-UDF
+    resolution, filesystem-state IVF persist, the intricate-oracle
+    audits, the chunkers, the round-5 overflow pair, and the new
+    stream-stream join entry."""
     from mbta_etl_spark.plans.registry import _WINDOW_PRIORITY
 
     names = list(entrymod.queries())
     window = set(names[:50])
     must_cover = {
-        "d41_winnowing_pairs", "m15_jpeg_decode", "ts38_rolling_median",
-        "q104_compress_consecutive", "t31_feature_hashing",
-        "s15a_pca_invariants", "q105_pipe_syntax", "src12_orc_roundtrip",
-        "d16_minhash_est_audit", "s11_ivf_recall_audit",
-        "ts14_holt_linear", "v13_ks_test",
+        "q96_sql_udf_pipeline", "s21_ivf_persist", "v22_duplicate_rows",
+        "d27_dup_span_extents",
+        "c21_adaptive_quality_filter", "c31_pack_attention_waste",
+        "d37_lsh_planner", "d39_cdc_chunking", "d40_chunker_comparison",
+        "q89_moment_battery", "q92_gini",
+        "st05_stream_stream_join_equiv",
     }
     missing = must_cover - window
     assert not missing, f"risky entries not in driver window: {sorted(missing)}"

@@ -506,6 +506,190 @@ def test_streaming_dedup_state_survives_restart(spark, tmp_path):
     assert got == {1: 1.0, 2: 2.0, 3: 3.0}  # key 1's redelivery dropped
 
 
+def test_session_window_late_batch_fragments_and_drops(spark, tmp_path):
+    """Pins the late-data semantics st04's time-monotone lander exists
+    to avoid (VERDICT r5 item 8: previously implied, not asserted), as
+    MEASURED on Spark 4.1 rather than as folklore: when a batch arrives
+    behind the watermark, its rows are NOT dropped wholesale up front —
+    the first late row still emits a session, but TRUNCATED to the
+    fragment seen in that batch (the already-passed watermark closes it
+    immediately), and the session's remaining rows arriving in later
+    batches are then silently discarded. Either way the result diverges
+    from batch sessionization, which is exactly why land_replay_log
+    pins ascending file mtimes: the SAME rows with the SAME batch
+    membership produce the exact batch answer when batches replay in
+    time order, and a lossy fragment when they don't."""
+    import datetime as dt
+
+    from mbta_etl_spark.plans.registry import _session_window_agg
+    from mbta_etl_spark.streaming.replay import (
+        land_replay_log,
+        open_replay_stream,
+    )
+
+    # key 1: ONE session of two rows 10 min apart (gap is 30 min), the
+    # rows placed in two different batches; key 2: a day later, so its
+    # batch pushes the watermark far past key 1's whole session;
+    # sentinel flushes the tail
+    t0 = dt.datetime(2024, 1, 15, 10, 0)
+    rows = [
+        (1, "2024-01-15 10:00:00", 1.0),
+        (1, "2024-01-15 10:10:00", 2.0),
+        (2, "2024-01-16 12:00:00", 3.0),
+        (-1, "2099-01-01 00:00:00", 0.0),  # sentinel
+    ]
+
+    def replay(order):  # order[i] = replay batch index of rows[i]
+        df = spark.createDataFrame(
+            [(u, t, v, order[i]) for i, (u, t, v) in enumerate(rows)],
+            "user_id long, _t string, value double, rk long",
+        ).select(
+            "user_id", F.col("_t").cast("timestamp_ntz").alias("ts"),
+            "value", "rk",
+        )
+        in_dir = str(tmp_path / f"in_{''.join(map(str, order))}")
+        land_replay_log(df, in_dir, 4, "rk")
+        stream = (
+            open_replay_stream(spark, in_dir, df.schema)
+            .drop("rk")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        sess = _session_window_agg(stream.withWatermark("ts", "10 minutes"))
+        qname = f"late_frag_{'_'.join(map(str, order))}"
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_query(q)
+        return {
+            (r.user_id, r.session_start, r.session_end, r.n_events,
+             r.sum_value)
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+            if r.user_id == 1
+        }
+
+    # time-monotone replay: the split session merges in STATE across
+    # batches and emits once, exactly the batch answer
+    assert replay([0, 1, 2, 3]) == {
+        (1, t0, t0 + dt.timedelta(minutes=40), 2, 3.0)
+    }
+    # out-of-order replay (key 2 FIRST): the 10:00 row emits a session
+    # TRUNCATED at 10:30 (watermark already past it closes the fragment
+    # immediately), and the 10:10 row is silently discarded
+    assert replay([1, 2, 0, 3]) == {
+        (1, t0, t0 + dt.timedelta(minutes=30), 1, 1.0)
+    }
+
+
+def test_interval_overlap_streams_equals_batch_join(spark, tmp_path):
+    """st05's harness: the dual-watermarked stream-stream interval join
+    equals the batch bin-bucketed interval_overlap_join regardless of
+    batch count — including a pair whose two sides land in DIFFERENT
+    micro-batches (the purchase arrives two batches after its click, so
+    the match comes out of buffered join state, not a same-batch hash
+    join), the reversed order (purchase first, click later), and the
+    strict-overlap boundary (windows that exactly touch must NOT
+    join)."""
+    from mbta_etl_spark.operators.temporal import interval_overlap_join
+    from mbta_etl_spark.streaming.ingest import interval_overlap_streams
+    from mbta_etl_spark.streaming.replay import (
+        land_replay_log,
+        open_replay_stream,
+    )
+
+    # (user, id, ts, replay-batch) — rk is time-monotone per side, the
+    # watermark discipline every replayed stream needs
+    clicks_rows = [
+        (7, 100, "2024-01-15 10:00:00", 0),   # matches purchase 2 batches later
+        (8, 101, "2024-01-15 10:00:00", 0),   # touch-only: must NOT join
+        (9, 102, "2024-01-15 10:01:00", 1),   # click AFTER its purchase
+        (5, 103, "2024-01-15 23:00:00", 2),   # no purchase for this user
+    ]
+    purch_rows = [
+        (9, 200, "2024-01-15 10:00:00", 0),   # overlaps click 102 by 60s
+        (8, 201, "2024-01-15 10:05:00", 1),   # b_start == a_end: excluded
+        (7, 202, "2024-01-15 10:04:30", 2),   # overlaps click 100 by 30s
+    ]
+
+    def _mk(rows, id_name, ts_name, user_name):
+        df = spark.createDataFrame(
+            rows, f"{user_name} long, {id_name} long, _t string, rk long"
+        )
+        return df.select(
+            user_name, id_name,
+            F.col("_t").cast("timestamp_ntz").alias(ts_name), "rk",
+        )
+
+    clicks_src = _mk(clicks_rows, "a_id", "a_ts", "user_id")
+    purch_src = _mk(purch_rows, "b_id", "b_ts", "b_user")
+
+    # batch twin: explicit [ts, ts+5m) x [ts, ts+2m) windows
+    batch = {
+        (r.user_id, r.a_id, r.b_id, r.overlap_s)
+        for r in interval_overlap_join(
+            clicks_src.select(
+                "user_id", F.col("a_id").alias("id"),
+                F.col("a_ts").alias("start_ts"),
+                F.expr("a_ts + INTERVAL 5 MINUTES").alias("end_ts"),
+            ),
+            purch_src.select(
+                F.col("b_user").alias("user_id"),
+                F.col("b_id").alias("id"),
+                F.col("b_ts").alias("start_ts"),
+                F.expr("b_ts + INTERVAL 2 MINUTES").alias("end_ts"),
+            ),
+            "user_id",
+        ).collect()
+    }
+    assert batch == {(7, 100, 202, 30.0), (9, 102, 200, 60.0)}
+
+    for n in (1, 3):
+        cdir = str(tmp_path / f"c{n}")
+        pdir = str(tmp_path / f"p{n}")
+        land_replay_log(clicks_src, cdir, n, "rk")
+        land_replay_log(purch_src, pdir, n, "rk")
+        clicks = (
+            open_replay_stream(spark, cdir, clicks_src.schema)
+            .drop("rk")
+            .withColumn("a_ts", F.col("a_ts").cast("timestamp"))
+        )
+        purchases = (
+            open_replay_stream(spark, pdir, purch_src.schema)
+            .drop("rk")
+            .withColumn("b_ts", F.col("b_ts").cast("timestamp"))
+        )
+        joined = interval_overlap_streams(
+            clicks, purchases, "user_id", "b_user", "a_ts", "b_ts",
+            a_window="5 minutes", b_window="2 minutes",
+        ).select(
+            "user_id", "a_id", "b_id",
+            (
+                F.expr(
+                    "timestampdiff(MICROSECOND, greatest(a_ts, b_ts), "
+                    "least(a_ts + INTERVAL 5 MINUTES, "
+                    "b_ts + INTERVAL 2 MINUTES))"
+                )
+                / F.lit(1_000_000.0)
+            ).alias("overlap_s"),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(f"st05_unit_{n}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_query(q)
+        got = {
+            (r.user_id, r.a_id, r.b_id, r.overlap_s)
+            for r in spark.sql(f"SELECT * FROM st05_unit_{n}").collect()
+        }
+        assert got == batch, f"divergence at n_batches={n}"
+
+
 def test_stream_exact_dedup_equiv_split_invariant(spark, tmp_path):
     """st01's harness: the final standing table equals the one-shot
     batch exact dedup regardless of batch count — including duplicate
