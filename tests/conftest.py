@@ -49,14 +49,23 @@ def spark():
 # shared. Safe because the entries are idempotent by design (fresh
 # scratch dir + per-batch-id overwrite sinks) and the cached DataFrame
 # only re-reads the already-materialized output on re-collection.
+# The PLAN text is captured eagerly at creation: once another consumer
+# collects the DataFrame, its explain switches to the AQE final plan
+# (different operator counts), which would break the snapshot match —
+# the fingerprint must always describe the pre-execution plan, same as
+# scripts/plan_snapshot.py records.
 _ST_ENTRY_CACHE: dict = {}
 
 
 @pytest.fixture
 def st_entry_once(spark):
-    def run(name: str, fn):
+    def run(name: str, fn, want: str = "df"):
         if name not in _ST_ENTRY_CACHE:
-            _ST_ENTRY_CACHE[name] = fn(spark, SF_DIR_SMALL)
-        return _ST_ENTRY_CACHE[name]
+            from mbta_etl_spark.plans.planmetrics import plan_text
+
+            df = fn(spark, SF_DIR_SMALL)
+            _ST_ENTRY_CACHE[name] = (df, plan_text(df))
+        df, plan = _ST_ENTRY_CACHE[name]
+        return plan if want == "plan" else df
 
     return run

@@ -59,10 +59,11 @@ with open(_SNAP_PATH) as _f:
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_plan_free_of_antipatterns(spark, st_entry_once, name):
     if name.startswith("st"):
-        df = st_entry_once(name, QUERIES[name])
+        # pre-execution plan captured at entry creation — a collect by
+        # test_parity would otherwise flip explain to the AQE final plan
+        plan = st_entry_once(name, QUERIES[name], want="plan")
     else:
-        df = QUERIES[name](spark, SF_DIR_SMALL)
-    plan = plan_text(df)
+        plan = plan_text(QUERIES[name](spark, SF_DIR_SMALL))
     hits = [f for f in FORBIDDEN if f in plan]
     assert not hits, (
         f"{name}: physical plan contains banned operator(s) {hits} — "
