@@ -108,7 +108,8 @@ def sketch_rollup(
     union is a few MB of driver-free aggregation.
 
     The total row carries a null bucket (grouping-sets convention).
-    Estimates carry the usual HLL error (~1.04/√2^(lgK/2) relative).
+    Estimates carry the usual HLL error (~1.04/√(2^lgK) relative,
+    ≈1.6% at lgConfigK=12).
     The r02_sketch_rollup registry entry wraps this in a COMPOSED
     oracle (round 5): the exact per-bucket distinct is computed beside
     the estimate and the hash-checked output carries (bucket, n_exact,

@@ -1507,28 +1507,14 @@ def st04_stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mbta_etl_spark.streaming.replay import (
         land_replay_log,
         open_replay_stream,
+        time_quantile_key,
     )
 
     ev = _events(spark, sf_dir).select("user_id", "ts", "value")
-    # time-quantile split relative to the ACTUAL data span — monotone
-    # for any span, not just the current single-month testdata (a split
-    # on dayofmonth alone would silently interleave months, put later
-    # data in earlier batches, and drop everything behind the watermark
-    # as late). One scalar min/max agg (driver-side metadata only);
-    # day arithmetic runs on NTZ-derived wall dates, so it is TZ-free.
-    mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
-    n_days = (mx.date() - mn.date()).days + 1
-    days_per_batch = max(1, -(-n_days // 4))
-    day_off = F.datediff(
-        F.col("ts").cast("date"),
-        F.lit(mn.date().isoformat()).cast("date"),
-    )
-    keyed = ev.withColumn(
-        "replay_key",
-        F.least(
-            F.floor(day_off / F.lit(days_per_batch)), F.lit(3)
-        ).cast("long"),
-    )
+    # time-monotone batch split relative to the ACTUAL data span —
+    # shared helper (st05 uses the same one; see its docstring for the
+    # monotonicity argument)
+    keyed = time_quantile_key(ev, "ts", 4)
     sentinel = spark.range(1).select(
         F.lit(-1).cast("long").alias("user_id"),
         F.lit("2099-01-01 00:00:00").cast("timestamp_ntz").alias("ts"),
@@ -1596,10 +1582,15 @@ def st05_stream_stream_join_equiv(
     equals the batch interval join. Inner-join rows emit in the
     micro-batch where the second side arrives (no watermark flush or
     sentinel needed, unlike st04's session windows). j08's oracle
-    hash-verifies the streamed execution; overlap seconds derive from
-    microsecond arithmetic on the two event times, zone-independent
-    under the NTZ→LTZ watermark casts (same round-trip argument as
-    st04)."""
+    hash-verifies the streamed execution. Timestamp discipline: the
+    watermark requires LTZ, so the predicate and overlap arithmetic
+    run on LTZ instants while the NTZ oracle measures wall-time
+    differences — the two agree because the data is a single
+    DST-transition-free month (st04's stated assumption, same here):
+    across a spring-forward gap a wall-time non-overlap could become a
+    physical-time overlap and diverge from the oracle, so multi-month
+    testdata would need the overlap computed on the original NTZ
+    columns carried through the join."""
     import os
     import shutil
 
@@ -1607,28 +1598,18 @@ def st05_stream_stream_join_equiv(
     from mbta_etl_spark.streaming.replay import (
         land_replay_log,
         open_replay_stream,
+        time_quantile_key,
     )
 
     ev = _events(spark, sf_dir).select(
         "event_id", "user_id", "ts", "event_type"
     )
-    # ONE global time-quantile split shared by both sides (computed from
-    # the full span like st04) so the two landings stay mutually aligned
-    # batch-for-batch; each side's files are independently time-monotone,
-    # which is all min-of-sources watermarking needs.
-    mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
-    n_days = (mx.date() - mn.date()).days + 1
-    days_per_batch = max(1, -(-n_days // 4))
-    day_off = F.datediff(
-        F.col("ts").cast("date"),
-        F.lit(mn.date().isoformat()).cast("date"),
-    )
-    keyed = ev.withColumn(
-        "replay_key",
-        F.least(
-            F.floor(day_off / F.lit(days_per_batch)), F.lit(3)
-        ).cast("long"),
-    )
+    # ONE global time-quantile split shared by both sides (the st04
+    # helper, applied to the full span BEFORE the sides are filtered)
+    # so the two landings stay mutually aligned batch-for-batch; each
+    # side's files are independently time-monotone, which is all
+    # min-of-sources watermarking needs.
+    keyed = time_quantile_key(ev, "ts", 4)
     base = scratch_dir(spark, f"st05_{os.path.basename(sf_dir.rstrip('/'))}")
     clicks_dir = os.path.join(base, "clicks")
     purch_dir = os.path.join(base, "purchases")

@@ -79,6 +79,38 @@ def land_replay_log(
     shutil.rmtree(staging, ignore_errors=True)
 
 
+def time_quantile_key(
+    df: DataFrame, ts_col: str, n_batches: int
+) -> DataFrame:
+    """Append a ``replay_key`` column holding the TIME-MONOTONE batch
+    index a watermarked replay needs (st04/st05): the actual data span
+    is split into ``n_batches`` contiguous day ranges, so batch k+1's
+    rows are never earlier than batch k's and no batch arrives behind
+    the watermark. A split on dayofmonth alone would silently
+    interleave months, put later data in earlier batches, and corrupt
+    the result (truncated session fragments + discarded rows — pinned
+    by test_session_window_late_batch_fragments_and_drops). One scalar
+    min/max agg (driver-side metadata only); day arithmetic runs on
+    NTZ-derived wall dates, so it is TZ-free. Consumers landing
+    multiple streams from one source (st05) must call this ONCE on the
+    shared frame before splitting sides, so the landings stay mutually
+    aligned batch-for-batch."""
+    mn, mx = df.agg(F.min(ts_col), F.max(ts_col)).first()
+    n_days = (mx.date() - mn.date()).days + 1
+    days_per_batch = max(1, -(-n_days // n_batches))
+    day_off = F.datediff(
+        F.col(ts_col).cast("date"),
+        F.lit(mn.date().isoformat()).cast("date"),
+    )
+    return df.withColumn(
+        "replay_key",
+        F.least(
+            F.floor(day_off / F.lit(days_per_batch)),
+            F.lit(n_batches - 1),
+        ).cast("long"),
+    )
+
+
 def open_replay_stream(
     spark, in_dir: str, schema: StructType
 ) -> DataFrame:
