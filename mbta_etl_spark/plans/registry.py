@@ -1563,6 +1563,145 @@ def st04_stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _st_click_purchase_streams(
+    spark: SparkSession, sf_dir: str, tag: str, with_sentinels: bool = False
+) -> tuple[str, DataFrame, DataFrame]:
+    """Shared st05/st06 landing: clicks and purchases from events as
+    TWO separately-landed file-source streams with ONE global
+    time-quantile split (applied to the full span BEFORE the sides are
+    filtered, so the landings stay mutually aligned batch-for-batch;
+    each side's files are independently time-monotone, which is all
+    min-of-sources watermarking needs). Watermarks require TIMESTAMP
+    (LTZ), not NTZ — cast in here; both consumers emit only ids and a
+    duration, so nothing casts back out. With ``with_sentinels``, a
+    far-future row rides the LAST batch of EACH side — outer-join
+    consumers need the final global watermark pushed past every real
+    window on both sides or the tail's unmatched rows never emit
+    (st04's flush trick applied to join state); the sentinels carry
+    distinct negative user ids so they can never join each other or
+    real data, and consumers filter them out. Returns
+    (scratch_base, clicks_stream, purchases_stream)."""
+    import os
+    import shutil
+
+    from mbta_etl_spark.sources.formats import scratch_dir
+    from mbta_etl_spark.streaming.replay import (
+        land_replay_log,
+        open_replay_stream,
+        time_quantile_key,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    keyed = time_quantile_key(ev, "ts", 4)
+    base = scratch_dir(
+        spark, f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    clicks_dir = os.path.join(base, "clicks")
+    purch_dir = os.path.join(base, "purchases")
+    shutil.rmtree(base, ignore_errors=True)
+    clicks_src = keyed.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"), "replay_key",
+    )
+    purch_src = keyed.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"), "replay_key",
+    )
+    if with_sentinels:
+        def _sentinel(user_col, id_col, ts_col, uid):
+            return spark.range(1).select(
+                F.lit(uid).cast("long").alias(user_col),
+                F.lit(-1).cast("long").alias(id_col),
+                F.lit("2099-01-01 00:00:00")
+                .cast("timestamp_ntz")
+                .alias(ts_col),
+                F.lit(3).cast("long").alias("replay_key"),
+            )
+
+        clicks_src = clicks_src.unionByName(
+            _sentinel("user_id", "a_id", "a_ts", -2)
+        )
+        purch_src = purch_src.unionByName(
+            _sentinel("b_user", "b_id", "b_ts", -3)
+        )
+    land_replay_log(clicks_src, clicks_dir, 4, "replay_key")
+    land_replay_log(purch_src, purch_dir, 4, "replay_key")
+    clicks = (
+        open_replay_stream(spark, clicks_dir, clicks_src.schema)
+        .drop("replay_key")
+        .withColumn("a_ts", F.col("a_ts").cast("timestamp"))
+    )
+    purchases = (
+        open_replay_stream(spark, purch_dir, purch_src.schema)
+        .drop("replay_key")
+        .withColumn("b_ts", F.col("b_ts").cast("timestamp"))
+    )
+    return base, clicks, purchases
+
+
+def _pair_overlap_select(joined: DataFrame) -> DataFrame:
+    """(user_id, a_id, b_id, overlap_s) projection shared by st05/st06:
+    exact microsecond arithmetic on the window bounds, NULL-safe (an
+    unmatched left-outer row carries NULL b_ts, so overlap_s is NULL —
+    matching what the SQL oracle's LEFT JOIN produces)."""
+    return joined.select(
+        "user_id",
+        "a_id",
+        "b_id",
+        (
+            F.expr(
+                "timestampdiff(MICROSECOND, greatest(a_ts, b_ts), "
+                "least(a_ts + INTERVAL 5 MINUTES, b_ts + INTERVAL 2 MINUTES))"
+            )
+            / F.lit(1_000_000.0)
+        ).alias("overlap_s"),
+    )
+
+
+def _run_join_replay(
+    spark: SparkSession, joined: DataFrame, base: str
+) -> DataFrame:
+    """Execute a bounded stream-stream join replay and read the result.
+
+    Sink: per-batch OVERWRITE into a batch_id partition (st04's
+    discipline) — an at-least-once redelivery rewrites its own
+    partition instead of appending duplicate pairs.
+
+    State partitioning: a stream-stream join instantiates FOUR state
+    stores per shuffle partition (keyToNumValues + keyWithIndexToValue
+    on each side), so the per-batch fixed cost is 4 x partitions x
+    batches regardless of data volume. The shuffle-partition count is
+    baked into the checkpoint at first run, so it is pinned explicitly
+    here for the replay's lifetime and restored after: 8 at test scale
+    (where store instantiation dominates); a production deployment of
+    the same query raises it to match executor count, since at 100 TB
+    the per-partition DATA, not the store count, is the knob."""
+    import os
+
+    out_dir = os.path.join(base, "pairs")
+    ckpt = os.path.join(base, "ckpt")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            joined.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda pairs, bid: pairs.write.mode("overwrite").parquet(
+                    f"{out_dir}/batch_id={bid}"
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.read.parquet(out_dir).drop("batch_id")
+
+
 def st05_stream_stream_join_equiv(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1591,104 +1730,59 @@ def st05_stream_stream_join_equiv(
     physical-time overlap and diverge from the oracle, so multi-month
     testdata would need the overlap computed on the original NTZ
     columns carried through the join."""
-    import os
-    import shutil
-
-    from mbta_etl_spark.sources.formats import scratch_dir
-    from mbta_etl_spark.streaming.replay import (
-        land_replay_log,
-        open_replay_stream,
-        time_quantile_key,
-    )
-
-    ev = _events(spark, sf_dir).select(
-        "event_id", "user_id", "ts", "event_type"
-    )
-    # ONE global time-quantile split shared by both sides (the st04
-    # helper, applied to the full span BEFORE the sides are filtered)
-    # so the two landings stay mutually aligned batch-for-batch; each
-    # side's files are independently time-monotone, which is all
-    # min-of-sources watermarking needs.
-    keyed = time_quantile_key(ev, "ts", 4)
-    base = scratch_dir(spark, f"st05_{os.path.basename(sf_dir.rstrip('/'))}")
-    clicks_dir = os.path.join(base, "clicks")
-    purch_dir = os.path.join(base, "purchases")
-    out_dir = os.path.join(base, "pairs")
-    ckpt = os.path.join(base, "ckpt")
-    shutil.rmtree(base, ignore_errors=True)
-    clicks_src = keyed.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("event_id").alias("a_id"),
-        F.col("ts").alias("a_ts"), "replay_key",
-    )
-    purch_src = keyed.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("b_user"), F.col("event_id").alias("b_id"),
-        F.col("ts").alias("b_ts"), "replay_key",
-    )
-    land_replay_log(clicks_src, clicks_dir, 4, "replay_key")
-    land_replay_log(purch_src, purch_dir, 4, "replay_key")
-    # Watermarks require TIMESTAMP (LTZ), not NTZ — cast in; the joined
-    # output carries only ids and a duration, so nothing casts back out.
     from mbta_etl_spark.streaming.ingest import interval_overlap_streams
 
-    clicks = (
-        open_replay_stream(spark, clicks_dir, clicks_src.schema)
-        .drop("replay_key")
-        .withColumn("a_ts", F.col("a_ts").cast("timestamp"))
-    )
-    purchases = (
-        open_replay_stream(spark, purch_dir, purch_src.schema)
-        .drop("replay_key")
-        .withColumn("b_ts", F.col("b_ts").cast("timestamp"))
+    base, clicks, purchases = _st_click_purchase_streams(
+        spark, sf_dir, "st05"
     )
     # THE shared overlap expression (streaming/ingest — unit-pinned
     # against the batch interval_overlap_join), windows [ts, ts+5m) x
     # [ts, ts+2m) matching j08's batch entry
-    joined = interval_overlap_streams(
-        clicks, purchases, "user_id", "b_user", "a_ts", "b_ts",
-        a_window="5 minutes", b_window="2 minutes",
-    ).select(
-        "user_id",
-        "a_id",
-        "b_id",
-        (
-            F.expr(
-                "timestampdiff(MICROSECOND, greatest(a_ts, b_ts), "
-                "least(a_ts + INTERVAL 5 MINUTES, b_ts + INTERVAL 2 MINUTES))"
-            )
-            / F.lit(1_000_000.0)
-        ).alias("overlap_s"),
-    )
-    # idempotent sink: per-batch OVERWRITE into a batch_id partition
-    # (st04's discipline) — an at-least-once redelivery rewrites its own
-    # partition instead of appending duplicate pairs.
-    #
-    # State partitioning: a stream-stream join instantiates FOUR state
-    # stores per shuffle partition (keyToNumValues + keyWithIndexToValue
-    # on each side), so the per-batch fixed cost is 4 x partitions x
-    # batches regardless of data volume. The shuffle-partition count is
-    # baked into the checkpoint at first run, so it is pinned explicitly
-    # here for the replay's lifetime and restored after: 8 at test scale
-    # (where store instantiation dominates); a production deployment of
-    # the same query raises it to match executor count, since at 100 TB
-    # the per-partition DATA, not the store count, is the knob.
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        query = (
-            joined.writeStream.outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .foreachBatch(
-                lambda pairs, bid: pairs.write.mode("overwrite").parquet(
-                    f"{out_dir}/batch_id={bid}"
-                )
-            )
-            .trigger(availableNow=True)
-            .start()
+    joined = _pair_overlap_select(
+        interval_overlap_streams(
+            clicks, purchases, "user_id", "b_user", "a_ts", "b_ts",
+            a_window="5 minutes", b_window="2 minutes",
         )
-        query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    return spark.read.parquet(out_dir).drop("batch_id")
+    )
+    return _run_join_replay(spark, joined, base)
+
+
+def st06_stream_outer_join_equiv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join — the sixth streaming
+    face (st05 covers dual-sided INNER join state; this one adds
+    watermark-TRIGGERED NULL-side emission, the join behavior an inner
+    join never exercises): the same two watermarked streams and the
+    same range predicate, joined left_outer. Matched pairs emit eagerly
+    exactly like st05's; an UNMATCHED click emits its NULL-padded row
+    only when the global watermark proves no purchase can still arrive
+    — state eviction doubles as the emission trigger, so correctness
+    of the eviction bound is directly observable in the output, not
+    just in memory behavior. A far-future sentinel rides the last
+    batch of EACH side (the global watermark is the min across
+    sources, so one side alone cannot flush) to force the final
+    advance that emits the tail's unmatched clicks; the sentinels'
+    own rows are filtered out (the click sentinel itself emits as an
+    unmatched row; the purchase sentinel, unmatched on the right of a
+    left join, emits nothing). With the time-monotone replay the
+    appended table equals the batch LEFT JOIN, so a plain SQL
+    left-join oracle hash-verifies watermark-triggered null emission
+    end-to-end. Same LTZ/DST-free-month caveat as st05."""
+    from mbta_etl_spark.streaming.ingest import interval_overlap_streams
+
+    base, clicks, purchases = _st_click_purchase_streams(
+        spark, sf_dir, "st06", with_sentinels=True
+    )
+    joined = _pair_overlap_select(
+        interval_overlap_streams(
+            clicks, purchases, "user_id", "b_user", "a_ts", "b_ts",
+            a_window="5 minutes", b_window="2 minutes",
+            how="left_outer",
+        )
+    )
+    out = _run_join_replay(spark, joined, base)
+    return out.filter(F.col("user_id") >= 0)
 
 
 R02_REL_BOUND = 0.08  # ~4 sigma for lgConfigK=12 (rsd ~1.6%)
@@ -6459,6 +6553,31 @@ _ORACLES["st04_stream_session_equiv"] = _ORACLES["q18a_session_windows"]
 # batch interval-overlap join — j08's oracle, aliased (not copied) so a
 # future fix to j08's overlap arithmetic can never silently drift.
 _ORACLES["st05_stream_stream_join_equiv"] = _ORACLES["j08_interval_overlap"]
+
+# st06: the left-outer variant — j08's CTE shapes with LEFT JOIN, so
+# every click appears exactly once per overlapping purchase or once
+# with NULL purchase columns; the watermark-triggered NULL emission in
+# the stream must reproduce this exactly.
+_ORACLES["st06_stream_outer_join_equiv"] = """
+    WITH clicks AS (
+      SELECT user_id, event_id AS a_id, ts AS a_start,
+             ts + INTERVAL 5 MINUTE AS a_end
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id AS b_user, event_id AS b_id, ts AS b_start,
+             ts + INTERVAL 2 MINUTE AS b_end
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, a_id, b_id,
+           CAST(date_diff('microsecond',
+                          greatest(a_start, b_start),
+                          least(a_end, b_end)) AS DOUBLE)
+             / 1000000.0 AS overlap_s
+    FROM clicks c LEFT JOIN purchases p
+      ON c.user_id = p.b_user
+     AND a_start < b_end AND b_start < a_end
+"""
 
 # Recursive-CTE replay of the per-series CUSUM recursion (same oracle
 # tier as c04/c05): inputs are 6dp-rounded on both sides before the
@@ -11348,16 +11467,17 @@ _DRIVER_VERIFIED = _load_driver_verified()
 # dedup audits, and remaining numeric entries. Entries not listed here
 # keep their stable registration order after the priority block;
 # verified entries still come last; names not (yet) registered or
-# already verified are filtered out harmlessly. The list holds 53 live
-# names for a 50-slot window ON PURPOSE: q60_percentile_battery,
-# q90_mean_battery, and q91_cdf_point overflow at positions 51-53 and
-# LEAD the round-7 queue instead of falling back to registration order.
+# already verified are filtered out harmlessly. The list holds 54 live
+# names for a 50-slot window ON PURPOSE: v21_benford_audit,
+# q60_percentile_battery, q90_mean_battery, and q91_cdf_point overflow
+# at positions 51-54 and LEAD the round-7 queue instead of falling
+# back to registration order.
 _WINDOW_PRIORITY = (
     # highest-risk never-sampled (VERDICT r5 item 2, in its order)
     "q96_sql_udf_pipeline", "s21_ivf_persist", "v22_duplicate_rows",
     "d27_dup_span_extents",
-    # round-6 addition: stream-stream join equivalence
-    "st05_stream_stream_join_equiv",
+    # round-6 additions: stream-stream join equivalence (inner + outer)
+    "st05_stream_stream_join_equiv", "st06_stream_outer_join_equiv",
     # epoch / packing audits
     "c21_adaptive_quality_filter", "c22_epoch_plan", "c23_shuffle_shards",
     "c24_epoch_materialize", "c25_overlap_chunks", "c26_pad_waste",
@@ -11735,6 +11855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st04_stream_session_equiv": st04_stream_session_equiv,
             # round-6 additions
             "st05_stream_stream_join_equiv": st05_stream_stream_join_equiv,
+            "st06_stream_outer_join_equiv": st06_stream_outer_join_equiv,
         }
     )
     # Rotate: never-driver-verified entries first (window-priority names

@@ -188,6 +188,7 @@ def interval_overlap_streams(
     a_window: str = "5 minutes",
     b_window: str = "2 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream INTERVAL-OVERLAP join — the symmetric sibling of
     ``interval_join_streams``: each a-row owns the window
@@ -202,7 +203,16 @@ def interval_overlap_streams(
     the stream history. This is the streaming twin of the batch
     ``operators/temporal.interval_overlap_join`` (bin-bucketed there;
     here the engine's state store plays the bins' role). Column names
-    must be disjoint across the two streams."""
+    must be disjoint across the two streams.
+
+    ``how`` extends the same predicate to outer variants ("left_outer",
+    "right_outer", "full_outer"): the engine emits the matched rows
+    eagerly and the NULL-padded unmatched rows only when the watermark
+    passes the row's window end (it must be certain no partner can
+    still arrive), so a bounded replay needs the final watermark pushed
+    past the last real window on BOTH sides — e.g. a far-future
+    sentinel row per stream — or the tail's unmatched rows never
+    emit."""
     wa = a.withWatermark(a_ts, watermark)
     wb = b.withWatermark(b_ts, watermark)
     cond = (
@@ -210,7 +220,7 @@ def interval_overlap_streams(
         & (F.col(b_ts) > F.col(a_ts) - F.expr(f"INTERVAL {b_window}"))
         & (F.col(b_ts) < F.col(a_ts) + F.expr(f"INTERVAL {a_window}"))
     )
-    return wa.join(wb, cond, "inner")
+    return wa.join(wb, cond, how)
 
 
 def enrich_stream(

@@ -690,6 +690,75 @@ def test_interval_overlap_streams_equals_batch_join(spark, tmp_path):
         assert got == batch, f"divergence at n_batches={n}"
 
 
+def test_interval_overlap_streams_left_outer_null_emission(spark, tmp_path):
+    """st06's harness: in a LEFT-OUTER stream-stream interval join, an
+    unmatched left row emits its NULL-padded result only when the
+    global watermark proves no right-side partner can still arrive —
+    and since the global watermark is the MIN across sources, a
+    far-future sentinel must ride BOTH streams or the tail never
+    flushes. Asserts the exact final table: one matched pair (sides in
+    different batches) plus one unmatched click with NULL purchase
+    columns."""
+    from mbta_etl_spark.streaming.ingest import interval_overlap_streams
+    from mbta_etl_spark.streaming.replay import (
+        land_replay_log,
+        open_replay_stream,
+    )
+
+    clicks_rows = [
+        (7, 100, "2024-01-15 10:00:00", 0),   # matched (purchase in batch 1)
+        (5, 101, "2024-01-15 10:00:00", 0),   # unmatched: NULL row
+        (-2, -1, "2099-01-01 00:00:00", 2),   # sentinel
+    ]
+    purch_rows = [
+        (7, 200, "2024-01-15 10:04:30", 1),   # overlaps click 100 by 30s
+        (-3, -1, "2099-01-01 00:00:00", 2),   # sentinel
+    ]
+
+    def _mk(rows, user_name, id_name, ts_name):
+        df = spark.createDataFrame(
+            rows, f"{user_name} long, {id_name} long, _t string, rk long"
+        )
+        return df.select(
+            user_name, id_name,
+            F.col("_t").cast("timestamp_ntz").alias(ts_name), "rk",
+        )
+
+    clicks_src = _mk(clicks_rows, "user_id", "a_id", "a_ts")
+    purch_src = _mk(purch_rows, "b_user", "b_id", "b_ts")
+    cdir, pdir = str(tmp_path / "c"), str(tmp_path / "p")
+    land_replay_log(clicks_src, cdir, 3, "rk")
+    land_replay_log(purch_src, pdir, 3, "rk")
+    clicks = (
+        open_replay_stream(spark, cdir, clicks_src.schema)
+        .drop("rk")
+        .withColumn("a_ts", F.col("a_ts").cast("timestamp"))
+    )
+    purchases = (
+        open_replay_stream(spark, pdir, purch_src.schema)
+        .drop("rk")
+        .withColumn("b_ts", F.col("b_ts").cast("timestamp"))
+    )
+    joined = interval_overlap_streams(
+        clicks, purchases, "user_id", "b_user", "a_ts", "b_ts",
+        a_window="5 minutes", b_window="2 minutes", how="left_outer",
+    ).select("user_id", "a_id", "b_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("st06_unit")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_query(q)
+    got = {
+        (r.user_id, r.a_id, r.b_id)
+        for r in spark.sql("SELECT * FROM st06_unit").collect()
+        if r.user_id >= 0
+    }
+    assert got == {(7, 100, 200), (5, 101, None)}
+
+
 def test_stream_exact_dedup_equiv_split_invariant(spark, tmp_path):
     """st01's harness: the final standing table equals the one-shot
     batch exact dedup regardless of batch count — including duplicate
