@@ -1579,7 +1579,11 @@ def _st_click_purchase_streams(
     window on both sides or the tail's unmatched rows never emit
     (st04's flush trick applied to join state); the sentinels carry
     distinct negative user ids so they can never join each other or
-    real data, and consumers filter them out. Returns
+    real data, and consumers filter them out. st05 and st06 each land
+    independently ON PURPOSE — registry entries must be runnable in
+    isolation (the driver calls one at a time), so sharing a landing
+    would couple their correctness; the duplicate scan is two cheap
+    filtered passes over events. Returns
     (scratch_base, clicks_stream, purchases_stream)."""
     import os
     import shutil
@@ -1591,10 +1595,16 @@ def _st_click_purchase_streams(
         time_quantile_key,
     )
 
+    # single shared batch count: the sentinel MUST ride the LAST batch
+    # (key n-1) — if these ever desynced, pmod would land the far-future
+    # sentinel in an early batch, the watermark would jump past all real
+    # data, and every later batch would be silently corrupted (the
+    # replay.py failure mode)
+    n_batches = 4
     ev = _events(spark, sf_dir).select(
         "event_id", "user_id", "ts", "event_type"
     )
-    keyed = time_quantile_key(ev, "ts", 4)
+    keyed = time_quantile_key(ev, "ts", n_batches)
     base = scratch_dir(
         spark, f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}"
     )
@@ -1617,7 +1627,7 @@ def _st_click_purchase_streams(
                 F.lit("2099-01-01 00:00:00")
                 .cast("timestamp_ntz")
                 .alias(ts_col),
-                F.lit(3).cast("long").alias("replay_key"),
+                F.lit(n_batches - 1).cast("long").alias("replay_key"),
             )
 
         clicks_src = clicks_src.unionByName(
@@ -1626,8 +1636,8 @@ def _st_click_purchase_streams(
         purch_src = purch_src.unionByName(
             _sentinel("b_user", "b_id", "b_ts", -3)
         )
-    land_replay_log(clicks_src, clicks_dir, 4, "replay_key")
-    land_replay_log(purch_src, purch_dir, 4, "replay_key")
+    land_replay_log(clicks_src, clicks_dir, n_batches, "replay_key")
+    land_replay_log(purch_src, purch_dir, n_batches, "replay_key")
     clicks = (
         open_replay_stream(spark, clicks_dir, clicks_src.schema)
         .drop("replay_key")
@@ -1641,22 +1651,28 @@ def _st_click_purchase_streams(
     return base, clicks, purchases
 
 
-def _pair_overlap_select(joined: DataFrame) -> DataFrame:
+def _pair_overlap_select(
+    joined: DataFrame, null_when_unmatched: bool = False
+) -> DataFrame:
     """(user_id, a_id, b_id, overlap_s) projection shared by st05/st06:
-    exact microsecond arithmetic on the window bounds, NULL-safe (an
-    unmatched left-outer row carries NULL b_ts, so overlap_s is NULL —
-    matching what the SQL oracle's LEFT JOIN produces)."""
+    exact microsecond arithmetic on the window bounds. NULL handling is
+    EXPLICIT, not incidental: greatest/least in both Spark and DuckDB
+    SKIP nulls (they don't propagate them), so an unmatched left-outer
+    row would otherwise read overlap_s = 300.0 — the full a-window,
+    indistinguishable from a perfect match except via NULL b_id. st06
+    passes ``null_when_unmatched`` to emit NULL instead, and its oracle
+    applies the matching CASE WHEN b_id IS NULL."""
+    overlap = (
+        F.expr(
+            "timestampdiff(MICROSECOND, greatest(a_ts, b_ts), "
+            "least(a_ts + INTERVAL 5 MINUTES, b_ts + INTERVAL 2 MINUTES))"
+        )
+        / F.lit(1_000_000.0)
+    )
+    if null_when_unmatched:
+        overlap = F.when(F.col("b_id").isNotNull(), overlap)
     return joined.select(
-        "user_id",
-        "a_id",
-        "b_id",
-        (
-            F.expr(
-                "timestampdiff(MICROSECOND, greatest(a_ts, b_ts), "
-                "least(a_ts + INTERVAL 5 MINUTES, b_ts + INTERVAL 2 MINUTES))"
-            )
-            / F.lit(1_000_000.0)
-        ).alias("overlap_s"),
+        "user_id", "a_id", "b_id", overlap.alias("overlap_s")
     )
 
 
@@ -1762,10 +1778,13 @@ def st06_stream_outer_join_equiv(
     just in memory behavior. A far-future sentinel rides the last
     batch of EACH side (the global watermark is the min across
     sources, so one side alone cannot flush) to force the final
-    advance that emits the tail's unmatched clicks; the sentinels'
-    own rows are filtered out (the click sentinel itself emits as an
-    unmatched row; the purchase sentinel, unmatched on the right of a
-    left join, emits nothing). With the time-monotone replay the
+    advance that emits the tail's unmatched clicks; the sentinels
+    themselves never emit — the final watermark (sentinel ts minus the
+    30-minute delay) never passes the click sentinel's own window end,
+    so its state is simply discarded at query stop, and the purchase
+    sentinel is on the right of a left join — the user_id >= 0 filter
+    below is a safety net, not the mechanism. With the time-monotone
+    replay the
     appended table equals the batch LEFT JOIN, so a plain SQL
     left-join oracle hash-verifies watermark-triggered null emission
     end-to-end. Same LTZ/DST-free-month caveat as st05."""
@@ -1779,7 +1798,8 @@ def st06_stream_outer_join_equiv(
             clicks, purchases, "user_id", "b_user", "a_ts", "b_ts",
             a_window="5 minutes", b_window="2 minutes",
             how="left_outer",
-        )
+        ),
+        null_when_unmatched=True,
     )
     out = _run_join_replay(spark, joined, base)
     return out.filter(F.col("user_id") >= 0)
@@ -6570,10 +6590,12 @@ _ORACLES["st06_stream_outer_join_equiv"] = """
       FROM events WHERE event_type = 'purchase'
     )
     SELECT c.user_id, a_id, b_id,
-           CAST(date_diff('microsecond',
-                          greatest(a_start, b_start),
-                          least(a_end, b_end)) AS DOUBLE)
-             / 1000000.0 AS overlap_s
+           CASE WHEN b_id IS NULL THEN NULL
+                ELSE CAST(date_diff('microsecond',
+                               greatest(a_start, b_start),
+                               least(a_end, b_end)) AS DOUBLE)
+                       / 1000000.0
+           END AS overlap_s
     FROM clicks c LEFT JOIN purchases p
       ON c.user_id = p.b_user
      AND a_start < b_end AND b_start < a_end

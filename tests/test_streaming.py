@@ -706,11 +706,18 @@ def test_interval_overlap_streams_left_outer_null_emission(spark, tmp_path):
     )
 
     clicks_rows = [
-        (7, 100, "2024-01-15 10:00:00", 0),   # matched (purchase in batch 1)
+        (7, 100, "2024-01-15 10:00:00", 0),   # matched (purchase one batch later)
         (5, 101, "2024-01-15 10:00:00", 0),   # unmatched: NULL row
         (-2, -1, "2099-01-01 00:00:00", 2),   # sentinel
     ]
     purch_rows = [
+        # right-side filler: occupies the purchase source's FIRST file so
+        # the matching purchase is consumed one micro-batch AFTER click
+        # 100 — the match must come out of buffered left-outer join
+        # state, not a same-batch hash join (with one file per side per
+        # trigger, both sources' first files land in the same batch);
+        # unmatched on the right of a left join, it emits nothing
+        (9, 199, "2024-01-15 09:00:00", 0),
         (7, 200, "2024-01-15 10:04:30", 1),   # overlaps click 100 by 30s
         (-3, -1, "2099-01-01 00:00:00", 2),   # sentinel
     ]
