@@ -11445,11 +11445,24 @@ def _load_driver_verified() -> frozenset[str]:
     import json
     import os
 
+    import re
+
     repo = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     status: dict[str, bool] = {}
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+
+    def _round_no(path: str) -> int:
+        # sort by PARSED round number, not lexicographically — an
+        # unpadded or 3-digit round file (r6, r100) would otherwise
+        # misorder and let a stale row win the latest-wins merge
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
+    paths = sorted(
+        glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")), key=_round_no
+    )
+    for path in paths:
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -11477,7 +11490,7 @@ def _load_driver_verified() -> frozenset[str]:
 
 _DRIVER_VERIFIED = _load_driver_verified()
 
-# Round-6 window stacking (VERDICT r5 item 2): among the 115 entries the
+# Round-6 window stacking (VERDICT r5 item 2): among the 117 entries the
 # driver has never sampled, these names jump to the FRONT of the queue
 # (in this order). Risk ranking: q96 exercises Spark 4 SQL-UDF
 # resolution (the most upgrade-fragile plan in the registry), s21

@@ -1,5 +1,5 @@
 """Deterministic replay-log landing for streaming/batch equivalence
-entries (st01/st02/st03): split a batch DataFrame into ``n_batches``
+entries (st01-st06): split a batch DataFrame into ``n_batches``
 JSONL files — one per intended micro-batch — so a file source with
 ``maxFilesPerTrigger=1`` under an availableNow trigger replays it as a
 multi-batch stream. The split key is ``pmod(key, n_batches)`` (pmod,
@@ -79,6 +79,50 @@ def land_replay_log(
     shutil.rmtree(staging, ignore_errors=True)
 
 
+def assert_constant_utc_offset(tz_name: str, mn, mx) -> None:
+    """Fail LOUDLY if the session timezone changes UTC offset anywhere
+    in [mn, mx] (naive wall datetimes, 6-hour probe grid).
+
+    The watermarked replay entries (st04/st05/st06) cast NTZ event
+    times to LTZ because watermarks require it, and their batch/stream
+    equivalence proof assumes that cast is a UNIFORM shift: across a
+    DST transition it is not — wall-time arithmetic (session gaps,
+    window overlaps) diverges between the LTZ stream and the NTZ SQL
+    oracle by the offset step, producing a silent hash mismatch. A
+    zone with a transition inside the data span must either compute
+    its arithmetic on the original NTZ columns carried through the
+    operator, or not run the equivalence entry at all — so this guard
+    turns the silent divergence into an explicit error. Fixed-offset
+    zone names (UTC, GMT+8, +05:30) are constant by construction;
+    region names are probed via zoneinfo."""
+    import datetime as dt
+
+    name = tz_name.strip()
+    if name.upper() in ("UTC", "Z", "GMT") or name[:1] in "+-" or (
+        name.upper().startswith(("GMT+", "GMT-", "UTC+", "UTC-"))
+    ):
+        return
+    from zoneinfo import ZoneInfo
+
+    tz = ZoneInfo(name)
+    probe = mn
+    offsets = set()
+    while probe <= mx:
+        offsets.add(probe.replace(tzinfo=tz).utcoffset())
+        probe += dt.timedelta(hours=6)
+    offsets.add(mx.replace(tzinfo=tz).utcoffset())
+    if len(offsets) > 1:
+        raise ValueError(
+            f"session timezone {tz_name!r} changes UTC offset within "
+            f"the replay span [{mn} .. {mx}] ({sorted(str(o) for o in offsets)}); "
+            "the NTZ->LTZ watermark cast is not a uniform shift here, so "
+            "the streamed result would silently diverge from the NTZ "
+            "batch oracle — run with a transition-free session zone, or "
+            "rework the entry to compute its event-time arithmetic on "
+            "NTZ columns carried through the operator"
+        )
+
+
 def time_quantile_key(
     df: DataFrame, ts_col: str, n_batches: int
 ) -> DataFrame:
@@ -94,8 +138,13 @@ def time_quantile_key(
     NTZ-derived wall dates, so it is TZ-free. Consumers landing
     multiple streams from one source (st05) must call this ONCE on the
     shared frame before splitting sides, so the landings stay mutually
-    aligned batch-for-batch."""
+    aligned batch-for-batch. Also guards the NTZ->LTZ uniform-shift
+    assumption every watermarked consumer of this split relies on
+    (see assert_constant_utc_offset)."""
     mn, mx = df.agg(F.min(ts_col), F.max(ts_col)).first()
+    assert_constant_utc_offset(
+        df.sparkSession.conf.get("spark.sql.session.timeZone"), mn, mx
+    )
     n_days = (mx.date() - mn.date()).days + 1
     days_per_batch = max(1, -(-n_days // n_batches))
     day_off = F.datediff(

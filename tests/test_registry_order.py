@@ -36,10 +36,18 @@ def _latest_green_rows() -> set[str]:
     — any driver format drift like booleans arriving as strings or
     counts as floats, which the registry's laxer parser would silently
     accept."""
+    import re
+
     status: dict[str, bool] = {}
-    for fn in sorted(os.listdir(REPO)):
-        if not (fn.startswith("CORRECTNESS_r") and fn.endswith(".json")):
-            continue
+    names = [
+        fn for fn in os.listdir(REPO)
+        if fn.startswith("CORRECTNESS_r") and fn.endswith(".json")
+    ]
+    # numeric round sort (listdir + regex here vs glob + regex in the
+    # registry): an unpadded/3-digit round file must not misorder the
+    # latest-wins merge on either side
+    names.sort(key=lambda fn: int(re.search(r"r(\d+)", fn).group(1)))
+    for fn in names:
         with open(os.path.join(REPO, fn)) as f:
             rows = json.load(f)
         for name, row in rows.items():
@@ -92,7 +100,7 @@ def test_driver_verified_is_derived_from_correctness_files():
 
 
 def test_round6_window_front_loads_risky_entries():
-    """Round 6 stacks the driver window with the riskiest of the 115
+    """Round 6 stacks the driver window with the riskiest of the 117
     never-sampled entries (VERDICT r5 item 2): Spark-4 SQL-UDF
     resolution, filesystem-state IVF persist, the intricate-oracle
     audits, the chunkers, the round-5 overflow pair, and the new

@@ -506,6 +506,40 @@ def test_streaming_dedup_state_survives_restart(spark, tmp_path):
     assert got == {1: 1.0, 2: 2.0, 3: 3.0}  # key 1's redelivery dropped
 
 
+def test_constant_utc_offset_guard():
+    """The watermarked replay entries assume the session zone's
+    NTZ->LTZ cast is a UNIFORM shift over the data span; a zone with a
+    DST transition inside the span must raise loudly instead of
+    letting the streamed result silently diverge from the NTZ oracle.
+    Transition-free spans and fixed-offset names pass."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from mbta_etl_spark.streaming.replay import assert_constant_utc_offset
+
+    mn = dt.datetime(2024, 1, 1, 0, 0, 7)
+    mx = dt.datetime(2024, 1, 30, 23, 57, 12)
+    # no January transition in these
+    assert_constant_utc_offset("UTC", mn, mx)
+    assert_constant_utc_offset("America/New_York", mn, mx)
+    assert_constant_utc_offset("+05:30", mn, mx)
+    assert_constant_utc_offset("GMT+8", mn, mx)
+    # a spring-forward span is caught (NY jumps -05:00 -> -04:00 on
+    # 2024-03-10), as is a southern-hemisphere DST end (Santiago
+    # leaves -03:00 on 2024-04-07)
+    with _pytest.raises(ValueError, match="changes UTC offset"):
+        assert_constant_utc_offset(
+            "America/New_York",
+            dt.datetime(2024, 3, 1), dt.datetime(2024, 3, 31),
+        )
+    with _pytest.raises(ValueError, match="changes UTC offset"):
+        assert_constant_utc_offset(
+            "America/Santiago",
+            dt.datetime(2024, 4, 1), dt.datetime(2024, 4, 30),
+        )
+
+
 def test_session_window_late_batch_fragments_and_drops(spark, tmp_path):
     """Pins the late-data semantics st04's time-monotone lander exists
     to avoid (VERDICT r5 item 8: previously implied, not asserted), as
