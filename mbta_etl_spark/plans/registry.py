@@ -11466,8 +11466,25 @@ def _load_driver_verified() -> frozenset[str]:
         try:
             with open(path) as f:
                 rows = json.load(f)
-        except (OSError, ValueError):
-            continue  # unreadable / partially-written file: ignore
+        except (OSError, ValueError) as exc:
+            # a CORRECTNESS file that exists but cannot be parsed means
+            # the verification state is UNKNOWN, not absent — skipping
+            # silently would revert every name in it to the previous
+            # round's greens and run the driver window on stale state
+            # (the stricter test-side parser would crash instead, so
+            # the drift would surface only when the suite runs). Warn
+            # loudly but keep importing: a partially-written file
+            # mid-driver-run must not brick the registry import.
+            import warnings
+
+            warnings.warn(
+                f"driver-verification file {path!r} exists but could "
+                f"not be parsed ({exc}); treating its rows as unknown "
+                "— window ordering may run on stale verification state",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            continue
         if not isinstance(rows, dict):
             continue
         for name, row in rows.items():

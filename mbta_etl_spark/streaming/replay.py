@@ -98,7 +98,9 @@ def assert_constant_utc_offset(tz_name: str, mn, mx) -> None:
     import datetime as dt
 
     name = tz_name.strip()
-    if name.upper() in ("UTC", "Z", "GMT") or name[:1] in "+-" or (
+    # tuple membership, not `in "+-"`: an empty name would make the
+    # substring test vacuously True and silently bypass the DST guard
+    if name.upper() in ("UTC", "Z", "GMT") or name[:1] in ("+", "-") or (
         name.upper().startswith(("GMT+", "GMT-", "UTC+", "UTC-"))
     ):
         return

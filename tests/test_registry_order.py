@@ -45,8 +45,15 @@ def _latest_green_rows() -> set[str]:
     ]
     # numeric round sort (listdir + regex here vs glob + regex in the
     # registry): an unpadded/3-digit round file must not misorder the
-    # latest-wins merge on either side
-    names.sort(key=lambda fn: int(re.search(r"r(\d+)", fn).group(1)))
+    # latest-wins merge on either side. Guard the regex like
+    # registry._round_no does — a stray CORRECTNESS_rfinal.json passes
+    # the startswith/endswith filter, and an AttributeError here would
+    # be an opaque crash where the registry degrades gracefully to -1.
+    def _round_no(fn: str) -> int:
+        m = re.search(r"r(\d+)", fn)
+        return int(m.group(1)) if m else -1
+
+    names.sort(key=_round_no)
     for fn in names:
         with open(os.path.join(REPO, fn)) as f:
             rows = json.load(f)

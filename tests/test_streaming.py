@@ -538,6 +538,11 @@ def test_constant_utc_offset_guard():
             "America/Santiago",
             dt.datetime(2024, 4, 1), dt.datetime(2024, 4, 30),
         )
+    # a malformed (empty) zone name must fail loudly, not slip through
+    # the fixed-offset fast path ('' is a substring of "+-", so the old
+    # `name[:1] in "+-"` test was vacuously True for it)
+    with _pytest.raises(Exception):
+        assert_constant_utc_offset("", mn, mx)
 
 
 def test_session_window_late_batch_fragments_and_drops(spark, tmp_path):
