@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mbta_etl_spark.operators import core
@@ -1563,32 +1563,110 @@ def st04_stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# st05/st06's interval-overlap windows: a click owns [a_ts, a_ts + A),
+# a purchase [b_ts, b_ts + B). ONE definition feeds both the join's
+# range predicate (interval_overlap_streams arguments) and the
+# overlap_s arithmetic (_pair_overlap_select) — previously the
+# arithmetic hardcoded its own copies, so changing one silently skewed
+# overlap_s away from the oracle while rows kept matching (ADVICE r6).
+_ST_JOIN_A_WINDOW = "5 minutes"
+_ST_JOIN_B_WINDOW = "2 minutes"
+
+
+def _wall_micros(ntz: Column) -> Column:
+    """Microseconds since epoch of a TIMESTAMP_NTZ wall-clock value,
+    by pure FIELD EXTRACTION (date + hour + minute + fractional
+    second) — the only form measured to be session-zone-free on every
+    input. The tempting alternatives are contaminated: ``timestampdiff``
+    and ``unix_*`` route NTZ values through the session zone, so a wall
+    time inside a spring-forward gap (e.g. 02:30 on a day the clock
+    jumps 02:00->03:00) silently shifts by the gap width, and
+    arithmetic near the transition diverges from a wall-time oracle
+    (measured; pinned by tests/test_streaming.py::
+    test_wall_micros_is_zone_free)."""
+    return (
+        F.unix_date(F.to_date(ntz)) * F.lit(86_400_000_000)
+        + F.hour(ntz).cast("long") * F.lit(3_600_000_000)
+        + F.minute(ntz).cast("long") * F.lit(60_000_000)
+        + (F.date_part(F.lit("SECOND"), ntz) * 1_000_000).cast("long")
+    )
+
+
+def _wall_instant(ntz_col: str) -> Column:
+    """Reinterpret a TIMESTAMP_NTZ wall time as the TIMESTAMP (LTZ)
+    instant whose physical microseconds EQUAL the wall-clock
+    microseconds — a pure relabeling, independent of the session zone.
+
+    This is what lets a watermarked operator run WALL-TIME arithmetic
+    exactly: watermarks and stream-stream join eviction require LTZ,
+    but the session-zone cast (``ntz.cast("timestamp")``) is only a
+    uniform shift on DST-transition-free spans — across a
+    spring-forward gap two wall times 63 minutes apart become physical
+    instants 3 minutes apart, and the streamed result silently
+    diverges from an NTZ batch oracle (the round-6 st05/st06 caveat).
+    Under this relabeling, interval comparisons on the derived column
+    are bit-exactly the NTZ wall-time comparisons in ANY session zone,
+    on ANY data span, while remaining a valid event-time column for
+    watermarking (monotone in wall time by construction — pinned by
+    tests/test_streaming.py::test_stream_join_wall_time_across_dst)."""
+    return F.timestamp_micros(_wall_micros(F.col(ntz_col)))
+
+
 def _st_click_purchase_streams(
     spark: SparkSession, sf_dir: str, tag: str, with_sentinels: bool = False
 ) -> tuple[str, DataFrame, DataFrame]:
-    """Shared st05/st06 landing: clicks and purchases from events as
-    TWO separately-landed file-source streams with ONE global
+    """Shared st05/st06 landing over the events table: scratch dir +
+    :func:`_land_pair_streams` (which the DST unit test drives directly
+    with synthetic events). st05 and st06 each land independently ON
+    PURPOSE — registry entries must be runnable in isolation (the
+    driver calls one at a time), so sharing a landing would couple
+    their correctness; the duplicate scan is two cheap filtered passes
+    over events. Returns (scratch_base, clicks_stream,
+    purchases_stream)."""
+    import os
+
+    from mbta_etl_spark.sources.formats import scratch_dir
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    base = scratch_dir(
+        spark, f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    clicks, purchases = _land_pair_streams(
+        spark, ev, base, with_sentinels=with_sentinels
+    )
+    return base, clicks, purchases
+
+
+def _land_pair_streams(
+    spark: SparkSession,
+    ev: DataFrame,
+    base: str,
+    with_sentinels: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Land clicks and purchases from an events frame as TWO
+    separately-landed file-source streams with ONE global
     time-quantile split (applied to the full span BEFORE the sides are
     filtered, so the landings stay mutually aligned batch-for-batch;
     each side's files are independently time-monotone, which is all
-    min-of-sources watermarking needs). Watermarks require TIMESTAMP
-    (LTZ), not NTZ — cast in here; both consumers emit only ids and a
-    duration, so nothing casts back out. With ``with_sentinels``, a
-    far-future row rides the LAST batch of EACH side — outer-join
-    consumers need the final global watermark pushed past every real
-    window on both sides or the tail's unmatched rows never emit
-    (st04's flush trick applied to join state); the sentinels carry
-    distinct negative user ids so they can never join each other or
-    real data, and consumers filter them out. st05 and st06 each land
-    independently ON PURPOSE — registry entries must be runnable in
-    isolation (the driver calls one at a time), so sharing a landing
-    would couple their correctness; the duplicate scan is two cheap
-    filtered passes over events. Returns
-    (scratch_base, clicks_stream, purchases_stream)."""
+    min-of-sources watermarking needs). Event times stay TIMESTAMP_NTZ
+    end to end; each side additionally carries a ``*_wm`` column —
+    :func:`_wall_instant`'s zone-free relabeling — because watermarks
+    require LTZ. All join/eviction arithmetic runs on the wm columns,
+    whose micros equal the wall micros, so the computation is exactly
+    the oracle's wall-time arithmetic in any session zone on any data
+    span (no uniform-shift assumption — ``time_quantile_key`` is told
+    not to require one). With ``with_sentinels``, a far-future row
+    rides the LAST batch of EACH side — outer-join consumers need the
+    final global watermark pushed past every real window on both sides
+    or the tail's unmatched rows never emit (st04's flush trick
+    applied to join state); the sentinels carry distinct negative user
+    ids so they can never join each other or real data, and consumers
+    filter them out."""
     import os
     import shutil
 
-    from mbta_etl_spark.sources.formats import scratch_dir
     from mbta_etl_spark.streaming.replay import (
         land_replay_log,
         open_replay_stream,
@@ -1601,12 +1679,8 @@ def _st_click_purchase_streams(
     # data, and every later batch would be silently corrupted (the
     # replay.py failure mode)
     n_batches = 4
-    ev = _events(spark, sf_dir).select(
-        "event_id", "user_id", "ts", "event_type"
-    )
-    keyed = time_quantile_key(ev, "ts", n_batches)
-    base = scratch_dir(
-        spark, f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}"
+    keyed = time_quantile_key(
+        ev, "ts", n_batches, require_uniform_shift=False
     )
     clicks_dir = os.path.join(base, "clicks")
     purch_dir = os.path.join(base, "purchases")
@@ -1641,33 +1715,42 @@ def _st_click_purchase_streams(
     clicks = (
         open_replay_stream(spark, clicks_dir, clicks_src.schema)
         .drop("replay_key")
-        .withColumn("a_ts", F.col("a_ts").cast("timestamp"))
+        .withColumn("a_wm", _wall_instant("a_ts"))
     )
     purchases = (
         open_replay_stream(spark, purch_dir, purch_src.schema)
         .drop("replay_key")
-        .withColumn("b_ts", F.col("b_ts").cast("timestamp"))
+        .withColumn("b_wm", _wall_instant("b_ts"))
     )
-    return base, clicks, purchases
+    return clicks, purchases
 
 
 def _pair_overlap_select(
     joined: DataFrame, null_when_unmatched: bool = False
 ) -> DataFrame:
     """(user_id, a_id, b_id, overlap_s) projection shared by st05/st06:
-    exact microsecond arithmetic on the window bounds. NULL handling is
-    EXPLICIT, not incidental: greatest/least in both Spark and DuckDB
-    SKIP nulls (they don't propagate them), so an unmatched left-outer
-    row would otherwise read overlap_s = 300.0 — the full a-window,
-    indistinguishable from a perfect match except via NULL b_id. st06
-    passes ``null_when_unmatched`` to emit NULL instead, and its oracle
+    exact microsecond arithmetic on the window bounds, computed on the
+    ORIGINAL TIMESTAMP_NTZ columns carried through the join (wall time,
+    matching the NTZ oracle on any data span; the LTZ ``*_wm`` columns
+    exist only for watermarking). The window widths come from the same
+    module constants the join predicate uses, so the two can never
+    drift (ADVICE r6). NULL handling is EXPLICIT, not incidental:
+    greatest/least in both Spark and DuckDB SKIP nulls (they don't
+    propagate them), so an unmatched left-outer row would otherwise
+    read overlap_s = 300.0 — the full a-window, indistinguishable from
+    a perfect match except via NULL b_id. st06 passes
+    ``null_when_unmatched`` to emit NULL instead, and its oracle
     applies the matching CASE WHEN b_id IS NULL."""
-    overlap = (
-        F.expr(
-            "timestampdiff(MICROSECOND, greatest(a_ts, b_ts), "
-            "least(a_ts + INTERVAL 5 MINUTES, b_ts + INTERVAL 2 MINUTES))"
-        )
-        / F.lit(1_000_000.0)
+    start = F.greatest(F.col("a_ts"), F.col("b_ts"))
+    end = F.least(
+        F.col("a_ts") + F.expr(f"INTERVAL {_ST_JOIN_A_WINDOW}"),
+        F.col("b_ts") + F.expr(f"INTERVAL {_ST_JOIN_B_WINDOW}"),
+    )
+    # _wall_micros, NOT timestampdiff: the latter routes NTZ through
+    # the session zone and mis-measures when a window bound lands
+    # inside a DST gap (measured — see _wall_micros)
+    overlap = (_wall_micros(end) - _wall_micros(start)) / F.lit(
+        1_000_000.0
     )
     if null_when_unmatched:
         overlap = F.when(F.col("b_id").isNotNull(), overlap)
@@ -1737,15 +1820,17 @@ def st05_stream_stream_join_equiv(
     equals the batch interval join. Inner-join rows emit in the
     micro-batch where the second side arrives (no watermark flush or
     sentinel needed, unlike st04's session windows). j08's oracle
-    hash-verifies the streamed execution. Timestamp discipline: the
-    watermark requires LTZ, so the predicate and overlap arithmetic
-    run on LTZ instants while the NTZ oracle measures wall-time
-    differences — the two agree because the data is a single
-    DST-transition-free month (st04's stated assumption, same here):
-    across a spring-forward gap a wall-time non-overlap could become a
-    physical-time overlap and diverge from the oracle, so multi-month
-    testdata would need the overlap computed on the original NTZ
-    columns carried through the join."""
+    hash-verifies the streamed execution. Timestamp discipline (round
+    7, closing the round-6 DST caveat): event times stay TIMESTAMP_NTZ
+    end to end; the watermark requires LTZ, so each side carries a
+    derived ``*_wm`` instant whose physical micros EQUAL the wall
+    micros (:func:`_wall_instant` — a zone-free relabeling, NOT the
+    session-zone cast). The join predicate and eviction bounds run on
+    the wm columns and are therefore bit-exactly the oracle's
+    wall-time comparisons, and overlap_s is computed on the original
+    NTZ columns — correct in any session zone on any data span,
+    DST transitions included (pinned by tests/test_streaming.py::
+    test_stream_join_wall_time_across_dst)."""
     from mbta_etl_spark.streaming.ingest import interval_overlap_streams
 
     base, clicks, purchases = _st_click_purchase_streams(
@@ -1756,8 +1841,8 @@ def st05_stream_stream_join_equiv(
     # [ts, ts+2m) matching j08's batch entry
     joined = _pair_overlap_select(
         interval_overlap_streams(
-            clicks, purchases, "user_id", "b_user", "a_ts", "b_ts",
-            a_window="5 minutes", b_window="2 minutes",
+            clicks, purchases, "user_id", "b_user", "a_wm", "b_wm",
+            a_window=_ST_JOIN_A_WINDOW, b_window=_ST_JOIN_B_WINDOW,
         )
     )
     return _run_join_replay(spark, joined, base)
@@ -1787,7 +1872,9 @@ def st06_stream_outer_join_equiv(
     replay the
     appended table equals the batch LEFT JOIN, so a plain SQL
     left-join oracle hash-verifies watermark-triggered null emission
-    end-to-end. Same LTZ/DST-free-month caveat as st05."""
+    end-to-end. Same wall-time discipline as st05 (NTZ arithmetic,
+    zone-free ``*_wm`` watermark columns — correct across DST
+    transitions)."""
     from mbta_etl_spark.streaming.ingest import interval_overlap_streams
 
     base, clicks, purchases = _st_click_purchase_streams(
@@ -1795,14 +1882,83 @@ def st06_stream_outer_join_equiv(
     )
     joined = _pair_overlap_select(
         interval_overlap_streams(
-            clicks, purchases, "user_id", "b_user", "a_ts", "b_ts",
-            a_window="5 minutes", b_window="2 minutes",
+            clicks, purchases, "user_id", "b_user", "a_wm", "b_wm",
+            a_window=_ST_JOIN_A_WINDOW, b_window=_ST_JOIN_B_WINDOW,
             how="left_outer",
         ),
         null_when_unmatched=True,
     )
     out = _run_join_replay(spark, joined, base)
     return out.filter(F.col("user_id") >= 0)
+
+
+def st07_stateful_profile_equiv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUSTOM-STATEFUL streaming equivalence — the seventh streaming
+    face and the round-6 verdict's item 2: the sanctioned Python
+    stateful tier (``applyInPandasWithState`` — an Arrow-batched
+    GroupState kernel, streaming/stateful.user_profile_stream)
+    driver-hash-checked end to end. st01–st06 pin the ENGINE's state
+    tiers (hash agg, table merge, sketch, sessions, inner/outer join
+    state); this pins the escape hatch a pipeline uses when built-in
+    aggregations can't express the semantics — per-key custom
+    accumulators in explicit GroupState.
+
+    Events replay as 4 KEY-INTERLEAVED micro-batches (split on
+    pmod(event_id, 4), so nearly every user spans batches and the
+    cross-batch state fold is the path being verified — a per-user
+    split would degenerate to one emission per key). No watermark and
+    a commutative fold (count / float sum / max-ts), so the replay
+    needs no time-monotone landing and the result is split-invariant —
+    which is exactly what lets a plain batch GROUP BY oracle
+    hash-verify the streamed execution. Update-mode emissions carry
+    the key's full cumulative profile, merged into a standing table by
+    an idempotent last-write-wins upsert (claim_batch +
+    atomic_publish, st02's exactly-once discipline). Floats follow
+    r01: raw sums in state and in the table, ONE 6dp round at read.
+
+    Note the deliberate API choice: ``applyInPandasWithState`` rather
+    than ``transformWithStateInPandas`` — the latter's state client
+    needs a protobuf runtime the driver's vanilla session doesn't
+    have (tests/conftest.py shims it for the unit tier), while this
+    tier is pure Arrow + GroupState and runs anywhere the engine
+    does. The transformWithState operators stay unit-pinned
+    (tests/test_stateful.py, incl. a RocksDB state-store run)."""
+    import os
+    import shutil
+
+    from mbta_etl_spark.sources.formats import scratch_dir
+    from mbta_etl_spark.streaming.replay import (
+        land_replay_log,
+        open_replay_stream,
+    )
+    from mbta_etl_spark.streaming.stateful import start_profile_stream
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    base = scratch_dir(
+        spark, f"st07_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir = os.path.join(base, "in")
+    table = os.path.join(base, "profiles")
+    ckpt = os.path.join(base, "ckpt")
+    src = ev.withColumn("replay_key", F.col("event_id"))
+    land_replay_log(src, in_dir, 4, "replay_key")
+    stream = (
+        open_replay_stream(spark, in_dir, src.schema)
+        .select("user_id", "ts", "value")
+    )
+    query = start_profile_stream(stream, table, ckpt, available_now=True)
+    query.awaitTermination()
+    return spark.read.parquet(table).select(
+        "user_id",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+        "last_ts",
+    )
 
 
 R02_REL_BOUND = 0.08  # ~4 sigma for lgConfigK=12 (rsd ~1.6%)
@@ -6599,6 +6755,19 @@ _ORACLES["st06_stream_outer_join_equiv"] = """
     FROM clicks c LEFT JOIN purchases p
       ON c.user_id = p.b_user
      AND a_start < b_end AND b_start < a_end
+"""
+
+# st07: the streamed GroupState fold must equal the trivial batch
+# per-user aggregate — the whole point of the equivalence entry is
+# that the oracle is this one obvious statement while the execution
+# is the custom-stateful Python tier. r01's float discipline (6dp
+# round on the sum, BIGINT count).
+_ORACLES["st07_stateful_profile_equiv"] = """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value,
+           MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
 """
 
 # Recursive-CTE replay of the per-series CUSUM recursion (same oracle
@@ -11435,8 +11604,16 @@ _ORACLES["v20_freshness_lag"] = """
 # oracle changed since their last green driver row, so the driver must
 # re-verify them even though an old green row exists. (Round 5 used this
 # for the q09a/q24a/r02 composed-oracle re-verification; all three came
-# back green in CORRECTNESS_r05.json, so round 6 starts empty.)
-_DRIVER_HOLDOUTS: frozenset[str] = frozenset()
+# back green in CORRECTNESS_r05.json. Round 7: st05/st06's event-time
+# arithmetic moved from session-zone LTZ casts to the zone-free
+# wall-instant relabeling — hash-identical on the DST-free testdata,
+# but the plan changed, so the driver re-verifies both.)
+_DRIVER_HOLDOUTS: frozenset[str] = frozenset(
+    {
+        "st05_stream_stream_join_equiv",
+        "st06_stream_outer_join_equiv",
+    }
+)
 
 
 def _load_driver_verified() -> frozenset[str]:
@@ -11908,6 +12085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round-6 additions
             "st05_stream_stream_join_equiv": st05_stream_stream_join_equiv,
             "st06_stream_outer_join_equiv": st06_stream_outer_join_equiv,
+            "st07_stateful_profile_equiv": st07_stateful_profile_equiv,
         }
     )
     # Rotate: never-driver-verified entries first (window-priority names

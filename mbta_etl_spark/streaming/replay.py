@@ -126,7 +126,10 @@ def assert_constant_utc_offset(tz_name: str, mn, mx) -> None:
 
 
 def time_quantile_key(
-    df: DataFrame, ts_col: str, n_batches: int
+    df: DataFrame,
+    ts_col: str,
+    n_batches: int,
+    require_uniform_shift: bool = True,
 ) -> DataFrame:
     """Append a ``replay_key`` column holding the TIME-MONOTONE batch
     index a watermarked replay needs (st04/st05): the actual data span
@@ -140,13 +143,18 @@ def time_quantile_key(
     NTZ-derived wall dates, so it is TZ-free. Consumers landing
     multiple streams from one source (st05) must call this ONCE on the
     shared frame before splitting sides, so the landings stay mutually
-    aligned batch-for-batch. Also guards the NTZ->LTZ uniform-shift
-    assumption every watermarked consumer of this split relies on
-    (see assert_constant_utc_offset)."""
+    aligned batch-for-batch. By default also guards the NTZ->LTZ
+    uniform-shift assumption of watermarked consumers that CAST to the
+    session zone (st04; see assert_constant_utc_offset); consumers
+    whose event-time arithmetic is zone-free — the st05/st06 wall-
+    instant relabeling, or unwatermarked order-invariant replays —
+    pass ``require_uniform_shift=False`` since they are correct across
+    DST transitions by construction."""
     mn, mx = df.agg(F.min(ts_col), F.max(ts_col)).first()
-    assert_constant_utc_offset(
-        df.sparkSession.conf.get("spark.sql.session.timeZone"), mn, mx
-    )
+    if require_uniform_shift:
+        assert_constant_utc_offset(
+            df.sparkSession.conf.get("spark.sql.session.timeZone"), mn, mx
+        )
     n_days = (mx.date() - mn.date()).days + 1
     days_per_batch = max(1, -(-n_days // n_batches))
     day_off = F.datediff(

@@ -57,11 +57,14 @@ def _update_profile(
         batch_max_us = int(pd.to_datetime(pdf["ts"]).astype("int64").max() // 1000)
         last_us = max(last_us, batch_max_us)
     state.update((n, total, last_us))
+    # sum_value emits RAW: readers round once at read time (r01's float
+    # discipline — rounding here AND at read would double-round, and
+    # Python round() is banker's while the SQL oracles round half-up)
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "sum_value": [round(total, 6)],
+            "sum_value": [total],
             "last_ts": [pd.Timestamp(last_us, unit="us")],
         }
     )
@@ -77,6 +80,67 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def merge_profile_batch(
+    batch_df: DataFrame, batch_id: int, table_path: str
+) -> None:
+    """One idempotent foreachBatch merge of update-mode profile
+    emissions into a standing per-user parquet table. Each emission is
+    the key's FULL cumulative profile (the kernel folds state before
+    emitting), so the merge is pure last-write-wins: replace the key's
+    row, keep rows for keys absent from the batch. foreachBatch is
+    at-least-once, so the merge follows st02's exactly-once
+    discipline — the shared ``claim_batch`` guard skips the one batch
+    a recovered checkpoint can redeliver (and fails loudly on an id
+    regression), and ``atomic_publish`` commits data + batch id in one
+    symlink swap. Scale shape: the merge shuffles profile ROWS (one
+    per key seen in the batch + one per standing key), never raw
+    events — the same table-state economics as the rollup merge."""
+    import os
+
+    from mbta_etl_spark.pipeline.load import (
+        atomic_publish,
+        batch_marker,
+        claim_batch,
+    )
+
+    if not claim_batch(table_path, batch_id):
+        return  # redelivered batch: already merged and published
+    spark = batch_df.sparkSession
+    if os.path.exists(table_path):
+        existing = spark.read.parquet(table_path)
+        merged = existing.join(
+            batch_df.select("user_id"), "user_id", "left_anti"
+        ).unionByName(batch_df)
+    else:
+        merged = batch_df
+    atomic_publish(merged, table_path, marker=batch_marker(batch_id))
+
+
+def start_profile_stream(
+    events: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+):
+    """events stream (user_id, ts, value) → continuously-merged
+    per-user profile table at ``table_path`` (update-mode
+    applyInPandasWithState + idempotent last-write-wins merge).
+    Returns the StreamingQuery. ``available_now=True`` drains what's
+    there and stops (bounded replays/tests; continuous is the
+    production default — the st03 lesson)."""
+    writer = (
+        user_profile_stream(events)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda b, bid: merge_profile_batch(b, bid, table_path)
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 COUNTER_OUTPUT_SCHEMA = StructType(

@@ -15,7 +15,7 @@ entries, so a new entry (or a refactor) can never silently introduce:
 
 Plans are compiled driver-side only (explain, no execution), so the
 whole sweep is cheap — with one documented exception: the streaming
-equivalence entries (st01–st06) EXECUTE their replay inside the entry
+equivalence entries (st01–st07) EXECUTE their replay inside the entry
 call (a streaming query cannot be compiled without running), so for
 them this gate sees only the final standing-table read. Since round 6
 their replay runs ONCE per suite session via the shared
@@ -29,7 +29,9 @@ operators/frequent.mg_summarize/mg_merge (guarantee pinned by
 tests/test_frequent_and_r2b.py and the hypothesis property in
 tests/test_properties.py), st04 = the shared _session_window_agg
 expression (q18a's plan), st05/st06 = the interval-overlap predicate
-j08's oracle replays (st06 adds the left_outer variant) — so an
+j08's oracle replays (st06 adds the left_outer variant), st07 = the
+applyInPandasWithState GroupState kernel (Arrow tier, explicitly
+whitelisted; batch-twin oracle is the trivial GROUP BY) — so an
 anti-pattern creeping into those operators is still caught through
 the batch entries that share them.
 """

@@ -84,6 +84,81 @@ def test_stateful_profile_accumulates_across_batches(spark, tmp_path):
     assert latest[3]["sum_value"] == 9.0
 
 
+def test_profile_stream_split_invariant_and_idempotent(spark, tmp_path):
+    """st07's harness: the standing table produced by
+    start_profile_stream (GroupState fold + last-write-wins merge)
+    equals the one-shot batch aggregate REGARDLESS of how the replay
+    splits — including keys spanning micro-batches, the cross-batch
+    state path — and a redelivered batch id is skipped by the shared
+    claim_batch guard instead of double-merging."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mbta_etl_spark.streaming.replay import (
+        land_replay_log,
+        open_replay_stream,
+    )
+    from mbta_etl_spark.streaming.stateful import (
+        merge_profile_batch,
+        start_profile_stream,
+    )
+
+    rows = [
+        # user 1 spans all batches at n=4 (event_ids 0..3)
+        (0, 1, "2024-01-01 10:00:00", 5.0),
+        (1, 1, "2024-01-01 10:05:00", 7.0),
+        (2, 1, "2024-01-01 11:00:00", 3.0),
+        (3, 1, "2024-01-01 09:00:00", 2.5),
+        # user 2: two batches
+        (4, 2, "2024-01-01 09:00:00", 1.0),
+        (5, 2, "2024-01-02 09:00:00", 4.0),
+        # user 3: one event
+        (6, 3, "2024-01-01 12:00:00", 9.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    def _run(n_batches: int, tag: str):
+        base = tmp_path / tag
+        in_dir = str(base / "in")
+        table = str(base / "profiles")
+        ckpt = str(base / "ckpt")
+        src = ev.withColumn("replay_key", F.col("event_id"))
+        land_replay_log(src, in_dir, n_batches, "replay_key")
+        stream = open_replay_stream(spark, in_dir, src.schema).select(
+            "user_id", "ts", "value"
+        )
+        q = start_profile_stream(stream, table, ckpt, available_now=True)
+        q.awaitTermination()
+        return table, {
+            r.user_id: (r.n_events, r.sum_value, r.last_ts)
+            for r in spark.read.parquet(table).collect()
+        }
+
+    table4, split4 = _run(4, "n4")
+    _, split1 = _run(1, "n1")
+    expected = {
+        1: (4, 17.5, dt.datetime(2024, 1, 1, 11, 0)),
+        2: (2, 5.0, dt.datetime(2024, 1, 2, 9, 0)),
+        3: (1, 9.0, dt.datetime(2024, 1, 1, 12, 0)),
+    }
+    assert split4 == expected
+    assert split1 == expected
+
+    # redelivery of the committed batch id must be a silent no-op
+    bogus = spark.createDataFrame(
+        [(1, 999, 999.0, dt.datetime(2030, 1, 1))],
+        "user_id long, n_events long, sum_value double, last_ts timestamp_ntz",
+    )
+    merge_profile_batch(bogus, 3, table4)  # last committed id at n=4
+    assert {
+        r.user_id: (r.n_events, r.sum_value, r.last_ts)
+        for r in spark.read.parquet(table4).collect()
+    } == expected
+
+
 def test_stateful_profile_rocksdb_state_store(spark, tmp_path):
     """The RocksDB-backed state store tier, actually executed: the same
     applyInPandasWithState profile runs with RocksDBStateStoreProvider,

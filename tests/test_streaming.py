@@ -805,7 +805,114 @@ def test_interval_overlap_streams_left_outer_null_emission(spark, tmp_path):
     assert got == {(7, 100, 200), (5, 101, None)}
 
 
-def test_stream_exact_dedup_equiv_split_invariant(spark, tmp_path):
+def test_wall_micros_is_zone_free(spark):
+    """_wall_micros must encode an NTZ wall time as its exact epoch
+    microseconds in ANY session zone — including wall times INSIDE a
+    spring-forward gap, where the zone-routing alternatives
+    (timestampdiff, unix_* conversions) silently shift by the gap
+    width. Checked against Python's own zone-free encoding."""
+    import datetime as dt
+
+    from mbta_etl_spark.plans.registry import _wall_micros
+
+    vals = [
+        "2024-03-10 01:59:00.123456",  # just before the NY gap
+        "2024-03-10 02:01:00",         # INSIDE the gap (nonexistent)
+        "2024-03-10 02:30:00",         # inside the gap
+        "2024-03-10 03:01:00",         # just after
+        "2024-11-03 01:30:00",         # ambiguous (fall-back repeat)
+        "2024-01-05 12:00:00",         # plain
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s string").select(
+        "s", F.col("s").cast("timestamp_ntz").alias("ts")
+    )
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("America/New_York", "UTC", "Pacific/Chatham"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = {
+                r.s: r.us
+                for r in df.select(
+                    "s", _wall_micros(F.col("ts")).alias("us")
+                ).collect()
+            }
+            for s in vals:
+                fmt = (
+                    "%Y-%m-%d %H:%M:%S.%f" if "." in s
+                    else "%Y-%m-%d %H:%M:%S"
+                )
+                wall = dt.datetime.strptime(s, fmt).replace(
+                    tzinfo=dt.timezone.utc
+                )
+                assert got[s] == int(wall.timestamp() * 1_000_000), (
+                    tz, s,
+                )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_stream_join_wall_time_across_dst(spark, tmp_path):
+    """The round-6 st05/st06 caveat, closed: the streamed interval
+    join must measure WALL time (the NTZ oracle's semantics) even when
+    the session zone has a DST transition inside the data span. Data
+    straddles America/New_York's 2024-03-10 spring-forward gap: user
+    1's click and purchase are 63 wall-minutes apart (no overlap) but
+    only 3 PHYSICAL minutes apart — the old session-zone cast would
+    emit a spurious pair. Runs the exact registry plumbing
+    (_land_pair_streams -> interval_overlap_streams on the _wall_instant
+    columns -> _pair_overlap_select -> _run_join_replay) under the
+    hostile zone and checks the result equals the wall-time batch
+    answer."""
+    from mbta_etl_spark.plans.registry import (
+        _ST_JOIN_A_WINDOW,
+        _ST_JOIN_B_WINDOW,
+        _land_pair_streams,
+        _pair_overlap_select,
+        _run_join_replay,
+    )
+    from mbta_etl_spark.streaming.ingest import interval_overlap_streams
+
+    rows = [
+        # (event_id, user_id, ts, event_type)
+        (1, 1, "2024-03-10 01:58:00", "click"),
+        (101, 1, "2024-03-10 03:01:00", "purchase"),  # 63 wall min away
+        (2, 2, "2024-03-10 01:58:00", "click"),
+        (102, 2, "2024-03-10 01:59:00", "purchase"),  # overlap 120 s
+        (3, 3, "2024-03-10 03:05:00", "click"),
+        (103, 3, "2024-03-10 03:06:00", "purchase"),  # overlap 120 s
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # document the failure mode being guarded against: under the
+        # session-zone cast, user 1's pair is 180 physical seconds
+        # apart — inside the 5-minute window, a spurious match
+        phys = ev.select(
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+        ).collect()
+        us = {r.event_id: r.us for r in phys}
+        assert (us[101] - us[1]) == 180 * 1_000_000
+
+        base = str(tmp_path / "dst_join")
+        clicks, purchases = _land_pair_streams(spark, ev, base)
+        joined = _pair_overlap_select(
+            interval_overlap_streams(
+                clicks, purchases, "user_id", "b_user", "a_wm", "b_wm",
+                a_window=_ST_JOIN_A_WINDOW, b_window=_ST_JOIN_B_WINDOW,
+            )
+        )
+        got = {
+            (r.user_id, r.a_id, r.b_id, r.overlap_s)
+            for r in _run_join_replay(spark, joined, base).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert got == {(2, 2, 102, 120.0), (3, 3, 103, 120.0)}
     """st01's harness: the final standing table equals the one-shot
     batch exact dedup regardless of batch count — including duplicate
     groups whose copies land in DIFFERENT micro-batches (doc_id % n
