@@ -11684,57 +11684,52 @@ def _load_driver_verified() -> frozenset[str]:
 
 _DRIVER_VERIFIED = _load_driver_verified()
 
-# Round-6 window stacking (VERDICT r5 item 2): among the 117 entries the
-# driver has never sampled, these names jump to the FRONT of the queue
-# (in this order). Risk ranking: q96 exercises Spark 4 SQL-UDF
-# resolution (the most upgrade-fragile plan in the registry), s21
-# persists IVF state to the filesystem, v22/d27 and the c2x epoch/
-# packing audits carry the most intricate oracle SQL, d37/d39/d40 are
-# the content-defined chunkers, q89/q92 are the round-5 deliberate
-# overflow pair (ADVICE r5), st05 is this round's new stream-stream
-# join, then the Python-kernel multimodal tier, token/text audits,
-# dedup audits, and remaining numeric entries. Entries not listed here
-# keep their stable registration order after the priority block;
-# verified entries still come last; names not (yet) registered or
-# already verified are filtered out harmlessly. The list holds 54 live
-# names for a 50-slot window ON PURPOSE: v21_benford_audit,
-# q60_percentile_battery, q90_mean_battery, and q91_cdf_point overflow
-# at positions 51-54 and LEAD the round-7 queue instead of falling
-# back to registration order.
+# Round-7 window stacking (VERDICT r6 item 1): the driver has sampled
+# 293/360 across rounds 1-6, all green. The round-7 window burns the
+# never-sampled backlog, leading with the four names ADVICE r6
+# committed to (the round-6 deliberate overflow quartet), then the
+# round-7 changed/new streaming entries (st05/st06 re-verify after the
+# DST wall-time fix moved them into _DRIVER_HOLDOUTS; st07 is the new
+# custom-stateful face), then the remaining never-sampled pool ranked
+# by oracle intricacy: validators, packing audits, temporal joins, the
+# window-function-heavy numeric tail, time-series calendars, and text
+# audits. Exactly 50 live names — the ~20 never-sampled entries NOT
+# listed (the plain-aggregate q59/q6x/q7x tail) keep registration
+# order right behind the window and form round 8's queue, clearing the
+# backlog. Names already verified are filtered out harmlessly.
 _WINDOW_PRIORITY = (
-    # highest-risk never-sampled (VERDICT r5 item 2, in its order)
-    "q96_sql_udf_pipeline", "s21_ivf_persist", "v22_duplicate_rows",
-    "d27_dup_span_extents",
-    # round-6 additions: stream-stream join equivalence (inner + outer)
+    # ADVICE r6's committed overflow quartet — leads the round
+    "v21_benford_audit", "q60_percentile_battery", "q90_mean_battery",
+    "q91_cdf_point",
+    # round-7 streaming work: new custom-stateful face + the two
+    # held-out wall-time-fixed joins
+    "st07_stateful_profile_equiv",
     "st05_stream_stream_join_equiv", "st06_stream_outer_join_equiv",
-    # epoch / packing audits
-    "c21_adaptive_quality_filter", "c22_epoch_plan", "c23_shuffle_shards",
-    "c24_epoch_materialize", "c25_overlap_chunks", "c26_pad_waste",
-    "c29_length_buckets", "c30_multimodal_budget",
-    "c31_pack_attention_waste",
-    # content-defined chunkers
-    "d37_lsh_planner", "d39_cdc_chunking", "d40_chunker_comparison",
-    # round-5 deliberate overflow pair
-    "q89_moment_battery", "q92_gini",
-    # Python-kernel / binary-format tier (Arrow batch shape risk)
-    "m07_audio_features", "m08_modality_census", "m09_byte_entropy",
-    "m12_media_shards", "m13_patch_grid", "m14_arrow_byte_stats",
-    # token / text audits
-    "t17_langid_confusion", "t18_heavy_hitter_tokens", "t19_readability",
-    "t20_tokenizer_fertility", "t25_ngram_novelty",
-    "t26_bpe_merge_candidates", "t28_bigram_lm",
-    # dedup audits
-    "d15_dup_by_source", "d17_dup_size_histogram",
-    "d19_cross_source_dups", "d21_dedup_savings", "d22_band_occupancy",
-    "d23_shingle_df_spectrum", "d29_chunk_dedup", "d34_dup_aware_sample",
-    # similarity / time-series / validation numerics
-    "s12_dim_stats", "s18_metric_agreement",
-    "ts17_twap", "ts32_seasonality_strength", "ts34_burstiness",
-    "ts36_timedecay_smooth",
-    "v07_benford", "v08_fd_audit", "v19_vector_validity",
-    "v21_benford_audit",
-    # deliberate overflow — leads round 7
-    "q60_percentile_battery", "q90_mean_battery", "q91_cdf_point",
+    # oracle-heavy validators
+    "v10_rule_census", "v11_warehouse_scorecard",
+    "v12_header_line_reconcile", "v14_ordering_audit",
+    "v16_volume_anomalies", "v17_table_inventory",
+    "v18_categorical_entropy", "v20_freshness_lag",
+    # packing / mixture audits
+    "c13_pack_efficiency", "c14_dataset_card", "c15_split_leakage_audit",
+    "c16_batch_interleave", "c17_quality_length_corr",
+    "c18_mixture_fidelity", "c19_pipeline_funnel",
+    # temporal joins
+    "j11_scd2_enrich", "j12_linear_attribution", "j13_range_bucket_join",
+    # window-function-heavy numeric tail
+    "q64_sorted_neighborhood", "q73_semi_additive",
+    "q76_cumulative_uniques", "q83_above_avg_groups",
+    "q84_percent_of_parent", "q86_interpurchase_time", "q87_rank_change",
+    "q88_topk_overlap", "q93_cohort_ltv", "q94_shuffle_balance",
+    "q95_nested_topn", "q97_retry_suppression", "q98_cumulative_distinct",
+    "q100_mode_per_group", "q101_global_running_total",
+    "q103_price_volume_mix",
+    # time-series calendars
+    "ts18_uptime_sla", "ts20_peak_hour", "ts22_trend_slope",
+    "ts23_daily_intensity", "ts24_wow_change",
+    # text audits
+    "t21_vocab_bands", "t22_template_prefixes", "t23_oov_rate",
+    "t30_source_keywords",
 )
 
 

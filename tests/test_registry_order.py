@@ -106,23 +106,23 @@ def test_driver_verified_is_derived_from_correctness_files():
     assert not dead, f"stale holdouts (no green row / not registered): {sorted(dead)}"
 
 
-def test_round6_window_front_loads_risky_entries():
-    """Round 6 stacks the driver window with the riskiest of the 117
-    never-sampled entries (VERDICT r5 item 2): Spark-4 SQL-UDF
-    resolution, filesystem-state IVF persist, the intricate-oracle
-    audits, the chunkers, the round-5 overflow pair, and the new
-    stream-stream join entry."""
+def test_round7_window_front_loads_risky_entries():
+    """Round 7 burns the never-sampled backlog (VERDICT r6 item 1):
+    ADVICE r6's committed overflow quartet leads, then the round-7
+    streaming work (st07 new; st05/st06 held out for re-verification
+    after the DST wall-time fix), then the oracle-heavy validators,
+    packing audits, temporal joins, and numeric tail."""
     from mbta_etl_spark.plans.registry import _WINDOW_PRIORITY
 
     names = list(entrymod.queries())
     window = set(names[:50])
     must_cover = {
-        "q96_sql_udf_pipeline", "s21_ivf_persist", "v22_duplicate_rows",
-        "d27_dup_span_extents",
-        "c21_adaptive_quality_filter", "c31_pack_attention_waste",
-        "d37_lsh_planner", "d39_cdc_chunking", "d40_chunker_comparison",
-        "q89_moment_battery", "q92_gini",
-        "st05_stream_stream_join_equiv",
+        "v21_benford_audit", "q60_percentile_battery",
+        "q90_mean_battery", "q91_cdf_point",
+        "st07_stateful_profile_equiv",
+        "st05_stream_stream_join_equiv", "st06_stream_outer_join_equiv",
+        "v10_rule_census", "c13_pack_efficiency", "j11_scd2_enrich",
+        "q93_cohort_ltv", "t21_vocab_bands",
     }
     # an already-VERIFIED name satisfies the check: once the driver
     # writes CORRECTNESS_r06.json these names go green, rotate out of
