@@ -125,7 +125,7 @@ def test_round7_window_front_loads_risky_entries():
         "q93_cohort_ltv", "t21_vocab_bands",
     }
     # an already-VERIFIED name satisfies the check: once the driver
-    # writes CORRECTNESS_r06.json these names go green, rotate out of
+    # writes CORRECTNESS_r07.json these names go green, rotate out of
     # the window, and must NOT re-trigger this assertion on the
     # end-of-round tree (the failure mode the derived set eliminates)
     missing = must_cover - window - _DRIVER_VERIFIED
@@ -171,3 +171,36 @@ def test_coverage_doc_counts_match_registry():
     n_entries, n_oracle = int(m.group(1)), int(m.group(2))
     assert n_entries == len(entrymod.queries())
     assert n_oracle == len(entrymod.oracle_sql())
+
+
+def test_verified_entries_plan_shapes_frozen():
+    """The mechanized _DRIVER_HOLDOUTS invariant (VERDICT r6 item 4): a
+    driver-verified entry whose plan fingerprint no longer matches the
+    shape recorded when the driver verified it
+    (driver_green_shapes.json, written by scripts/sync_green_shapes.py
+    at round start) must be moved into registry._DRIVER_HOLDOUTS so the
+    driver re-verifies it — forgetting that move is now a red suite,
+    not a discipline slip. _DRIVER_VERIFIED already subtracts holdouts,
+    so holding a name out both silences this check and re-queues the
+    entry at the front of the window, which is the wanted lifecycle.
+
+    Limitation, stated: streaming equivalence entries' fingerprints are
+    only the standing-table read-back (the replay executes inside the
+    entry), so a semantic change there does not move the fingerprint —
+    those holdouts remain review discipline (st05/st06 in round 7)."""
+    with open(os.path.join(REPO, "plans_snapshot.json")) as f:
+        snapshot = json.load(f)
+    with open(os.path.join(REPO, "driver_green_shapes.json")) as f:
+        green_shapes = json.load(f)
+    problems = []
+    for name in sorted(_DRIVER_VERIFIED):
+        if name not in green_shapes:
+            problems.append(f"{name}: no recorded green shape")
+        elif green_shapes[name] != snapshot.get(name):
+            problems.append(f"{name}: plan shape changed since driver green")
+    assert not problems, (
+        "driver-verified entries drifted from their verified plan shape "
+        "— move them into registry._DRIVER_HOLDOUTS (or, at round start "
+        "only, refresh scripts/sync_green_shapes.py): "
+        + "; ".join(problems)
+    )
