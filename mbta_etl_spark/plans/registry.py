@@ -1951,6 +1951,13 @@ def st07_stateful_profile_equiv(
         open_replay_stream(spark, in_dir, src.schema)
         .select("user_id", "ts", "value")
     )
+    # NO shuffle-partition pin, deliberately diverging from
+    # _run_join_replay: st05/st06 are state-store-instantiation-bound
+    # (4 stores/partition, little data), but this entry's cost is the
+    # Arrow+pandas kernel over EVERY event row — CPU-bound Python
+    # stages want full parallelism, and pinning to 8 was measured ~40%
+    # slower at sf0.1 than the session's 32 partitions. Same knob,
+    # opposite sign; at 100 TB both converge to "match executor count".
     query = start_profile_stream(stream, table, ckpt, available_now=True)
     query.awaitTermination()
     return spark.read.parquet(table).select(

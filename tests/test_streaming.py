@@ -805,6 +805,97 @@ def test_interval_overlap_streams_left_outer_null_emission(spark, tmp_path):
     assert got == {(7, 100, 200), (5, 101, None)}
 
 
+def test_stream_join_short_watermark_drops_late_row(spark, tmp_path):
+    """The join-state analog of
+    test_session_window_late_batch_fragments_and_drops (VERDICT r6 item
+    8): with a SHORT watermark delay, a row arriving behind the global
+    watermark must NOT produce a pair — its partner's join state is
+    already evicted and the row itself is rejected as late — while
+    fresh rows in the SAME micro-batch still pair normally. Pinned
+    against the batch join, which DOES contain the late pair: the
+    difference is exactly the watermark-horizon trade the st05/st06
+    docstrings argue (beyond the horizon, at-least-once completeness is
+    traded for bounded state)."""
+    from mbta_etl_spark.streaming.ingest import interval_overlap_streams
+    from mbta_etl_spark.streaming.replay import (
+        land_replay_log,
+        open_replay_stream,
+    )
+
+    clicks_rows = [
+        (1, 100, "2024-01-15 10:00:00", 0),
+        (2, 101, "2024-01-15 12:00:00", 1),
+        (3, 102, "2024-01-15 12:01:00", 2),
+    ]
+    purch_rows = [
+        (1, 200, "2024-01-15 10:00:30", 0),  # pairs with click 100
+        (2, 201, "2024-01-15 12:00:30", 1),  # pairs with click 101
+        # LATE by batch 2: global watermark after batch 1 is
+        # min(12:00, 12:00:30) - 1m = 11:59, far past this row's
+        # 10:01 event time AND past click 100's window end (10:05),
+        # whose state is therefore evicted — no pair may emit
+        (1, 202, "2024-01-15 10:01:00", 2),
+        (3, 203, "2024-01-15 12:01:30", 2),  # fresh same-batch: pairs
+    ]
+
+    def _mk(rows, id_name, ts_name, user_name):
+        df = spark.createDataFrame(
+            rows, f"{user_name} long, {id_name} long, _t string, rk long"
+        )
+        return df.select(
+            user_name, id_name,
+            F.col("_t").cast("timestamp_ntz").alias(ts_name), "rk",
+        )
+
+    clicks_src = _mk(clicks_rows, "a_id", "a_ts", "user_id")
+    purch_src = _mk(purch_rows, "b_id", "b_ts", "b_user")
+    cdir = str(tmp_path / "c")
+    pdir = str(tmp_path / "p")
+    land_replay_log(clicks_src, cdir, 3, "rk")
+    land_replay_log(purch_src, pdir, 3, "rk")
+    clicks = (
+        open_replay_stream(spark, cdir, clicks_src.schema)
+        .drop("rk")
+        .withColumn("a_ts", F.col("a_ts").cast("timestamp"))
+    )
+    purchases = (
+        open_replay_stream(spark, pdir, purch_src.schema)
+        .drop("rk")
+        .withColumn("b_ts", F.col("b_ts").cast("timestamp"))
+    )
+    joined = interval_overlap_streams(
+        clicks, purchases, "user_id", "b_user", "a_ts", "b_ts",
+        a_window="5 minutes", b_window="2 minutes",
+        watermark="1 minute",
+    ).select("user_id", "a_id", "b_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("st_late_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_query(q)
+    got = {
+        (r.user_id, r.a_id, r.b_id)
+        for r in spark.sql("SELECT * FROM st_late_join").collect()
+    }
+    on_time = {(1, 100, 200), (2, 101, 201), (3, 102, 203)}
+    # the batch join WOULD include the late pair — the streamed result
+    # must be exactly the on-time subset, late pair dropped
+    assert got == on_time
+    batch_pairs = {
+        (r.user_id, r.a_id, r.b_id)
+        for r in clicks_src.join(
+            purch_src,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("b_ts") > F.col("a_ts") - F.expr("INTERVAL 2 minutes"))
+            & (F.col("b_ts") < F.col("a_ts") + F.expr("INTERVAL 5 minutes")),
+        ).collect()
+    }
+    assert batch_pairs == on_time | {(1, 100, 202)}
+
+
 def test_wall_micros_is_zone_free(spark):
     """_wall_micros must encode an NTZ wall time as its exact epoch
     microseconds in ANY session zone — including wall times INSIDE a
