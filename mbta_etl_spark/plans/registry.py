@@ -12087,6 +12087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round-6 additions
             "st05_stream_stream_join_equiv": st05_stream_stream_join_equiv,
             "st06_stream_outer_join_equiv": st06_stream_outer_join_equiv,
+            # round-7 addition: the custom-stateful face
             "st07_stateful_profile_equiv": st07_stateful_profile_equiv,
         }
     )

@@ -50,12 +50,17 @@ def _update_profile(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+    # fresh-state seed for last_us is None, not 0: a 0 seed would clamp
+    # pre-1970 (negative-epoch) timestamps via max() and emit 1970-01-01
+    # instead of MAX(ts)
+    n, total, last_us = state.get if state.exists else (0, 0.0, None)
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
         batch_max_us = int(pd.to_datetime(pdf["ts"]).astype("int64").max() // 1000)
-        last_us = max(last_us, batch_max_us)
+        last_us = (
+            batch_max_us if last_us is None else max(last_us, batch_max_us)
+        )
     state.update((n, total, last_us))
     # sum_value emits RAW: readers round once at read time (r01's float
     # discipline — rounding here AND at read would double-round, and

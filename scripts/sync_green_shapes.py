@@ -38,9 +38,8 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 SNAPSHOT_PATH = os.path.join(REPO, "plans_snapshot.json")
 GREEN_PATH = os.path.join(REPO, "driver_green_shapes.json")
 

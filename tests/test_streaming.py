@@ -1020,6 +1020,9 @@ def test_stream_join_wall_time_across_dst(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
     assert got == {(2, 2, 102, 120.0), (3, 3, 103, 120.0)}
+
+
+def test_stream_exact_dedup_equiv_split_invariant(spark, tmp_path):
     """st01's harness: the final standing table equals the one-shot
     batch exact dedup regardless of batch count — including duplicate
     groups whose copies land in DIFFERENT micro-batches (doc_id % n
