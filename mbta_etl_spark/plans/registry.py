@@ -1499,7 +1499,11 @@ def st04_stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow terminates); the sentinel's own session is filtered
     from the result. Batch/stream share the operator expression, so the
     final appended table equals q18a's batch sessionization and q18a's
-    oracle hash-verifies the streamed execution."""
+    oracle hash-verifies the streamed execution. Round 7: the stream
+    leg adopted st05/st06's zone-free wall-instant discipline (no
+    session-zone casts), so the equivalence holds in any session zone
+    across DST transitions — see the timestamp comment at the stream
+    construction below."""
     import os
     import shutil
 
@@ -1513,8 +1517,11 @@ def st04_stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select("user_id", "ts", "value")
     # time-monotone batch split relative to the ACTUAL data span —
     # shared helper (st05 uses the same one; see its docstring for the
-    # monotonicity argument)
-    keyed = time_quantile_key(ev, "ts", 4)
+    # monotonicity argument). No uniform-shift requirement: the
+    # event-time arithmetic below is zone-free (wall-instant
+    # relabeling), so a DST transition inside the span is handled
+    # correctly rather than rejected.
+    keyed = time_quantile_key(ev, "ts", 4, require_uniform_shift=False)
     sentinel = spark.range(1).select(
         F.lit(-1).cast("long").alias("user_id"),
         F.lit("2099-01-01 00:00:00").cast("timestamp_ntz").alias("ts"),
@@ -1528,19 +1535,25 @@ def st04_stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(base, "ckpt")
     shutil.rmtree(base, ignore_errors=True)
     land_replay_log(keyed, in_dir, 4, "replay_key")
-    # Watermarks require TIMESTAMP (LTZ), not NTZ: cast in, and cast the
-    # session bounds back out below. Both casts use the SAME session
-    # zone, so the wall-time round trip is exact (the data is a single
-    # DST-transition-free month; session-gap arithmetic itself runs on
-    # epoch micros and is zone-independent).
+    # Watermarks require TIMESTAMP (LTZ), not NTZ — but instead of the
+    # session-zone cast (round 6's DST-free-month assumption), the
+    # event times are _wall_instant-relabeled (physical micros = wall
+    # micros, zone-free), so the session-gap arithmetic measures WALL
+    # time exactly — the NTZ oracle's semantics in any session zone on
+    # any data span — and _ntz_from_wall_instant rebuilds the exact
+    # NTZ bounds on the way out (pinned by tests/test_streaming.py::
+    # test_stream_sessions_wall_time_across_dst).
     stream = (
         open_replay_stream(spark, in_dir, keyed.schema)
         .drop("replay_key")
-        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("ts", _wall_instant("ts"))
     )
     # THE shared session expression (q18a's batch operator, not a copy)
     # applied to the watermarked stream
-    sess = _session_window_agg(stream.withWatermark("ts", "2 hours"))
+    sess = _session_window_agg(
+        stream.withWatermark("ts", "2 hours"),
+        bound_to_ntz=_ntz_from_wall_instant,
+    )
     # idempotent sink: per-batch OVERWRITE into a batch_id partition
     # (the dedup_stream discipline) — an at-least-once redelivery
     # rewrites its own partition instead of appending duplicates
@@ -1589,6 +1602,28 @@ def _wall_micros(ntz: Column) -> Column:
         + F.hour(ntz).cast("long") * F.lit(3_600_000_000)
         + F.minute(ntz).cast("long") * F.lit(60_000_000)
         + (F.date_part(F.lit("SECOND"), ntz) * 1_000_000).cast("long")
+    )
+
+
+def _ntz_from_wall_instant(ltz: Column) -> Column:
+    """Inverse of :func:`_wall_instant`: rebuild the TIMESTAMP_NTZ wall
+    time whose microseconds equal the LTZ instant's physical
+    microseconds — again by pure arithmetic (NTZ epoch + day/second
+    interval), never a session-zone cast. Exact round trip in any
+    session zone, including wall times inside a DST gap (probed
+    together with _wall_micros in test_wall_micros_is_zone_free's
+    module). The decimal(18,6) cast keeps the full microsecond
+    precision through make_dt_interval's seconds argument."""
+    us = F.unix_micros(ltz)
+    days = F.floor(us / F.lit(86_400_000_000))
+    rem = us - days * F.lit(86_400_000_000)
+    return F.lit("1970-01-01 00:00:00").cast(
+        "timestamp_ntz"
+    ) + F.make_dt_interval(
+        days,
+        F.lit(0),
+        F.lit(0),
+        (rem / F.lit(1_000_000)).cast("decimal(18,6)"),
     )
 
 
@@ -2215,11 +2250,19 @@ SAMPLE_RATES = {"click": 0.5, "purchase": 1.0, "view": 0.1}
 SESSION_GAP = "30 minutes"
 
 
-def _session_window_agg(ev: DataFrame) -> DataFrame:
+def _session_window_agg(ev: DataFrame, bound_to_ntz=None) -> DataFrame:
     """THE session_window expression — one builder shared by q18a
     (batch) and st04 (watermarked stream), so the two can never drift:
     the equivalence st04 claims is about this exact expression, and its
-    oracle is aliased to q18a's for the same reason."""
+    oracle is aliased to q18a's for the same reason. ``bound_to_ntz``
+    is the only divergence point, and it is a type conversion, not
+    semantics: q18a feeds NTZ event times (bounds come out NTZ — the
+    default cast is a no-op), while st04 feeds _wall_instant-relabeled
+    LTZ times (watermarks require LTZ) and passes
+    _ntz_from_wall_instant so the bounds come back as the exact wall
+    times, zone-free."""
+    if bound_to_ntz is None:
+        bound_to_ntz = lambda c: c.cast("timestamp_ntz")  # noqa: E731
     w = F.session_window(F.col("ts"), SESSION_GAP)
     return (
         ev.groupBy("user_id", w.alias("w"))
@@ -2229,8 +2272,8 @@ def _session_window_agg(ev: DataFrame) -> DataFrame:
         )
         .select(
             "user_id",
-            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
-            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            bound_to_ntz(F.col("w.start")).alias("session_start"),
+            bound_to_ntz(F.col("w.end")).alias("session_end"),
             "n_events",
             "sum_value",
         )
@@ -11611,12 +11654,13 @@ _ORACLES["v20_freshness_lag"] = """
 # oracle changed since their last green driver row, so the driver must
 # re-verify them even though an old green row exists. (Round 5 used this
 # for the q09a/q24a/r02 composed-oracle re-verification; all three came
-# back green in CORRECTNESS_r05.json. Round 7: st05/st06's event-time
+# back green in CORRECTNESS_r05.json. Round 7: st04/st05/st06's event-time
 # arithmetic moved from session-zone LTZ casts to the zone-free
 # wall-instant relabeling — hash-identical on the DST-free testdata,
-# but the plan changed, so the driver re-verifies both.)
+# but the semantics changed, so the driver re-verifies all three.)
 _DRIVER_HOLDOUTS: frozenset[str] = frozenset(
     {
+        "st04_stream_session_equiv",
         "st05_stream_stream_join_equiv",
         "st06_stream_outer_join_equiv",
     }
@@ -11711,6 +11755,7 @@ _WINDOW_PRIORITY = (
     # round-7 streaming work: new custom-stateful face + the two
     # held-out wall-time-fixed joins
     "st07_stateful_profile_equiv",
+    "st04_stream_session_equiv",
     "st05_stream_stream_join_equiv", "st06_stream_outer_join_equiv",
     # oracle-heavy validators
     "v10_rule_census", "v11_warehouse_scorecard",

@@ -912,6 +912,104 @@ def test_stream_join_late_rows_lazy_eviction(spark, tmp_path):
     assert batch_pairs == fresh | {lazy_late, dropped_late}
 
 
+def test_stream_sessions_wall_time_across_dst(spark, tmp_path):
+    """st04's round-7 discipline: watermarked session windows must
+    measure WALL-time gaps (the NTZ oracle's semantics) even when the
+    session zone has a DST transition inside the data span. User 1's
+    two events straddle America/New_York's 2024-03-10 spring-forward:
+    63 wall-minutes apart (two sessions, gap > 30m) but 3 PHYSICAL
+    minutes apart — the old session-zone cast would merge them into
+    one session. Runs the exact st04 plumbing (wall-instant relabeling
+    in, session_window, _ntz_from_wall_instant out) under the hostile
+    zone and checks the streamed sessions equal the batch NTZ
+    sessionization."""
+    from mbta_etl_spark.plans.registry import (
+        _ntz_from_wall_instant,
+        _session_window_agg,
+        _wall_instant,
+    )
+    from mbta_etl_spark.streaming.replay import (
+        land_replay_log,
+        open_replay_stream,
+        time_quantile_key,
+    )
+
+    rows = [
+        (1, "2024-03-10 01:58:00", 1.0),
+        (1, "2024-03-10 03:01:00", 2.0),   # 63 wall min later: NEW session
+        (2, "2024-03-10 03:05:00", 4.0),
+        (2, "2024-03-10 03:20:00", 8.0),   # 15 wall min: same session
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # batch twin on NTZ (q18a's expression): the wall-time truth
+        batch = {
+            (r.user_id, r.session_start, r.session_end, r.n_events,
+             r.sum_value)
+            for r in _session_window_agg(ev).collect()
+        }
+        import datetime as dt
+
+        assert batch == {
+            (1, dt.datetime(2024, 3, 10, 1, 58),
+             dt.datetime(2024, 3, 10, 2, 28), 1, 1.0),
+            (1, dt.datetime(2024, 3, 10, 3, 1),
+             dt.datetime(2024, 3, 10, 3, 31), 1, 2.0),
+            (2, dt.datetime(2024, 3, 10, 3, 5),
+             dt.datetime(2024, 3, 10, 3, 50), 2, 12.0),
+        }
+
+        keyed = time_quantile_key(ev, "ts", 2, require_uniform_shift=False)
+        sentinel = spark.range(1).select(
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("2099-01-01 00:00:00").cast("timestamp_ntz").alias("ts"),
+            F.lit(0.0).alias("value"),
+            F.lit(1).cast("long").alias("replay_key"),
+        )
+        keyed = keyed.unionByName(sentinel)
+        in_dir = str(tmp_path / "in")
+        out_dir = str(tmp_path / "sessions")
+        ckpt = str(tmp_path / "ckpt")
+        land_replay_log(keyed, in_dir, 2, "replay_key")
+        stream = (
+            open_replay_stream(spark, in_dir, keyed.schema)
+            .drop("replay_key")
+            .withColumn("ts", _wall_instant("ts"))
+        )
+        sess = _session_window_agg(
+            stream.withWatermark("ts", "2 hours"),
+            bound_to_ntz=_ntz_from_wall_instant,
+        )
+        q = (
+            sess.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda closed, bid: closed.write.mode("overwrite").parquet(
+                    f"{out_dir}/batch_id={bid}"
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_query(q)
+        got = {
+            (r.user_id, r.session_start, r.session_end, r.n_events,
+             r.sum_value)
+            for r in spark.read.parquet(out_dir)
+            .drop("batch_id")
+            .filter(F.col("user_id") != -1)
+            .collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert got == batch
+
+
 def test_wall_micros_is_zone_free(spark):
     """_wall_micros must encode an NTZ wall time as its exact epoch
     microseconds in ANY session zone — including wall times INSIDE a
