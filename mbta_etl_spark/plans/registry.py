@@ -11744,10 +11744,13 @@ _DRIVER_VERIFIED = _load_driver_verified()
 # custom-stateful face), then the remaining never-sampled pool ranked
 # by oracle intricacy: validators, packing audits, temporal joins, the
 # window-function-heavy numeric tail, time-series calendars, and text
-# audits. Exactly 50 live names — the ~20 never-sampled entries NOT
-# listed (the plain-aggregate q59/q6x/q7x tail) keep registration
-# order right behind the window and form round 8's queue, clearing the
-# backlog. Names already verified are filtered out harmlessly.
+# audits. 51 live names for a 50-slot window ON PURPOSE (the round-6
+# overflow discipline): adding st04's wall-time re-verification pushed
+# t30_source_keywords to position 51, where it LEADS round 8's queue
+# instead of falling back to registration order; behind it the ~20
+# never-sampled plain-aggregate entries (q59/q6x/q7x tail) follow in
+# registration order, clearing the backlog in round 8. Names already
+# verified are filtered out harmlessly.
 _WINDOW_PRIORITY = (
     # ADVICE r6's committed overflow quartet — leads the round
     "v21_benford_audit", "q60_percentile_battery", "q90_mean_battery",

@@ -83,18 +83,20 @@ def assert_constant_utc_offset(tz_name: str, mn, mx) -> None:
     """Fail LOUDLY if the session timezone changes UTC offset anywhere
     in [mn, mx] (naive wall datetimes, 6-hour probe grid).
 
-    The watermarked replay entries (st04/st05/st06) cast NTZ event
-    times to LTZ because watermarks require it, and their batch/stream
-    equivalence proof assumes that cast is a UNIFORM shift: across a
-    DST transition it is not — wall-time arithmetic (session gaps,
-    window overlaps) diverges between the LTZ stream and the NTZ SQL
-    oracle by the offset step, producing a silent hash mismatch. A
-    zone with a transition inside the data span must either compute
-    its arithmetic on the original NTZ columns carried through the
-    operator, or not run the equivalence entry at all — so this guard
-    turns the silent divergence into an explicit error. Fixed-offset
-    zone names (UTC, GMT+8, +05:30) are constant by construction;
-    region names are probed via zoneinfo."""
+    A watermarked consumer that CASTS NTZ event times to LTZ in the
+    session zone (watermarks require LTZ) implicitly assumes the cast
+    is a UNIFORM shift: across a DST transition it is not — wall-time
+    arithmetic (session gaps, window overlaps) diverges between the
+    LTZ stream and an NTZ SQL oracle by the offset step, a silent hash
+    mismatch. This guard turns that silent divergence into an explicit
+    error for any such consumer. As of round 7 NO registry entry needs
+    it — st04/st05/st06 moved to the zone-free wall-instant relabeling
+    (registry._wall_instant / _ntz_from_wall_instant), which is exact
+    across transitions — so it survives as the conservative default
+    for FUTURE consumers that take the session-zone-cast shortcut
+    (time_quantile_key applies it unless require_uniform_shift=False).
+    Fixed-offset zone names (UTC, GMT+8, +05:30) are constant by
+    construction; region names are probed via zoneinfo."""
     import datetime as dt
 
     name = tz_name.strip()
@@ -144,12 +146,12 @@ def time_quantile_key(
     multiple streams from one source (st05) must call this ONCE on the
     shared frame before splitting sides, so the landings stay mutually
     aligned batch-for-batch. By default also guards the NTZ->LTZ
-    uniform-shift assumption of watermarked consumers that CAST to the
-    session zone (st04; see assert_constant_utc_offset); consumers
-    whose event-time arithmetic is zone-free — the st05/st06 wall-
-    instant relabeling, or unwatermarked order-invariant replays —
-    pass ``require_uniform_shift=False`` since they are correct across
-    DST transitions by construction."""
+    uniform-shift assumption of any watermarked consumer that CASTS to
+    the session zone (see assert_constant_utc_offset) — a conservative
+    default for NEW consumers; as of round 7 every registry entry
+    (st04/st05/st06) uses the zone-free wall-instant relabeling
+    instead and passes ``require_uniform_shift=False``, being correct
+    across DST transitions by construction."""
     mn, mx = df.agg(F.min(ts_col), F.max(ts_col)).first()
     if require_uniform_shift:
         assert_constant_utc_offset(
