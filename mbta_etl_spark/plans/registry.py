@@ -2003,6 +2003,148 @@ def st07_stateful_profile_equiv(
     )
 
 
+def st08_stream_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DEDUP-WITHIN-WATERMARK equivalence — the eighth
+    streaming face (closing the `dropDuplicatesWithinWatermark` row of
+    the unit-only tier): an AT-LEAST-ONCE delivery is simulated by
+    re-delivering every 17th event IDENTICALLY one micro-batch after
+    its original (deterministic pmod selection, so the replay is a
+    pure function of the data), and the streamed
+    `dedup_stream_by_key` (withWatermark + dropDuplicatesWithinWatermark,
+    streaming/ingest) must collapse the stream back to exactly the
+    original events table — which is therefore the oracle, one
+    trivial SELECT. Horizon math: the time-quantile split makes a
+    batch span ~a quarter of the month, so a copy re-delivered one
+    batch later is at most ~15 days older than the watermark's source
+    event times; the 20-day horizon keeps its key's dedup state alive
+    (and the copy itself above the late-data bar), so the redelivery
+    is dropped by STATE, exercising the store rather than the lateness
+    filter. Event times stay NTZ; the watermark rides a _wall_instant
+    relabeling (round-7 zone-free discipline) that is dropped on
+    output. At 100 TB the same query is the at-most-once-within-
+    horizon ingest guard: state is one entry per key inside the
+    horizon, evicted by watermark — size the horizon to the source's
+    re-delivery window (SURVEY §2.6's upsert absorbs what leaks past
+    it)."""
+    import os
+    import shutil
+
+    from mbta_etl_spark.sources.formats import scratch_dir
+    from mbta_etl_spark.streaming.ingest import dedup_stream_by_key
+    from mbta_etl_spark.streaming.replay import (
+        land_replay_log,
+        open_replay_stream,
+        time_quantile_key,
+    )
+
+    n_batches = 4
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    keyed = time_quantile_key(
+        ev, "ts", n_batches, require_uniform_shift=False
+    )
+    redelivered = keyed.filter(
+        F.pmod(F.col("event_id"), F.lit(17)) == 0
+    ).withColumn(
+        "replay_key",
+        F.least(F.col("replay_key") + 1, F.lit(n_batches - 1)),
+    )
+    keyed = keyed.unionByName(redelivered)
+    base = scratch_dir(
+        spark, f"st08_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "events")
+    ckpt = os.path.join(base, "ckpt")
+    land_replay_log(keyed, in_dir, n_batches, "replay_key")
+    stream = (
+        open_replay_stream(spark, in_dir, keyed.schema)
+        .drop("replay_key")
+        .withColumn("wm", _wall_instant("ts"))
+    )
+    deduped = dedup_stream_by_key(
+        stream, ["event_id"], "wm", "20 days"
+    ).drop("wm")
+    query = (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+            lambda rows, bid: rows.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={bid}"
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir).drop("batch_id")
+
+
+def st09_stream_enrich_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment equivalence — the ninth streaming face
+    (closing the `enrich_stream` row of the unit-only tier): events
+    replayed as 4 micro-batches, each LEFT-joined stateless to the
+    static customer dimension (broadcast — the dim is re-resolved per
+    micro-batch, so a dimension refresh needs no restart;
+    streaming/ingest.enrich_stream). No watermark, no state store: a
+    stateless per-batch join is split-invariant by construction, so
+    the appended union equals the batch LEFT JOIN and one SQL
+    statement is the oracle. The face this pins is the BROADCAST
+    discipline inside a micro-batch (enrich_stream wraps the dim in
+    F.broadcast(), forcing a BroadcastHashJoin — never a shuffle — per
+    batch) — at 100 TB the stream side never re-partitions for the
+    join, the dim ships to executors once per batch, and dimension
+    refreshes land between batches for free."""
+    import os
+    import shutil
+
+    from mbta_etl_spark.sources.formats import scratch_dir
+    from mbta_etl_spark.streaming.ingest import enrich_stream
+    from mbta_etl_spark.streaming.replay import (
+        land_replay_log,
+        open_replay_stream,
+    )
+
+    n_batches = 4
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    base = scratch_dir(
+        spark, f"st09_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "enriched")
+    ckpt = os.path.join(base, "ckpt")
+    src = ev.withColumn(
+        "replay_key", F.pmod(F.col("event_id"), F.lit(n_batches))
+    )
+    land_replay_log(src, in_dir, n_batches, "replay_key")
+    stream = open_replay_stream(spark, in_dir, src.schema).drop(
+        "replay_key"
+    )
+    enriched = enrich_stream(stream, dim, "user_id", how="left")
+    query = (
+        enriched.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+            lambda rows, bid: rows.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={bid}"
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir).drop("batch_id")
+
+
 R02_REL_BOUND = 0.08  # ~4 sigma for lgConfigK=12 (rsd ~1.6%)
 
 
@@ -6818,6 +6960,20 @@ _ORACLES["st07_stateful_profile_equiv"] = """
            ROUND(SUM(value), 6) AS sum_value,
            MAX(ts) AS last_ts
     FROM events GROUP BY user_id
+"""
+
+# st08: dropDuplicatesWithinWatermark must collapse the deterministic
+# at-least-once redelivery back to exactly the source table.
+_ORACLES["st08_stream_dedup_equiv"] = """
+    SELECT event_id, user_id, ts, event_type, value FROM events
+"""
+
+# st09: the stateless per-micro-batch broadcast enrich must equal the
+# batch LEFT JOIN to the dimension.
+_ORACLES["st09_stream_enrich_equiv"] = """
+    SELECT e.event_id, e.user_id, e.ts, e.value,
+           c.c_mktsegment AS segment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 """
 
 # Recursive-CTE replay of the per-series CUSUM recursion (same oracle
@@ -11744,10 +11900,12 @@ _DRIVER_VERIFIED = _load_driver_verified()
 # custom-stateful face), then the remaining never-sampled pool ranked
 # by oracle intricacy: validators, packing audits, temporal joins, the
 # window-function-heavy numeric tail, time-series calendars, and text
-# audits. 51 live names for a 50-slot window ON PURPOSE (the round-6
-# overflow discipline): adding st04's wall-time re-verification pushed
-# t30_source_keywords to position 51, where it LEADS round 8's queue
-# instead of falling back to registration order; behind it the ~20
+# audits. 53 live names for a 50-slot window ON PURPOSE (the round-6
+# overflow discipline): st04's wall-time re-verification plus the new
+# st08/st09 faces push t22_template_prefixes, t23_oov_rate, and
+# t30_source_keywords to positions 51-53, where they LEAD round 8's
+# queue instead of falling back to registration order; behind them
+# the ~20
 # never-sampled plain-aggregate entries (q59/q6x/q7x tail) follow in
 # registration order, clearing the backlog in round 8. Names already
 # verified are filtered out harmlessly.
@@ -11758,6 +11916,7 @@ _WINDOW_PRIORITY = (
     # round-7 streaming work: new custom-stateful face + the two
     # held-out wall-time-fixed joins
     "st07_stateful_profile_equiv",
+    "st08_stream_dedup_equiv", "st09_stream_enrich_equiv",
     "st04_stream_session_equiv",
     "st05_stream_stream_join_equiv", "st06_stream_outer_join_equiv",
     # oracle-heavy validators
@@ -12135,8 +12294,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round-6 additions
             "st05_stream_stream_join_equiv": st05_stream_stream_join_equiv,
             "st06_stream_outer_join_equiv": st06_stream_outer_join_equiv,
-            # round-7 addition: the custom-stateful face
+            # round-7 additions: custom-stateful, dedup-within-
+            # watermark, and stream-static-enrich faces
             "st07_stateful_profile_equiv": st07_stateful_profile_equiv,
+            "st08_stream_dedup_equiv": st08_stream_dedup_equiv,
+            "st09_stream_enrich_equiv": st09_stream_enrich_equiv,
         }
     )
     # Rotate: never-driver-verified entries first (window-priority names

@@ -120,6 +120,7 @@ def test_round7_window_front_loads_risky_entries():
         "v21_benford_audit", "q60_percentile_battery",
         "q90_mean_battery", "q91_cdf_point",
         "st07_stateful_profile_equiv",
+        "st08_stream_dedup_equiv", "st09_stream_enrich_equiv",
         "st04_stream_session_equiv",
         "st05_stream_stream_join_equiv", "st06_stream_outer_join_equiv",
         "v10_rule_census", "c13_pack_efficiency", "j11_scd2_enrich",
