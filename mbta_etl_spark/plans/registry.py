@@ -1554,25 +1554,10 @@ def st04_stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.withWatermark("ts", "2 hours"),
         bound_to_ntz=_ntz_from_wall_instant,
     )
-    # idempotent sink: per-batch OVERWRITE into a batch_id partition
-    # (the dedup_stream discipline) — an at-least-once redelivery
-    # rewrites its own partition instead of appending duplicates
-    query = (
-        sess.writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch(
-            lambda closed, bid: closed.write.mode("overwrite").parquet(
-                f"{out_dir}/batch_id={bid}"
-            )
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return (
-        spark.read.parquet(out_dir)
-        .drop("batch_id")
-        .filter(F.col("user_id") != -1)
+    # the shared idempotent append sink (_run_replay_sink): per-batch
+    # OVERWRITE into a batch_id partition
+    return _run_replay_sink(spark, sess, out_dir, ckpt).filter(
+        F.col("user_id") != -1
     )
 
 
@@ -1794,14 +1779,38 @@ def _pair_overlap_select(
     )
 
 
+def _run_replay_sink(
+    spark: SparkSession, df: DataFrame, out_dir: str, ckpt: str
+) -> DataFrame:
+    """Execute a bounded (availableNow) streaming replay in APPEND mode
+    with THE per-batch_id OVERWRITE sink, then read back the standing
+    result. This is the one copy of the append-replay sink discipline
+    (st04/st05/st06/st08/st09 all run through it): an at-least-once
+    redelivery rewrites its own batch_id partition instead of
+    appending duplicates, making the bounded replay idempotent without
+    a marker protocol (the standing-table merges — st02/st07 — use
+    claim_batch + atomic_publish instead, because they rewrite one
+    shared table rather than per-batch partitions)."""
+    query = (
+        df.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+            lambda rows, bid: rows.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={bid}"
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir).drop("batch_id")
+
+
 def _run_join_replay(
     spark: SparkSession, joined: DataFrame, base: str
 ) -> DataFrame:
-    """Execute a bounded stream-stream join replay and read the result.
-
-    Sink: per-batch OVERWRITE into a batch_id partition (st04's
-    discipline) — an at-least-once redelivery rewrites its own
-    partition instead of appending duplicate pairs.
+    """st05/st06's replay: the shared append sink under a PINNED
+    shuffle-partition count.
 
     State partitioning: a stream-stream join instantiates FOUR state
     stores per shuffle partition (keyToNumValues + keyWithIndexToValue
@@ -1811,29 +1820,22 @@ def _run_join_replay(
     here for the replay's lifetime and restored after: 8 at test scale
     (where store instantiation dominates); a production deployment of
     the same query raises it to match executor count, since at 100 TB
-    the per-partition DATA, not the store count, is the knob."""
+    the per-partition DATA, not the store count, is the knob. (st07
+    deliberately does NOT pin — its cost is a CPU-bound Python stage
+    that wants full parallelism; see its docstring.)"""
     import os
 
-    out_dir = os.path.join(base, "pairs")
-    ckpt = os.path.join(base, "ckpt")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        query = (
-            joined.writeStream.outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .foreachBatch(
-                lambda pairs, bid: pairs.write.mode("overwrite").parquet(
-                    f"{out_dir}/batch_id={bid}"
-                )
-            )
-            .trigger(availableNow=True)
-            .start()
+        return _run_replay_sink(
+            spark,
+            joined,
+            os.path.join(base, "pairs"),
+            os.path.join(base, "ckpt"),
         )
-        query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    return spark.read.parquet(out_dir).drop("batch_id")
 
 
 def st05_stream_stream_join_equiv(
@@ -2067,19 +2069,7 @@ def st08_stream_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_stream_by_key(
         stream, ["event_id"], "wm", "20 days"
     ).drop("wm")
-    query = (
-        deduped.writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch(
-            lambda rows, bid: rows.write.mode("overwrite").parquet(
-                f"{out_dir}/batch_id={bid}"
-            )
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return spark.read.parquet(out_dir).drop("batch_id")
+    return _run_replay_sink(spark, deduped, out_dir, ckpt)
 
 
 def st09_stream_enrich_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2130,19 +2120,7 @@ def st09_stream_enrich_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "replay_key"
     )
     enriched = enrich_stream(stream, dim, "user_id", how="left")
-    query = (
-        enriched.writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch(
-            lambda rows, bid: rows.write.mode("overwrite").parquet(
-                f"{out_dir}/batch_id={bid}"
-            )
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return spark.read.parquet(out_dir).drop("batch_id")
+    return _run_replay_sink(spark, enriched, out_dir, ckpt)
 
 
 R02_REL_BOUND = 0.08  # ~4 sigma for lgConfigK=12 (rsd ~1.6%)

@@ -173,6 +173,13 @@ def test_coverage_doc_counts_match_registry():
     n_entries, n_oracle = int(m.group(1)), int(m.group(2))
     assert n_entries == len(entrymod.queries())
     assert n_oracle == len(entrymod.oracle_sql())
+    # README's quick-start comment carries the same hand-bumped count
+    # (drifted silently in round 7 until pinned here)
+    with open(os.path.join(REPO, "README.md")) as f:
+        readme = f.read()
+    rm = re.search(r"# (\d+) analytics ops", readme)
+    assert rm, "README registry count comment missing"
+    assert int(rm.group(1)) == len(entrymod.queries())
 
 
 def test_verified_entries_plan_shapes_frozen():
