@@ -196,14 +196,48 @@ def test_verified_entries_plan_shapes_frozen():
     Limitation, stated: streaming equivalence entries' fingerprints are
     only the standing-table read-back (the replay executes inside the
     entry), so a semantic change there does not move the fingerprint —
-    those holdouts remain review discipline (st05/st06 in round 7)."""
+    those holdouts remain review discipline (st05/st06 in round 7).
+
+    End-of-round tolerance: a name verified for the FIRST time by the
+    LATEST round file has no recorded shape yet — the driver writes
+    CORRECTNESS_r{N}.json after the final commit, and the sync runs at
+    the NEXT round's start. Requiring a row for those names would
+    recreate the rounds-3-5 end-of-round red, so missing rows are
+    tolerated exactly for names whose only green rows are in the
+    newest round file; a missing row for any OLDER green is a real
+    sync failure and still fails."""
+    import re
+
     with open(os.path.join(REPO, "plans_snapshot.json")) as f:
         snapshot = json.load(f)
     with open(os.path.join(REPO, "driver_green_shapes.json")) as f:
         green_shapes = json.load(f)
+
+    # earliest green round per name, to distinguish "freshly verified,
+    # sync pending" from "sync was skipped"
+    def _round_no(fn: str) -> int:
+        m = re.search(r"r(\d+)", fn)
+        return int(m.group(1)) if m else -1
+
+    files = sorted(
+        (
+            fn for fn in os.listdir(REPO)
+            if fn.startswith("CORRECTNESS_r") and fn.endswith(".json")
+        ),
+        key=_round_no,
+    )
+    max_round = _round_no(files[-1]) if files else -1
+    first_seen: dict[str, int] = {}
+    for fn in files:
+        with open(os.path.join(REPO, fn)) as f:
+            for name in json.load(f):
+                first_seen.setdefault(name, _round_no(fn))
+
     problems = []
     for name in sorted(_DRIVER_VERIFIED):
         if name not in green_shapes:
+            if first_seen.get(name) == max_round:
+                continue  # first verified by the newest file: sync pending
             problems.append(f"{name}: no recorded green shape")
         elif green_shapes[name] != snapshot.get(name):
             problems.append(f"{name}: plan shape changed since driver green")
