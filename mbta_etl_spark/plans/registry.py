@@ -1960,8 +1960,11 @@ def st07_stateful_profile_equiv(
     needs a protobuf runtime the driver's vanilla session doesn't
     have (tests/conftest.py shims it for the unit tier), while this
     tier is pure Arrow + GroupState and runs anywhere the engine
-    does. The transformWithState operators stay unit-pinned
-    (tests/test_stateful.py, incl. a RocksDB state-store run)."""
+    does. (Round 7 later unblocked the transformWithState tier too —
+    st10 bootstraps the protobuf runtime post-launch via
+    stateful.ensure_protobuf_runtime — so both Python stateful tiers
+    are now driver-checked; the unit tests in tests/test_stateful.py,
+    incl. a RocksDB run, remain.)"""
     import os
     import shutil
 
@@ -2070,6 +2073,95 @@ def st08_stream_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, ["event_id"], "wm", "20 days"
     ).drop("wm")
     return _run_replay_sink(spark, deduped, out_dir, ckpt)
+
+
+def st10_transform_with_state_equiv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """transformWithStateInPandas equivalence — the TENTH streaming
+    face, and the one round 6 judged unreachable: Spark 4's
+    typed-state tier (named ValueState in a RocksDB-backed store,
+    streaming/stateful.running_extrema_stream) driver-hash-checked in
+    a VANILLA session. The blocker was the tier's protobuf state
+    client (no pip protobuf in the sandbox; the test suite shims it
+    BEFORE session launch in conftest, which the driver's session
+    flow can't do). The measured unblock:
+    stateful.ensure_protobuf_runtime applies the shim POST-launch —
+    sys.path for the driver, ``sc.environment`` for workers (consulted
+    per Python function, mutable after JVM start) — so the entry
+    carries its own runtime bootstrap.
+
+    Replay shape is st07's: 4 key-interleaved micro-batches
+    (pmod(event_id, 4) — users span batches, the cross-batch
+    ValueState fold is the verified path), update-mode emissions carry
+    the key's full cumulative (count, max) so the last-write-wins
+    merge (claim_batch + atomic_publish) leaves the one-shot batch
+    aggregate, which the trivial GROUP BY oracle replays. Count and
+    MAX are exact (no float-association hazard — deliberately chosen
+    so the protobuf/Arrow state plumbing, the version-fragile surface
+    under test, is the only thing that can break the hash). RocksDB
+    provider is required by the API and pinned around the replay."""
+    import os
+    import shutil
+
+    from mbta_etl_spark.sources.formats import scratch_dir
+    from mbta_etl_spark.streaming.replay import (
+        land_replay_log,
+        open_replay_stream,
+    )
+    from mbta_etl_spark.streaming.stateful import (
+        ensure_protobuf_runtime,
+        merge_profile_batch,
+        running_extrema_stream,
+    )
+
+    ensure_protobuf_runtime(spark)
+    n_batches = 4
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "value")
+    base = scratch_dir(
+        spark, f"st10_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir = os.path.join(base, "in")
+    table = os.path.join(base, "extrema")
+    ckpt = os.path.join(base, "ckpt")
+    src = ev.withColumn("replay_key", F.col("event_id"))
+    land_replay_log(src, in_dir, n_batches, "replay_key")
+    stream = open_replay_stream(spark, in_dir, src.schema).select(
+        "user_id", "value"
+    )
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        query = (
+            running_extrema_stream(stream)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda b, bid: merge_profile_batch(b, bid, table)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+    return spark.read.parquet(table).select(
+        "user_id", "n_events", "max_value"
+    )
 
 
 def st09_stream_enrich_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6952,6 +7044,16 @@ _ORACLES["st09_stream_enrich_equiv"] = """
     SELECT e.event_id, e.user_id, e.ts, e.value,
            c.c_mktsegment AS segment
     FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+# st10: the typed-state (transformWithStateInPandas) fold must equal
+# the trivial batch aggregate — count and MAX only, so the protobuf/
+# Arrow state plumbing is the only thing that can break the hash.
+_ORACLES["st10_transform_with_state_equiv"] = """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(value) AS max_value
+    FROM events GROUP BY user_id
 """
 
 # Recursive-CTE replay of the per-series CUSUM recursion (same oracle
@@ -11878,12 +11980,12 @@ _DRIVER_VERIFIED = _load_driver_verified()
 # custom-stateful face), then the remaining never-sampled pool ranked
 # by oracle intricacy: validators, packing audits, temporal joins, the
 # window-function-heavy numeric tail, time-series calendars, and text
-# audits. 53 live names for a 50-slot window ON PURPOSE (the round-6
+# audits. 54 live names for a 50-slot window ON PURPOSE (the round-6
 # overflow discipline): st04's wall-time re-verification plus the new
-# st08/st09 faces push t22_template_prefixes, t23_oov_rate, and
-# t30_source_keywords to positions 51-53, where they LEAD round 8's
-# queue instead of falling back to registration order; behind them
-# the ~20
+# st08/st09/st10 faces push the text-audit quartet t21_vocab_bands,
+# t22_template_prefixes, t23_oov_rate, t30_source_keywords to
+# positions 51-54, where they LEAD round 8's queue instead of falling
+# back to registration order; behind them the ~20
 # never-sampled plain-aggregate entries (q59/q6x/q7x tail) follow in
 # registration order, clearing the backlog in round 8. Names already
 # verified are filtered out harmlessly.
@@ -11895,6 +11997,7 @@ _WINDOW_PRIORITY = (
     # held-out wall-time-fixed joins
     "st07_stateful_profile_equiv",
     "st08_stream_dedup_equiv", "st09_stream_enrich_equiv",
+    "st10_transform_with_state_equiv",
     "st04_stream_session_equiv",
     "st05_stream_stream_join_equiv", "st06_stream_outer_join_equiv",
     # oracle-heavy validators
@@ -12277,6 +12380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st07_stateful_profile_equiv": st07_stateful_profile_equiv,
             "st08_stream_dedup_equiv": st08_stream_dedup_equiv,
             "st09_stream_enrich_equiv": st09_stream_enrich_equiv,
+            "st10_transform_with_state_equiv":
+                st10_transform_with_state_equiv,
         }
     )
     # Rotate: never-driver-verified entries first (window-priority names

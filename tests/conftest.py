@@ -40,7 +40,7 @@ def spark():
     spark.stop()
 
 
-# Streaming equivalence entries (st01–st09) EXECUTE their replay inside
+# Streaming equivalence entries (st01–st10) EXECUTE their replay inside
 # the entry call — the only registry entries where calling the function
 # costs seconds, not milliseconds. Two suite modules need their result
 # (test_parity collects the rows, test_plan_hygiene reads the plan), so

@@ -15,7 +15,7 @@ entries, so a new entry (or a refactor) can never silently introduce:
 
 Plans are compiled driver-side only (explain, no execution), so the
 whole sweep is cheap — with one documented exception: the streaming
-equivalence entries (st01–st09) EXECUTE their replay inside the entry
+equivalence entries (st01–st10) EXECUTE their replay inside the entry
 call (a streaming query cannot be compiled without running), so for
 them this gate sees only the final standing-table read. Since round 6
 their replay runs ONCE per suite session via the shared
@@ -33,7 +33,9 @@ j08's oracle replays (st06 adds the left_outer variant), st07 = the
 applyInPandasWithState GroupState kernel (Arrow tier, explicitly
 whitelisted; batch-twin oracle is the trivial GROUP BY), st08 =
 ingest.dedup_stream_by_key (unit-pinned first-arrival semantics),
-st09 = ingest.enrich_stream (unit-pinned stateless broadcast) — so an
+st09 = ingest.enrich_stream (unit-pinned stateless broadcast), st10 =
+stateful.running_extrema_stream (ValueState tier, unit-pinned incl. a
+RocksDB run) — so an
 anti-pattern creeping into those operators is still caught through
 the batch entries that share them.
 """

@@ -121,10 +121,11 @@ def test_round7_window_front_loads_risky_entries():
         "q90_mean_battery", "q91_cdf_point",
         "st07_stateful_profile_equiv",
         "st08_stream_dedup_equiv", "st09_stream_enrich_equiv",
+        "st10_transform_with_state_equiv",
         "st04_stream_session_equiv",
         "st05_stream_stream_join_equiv", "st06_stream_outer_join_equiv",
         "v10_rule_census", "c13_pack_efficiency", "j11_scd2_enrich",
-        "q93_cohort_ltv", "t21_vocab_bands",
+        "q93_cohort_ltv",
     }
     # an already-VERIFIED name satisfies the check: once the driver
     # writes CORRECTNESS_r07.json these names go green, rotate out of
