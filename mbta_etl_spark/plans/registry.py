@@ -2075,6 +2075,57 @@ def st08_stream_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_replay_sink(spark, deduped, out_dir, ckpt)
 
 
+def st09_stream_enrich_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment equivalence — the ninth streaming face
+    (closing the `enrich_stream` row of the unit-only tier): events
+    replayed as 4 micro-batches, each LEFT-joined stateless to the
+    static customer dimension (broadcast — the dim is re-resolved per
+    micro-batch, so a dimension refresh needs no restart;
+    streaming/ingest.enrich_stream). No watermark, no state store: a
+    stateless per-batch join is split-invariant by construction, so
+    the appended union equals the batch LEFT JOIN and one SQL
+    statement is the oracle. The face this pins is the BROADCAST
+    discipline inside a micro-batch (enrich_stream wraps the dim in
+    F.broadcast(), forcing a BroadcastHashJoin — never a shuffle — per
+    batch) — at 100 TB the stream side never re-partitions for the
+    join, the dim ships to executors once per batch, and dimension
+    refreshes land between batches for free."""
+    import os
+    import shutil
+
+    from mbta_etl_spark.sources.formats import scratch_dir
+    from mbta_etl_spark.streaming.ingest import enrich_stream
+    from mbta_etl_spark.streaming.replay import (
+        land_replay_log,
+        open_replay_stream,
+    )
+
+    n_batches = 4
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    base = scratch_dir(
+        spark, f"st09_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "enriched")
+    ckpt = os.path.join(base, "ckpt")
+    src = ev.withColumn(
+        "replay_key", F.pmod(F.col("event_id"), F.lit(n_batches))
+    )
+    land_replay_log(src, in_dir, n_batches, "replay_key")
+    stream = open_replay_stream(spark, in_dir, src.schema).drop(
+        "replay_key"
+    )
+    enriched = enrich_stream(stream, dim, "user_id", how="left")
+    return _run_replay_sink(spark, enriched, out_dir, ckpt)
+
+
 def st10_transform_with_state_equiv(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2162,57 +2213,6 @@ def st10_transform_with_state_equiv(
     return spark.read.parquet(table).select(
         "user_id", "n_events", "max_value"
     )
-
-
-def st09_stream_enrich_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-STATIC enrichment equivalence — the ninth streaming face
-    (closing the `enrich_stream` row of the unit-only tier): events
-    replayed as 4 micro-batches, each LEFT-joined stateless to the
-    static customer dimension (broadcast — the dim is re-resolved per
-    micro-batch, so a dimension refresh needs no restart;
-    streaming/ingest.enrich_stream). No watermark, no state store: a
-    stateless per-batch join is split-invariant by construction, so
-    the appended union equals the batch LEFT JOIN and one SQL
-    statement is the oracle. The face this pins is the BROADCAST
-    discipline inside a micro-batch (enrich_stream wraps the dim in
-    F.broadcast(), forcing a BroadcastHashJoin — never a shuffle — per
-    batch) — at 100 TB the stream side never re-partitions for the
-    join, the dim ships to executors once per batch, and dimension
-    refreshes land between batches for free."""
-    import os
-    import shutil
-
-    from mbta_etl_spark.sources.formats import scratch_dir
-    from mbta_etl_spark.streaming.ingest import enrich_stream
-    from mbta_etl_spark.streaming.replay import (
-        land_replay_log,
-        open_replay_stream,
-    )
-
-    n_batches = 4
-    ev = _events(spark, sf_dir).select(
-        "event_id", "user_id", "ts", "value"
-    )
-    dim = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("user_id"),
-        F.col("c_mktsegment").alias("segment"),
-    )
-    base = scratch_dir(
-        spark, f"st09_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    shutil.rmtree(base, ignore_errors=True)
-    in_dir = os.path.join(base, "in")
-    out_dir = os.path.join(base, "enriched")
-    ckpt = os.path.join(base, "ckpt")
-    src = ev.withColumn(
-        "replay_key", F.pmod(F.col("event_id"), F.lit(n_batches))
-    )
-    land_replay_log(src, in_dir, n_batches, "replay_key")
-    stream = open_replay_stream(spark, in_dir, src.schema).drop(
-        "replay_key"
-    )
-    enriched = enrich_stream(stream, dim, "user_id", how="left")
-    return _run_replay_sink(spark, enriched, out_dir, ckpt)
 
 
 R02_REL_BOUND = 0.08  # ~4 sigma for lgConfigK=12 (rsd ~1.6%)

@@ -106,7 +106,16 @@ def scratch_dir(spark: SparkSession, tag: str) -> str:
     """Deterministic scratch path for round-trip entries: the local
     warehouse dir when it is writable (keeps artifacts next to the
     session's other state, gitignored), else the system temp dir — the
-    correctness driver may run with any cwd/session config."""
+    correctness driver may run with any cwd/session config.
+
+    SINGLE-PROCESS assumption, stated: the path is a pure function of
+    (warehouse, tag), so TWO processes running the SAME entry at the
+    SAME scale factor race on it (one rmtrees/lands while the other
+    streams — measured in round 7 as STATE_STORE_CHECKPOINT_LOCATION_
+    NOT_EMPTY when a parity sweep overlapped the pytest suite on
+    st10). The driver, the suite, and bench each run entries in one
+    process, and different SFs get different tags; just don't run the
+    same entry+SF concurrently from separate processes."""
     import os
     import tempfile
 

@@ -172,38 +172,62 @@ def ensure_protobuf_runtime(spark) -> None:
     Python function and is mutable post-launch — so appending to
     PYTHONPATH there reaches workers spawned after this call (probed
     on Spark 4.1: a vanilla session + this call runs
-    transformWithStateInPandas end to end). No-op when protobuf is
-    already importable (the test suite shims it before session launch
-    in conftest.py; real deployments pip-install it). Raises
+    transformWithStateInPandas end to end). A driver-importable
+    protobuf is NOT sufficient to return early: if it resolves from
+    the shim path (a prior call in this process patched sys.path, but
+    THIS session's JVM launched without it), the session's worker
+    environment still needs the patch — only a genuinely installed
+    runtime (workers inherit site-packages) is a true no-op. Raises
     ImportError when no runtime can be found — a clear error instead
-    of the worker's opaque crash."""
+    of the worker's opaque crash. Path/env-var constants are shared
+    with conftest.py's pre-launch shim via mbta_etl_spark.protoshim
+    so the two copies can never drift."""
     import os
     import sys
 
-    try:
-        import google.protobuf  # noqa: F401
+    from mbta_etl_spark.protoshim import (
+        SDK_PROTOBUF_PATH,
+        VERSION_CHECK_ESCAPE_ENV,
+    )
 
-        return
+    try:
+        import google.protobuf as _pb
     except ImportError:
-        pass
-    sdk = "/usr/lib/google-cloud-sdk/platform/google_appengine"
-    if not os.path.isdir(os.path.join(sdk, "google", "protobuf")):
+        _pb = None
+    if _pb is not None:
+        pb_root = os.path.dirname(
+            os.path.dirname(os.path.abspath(_pb.__file__))
+        )
+        if not os.path.abspath(pb_root).startswith(
+            os.path.abspath(SDK_PROTOBUF_PATH)
+        ):
+            return  # real install: workers resolve it the same way
+    elif not os.path.isdir(
+        os.path.join(SDK_PROTOBUF_PATH, "google", "protobuf")
+    ):
         raise ImportError(
             "transformWithStateInPandas needs a protobuf runtime: "
             "pip install protobuf (none importable, and no bundled "
             "SDK runtime found to shim)"
         )
-    sys.path.append(sdk)
-    os.environ.setdefault(
-        "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
-    )
+    if SDK_PROTOBUF_PATH not in sys.path:
+        sys.path.append(SDK_PROTOBUF_PATH)
+    os.environ.setdefault(VERSION_CHECK_ESCAPE_ENV, "true")
+    # also export to os.environ so a FUTURE session's JVM inherits it
+    if SDK_PROTOBUF_PATH not in os.environ.get("PYTHONPATH", ""):
+        os.environ["PYTHONPATH"] = (
+            os.environ.get("PYTHONPATH", "")
+            + os.pathsep
+            + SDK_PROTOBUF_PATH
+        ).lstrip(os.pathsep)
     env = spark.sparkContext.environment
-    env["PYTHONPATH"] = (
-        env.get("PYTHONPATH", os.environ.get("PYTHONPATH", ""))
-        + os.pathsep
-        + sdk
-    ).lstrip(os.pathsep)
-    env["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+    if SDK_PROTOBUF_PATH not in env.get("PYTHONPATH", ""):
+        env["PYTHONPATH"] = (
+            env.get("PYTHONPATH", os.environ.get("PYTHONPATH", ""))
+            + os.pathsep
+            + SDK_PROTOBUF_PATH
+        ).lstrip(os.pathsep)
+    env[VERSION_CHECK_ESCAPE_ENV] = "true"
 
 
 def running_extrema_stream(events: DataFrame) -> DataFrame:

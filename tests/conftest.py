@@ -17,7 +17,15 @@ SF_DIR_MED = "/root/testdata/sf0.01"
 # driver-side import and the Python workers (forked from the JVM, which
 # inherits this process's env) pick these up, as long as they are set
 # BEFORE the first SparkSession launches — hence module scope here.
-_SDK_PROTOBUF = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+# path/env-var constants shared with the post-launch shim
+# (streaming/stateful.ensure_protobuf_runtime) via protoshim, so the
+# two copies can never drift; protoshim imports nothing, so pulling it
+# in before the shim is applied is safe
+from mbta_etl_spark.protoshim import (  # noqa: E402
+    SDK_PROTOBUF_PATH as _SDK_PROTOBUF,
+    VERSION_CHECK_ESCAPE_ENV as _PB_ESCAPE,
+)
+
 try:
     import google.protobuf  # noqa: F401
 except ImportError:
@@ -26,9 +34,7 @@ except ImportError:
         os.environ["PYTHONPATH"] = (
             os.environ.get("PYTHONPATH", "") + os.pathsep + _SDK_PROTOBUF
         ).lstrip(os.pathsep)
-        os.environ.setdefault(
-            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
-        )
+        os.environ.setdefault(_PB_ESCAPE, "true")
 
 from mbta_etl_spark.session import get_spark  # noqa: E402
 
