@@ -2043,8 +2043,25 @@ def st08_stream_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     n_batches = 4
+    horizon_days = 20
     ev = _events(spark, sf_dir).select(
         "event_id", "user_id", "ts", "event_type", "value"
+    )
+    # Loud scale-up guard (ADVICE r7 item 3): the 20-day horizon is
+    # sized to the testdata's ~1-month span — a redelivered copy lands
+    # one batch later, so its dedup state must survive ~one
+    # quantile-batch span of watermark advance. If a larger scale
+    # factor's events span enough that span/n_batches approaches the
+    # horizon, the copy's state would be silently evicted and the copy
+    # re-emitted, breaking the oracle equality — fail HERE instead,
+    # with 2x margin.
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    batch_span_days = (hi - lo).total_seconds() / 86400.0 / n_batches
+    assert batch_span_days * 2 <= horizon_days, (
+        f"st08 dedup horizon ({horizon_days} d) is no longer >=2x the "
+        f"replay batch span ({batch_span_days:.1f} d) at this scale "
+        "factor — redelivered copies would outlive their dedup state; "
+        "widen the horizon or raise n_batches"
     )
     keyed = time_quantile_key(
         ev, "ts", n_batches, require_uniform_shift=False
@@ -2070,7 +2087,7 @@ def st08_stream_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("wm", _wall_instant("ts"))
     )
     deduped = dedup_stream_by_key(
-        stream, ["event_id"], "wm", "20 days"
+        stream, ["event_id"], "wm", f"{horizon_days} days"
     ).drop("wm")
     return _run_replay_sink(spark, deduped, out_dir, ckpt)
 
@@ -11890,17 +11907,10 @@ _ORACLES["v20_freshness_lag"] = """
 # oracle changed since their last green driver row, so the driver must
 # re-verify them even though an old green row exists. (Round 5 used this
 # for the q09a/q24a/r02 composed-oracle re-verification; all three came
-# back green in CORRECTNESS_r05.json. Round 7: st04/st05/st06's event-time
-# arithmetic moved from session-zone LTZ casts to the zone-free
-# wall-instant relabeling — hash-identical on the DST-free testdata,
-# but the semantics changed, so the driver re-verifies all three.)
-_DRIVER_HOLDOUTS: frozenset[str] = frozenset(
-    {
-        "st04_stream_session_equiv",
-        "st05_stream_stream_join_equiv",
-        "st06_stream_outer_join_equiv",
-    }
-)
+# back green in CORRECTNESS_r05.json. Round 7 held out st04/st05/st06
+# after the DST wall-time rework; CORRECTNESS_r07.json re-verified all
+# three green, so round 8 starts with the holdout set empty.)
+_DRIVER_HOLDOUTS: frozenset[str] = frozenset()
 
 
 def _load_driver_verified() -> frozenset[str]:
@@ -11971,60 +11981,30 @@ def _load_driver_verified() -> frozenset[str]:
 
 _DRIVER_VERIFIED = _load_driver_verified()
 
-# Round-7 window stacking (VERDICT r6 item 1): the driver has sampled
-# 293/360 across rounds 1-6, all green. The round-7 window burns the
-# never-sampled backlog, leading with the four names ADVICE r6
-# committed to (the round-6 deliberate overflow quartet), then the
-# round-7 changed/new streaming entries (st05/st06 re-verify after the
-# DST wall-time fix moved them into _DRIVER_HOLDOUTS; st07 is the new
-# custom-stateful face), then the remaining never-sampled pool ranked
-# by oracle intricacy: validators, packing audits, temporal joins, the
-# window-function-heavy numeric tail, time-series calendars, and text
-# audits. 54 live names for a 50-slot window ON PURPOSE (the round-6
-# overflow discipline): st04's wall-time re-verification plus the new
-# st08/st09/st10 faces push the text-audit quartet t21_vocab_bands,
-# t22_template_prefixes, t23_oov_rate, t30_source_keywords to
-# positions 51-54, where they LEAD round 8's queue instead of falling
-# back to registration order; behind them the ~20
-# never-sampled plain-aggregate entries (q59/q6x/q7x tail) follow in
-# registration order, clearing the backlog in round 8. Names already
-# verified are filtered out harmlessly.
+# Round-8 window stacking (VERDICT r7 item 1): cumulative driver
+# coverage after round 7 is 340/364, every latest row green. Exactly
+# 24 registry entries have NEVER been driver-sampled: the text-audit
+# quartet (round-7's deliberate overflow — ADVICE r7 committed them to
+# lead this round) plus the q59-q99 plain-aggregate relational tail.
+# 24 < 50 slots, so this window clears the backlog and round 8 reaches
+# cumulative 364/364. The quartet leads (richest oracles: banded vocab
+# histograms, template mining, OOV joins, per-source keyword ranks);
+# the relational tail follows in registration order. Names already
+# verified are filtered out harmlessly; any remaining slots fall back
+# to registration order (there are none — the pool IS the backlog).
 _WINDOW_PRIORITY = (
-    # ADVICE r6's committed overflow quartet — leads the round
-    "v21_benford_audit", "q60_percentile_battery", "q90_mean_battery",
-    "q91_cdf_point",
-    # round-7 streaming work: new custom-stateful face + the two
-    # held-out wall-time-fixed joins
-    "st07_stateful_profile_equiv",
-    "st08_stream_dedup_equiv", "st09_stream_enrich_equiv",
-    "st10_transform_with_state_equiv",
-    "st04_stream_session_equiv",
-    "st05_stream_stream_join_equiv", "st06_stream_outer_join_equiv",
-    # oracle-heavy validators
-    "v10_rule_census", "v11_warehouse_scorecard",
-    "v12_header_line_reconcile", "v14_ordering_audit",
-    "v16_volume_anomalies", "v17_table_inventory",
-    "v18_categorical_entropy", "v20_freshness_lag",
-    # packing / mixture audits
-    "c13_pack_efficiency", "c14_dataset_card", "c15_split_leakage_audit",
-    "c16_batch_interleave", "c17_quality_length_corr",
-    "c18_mixture_fidelity", "c19_pipeline_funnel",
-    # temporal joins
-    "j11_scd2_enrich", "j12_linear_attribution", "j13_range_bucket_join",
-    # window-function-heavy numeric tail
-    "q64_sorted_neighborhood", "q73_semi_additive",
-    "q76_cumulative_uniques", "q83_above_avg_groups",
-    "q84_percent_of_parent", "q86_interpurchase_time", "q87_rank_change",
-    "q88_topk_overlap", "q93_cohort_ltv", "q94_shuffle_balance",
-    "q95_nested_topn", "q97_retry_suppression", "q98_cumulative_distinct",
-    "q100_mode_per_group", "q101_global_running_total",
-    "q103_price_volume_mix",
-    # time-series calendars
-    "ts18_uptime_sla", "ts20_peak_hour", "ts22_trend_slope",
-    "ts23_daily_intensity", "ts24_wow_change",
-    # text audits
+    # round-7 overflow quartet — leads the round (ADVICE r7 item 1)
     "t21_vocab_bands", "t22_template_prefixes", "t23_oov_rate",
     "t30_source_keywords",
+    # never-sampled relational tail, registration order
+    "q59_unpivot", "q61_rfm_segments", "q62_trailing_hour_window",
+    "q65_decile_lift", "q66_mom_growth", "q67_dow_profile",
+    "q68_revenue_concentration", "q69_trade_matrix", "q70_market_share",
+    "q71_shipping_priority", "q72_top5_plus_other",
+    "q74_new_vs_returning", "q77_abc_classification",
+    "q78_discount_revenue", "q79_profit_by_nation", "q80_top_supplier",
+    "q81_disjunctive_filter", "q82_lines_per_order",
+    "q85_churned_customers", "q99_revenue_deciles",
 )
 
 

@@ -113,14 +113,25 @@ def merge_profile_batch(
     if not claim_batch(table_path, batch_id):
         return  # redelivered batch: already merged and published
     spark = batch_df.sparkSession
-    if os.path.exists(table_path):
-        existing = spark.read.parquet(table_path)
-        merged = existing.join(
-            batch_df.select("user_id"), "user_id", "left_anti"
-        ).unionByName(batch_df)
-    else:
-        merged = batch_df
-    atomic_publish(merged, table_path, marker=batch_marker(batch_id))
+    # batch_df appears TWICE in the merged plan (anti-join probe +
+    # union arm); an unpersisted micro-batch DataFrame may be
+    # recomputed per appearance, re-executing the upstream
+    # applyInPandasWithState subtree — and a state-store-backed
+    # subtree must execute exactly once per batch. Pin it first
+    # (ADVICE r7 item 1; Spark's foreachBatch docs make the same
+    # persist-a-reused-batchDF recommendation).
+    batch_df.persist()
+    try:
+        if os.path.exists(table_path):
+            existing = spark.read.parquet(table_path)
+            merged = existing.join(
+                batch_df.select("user_id"), "user_id", "left_anti"
+            ).unionByName(batch_df)
+        else:
+            merged = batch_df
+        atomic_publish(merged, table_path, marker=batch_marker(batch_id))
+    finally:
+        batch_df.unpersist()
 
 
 def start_profile_stream(
@@ -195,12 +206,17 @@ def ensure_protobuf_runtime(spark) -> None:
     except ImportError:
         _pb = None
     if _pb is not None:
-        pb_root = os.path.dirname(
-            os.path.dirname(os.path.abspath(_pb.__file__))
+        pb_root = os.path.abspath(
+            os.path.dirname(os.path.dirname(os.path.abspath(_pb.__file__)))
         )
-        if not os.path.abspath(pb_root).startswith(
-            os.path.abspath(SDK_PROTOBUF_PATH)
-        ):
+        shim_root = os.path.abspath(SDK_PROTOBUF_PATH)
+        # proper path containment, not a string prefix — a sibling dir
+        # like <shim>_extras must count as a REAL install, not a shim
+        # (ADVICE r7 item 2)
+        from_shim = (
+            os.path.commonpath([pb_root, shim_root]) == shim_root
+        )
+        if not from_shim:
             return  # real install: workers resolve it the same way
     elif not os.path.isdir(
         os.path.join(SDK_PROTOBUF_PATH, "google", "protobuf")

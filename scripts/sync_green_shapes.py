@@ -44,6 +44,17 @@ SNAPSHOT_PATH = os.path.join(REPO, "plans_snapshot.json")
 GREEN_PATH = os.path.join(REPO, "driver_green_shapes.json")
 
 
+def _latest_correctness_round() -> int:
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for fn in os.listdir(REPO)
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", fn))
+    ]
+    return max(rounds) if rounds else -1
+
+
 def main() -> None:
     from mbta_etl_spark.plans.registry import _DRIVER_VERIFIED
 
@@ -56,10 +67,18 @@ def main() -> None:
             "— run scripts/plan_snapshot.py first"
         )
     green = {n: snapshot[n] for n in sorted(_DRIVER_VERIFIED)}
+    # Record which driver round this sync has folded in, so the freeze
+    # gate's missing-row tolerance stays scoped to rounds NEWER than the
+    # sync instead of blanket-exempting every name first verified by the
+    # latest file for the whole following round (ADVICE r7 item 4).
+    green["_synced_through"] = _latest_correctness_round()
     with open(GREEN_PATH, "w") as f:
         json.dump(green, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(f"recorded {len(green)} green plan shapes to {GREEN_PATH}")
+    print(
+        f"recorded {len(green) - 1} green plan shapes to {GREEN_PATH} "
+        f"(synced through round {green['_synced_through']})"
+    )
 
 
 if __name__ == "__main__":

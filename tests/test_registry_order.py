@@ -106,26 +106,27 @@ def test_driver_verified_is_derived_from_correctness_files():
     assert not dead, f"stale holdouts (no green row / not registered): {sorted(dead)}"
 
 
-def test_round7_window_front_loads_risky_entries():
-    """Round 7 burns the never-sampled backlog (VERDICT r6 item 1):
-    ADVICE r6's committed overflow quartet leads, then the round-7
-    streaming work (st07 new; st05/st06 held out for re-verification
-    after the DST wall-time fix), then the oracle-heavy validators,
-    packing audits, temporal joins, and numeric tail."""
+def test_round8_window_front_loads_risky_entries():
+    """Round 8 finishes the never-sampled backlog (VERDICT r7 item 1):
+    the round-7 overflow text-audit quartet leads, then the q59-q99
+    relational tail — all 24 remaining never-driver-sampled entries fit
+    in one 50-slot window, reaching cumulative 364/364."""
     from mbta_etl_spark.plans.registry import _WINDOW_PRIORITY
 
     names = list(entrymod.queries())
     window = set(names[:50])
     must_cover = {
-        "v21_benford_audit", "q60_percentile_battery",
-        "q90_mean_battery", "q91_cdf_point",
-        "st07_stateful_profile_equiv",
-        "st08_stream_dedup_equiv", "st09_stream_enrich_equiv",
-        "st10_transform_with_state_equiv",
-        "st04_stream_session_equiv",
-        "st05_stream_stream_join_equiv", "st06_stream_outer_join_equiv",
-        "v10_rule_census", "c13_pack_efficiency", "j11_scd2_enrich",
-        "q93_cohort_ltv",
+        "t21_vocab_bands", "t22_template_prefixes", "t23_oov_rate",
+        "t30_source_keywords",
+        "q59_unpivot", "q61_rfm_segments", "q62_trailing_hour_window",
+        "q65_decile_lift", "q66_mom_growth", "q67_dow_profile",
+        "q68_revenue_concentration", "q69_trade_matrix",
+        "q70_market_share", "q71_shipping_priority",
+        "q72_top5_plus_other", "q74_new_vs_returning",
+        "q77_abc_classification", "q78_discount_revenue",
+        "q79_profit_by_nation", "q80_top_supplier",
+        "q81_disjunctive_filter", "q82_lines_per_order",
+        "q85_churned_customers", "q99_revenue_deciles",
     }
     # an already-VERIFIED name satisfies the check: once the driver
     # writes CORRECTNESS_r07.json these names go green, rotate out of
@@ -199,20 +200,25 @@ def test_verified_entries_plan_shapes_frozen():
     entry), so a semantic change there does not move the fingerprint —
     those holdouts remain review discipline (st05/st06 in round 7).
 
-    End-of-round tolerance: a name verified for the FIRST time by the
-    LATEST round file has no recorded shape yet — the driver writes
+    End-of-round tolerance: a name verified for the FIRST time by a
+    round file NEWER than the sync's recorded ``_synced_through``
+    marker has no recorded shape yet — the driver writes
     CORRECTNESS_r{N}.json after the final commit, and the sync runs at
     the NEXT round's start. Requiring a row for those names would
-    recreate the rounds-3-5 end-of-round red, so missing rows are
-    tolerated exactly for names whose only green rows are in the
-    newest round file; a missing row for any OLDER green is a real
-    sync failure and still fails."""
+    recreate the rounds-3-5 end-of-round red. The marker (ADVICE r7
+    item 4) narrows the old blanket latest-file exemption: once the
+    sync has folded a round in, EVERY name first verified by that
+    round must have a recorded shape, so a plan edit made after the
+    sync can no longer hide in the exemption window."""
     import re
 
     with open(os.path.join(REPO, "plans_snapshot.json")) as f:
         snapshot = json.load(f)
     with open(os.path.join(REPO, "driver_green_shapes.json")) as f:
         green_shapes = json.load(f)
+    # rounds <= this marker are folded into the file; missing rows are
+    # tolerated only for names first verified AFTER it
+    synced_through = green_shapes.pop("_synced_through", -1)
 
     # earliest green round per name, to distinguish "freshly verified,
     # sync pending" from "sync was skipped"
@@ -227,7 +233,6 @@ def test_verified_entries_plan_shapes_frozen():
         ),
         key=_round_no,
     )
-    max_round = _round_no(files[-1]) if files else -1
     first_seen: dict[str, int] = {}
     for fn in files:
         with open(os.path.join(REPO, fn)) as f:
@@ -237,8 +242,8 @@ def test_verified_entries_plan_shapes_frozen():
     problems = []
     for name in sorted(_DRIVER_VERIFIED):
         if name not in green_shapes:
-            if first_seen.get(name) == max_round:
-                continue  # first verified by the newest file: sync pending
+            if first_seen.get(name, -1) > synced_through:
+                continue  # first verified after the sync: sync pending
             problems.append(f"{name}: no recorded green shape")
         elif green_shapes[name] != snapshot.get(name):
             problems.append(f"{name}: plan shape changed since driver green")
