@@ -2232,6 +2232,175 @@ def st10_transform_with_state_equiv(
     )
 
 
+_HTTP_SNAPSHOT_DDL = (
+    "id string, type string, attributes struct<user_id: bigint, "
+    "ts: string, event_type: string, value: double>"
+)
+
+
+def _land_event_snapshots(
+    spark: SparkSession, sf_dir: str, n_snapshots: int, tag: str
+) -> tuple[list[str], int]:
+    """Simulate the reference poller's N successive API responses
+    (pipeline/extract.go:11-33): land a SNAPSHOT-SIZED slice of the
+    events table (every 50th event_id — an API snapshot is a few
+    hundred rows, reference README 373-522 vehicles) as ``n_snapshots``
+    JSON:API envelope documents under scratch, one file per poll,
+    with extra envelope/attribute fields the schema projection must
+    drop (extract.go:28 json.Unmarshal semantics). Returns the
+    ``file://`` URLs and the slice's expected row count.
+
+    Driver-side by design and BOUNDED: one envelope IS one API
+    response, the slice is 1/50th of events (sf0.1: ~2k rows). A 100 TB
+    backfill does not land envelopes at all — it points the batch face
+    at the object-store archive of real snapshot URLs, one partition
+    per URL, fetched on executors."""
+    import json
+    import os
+    import shutil
+
+    from mbta_etl_spark.sources.formats import scratch_dir
+
+    ev = (
+        _events(spark, sf_dir)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .filter(F.pmod(F.col("event_id"), F.lit(50)) == 0)
+    )
+    rows = ev.collect()  # bounded: 1/50th of events, snapshot-sized
+    base = scratch_dir(
+        spark, f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    buckets: list[list] = [[] for _ in range(n_snapshots)]
+    for r in rows:
+        buckets[int(r.event_id // 50) % n_snapshots].append(r)
+    urls = []
+    for i, bucket in enumerate(buckets):
+        doc = {
+            "data": [
+                {
+                    "id": str(r.event_id),
+                    "type": "event",  # dropped by flatten, like Go
+                    "links": {"self": f"/events/{r.event_id}"},  # unknown
+                    "attributes": {
+                        "user_id": r.user_id,
+                        "ts": r.ts.isoformat(sep=" "),
+                        "event_type": r.event_type,
+                        "value": r.value,
+                        "revenue": "REVENUE",  # unknown: must be dropped
+                    },
+                }
+                for r in bucket
+            ],
+            "meta": {"poll": i},  # envelope noise outside data[]
+        }
+        path = os.path.join(base, f"snap{i:02d}.json")
+        with open(path, "w") as f:
+            json.dump(doc, f)
+        urls.append(f"file://{path}")
+    return urls, len(rows)
+
+
+def _http_flatten(df: DataFrame) -> DataFrame:
+    """JSON:API envelope rows -> flat event rows (the S1 transform
+    boundary): id string -> bigint, attributes.ts RFC-ish string ->
+    TIMESTAMP_NTZ (a string->NTZ cast is zone-free — no session-zone
+    routing), unknown fields already dropped by the schema
+    projection."""
+    return df.select(
+        F.col("id").cast("bigint").alias("event_id"),
+        F.col("attributes.user_id").alias("user_id"),
+        F.col("attributes.ts").cast("timestamp_ntz").alias("ts"),
+        F.col("attributes.event_type").alias("event_type"),
+        F.col("attributes.value").alias("value"),
+    )
+
+
+def src13_http_batch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 as a REGISTERED Spark 4 Python DataSource, batch face
+    (VERDICT r7 item 7): ``spark.read.format("http_json")`` over 4
+    snapshot URLs — one InputPartition per URL, each fetched ON an
+    executor (sources/http_datasource.py), schema-projected like
+    json.Unmarshal (unknown envelope/attribute fields in the landed
+    documents must vanish), flattened through the S1 cast boundary.
+    The plan is a clean ``BatchScan http_json (Python)`` under a
+    codegen'd Project — no BatchEvalPython, no driver fetch. At 100 TB
+    this face IS the archive backfill: N snapshot URLs scan
+    N-way-parallel with no driver bottleneck. Oracle: the same
+    every-50th slice of events."""
+    from mbta_etl_spark.sources.http_datasource import register_http_json
+
+    register_http_json(spark)
+    urls, _ = _land_event_snapshots(spark, sf_dir, 4, "src13")
+    raw = (
+        spark.read.format("http_json")
+        .schema(_HTTP_SNAPSHOT_DDL)
+        .option("urls", ",".join(urls))
+        .load()
+    )
+    return _http_flatten(raw)
+
+
+def st11_http_source_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 as a registered Python DataSource, STREAMING face — the
+    eleventh streaming equivalence: ``spark.readStream.format(
+    "http_json")`` in deterministic replay mode polls one landed
+    snapshot URL per micro-batch (sources/http_datasource.py's
+    SimpleDataSourceStreamReader — driver-side read, the variant built
+    for exactly this snapshot-sized input rate), flattens through the
+    same S1 cast boundary, and appends via the per-batch_id overwrite
+    sink. Spark 4.1's Python micro-batch stream does not support
+    Trigger.AvailableNow (measured: silent single-batch fallback), so
+    the bounded replay runs under the default trigger and
+    ``drain_poll_replay`` watches the committed offset to n_polls then
+    stops — batch composition stays deterministic (read() consumes
+    exactly one URL per call). A stateless per-batch projection is
+    split-invariant, so the appended union equals the batch slice and
+    the oracle is one SELECT. Live mode (a real polling endpoint,
+    continuous trigger) is the production shape; error semantics
+    (non-2xx / malformed JSON abort) are pinned in
+    tests/test_http_datasource.py."""
+    import os
+
+    from mbta_etl_spark.sources.http_datasource import (
+        drain_poll_replay,
+        register_http_json,
+    )
+    from mbta_etl_spark.sources.formats import scratch_dir
+
+    register_http_json(spark)
+    n_polls = 4
+    urls, _ = _land_event_snapshots(spark, sf_dir, n_polls, "st11")
+    base = scratch_dir(
+        spark, f"st11_sink_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    out_dir = os.path.join(base, "events")
+    ckpt = os.path.join(base, "ckpt")
+    raw = (
+        spark.readStream.format("http_json")
+        .schema(_HTTP_SNAPSHOT_DDL)
+        .option("urls", ",".join(urls))
+        .load()
+    )
+    flat = _http_flatten(raw)
+    query = (
+        flat.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+            lambda rows, bid: rows.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={bid}"
+            )
+        )
+        .start()
+    )
+    drain_poll_replay(query, n_polls)
+    return spark.read.parquet(out_dir).drop("batch_id")
+
+
 R02_REL_BOUND = 0.08  # ~4 sigma for lgConfigK=12 (rsd ~1.6%)
 
 
@@ -7072,6 +7241,19 @@ _ORACLES["st10_transform_with_state_equiv"] = """
            MAX(value) AS max_value
     FROM events GROUP BY user_id
 """
+
+# src13/st11 land every 50th event as JSON:API snapshots, round-trip
+# them through the registered http_json DataSource (batch: one
+# partition per URL; streaming: one poll per micro-batch), and must
+# reproduce the slice exactly — unknown fields dropped, id string ->
+# bigint, ts string -> NTZ. One oracle serves both faces.
+_HTTP_SNAPSHOT_ORACLE = """
+    SELECT event_id, user_id, ts, event_type, value
+    FROM events
+    WHERE event_id % 50 = 0
+"""
+_ORACLES["src13_http_batch_source"] = _HTTP_SNAPSHOT_ORACLE
+_ORACLES["st11_http_source_equiv"] = _HTTP_SNAPSHOT_ORACLE
 
 # Recursive-CTE replay of the per-series CUSUM recursion (same oracle
 # tier as c04/c05): inputs are 6dp-rounded on both sides before the
@@ -12005,6 +12187,8 @@ _WINDOW_PRIORITY = (
     "q78_discount_revenue", "q79_profit_by_nation", "q80_top_supplier",
     "q81_disjunctive_filter", "q82_lines_per_order",
     "q85_churned_customers", "q99_revenue_deciles",
+    # round-8 new faces: S1 as a registered Python DataSource
+    "src13_http_batch_source", "st11_http_source_equiv",
 )
 
 
@@ -12362,6 +12546,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "st09_stream_enrich_equiv": st09_stream_enrich_equiv,
             "st10_transform_with_state_equiv":
                 st10_transform_with_state_equiv,
+            # round-8 additions: S1 as a registered Spark 4 Python
+            # DataSource (batch + streaming faces)
+            "src13_http_batch_source": src13_http_batch_source,
+            "st11_http_source_equiv": st11_http_source_equiv,
         }
     )
     # Rotate: never-driver-verified entries first (window-priority names

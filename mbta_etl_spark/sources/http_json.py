@@ -42,8 +42,10 @@ def fetch_json(url: str, timeout: float = 30.0) -> str:
         raise ExtractError(f"urllib unavailable: {e}") from e
     try:
         with urlopen(url, timeout=timeout) as resp:
-            status = getattr(resp, "status", 200)
-            if status < 200 or status >= 300:
+            # file:// responses carry status None — only HTTP(S) has a
+            # status code to enforce (extract.go:18-20 semantics)
+            status = getattr(resp, "status", None)
+            if status is not None and (status < 200 or status >= 300):
                 raise ExtractError(f"API returned status {status}")
             return resp.read().decode("utf-8")
     except ExtractError:

@@ -109,8 +109,9 @@ def test_driver_verified_is_derived_from_correctness_files():
 def test_round8_window_front_loads_risky_entries():
     """Round 8 finishes the never-sampled backlog (VERDICT r7 item 1):
     the round-7 overflow text-audit quartet leads, then the q59-q99
-    relational tail — all 24 remaining never-driver-sampled entries fit
-    in one 50-slot window, reaching cumulative 364/364."""
+    relational tail — all 24 remaining never-driver-sampled entries,
+    plus the two new round-8 http_json DataSource faces, fit in one
+    50-slot window, reaching cumulative 366/366."""
     from mbta_etl_spark.plans.registry import _WINDOW_PRIORITY
 
     names = list(entrymod.queries())
@@ -127,6 +128,7 @@ def test_round8_window_front_loads_risky_entries():
         "q79_profit_by_nation", "q80_top_supplier",
         "q81_disjunctive_filter", "q82_lines_per_order",
         "q85_churned_customers", "q99_revenue_deciles",
+        "src13_http_batch_source", "st11_http_source_equiv",
     }
     # an already-VERIFIED name satisfies the check: once the driver
     # writes CORRECTNESS_r07.json these names go green, rotate out of
