@@ -1780,18 +1780,28 @@ def _pair_overlap_select(
 
 
 def _run_replay_sink(
-    spark: SparkSession, df: DataFrame, out_dir: str, ckpt: str
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    ckpt: str,
+    drain=None,
 ) -> DataFrame:
-    """Execute a bounded (availableNow) streaming replay in APPEND mode
-    with THE per-batch_id OVERWRITE sink, then read back the standing
-    result. This is the one copy of the append-replay sink discipline
-    (st04/st05/st06/st08/st09 all run through it): an at-least-once
-    redelivery rewrites its own batch_id partition instead of
-    appending duplicates, making the bounded replay idempotent without
-    a marker protocol (the standing-table merges — st02/st07 — use
-    claim_batch + atomic_publish instead, because they rewrite one
-    shared table rather than per-batch partitions)."""
-    query = (
+    """Execute a bounded streaming replay in APPEND mode with THE
+    per-batch_id OVERWRITE sink, then read back the standing result.
+    This is the one copy of the append-replay sink discipline
+    (st04/st05/st06/st08/st09/st11 all run through it): an
+    at-least-once redelivery rewrites its own batch_id partition
+    instead of appending duplicates, making the bounded replay
+    idempotent without a marker protocol (the standing-table merges —
+    st02/st07 — use claim_batch + atomic_publish instead, because they
+    rewrite one shared table rather than per-batch partitions).
+
+    ``drain`` selects the bounded-run strategy: None (default) uses
+    availableNow + awaitTermination — the file-source replays; a
+    source whose Python micro-batch stream silently ignores
+    Trigger.AvailableNow (st11's http_json) passes a callable that
+    receives the started query and stops it once drained."""
+    writer = (
         df.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
         .foreachBatch(
@@ -1799,10 +1809,12 @@ def _run_replay_sink(
                 f"{out_dir}/batch_id={bid}"
             )
         )
-        .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
+    if drain is None:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()
+    else:
+        drain(writer.start())
     return spark.read.parquet(out_dir).drop("batch_id")
 
 
@@ -2056,13 +2068,16 @@ def st08_stream_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-emitted, breaking the oracle equality — fail HERE instead,
     # with 2x margin.
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    if lo is None or hi is None:
+        raise ValueError(f"st08: events table at {sf_dir} is empty")
     batch_span_days = (hi - lo).total_seconds() / 86400.0 / n_batches
-    assert batch_span_days * 2 <= horizon_days, (
-        f"st08 dedup horizon ({horizon_days} d) is no longer >=2x the "
-        f"replay batch span ({batch_span_days:.1f} d) at this scale "
-        "factor — redelivered copies would outlive their dedup state; "
-        "widen the horizon or raise n_batches"
-    )
+    if batch_span_days * 2 > horizon_days:  # explicit raise: -O-proof
+        raise ValueError(
+            f"st08 dedup horizon ({horizon_days} d) is no longer >=2x "
+            f"the replay batch span ({batch_span_days:.1f} d) at this "
+            "scale factor — redelivered copies would outlive their "
+            "dedup state; widen the horizon or raise n_batches"
+        )
     keyed = time_quantile_key(
         ev, "ts", n_batches, require_uniform_shift=False
     )
@@ -2266,7 +2281,21 @@ def _land_event_snapshots(
         .select("event_id", "user_id", "ts", "event_type", "value")
         .filter(F.pmod(F.col("event_id"), F.lit(50)) == 0)
     )
-    rows = ev.collect()  # bounded: 1/50th of events, snapshot-sized
+    n_slice = ev.count()
+    # Loud scale-up guard (same pattern as st08's horizon guard): the
+    # slice is 1/50th of events, so the collect below stays
+    # snapshot-sized only while the scale factor is test-sized. A SF
+    # where the slice exceeds ~100k rows would silently turn this
+    # simulation into a driver-memory hotspot — fail with instructions
+    # instead (a real backfill never lands envelopes; it reads the
+    # archive's own URLs via the batch face).
+    if n_slice > 100_000:
+        raise ValueError(
+            f"_land_event_snapshots: slice is {n_slice} rows at "
+            f"{sf_dir} — no longer snapshot-sized; widen the pmod "
+            "divisor or point the entry at real archived snapshot URLs"
+        )
+    rows = ev.collect()  # bounded: guard above keeps this snapshot-sized
     base = scratch_dir(
         spark, f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}"
     )
@@ -2387,18 +2416,13 @@ def st11_http_source_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     flat = _http_flatten(raw)
-    query = (
-        flat.writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch(
-            lambda rows, bid: rows.write.mode("overwrite").parquet(
-                f"{out_dir}/batch_id={bid}"
-            )
-        )
-        .start()
+    return _run_replay_sink(
+        spark,
+        flat,
+        out_dir,
+        ckpt,
+        drain=lambda q: drain_poll_replay(q, n_polls),
     )
-    drain_poll_replay(query, n_polls)
-    return spark.read.parquet(out_dir).drop("batch_id")
 
 
 R02_REL_BOUND = 0.08  # ~4 sigma for lgConfigK=12 (rsd ~1.6%)
@@ -12169,7 +12193,9 @@ _DRIVER_VERIFIED = _load_driver_verified()
 # quartet (round-7's deliberate overflow — ADVICE r7 committed them to
 # lead this round) plus the q59-q99 plain-aggregate relational tail.
 # 24 < 50 slots, so this window clears the backlog and round 8 reaches
-# cumulative 364/364. The quartet leads (richest oracles: banded vocab
+# cumulative 366/366 (the two new http_json faces, appended at the
+# tail below, ride the same window). The quartet leads (richest
+# oracles: banded vocab
 # histograms, template mining, OOV joins, per-source keyword ranks);
 # the relational tail follows in registration order. Names already
 # verified are filtered out harmlessly; any remaining slots fall back

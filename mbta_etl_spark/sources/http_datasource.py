@@ -91,6 +91,14 @@ def _project(value: Any, dtype: DataType) -> Any:
             raise ValueError(f"expected JSON array for {dtype.simpleString()}")
         return [_project(v, dtype.elementType) for v in value]
     if isinstance(dtype, MapType):
+        if not isinstance(dtype.keyType, StringType):
+            # JSON object keys are always strings; a non-string keyType
+            # can never be satisfied — abort loudly instead of handing
+            # str-keyed dicts to the engine conversion boundary
+            raise ValueError(
+                f"http_json map keys are JSON strings; schema declares "
+                f"{dtype.simpleString()}"
+            )
         if not isinstance(value, dict):
             raise ValueError(f"expected JSON object for {dtype.simpleString()}")
         return {k: _project(v, dtype.valueType) for k, v in value.items()}
@@ -107,7 +115,19 @@ def _project(value: Any, dtype: DataType) -> Any:
             raise ValueError(f"expected JSON number, got {type(value).__name__}")
         if isinstance(value, float) and not value.is_integer():
             raise ValueError(f"non-integral {value!r} for {dtype.simpleString()}")
-        return int(value)
+        out = int(value)
+        # Go's json.Unmarshal errors on numeric overflow of the target
+        # width — enforce the declared range here, a clean abort instead
+        # of an opaque Arrow/Pickle conversion error in the executor
+        bits = {"tinyint": 8, "smallint": 16, "int": 32, "bigint": 64}[
+            dtype.simpleString()
+        ]
+        lo = -(1 << (bits - 1))
+        if not (lo <= out < -lo):
+            raise ValueError(
+                f"{value!r} overflows {dtype.simpleString()}"
+            )
+        return out
     if isinstance(dtype, _FLOAT_TYPES):
         if isinstance(value, bool) or not isinstance(value, (int, float)):
             raise ValueError(f"expected JSON number, got {type(value).__name__}")

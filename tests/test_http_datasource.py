@@ -113,9 +113,12 @@ def test_project_drops_unknown_and_nulls_missing():
 
 
 def test_project_numeric_coercion_and_conflicts():
+    from pyspark.sql.types import IntegerType, MapType
+
     assert _project(3, DoubleType()) == 3.0
     assert _project(3.0, LongType()) == 3
     assert _project([1, 2], ArrayType(LongType())) == [1, 2]
+    assert _project({"k": 1}, MapType(StringType(), LongType())) == {"k": 1}
     with pytest.raises(ValueError):
         _project(3.5, LongType())  # non-integral into integer
     with pytest.raises(ValueError):
@@ -124,6 +127,15 @@ def test_project_numeric_coercion_and_conflicts():
         _project("7", LongType())  # no silent string->int
     with pytest.raises(ValueError):
         _project(7, StringType())
+    # declared-width overflow aborts like Go json.Unmarshal
+    assert _project(2**31 - 1, IntegerType()) == 2**31 - 1
+    with pytest.raises(ValueError, match="overflow"):
+        _project(2**40, IntegerType())
+    with pytest.raises(ValueError, match="overflow"):
+        _project(-(2**31) - 1, IntegerType())
+    # JSON keys are strings: a non-string keyType is unsatisfiable
+    with pytest.raises(ValueError, match="map keys"):
+        _project({"1": 2}, MapType(LongType(), LongType()))
 
 
 # --- batch face ---------------------------------------------------------

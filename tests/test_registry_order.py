@@ -219,8 +219,17 @@ def test_verified_entries_plan_shapes_frozen():
     with open(os.path.join(REPO, "driver_green_shapes.json")) as f:
         green_shapes = json.load(f)
     # rounds <= this marker are folded into the file; missing rows are
-    # tolerated only for names first verified AFTER it
-    synced_through = green_shapes.pop("_synced_through", -1)
+    # tolerated only for names first verified AFTER it. A file WITHOUT
+    # the marker must fail loudly, not degrade: popping a -1 default
+    # would tolerate every missing row (review r8 finding #1).
+    assert "_synced_through" in green_shapes, (
+        "driver_green_shapes.json has no _synced_through marker — "
+        "regenerate it with scripts/sync_green_shapes.py (round-8+ "
+        "format); without the marker the missing-row tolerance cannot "
+        "be scoped and the freeze gate would silently pass on an "
+        "unsynced file"
+    )
+    synced_through = green_shapes.pop("_synced_through")
 
     # earliest green round per name, to distinguish "freshly verified,
     # sync pending" from "sync was skipped"
