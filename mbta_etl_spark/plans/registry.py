@@ -2281,21 +2281,22 @@ def _land_event_snapshots(
         .select("event_id", "user_id", "ts", "event_type", "value")
         .filter(F.pmod(F.col("event_id"), F.lit(50)) == 0)
     )
-    n_slice = ev.count()
     # Loud scale-up guard (same pattern as st08's horizon guard): the
-    # slice is 1/50th of events, so the collect below stays
-    # snapshot-sized only while the scale factor is test-sized. A SF
-    # where the slice exceeds ~100k rows would silently turn this
-    # simulation into a driver-memory hotspot — fail with instructions
-    # instead (a real backfill never lands envelopes; it reads the
+    # slice is 1/50th of events, so the collect stays snapshot-sized
+    # only while the scale factor is test-sized. The limit caps driver
+    # memory in the SAME job that lands the data (no second scan); one
+    # extra row past the cap proves the slice outgrew the simulation —
+    # fail with instructions instead of becoming a driver-memory
+    # hotspot (a real backfill never lands envelopes; it reads the
     # archive's own URLs via the batch face).
-    if n_slice > 100_000:
+    cap = 100_000
+    rows = ev.limit(cap + 1).collect()
+    if len(rows) > cap:
         raise ValueError(
-            f"_land_event_snapshots: slice is {n_slice} rows at "
+            f"_land_event_snapshots: slice exceeds {cap} rows at "
             f"{sf_dir} — no longer snapshot-sized; widen the pmod "
             "divisor or point the entry at real archived snapshot URLs"
         )
-    rows = ev.collect()  # bounded: guard above keeps this snapshot-sized
     base = scratch_dir(
         spark, f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}"
     )
