@@ -68,7 +68,13 @@ def main() -> None:
     entries = DEFAULT_ENTRIES
     if args.only:
         keep = set(args.only.split(","))
+        known = {n for n, _ in DEFAULT_ENTRIES}
         entries = [(n, t) for n, t in entries if n in keep]
+        # names outside the curated list are allowed too — label the
+        # driving table generically so any registry entry can be curved
+        entries += [
+            (n, "?") for n in sorted(keep - known) if n in qs
+        ]
 
     # warm: codegen + Arrow worker pool
     qs["q16_pricing_summary"](spark, f"/root/testdata/sf{SFS[0]}").write.format(
