@@ -137,10 +137,18 @@ def _project(value: Any, dtype: DataType) -> Any:
 
 def _fetch_rows(url: str, schema: StructType, timeout: float) -> list[Tuple]:
     """One poll: GET + envelope parse + schema projection. Raises
-    ExtractError on non-2xx / malformed JSON / missing data array."""
+    ExtractError on non-2xx / malformed JSON / missing data array.
+    A JSON null element inside data[] decodes to an all-null row —
+    Go's json.Unmarshal parity (null -> zero-value struct, no error;
+    reference pipeline/extract.go:28) — instead of handing the engine
+    a bare None where it expects a tuple."""
     from mbta_etl_spark.sources.http_json import fetch_json, parse_payload
 
-    return [_project(item, schema) for item in parse_payload(fetch_json(url, timeout))]
+    null_row = tuple(None for _ in schema.fields)
+    return [
+        null_row if item is None else _project(item, schema)
+        for item in parse_payload(fetch_json(url, timeout))
+    ]
 
 
 def _split_urls(raw: str) -> list[str]:

@@ -75,6 +75,11 @@ def main() -> None:
         entries += [
             (n, "?") for n in sorted(keep - known) if n in qs
         ]
+        unknown = sorted(keep - known - set(qs))
+        if unknown:
+            raise SystemExit(
+                f"--only names not in the registry: {unknown} (typo?)"
+            )
 
     # warm: codegen + Arrow worker pool
     qs["q16_pricing_summary"](spark, f"/root/testdata/sf{SFS[0]}").write.format(
