@@ -306,6 +306,86 @@ def test_stream_error_propagates_and_drain_raises(
     assert not q.isActive
 
 
+# --- property: projection is a pure function of (payload, schema) ------
+
+
+def _py_project_reference(item, schema):
+    """Straight-line reference: dict -> tuple through the declared
+    struct, recursing only as deep as the test schema needs."""
+    from pyspark.sql.types import StructType
+
+    out = []
+    for f in schema.fields:
+        v = item.get(f.name)
+        if v is None:
+            out.append(None)
+        elif isinstance(f.dataType, StructType):
+            out.append(_py_project_reference(v, f.dataType))
+        elif isinstance(f.dataType, DoubleType):
+            out.append(float(v))
+        elif isinstance(f.dataType, LongType):
+            out.append(int(v))
+        else:
+            out.append(v)
+    return tuple(out)
+
+
+def test_projection_roundtrip_property(tmp_path):
+    """Hypothesis: arbitrary well-typed envelopes survive the full
+    fetch->parse->project path exactly (values, None-holes, unknown-key
+    drops), against an independent straight-line projection."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from mbta_etl_spark.sources.http_datasource import _fetch_rows
+    from pyspark.sql.types import StructType
+
+    schema = StructType(
+        [
+            StructField("id", StringType()),
+            StructField(
+                "attributes",
+                StructType(
+                    [
+                        StructField("user_id", LongType()),
+                        StructField("value", DoubleType()),
+                        StructField("event_type", StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    attr = st.fixed_dictionaries(
+        {},
+        optional={
+            "user_id": st.integers(-(2**62), 2**62),
+            "value": st.floats(allow_nan=False, allow_infinity=False),
+            "event_type": st.text(max_size=8),
+            "extra_unknown": st.integers(),
+        },
+    )
+    item = st.fixed_dictionaries(
+        {"id": st.text(max_size=12)},
+        optional={"attributes": attr, "junk": st.text(max_size=4)},
+    )
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(items=st.lists(item, max_size=6))
+    def run(items):
+        p = tmp_path / "prop.json"
+        p.write_text(json.dumps({"data": items}))
+        got = _fetch_rows(f"file://{p}", schema, 5.0)
+        want = [_py_project_reference(i, schema) for i in items]
+        assert got == want
+
+    run()
+
+
 def test_read_between_offsets_replays_deterministically(
     spark, snapshot_urls
 ):
