@@ -2183,7 +2183,17 @@ def st10_transform_with_state_equiv(
     MAX are exact (no float-association hazard — deliberately chosen
     so the protobuf/Arrow state plumbing, the version-fragile surface
     under test, is the only thing that can break the hash). RocksDB
-    provider is required by the API and pinned around the replay."""
+    provider is required by the API and pinned around the replay.
+
+    Shuffle partitions are pinned to 8 for the replay (round-8
+    measured A/B at sf0.1: 15.7 s at the session's 32, 8.2 s at 8,
+    8.1 s at 16, identical output) — unlike st07, whose
+    applyInPandasWithState kernel is CPU-bound and wants full
+    parallelism, this entry's light count/max kernel leaves the
+    per-partition-per-batch state-server handshake (RocksDB store
+    instantiation + protobuf client setup) as the dominant cost, the
+    same economics that pin st05/st06. At 100 TB the knob reverses to
+    match executor count, exactly as _run_join_replay documents."""
     import os
     import shutil
 
@@ -2216,11 +2226,13 @@ def st10_transform_with_state_equiv(
     prev = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
     )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         query = (
             running_extrema_stream(stream)
@@ -2234,6 +2246,7 @@ def st10_transform_with_state_equiv(
         )
         query.awaitTermination()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         if prev is not None:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
