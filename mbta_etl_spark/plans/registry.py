@@ -1467,8 +1467,11 @@ def st02_stream_rollup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     land_replay_log(ev, in_dir, 4, "event_id")
     stream = open_replay_stream(spark, in_dir, ev.schema).drop("event_id")
-    query = start_rollup_stream(stream, tbl, ckpt)
-    query.awaitTermination()
+    from mbta_etl_spark.streaming.replay import pinned_stream_parallelism
+
+    with pinned_stream_parallelism(spark):
+        query = start_rollup_stream(stream, tbl, ckpt)
+        query.awaitTermination()
     out = rollup_read(spark.read.parquet(tbl))
     return out.select(
         "bucket",
@@ -1800,7 +1803,15 @@ def _run_replay_sink(
     availableNow + awaitTermination — the file-source replays; a
     source whose Python micro-batch stream silently ignores
     Trigger.AvailableNow (st11's http_json) passes a callable that
-    receives the started query and stops it once drained."""
+    receives the started query and stops it once drained.
+
+    The replay runs under pinned_stream_parallelism (8 partitions at
+    test scale): every stateful face is bound by per-partition-per-
+    batch state machinery, measured round-8 A/B in the helper's
+    docstring; the stateless consumers (st09/st11) are flat either
+    way."""
+    from mbta_etl_spark.streaming.replay import pinned_stream_parallelism
+
     writer = (
         df.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -1810,44 +1821,38 @@ def _run_replay_sink(
             )
         )
     )
-    if drain is None:
-        query = writer.trigger(availableNow=True).start()
-        query.awaitTermination()
-    else:
-        drain(writer.start())
+    with pinned_stream_parallelism(spark):
+        if drain is None:
+            query = writer.trigger(availableNow=True).start()
+            query.awaitTermination()
+        else:
+            drain(writer.start())
     return spark.read.parquet(out_dir).drop("batch_id")
 
 
 def _run_join_replay(
     spark: SparkSession, joined: DataFrame, base: str
 ) -> DataFrame:
-    """st05/st06's replay: the shared append sink under a PINNED
-    shuffle-partition count.
+    """st05/st06's replay through the shared append sink.
 
     State partitioning: a stream-stream join instantiates FOUR state
     stores per shuffle partition (keyToNumValues + keyWithIndexToValue
     on each side), so the per-batch fixed cost is 4 x partitions x
-    batches regardless of data volume. The shuffle-partition count is
-    baked into the checkpoint at first run, so it is pinned explicitly
-    here for the replay's lifetime and restored after: 8 at test scale
-    (where store instantiation dominates); a production deployment of
-    the same query raises it to match executor count, since at 100 TB
-    the per-partition DATA, not the store count, is the knob. (st07
-    deliberately does NOT pin — its cost is a CPU-bound Python stage
-    that wants full parallelism; see its docstring.)"""
+    batches regardless of data volume — the strongest case of the
+    state economics that now pin EVERY replay inside _run_replay_sink
+    (see streaming/replay.pinned_stream_parallelism for the round-8
+    measured A/B across all faces). The shuffle-partition count is
+    baked into the checkpoint at first run; a production deployment
+    raises it to match executor count, since at 100 TB the
+    per-partition DATA, not the store count, is the knob."""
     import os
 
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        return _run_replay_sink(
-            spark,
-            joined,
-            os.path.join(base, "pairs"),
-            os.path.join(base, "ckpt"),
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return _run_replay_sink(
+        spark,
+        joined,
+        os.path.join(base, "pairs"),
+        os.path.join(base, "ckpt"),
+    )
 
 
 def st05_stream_stream_join_equiv(
@@ -2003,15 +2008,22 @@ def st07_stateful_profile_equiv(
         open_replay_stream(spark, in_dir, src.schema)
         .select("user_id", "ts", "value")
     )
-    # NO shuffle-partition pin, deliberately diverging from
-    # _run_join_replay: st05/st06 are state-store-instantiation-bound
-    # (4 stores/partition, little data), but this entry's cost is the
-    # Arrow+pandas kernel over EVERY event row — CPU-bound Python
-    # stages want full parallelism, and pinning to 8 was measured ~40%
-    # slower at sf0.1 than the session's 32 partitions. Same knob,
-    # opposite sign; at 100 TB both converge to "match executor count".
-    query = start_profile_stream(stream, table, ckpt, available_now=True)
-    query.awaitTermination()
+    # Pinned since round 8 — a REVERSAL of the round-7 measurement
+    # (which read pinning ~40% slower): round 7's merge executed the
+    # applyInPandasWithState subtree twice per batch (unpersisted
+    # batch_df reused in the merge plan), so the CPU-bound kernel
+    # dominated and wanted full parallelism. With the round-8
+    # persist() fix the kernel runs once and the per-partition state
+    # machinery dominates again: measured 9.7 s at 32 -> 5.2 s at 8
+    # (sf0.1, identical output). Full A/B table in
+    # streaming/replay.pinned_stream_parallelism.
+    from mbta_etl_spark.streaming.replay import pinned_stream_parallelism
+
+    with pinned_stream_parallelism(spark):
+        query = start_profile_stream(
+            stream, table, ckpt, available_now=True
+        )
+        query.awaitTermination()
     return spark.read.parquet(table).select(
         "user_id",
         "n_events",
@@ -2223,16 +2235,20 @@ def st10_transform_with_state_equiv(
     stream = open_replay_stream(spark, in_dir, src.schema).select(
         "user_id", "value"
     )
+    from contextlib import ExitStack
+
+    from mbta_etl_spark.streaming.replay import pinned_stream_parallelism
+
     prev = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
     )
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    stack = ExitStack()
+    stack.enter_context(pinned_stream_parallelism(spark))
     try:
         query = (
             running_extrema_stream(stream)
@@ -2246,7 +2262,7 @@ def st10_transform_with_state_equiv(
         )
         query.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        stack.close()
         if prev is not None:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev

@@ -21,6 +21,8 @@ never drift apart.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -184,3 +186,36 @@ def open_replay_stream(
         .option("timestampNTZFormat", _TS_NTZ_FORMAT)
         .json(in_dir)
     )
+
+
+@contextmanager
+def pinned_stream_parallelism(spark, n: int = 8):
+    """Pin ``spark.sql.shuffle.partitions`` around a bounded streaming
+    replay, restoring the session value after.
+
+    Why 8 at test scale — the round-8 measured A/B (sf0.1, local[32],
+    32 session partitions vs 8 pinned, identical outputs):
+
+        st01 dedup        7.7 -> 2.7 s    st04 sessions   7.3 -> 3.8 s
+        st02 rollup       3.8 -> 2.8 s    st07 profiles   9.7 -> 5.2 s
+        st03 MG sketch    7.1 -> 3.8 s    st08 dedup-wm   7.2 -> 3.3 s
+        st10 ValueState  15.7 -> 8.2 s    st09 stateless  2.4 -> 2.3 s
+
+    Every STATEFUL streaming face is bound by per-partition-per-batch
+    state machinery (store instantiation, and for the
+    transformWithState tier the state-server handshake), not by
+    per-row work, so partitions x batches is the bill. st09 (no state
+    store) is flat, as the model predicts. st07 had been measured
+    ~40% SLOWER pinned in round 7 — that reversed when round 8's
+    persist() fix in merge_profile_batch stopped the
+    applyInPandasWithState subtree from executing twice per batch;
+    with the kernel running once, the handshake dominates again. At
+    100 TB the knob reverses for all of them: match executor count,
+    because per-partition DATA, not store count, becomes the bill
+    (the _run_join_replay economics note)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
