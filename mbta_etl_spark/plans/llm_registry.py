@@ -5797,7 +5797,7 @@ def st01_stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = f"st01_{os.path.basename(sf_dir.rstrip('/'))}"
     # state-store-bound like every stateful face: 7.7 s -> 2.7 s at
     # sf0.1 under the pin (A/B table in the helper's docstring)
-    with pinned_stream_parallelism(spark):
+    with pinned_stream_parallelism(spark, n=4):
         return stream_exact_dedup_equiv(docs, scratch_dir(spark, tag))
 
 
@@ -5854,7 +5854,7 @@ def st03_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sketch-state face, same per-partition economics: 7.1 s -> 3.8 s
     # at sf0.1 under the pin; the exact recount below runs OUTSIDE the
     # pin at full parallelism (it is a batch scan, not state machinery)
-    with pinned_stream_parallelism(spark):
+    with pinned_stream_parallelism(spark, n=4):
         query = start_heavy_hitter_stream(
             toks_stream, tbl, ckpt, key="tok", capacity=capacity,
             available_now=True,

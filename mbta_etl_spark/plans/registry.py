@@ -1469,7 +1469,7 @@ def st02_stream_rollup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = open_replay_stream(spark, in_dir, ev.schema).drop("event_id")
     from mbta_etl_spark.streaming.replay import pinned_stream_parallelism
 
-    with pinned_stream_parallelism(spark):
+    with pinned_stream_parallelism(spark, n=4):
         query = start_rollup_stream(stream, tbl, ckpt)
         query.awaitTermination()
     out = rollup_read(spark.read.parquet(tbl))
@@ -1821,7 +1821,7 @@ def _run_replay_sink(
             )
         )
     )
-    with pinned_stream_parallelism(spark):
+    with pinned_stream_parallelism(spark, n=4):
         if drain is None:
             query = writer.trigger(availableNow=True).start()
             query.awaitTermination()
@@ -12146,7 +12146,15 @@ _ORACLES["v20_freshness_lag"] = """
 # back green in CORRECTNESS_r05.json. Round 7 held out st04/st05/st06
 # after the DST wall-time rework; CORRECTNESS_r07.json re-verified all
 # three green, so round 8 starts with the holdout set empty.)
-_DRIVER_HOLDOUTS: frozenset[str] = frozenset()
+#
+# Round-8 optimization pass: ts06/j06 changed PHYSICAL grouping (per-
+# series -> 64-way hash-bucketed grouped-map/cogroup kernels; semantics
+# and oracles untouched, parity-green at sf0.01 AND sf0.1), so both are
+# held out for driver re-verification per the sync_green_shapes
+# discipline.
+_DRIVER_HOLDOUTS: frozenset[str] = frozenset(
+    {"ts06_ewma", "j06_cogroup_funnel"}
+)
 
 
 def _load_driver_verified() -> frozenset[str]:

@@ -103,10 +103,20 @@ def evolved_read(old_df: DataFrame, new_df: DataFrame, path: str) -> DataFrame:
 
 
 def scratch_dir(spark: SparkSession, tag: str) -> str:
-    """Deterministic scratch path for round-trip entries: the local
-    warehouse dir when it is writable (keeps artifacts next to the
-    session's other state, gitignored), else the system temp dir — the
-    correctness driver may run with any cwd/session config.
+    """Deterministic scratch path for round-trip entries.
+
+    Location preference (round-8 optimization, guide §6): an explicit
+    ``SPARK_GRAFT_SCRATCH_DIR``, else fast local scratch (``/dev/shm``
+    tmpfs — the faithful local stand-in for the executor-local NVMe a
+    cluster puts checkpoints/state stores/landings on; the sandbox's
+    root disk writes at ~30 MB/s with writeback stalls, which taxed
+    every streaming replay's checkpoint+state-store+landing I/O and the
+    src-family round-trip writes inside the timed window), else the
+    session warehouse dir, else the system temp dir — the correctness
+    driver may run with any cwd/session config. The tmpfs path is
+    namespaced by a hash of the warehouse dir so two sessions rooted in
+    different cwds keep the per-warehouse isolation the old layout gave
+    for free.
 
     SINGLE-PROCESS assumption, stated: the path is a pure function of
     (warehouse, tag), so TWO processes running the SAME entry at the
@@ -116,12 +126,25 @@ def scratch_dir(spark: SparkSession, tag: str) -> str:
     st10). The driver, the suite, and bench each run entries in one
     process, and different SFs get different tags; just don't run the
     same entry+SF concurrently from separate processes."""
+    import hashlib
     import os
     import tempfile
 
-    base = spark.conf.get(
+    wh = spark.conf.get(
         "spark.sql.warehouse.dir", "file:" + tempfile.gettempdir()
     ).removeprefix("file:")
+    fast = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+    if fast is None and os.path.isdir("/dev/shm"):
+        ns = hashlib.md5(wh.encode()).hexdigest()[:8]
+        fast = f"/dev/shm/mbta_etl_spark_scratch/{ns}"
+    if fast is not None:
+        try:
+            os.makedirs(fast, exist_ok=True)
+            if os.access(fast, os.W_OK):
+                return f"{fast}/_roundtrip/{tag}"
+        except OSError:
+            pass  # fall through to the warehouse/tempdir chain
+    base = wh
     try:
         os.makedirs(base, exist_ok=True)
         probe_ok = os.access(base, os.W_OK)

@@ -191,7 +191,9 @@ def open_replay_stream(
 @contextmanager
 def pinned_stream_parallelism(spark, n: int = 8):
     """Pin ``spark.sql.shuffle.partitions`` around a bounded streaming
-    replay, restoring the session value after.
+    replay, restoring the session value after. ``SPARK_GRAFT_STREAM_PIN``
+    overrides ``n`` for A/B experiments (and is the scale knob a real
+    deployment would set to its executor count).
 
     Why 8 at test scale — the round-8 measured A/B (sf0.1, local[32],
     32 session partitions vs 8 pinned, identical outputs):
@@ -209,10 +211,31 @@ def pinned_stream_parallelism(spark, n: int = 8):
     ~40% SLOWER pinned in round 7 — that reversed when round 8's
     persist() fix in merge_profile_batch stopped the
     applyInPandasWithState subtree from executing twice per batch;
-    with the kernel running once, the handshake dominates again. At
-    100 TB the knob reverses for all of them: match executor count,
-    because per-partition DATA, not store count, becomes the bill
-    (the _run_join_replay economics note)."""
+    with the kernel running once, the handshake dominates again.
+
+    Round-8 optimization pass, second A/B (same protocol, warm pass of
+    --repeat 2, seconds at n=8 / n=4 / n=2):
+
+        st01  2.58 / 2.20 / 2.58     st05  6.51 / 5.26 / 4.87
+        st02  3.00 / 2.91 / 3.26     st06  6.86 / 5.02 / 4.93
+        st03  3.54 / 3.42 / 3.62     st07  6.37 / 8.31 / 10.98
+        st04  4.81 / 4.28 / 4.18     st08  3.76 / 3.38 / 3.23
+                                     st10  7.89 / 8.86 / 12.89
+
+    Two tiers emerge: faces whose per-batch cost is JVM state-store
+    machinery (st01-st06, st08) keep improving down to 4 — store count
+    IS their bill; faces whose per-batch cost is an Arrow/pandas kernel
+    plus a per-partition Python worker round-trip (st07
+    applyInPandasWithState, st10 transformWithStateInPandas + state
+    server) REVERSE below 8 because fewer partitions serialize the
+    Python-side work. So JVM-state replays pin 4 and Python-state
+    replays pin 8 (callers pass n accordingly). At 100 TB the knob
+    reverses for all of them: match executor count, because
+    per-partition DATA, not store count, becomes the bill (the
+    _run_join_replay economics note)."""
+    import os
+
+    n = int(os.environ.get("SPARK_GRAFT_STREAM_PIN", n))
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:

@@ -593,3 +593,45 @@ def test_assortativity_known_graphs(spark):
     r = g07_assortativity(spark, SF_DIR_SMALL).collect()[0]
     assert -1.0 <= r.assortativity <= 1.0
     assert r.n_endpoints > 0 and r.n_endpoints % 2 == 0
+
+
+def test_j06_cogroup_funnel_bucketed_per_user_semantics(spark):
+    """Round-8: the cogroup funnel's key became a 64-way hash bucket
+    with the per-user logic vectorized inside the kernel. Pin the
+    per-user semantics against a hand-built fixture dense enough that
+    buckets hold many users (200 users >> 64 buckets): clicks strictly
+    before the user's FIRST purchase count; users with no purchase
+    report (0, False); purchase-only users report (0, True)."""
+    import datetime as dt
+
+    from mbta_etl_spark.operators.windows import cogroup_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    clicks, purchases = [], []
+    for u in range(200):
+        # u%3==0: 2 clicks before + 1 after first purchase; purchase at +2h
+        # u%3==1: clicks only (no purchase)
+        # u%3==2: purchase only
+        if u % 3 == 0:
+            clicks += [(u, t0), (u, t0 + dt.timedelta(hours=1)),
+                       (u, t0 + dt.timedelta(hours=3))]
+            purchases += [(u, t0 + dt.timedelta(hours=2)),
+                          (u, t0 + dt.timedelta(hours=4))]
+        elif u % 3 == 1:
+            clicks += [(u, t0 + dt.timedelta(minutes=u))]
+        else:
+            purchases += [(u, t0 + dt.timedelta(minutes=u))]
+    c = spark.createDataFrame(clicks, "user_id long, ts timestamp_ntz")
+    p = spark.createDataFrame(purchases, "user_id long, ts timestamp_ntz")
+    out = {
+        r.user_id: (r.clicks_before_purchase, r.has_purchase)
+        for r in cogroup_funnel(c, p, "user_id", "ts").collect()
+    }
+    assert len(out) == 200
+    for u in range(200):
+        if u % 3 == 0:
+            assert out[u] == (2, True)
+        elif u % 3 == 1:
+            assert out[u] == (0, False)
+        else:
+            assert out[u] == (0, True)

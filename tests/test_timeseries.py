@@ -134,6 +134,25 @@ def test_ewma_recursion_matches_closed_form(spark):
     assert got[("b", 0)] == 4.0  # series isolation
 
 
+def test_ewma_series_isolation_within_shared_buckets(spark):
+    """The bucketed grouped-map (round-8: 64 hash buckets instead of one
+    group per series) must reset the recursion at EVERY series boundary
+    inside a bucket. 200 keys >> 64 buckets forces multi-series buckets
+    by pigeonhole, and each series' values are key-scaled so any state
+    bleed across a boundary changes some output."""
+    rows = []
+    for k in range(200):
+        rows.append((str(k), _t(0), 0, float(k)))
+        rows.append((str(k), _t(1), 1, float(k) + 2.0))
+    df = _series(spark, rows)
+    out = timeseries.ewma(df, ["k"], "ts", "seq", "value", alpha=0.5)
+    got = {(r.k, r.seq): r.ewma for r in out.collect()}
+    assert len(got) == 400
+    for k in range(200):
+        assert got[(str(k), 0)] == float(k)  # s0 = v0, no bleed-in
+        assert got[(str(k), 1)] == float(k) + 1.0  # 0.5·k + 0.5·(k+2)
+
+
 def test_salted_join_identical_to_plain_join(spark):
     from mbta_etl_spark.operators.skew import salted_join
 
