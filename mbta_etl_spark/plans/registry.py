@@ -11288,8 +11288,21 @@ def g07_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     even warranted. Exact int64 power sums (degrees bounded by the g05
     projection argument keep d² sums far inside int64), one pinned
     division at the end; cost = one degree aggregate + two key joins."""
+    from mbta_etl_spark.operators.core import materialize
+
     r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
-    e = _copurchase_edges(spark, sf_dir)
+    # Round-8 optimization (guide §2.4/§5): e feeds deg AND both sides
+    # of ed; unmaterialized, the whole edge-projection pipeline was
+    # recomputed once per consumer — and the both-orientations unionAll
+    # DOUBLED the entire subtree again (40 parquet scans in one plan;
+    # plans/r08/g07_assortativity_before.txt). Materialize e once, and
+    # fold the orientation-doubling into EXACT int64 moment algebra
+    # over the single-orientation edge list instead of a union:
+    #   n₂ = 2n, sx₂ = sy₂ = sx+sy, sxy₂ = 2·sxy,
+    #   sxx₂ = syy₂ = sxx+syy
+    # — integer identities, so the final double division is
+    # bit-identical to the doubled-row aggregate the oracle computes.
+    e = materialize(_copurchase_edges(spark, sf_dir))
     deg = (
         e.select(F.col("ua").alias("node"))
         .unionAll(e.select("ub"))
@@ -11303,14 +11316,20 @@ def g07_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("d", "y")
         .select("x", "y")
     )
-    dbl = ed.unionAll(ed.select(F.col("y").alias("x"), F.col("x").alias("y")))
-    s = dbl.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    s = ed.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum("x").alias("sx1"),
+        F.sum("y").alias("sy1"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy1"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx1"),
+        F.sum(F.col("y") * F.col("y")).alias("syy1"),
+    ).select(
+        (F.col("n1") * 2).alias("n"),
+        (F.col("sx1") + F.col("sy1")).alias("sx"),
+        (F.col("sx1") + F.col("sy1")).alias("sy"),
+        (F.col("sxy1") * 2).alias("sxy"),
+        (F.col("sxx1") + F.col("syy1")).alias("sxx"),
+        (F.col("sxx1") + F.col("syy1")).alias("syy"),
     )
     n = F.col("n")
     num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
@@ -12153,7 +12172,7 @@ _ORACLES["v20_freshness_lag"] = """
 # held out for driver re-verification per the sync_green_shapes
 # discipline.
 _DRIVER_HOLDOUTS: frozenset[str] = frozenset(
-    {"ts06_ewma", "j06_cogroup_funnel"}
+    {"ts06_ewma", "j06_cogroup_funnel", "g07_assortativity"}
 )
 
 
