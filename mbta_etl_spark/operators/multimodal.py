@@ -204,6 +204,21 @@ def decode_audio(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_decode, schema=WAV_DECODE_SCHEMA)
 
 
+def _parallel_ids(df: DataFrame, id_col: str) -> DataFrame:
+    """Round-robin-balance the id-only projection across the cluster's
+    parallelism before a synthesis kernel (round-8 optimization, guide
+    §2.6/§6): the documents table at bench scale is ONE parquet split,
+    so without this every synthetic encode AND the chained decode ran
+    in a single task on an otherwise idle machine (measured: m15's
+    synth+decode 4.3 s in one task). The exchanged rows are 8-byte ids
+    — the shuffle is O(8·N) bytes — and the heavy payloads are created
+    AFTER it, so they never move (the §8 rule: shuffle the proxy, not
+    the payload). Sized to defaultParallelism, i.e. scale-adaptive, not
+    a local constant."""
+    sc = df.sparkSession.sparkContext
+    return df.select(id_col).repartition(sc.defaultParallelism)
+
+
 def synthetic_png_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Build REAL on-spec PNG payloads from row ids: width 4+id%8,
     height 4+(id//8)%8, RGB, pixel[i] = (id·31 + i·7) mod 256 row-major.
@@ -228,7 +243,7 @@ def synthetic_png_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(
+    return _parallel_ids(df, id_col).mapInPandas(
         _make,
         schema=StructType(
             [
@@ -272,7 +287,7 @@ def synthetic_jpeg_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(
+    return _parallel_ids(df, id_col).mapInPandas(
         _make,
         schema=StructType(
             [
@@ -306,6 +321,9 @@ def synthetic_wav_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
+    # PCM16 synthesis is ~free (numpy arange + tobytes): the id
+    # balance shuffle costs MORE than it buys here (measured
+    # 0.38 s -> 0.87 s) — wav stays map-only; see _parallel_ids
     return df.select(id_col).mapInPandas(
         _make,
         schema=StructType(

@@ -12172,7 +12172,13 @@ _ORACLES["v20_freshness_lag"] = """
 # held out for driver re-verification per the sync_green_shapes
 # discipline.
 _DRIVER_HOLDOUTS: frozenset[str] = frozenset(
-    {"ts06_ewma", "j06_cogroup_funnel", "g07_assortativity"}
+    {
+        "ts06_ewma",
+        "j06_cogroup_funnel",
+        "g07_assortativity",
+        "m10_png_decode",
+        "m15_jpeg_decode",
+    }
 )
 
 

@@ -401,17 +401,30 @@ def test_q92_gini_ranks_aggregate_not_fact(spark):
     assert "partial_sum" in plan
 
 
-def test_m10_m11_codec_roundtrip_no_shuffle(spark):
+def test_m10_m11_codec_roundtrip_id_only_shuffle(spark):
     """The real-codec round-trips (synthesize → decode) are two chained
-    map-only MapInPandas stages: ZERO exchanges, partitioning inherited
-    from the documents scan end-to-end."""
+    MapInPandas stages fed by exactly ONE round-robin exchange of the
+    8-byte id projection (round-8: the single-split local scan had been
+    serializing all synthesis+decode into one task; the balance shuffle
+    moves ids only — payloads are created after it and never move)."""
     from mbta_etl_spark.plans import llm_registry
 
-    for entry in (llm_registry.m10_png_decode, llm_registry.m11_wav_decode):
+    # wav synthesis is ~free, so m11 stays map-only (measured: the
+    # balance shuffle costs more than it buys there)
+    for entry, n_exchanges in (
+        (llm_registry.m10_png_decode, 1),
+        (llm_registry.m11_wav_decode, 0),
+    ):
         plan = _plan(entry(spark, SF_DIR_SMALL))
         tree = plan.split("(1)")[0]
         assert tree.count("MapInPandas") == 2
-        assert tree.count("Exchange") == 0
+        assert tree.count("Exchange") == n_exchanges
+        if n_exchanges:
+            assert "RoundRobinPartitioning" in plan or "roundrobin" in plan
+            # the exchange must sit BELOW the synthesis kernel: ids
+            # move, payloads do not (no Exchange between the kernels)
+            after_first_kernel = tree.split("MapInPandas", 1)[1]
+            assert "Exchange" not in after_first_kernel.split("MapInPandas")[0]
         # column pruning: the synthesis stage only needs the id
         read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
         assert "text" not in read_schema
