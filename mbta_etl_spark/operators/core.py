@@ -34,6 +34,26 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def balance_scan(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin-balance a frame ONLY when it has fewer partitions
+    than the cluster's parallelism (round-8 optimization, guide §2.6).
+
+    The bench tables are single-row-group parquet files, so their scans
+    cannot split — every scan-side kernel (shingle hashing, winnowing
+    gram HOFs, codec synthesis) otherwise runs in ONE task on an idle
+    machine. The condition keeps this scale-honest: at production scale
+    the scan already has >= cluster-parallelism splits and this is a
+    no-op — no extra shuffle is ever introduced where the data is
+    already parallel. Costs one exchange of whatever columns the caller
+    projected (callers should project FIRST so only needed columns
+    move, §2.3)."""
+    sc = df.sparkSession.sparkContext
+    n = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 # ---------------------------------------------------------------------------
 # Q1 — top-k by measure (reference pipeline/queries.go:10-18:
 #   SELECT * FROM vehicles ORDER BY speed DESC LIMIT 10)

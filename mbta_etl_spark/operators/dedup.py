@@ -121,9 +121,15 @@ def _shingle_table(df: DataFrame, text: Column, id_col: Column, k: int) -> DataF
                 }
             )
 
-    return df.select(id_col.alias("doc_id"), text.alias("_text")).mapInPandas(
-        _shingle, schema=schema
-    )
+    from mbta_etl_spark.operators.core import balance_scan
+
+    # round-8: balance the (id, text) projection across the cluster's
+    # parallelism before the kernel — single-row-group local scans ran
+    # the whole shingle+md5 pass in one task (measured 0.76 -> 0.57 s
+    # at sf0.1); conditional no-op once the scan itself is parallel
+    return balance_scan(
+        df.select(id_col.alias("doc_id"), text.alias("_text"))
+    ).mapInPandas(_shingle, schema=schema)
 
 
 def ngram_jaccard_pairs(
@@ -1757,7 +1763,18 @@ def winnowing_fingerprints(
     Short docs degrade like the shingle contract: fewer grams than a
     window -> one whole-array minimum; fewer tokens than a gram -> one
     whole-text hash."""
-    toks = F.split(text, " ")
+    from mbta_etl_spark.operators.core import balance_scan
+
+    # round-8: gram hashing + window minima are pure scan-side HOF
+    # projections with NO exchange before the fp explode — on a single-
+    # row-group local scan the whole pass ran in one task (measured
+    # 1.7 -> 0.29 s at sf0.1); conditional no-op on parallel scans.
+    # Balance BEFORE computing grams so only (doc_id, text) moves.
+    base = balance_scan(
+        df.select(id_col.alias("doc_id"), text.alias("_text"))
+    )
+    t = F.col("_text")
+    toks = F.split(t, " ")
     n = F.size(toks)
     gram_hash = lambda c: F.conv(  # noqa: E731
         F.substring(F.md5(c), 1, 15), 16, 10
@@ -1768,8 +1785,8 @@ def winnowing_fingerprints(
             F.sequence(F.lit(1), n - (k - 1)),
             lambda i: gram_hash(F.array_join(F.slice(toks, i, k), " ")),
         ),
-    ).otherwise(F.array(gram_hash(text)))
-    staged = df.select(id_col.alias("doc_id"), grams.alias("_gh"))
+    ).otherwise(F.array(gram_hash(t)))
+    staged = base.select("doc_id", grams.alias("_gh"))
     ng = F.size("_gh")
     fps = F.when(
         ng >= w,

@@ -12178,6 +12178,13 @@ _DRIVER_HOLDOUTS: frozenset[str] = frozenset(
         "g07_assortativity",
         "m10_png_decode",
         "m15_jpeg_decode",
+        # balance_scan in the shingle/winnowing substrate (+1 id+text
+        # exchange on single-split scans):
+        "d08_decontaminate",
+        "d22_band_occupancy",
+        "d23_shingle_df_spectrum",
+        "d30_bloom_decontam",
+        "d41_winnowing_pairs",
     }
 )
 
