@@ -1015,8 +1015,8 @@ def pq_codebook(
     r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     sub_len = dim // n_sub
-    parts = []
-    for m in range(n_sub):
+
+    def _one_subspace(m: int) -> DataFrame:
         sliced = df.select(
             F.col(id_col),
             F.slice(F.col(vec_col), m * sub_len + 1, sub_len).alias("_sub"),
@@ -1024,7 +1024,7 @@ def pq_codebook(
         a = kmeans_fit_predict(
             sliced, "_sub", id_col, n_iter, stride, max_centroids
         )
-        parts.append(
+        return (
             a.groupBy("cluster").agg(
                 F.count(F.lit(1)).alias("n_members"),
                 r6(F.avg("dist")).alias("mean_dist"),
@@ -1039,6 +1039,16 @@ def pq_codebook(
                 "inertia",
             )
         )
+
+    # Round-8 optimization (guide §2.6 — overlap independent jobs): each
+    # subspace's k-means blocks the driver on a centroid-update collect,
+    # so the n_sub independent fits ran strictly sequentially. Submit
+    # them from a small thread pool; results are keyed by m, so the
+    # output is order-identical. Thread count is the constant n_sub.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=n_sub) as pool:
+        parts = list(pool.map(_one_subspace, range(n_sub)))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -1079,8 +1089,7 @@ def pq_adc_topk(
     join disappears and a query is a single code-table scan."""
     r6lit = 1e6
     sub = len(query) // n_sub
-    parts = []
-    for m in range(n_sub):
+    def _one_subspace(m: int) -> DataFrame:
         qm = query[m * sub : (m + 1) * sub]
         sliced = df.select(
             F.col(id_col),
@@ -1096,7 +1105,7 @@ def pq_adc_topk(
                 diff = qm[i] - c[i]
                 d2 += diff * diff
             lut6.append(int(math.floor(d2 * r6lit + 0.5)))
-        assigned = _kmeans_assign(sliced, "_sub", id_col, cents).select(
+        return _kmeans_assign(sliced, "_sub", id_col, cents).select(
             F.col(id_col),
             F.element_at(
                 F.create_map(
@@ -1109,7 +1118,13 @@ def pq_adc_topk(
                 F.col("cluster"),
             ).alias(f"_d{m}"),
         )
-        parts.append(assigned)
+
+    # guide §2.6, same as pq_codebook: the n_sub independent code fits
+    # each block the driver on centroid-update collects — overlap them
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=n_sub) as pool:
+        parts = list(pool.map(_one_subspace, range(n_sub)))
     joined = parts[0]
     for p in parts[1:]:
         joined = joined.join(p, id_col)

@@ -6054,12 +6054,24 @@ def d33_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     without that, the full d04 and d09 pipelines would each execute
     twice (VERDICT r3 item 4: audit cost ≈ d04 + d09 + ε, not 2× each)."""
     r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
-    m = dedup._materialize(
-        d04_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    )
-    s = dedup._materialize(
-        d09_simhash_band_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    )
+    # guide §2.6 (round 8): the two detector pipelines are independent
+    # and each _materialize BLOCKS the driver on its eager checkpoint —
+    # overlap them from two threads so the audit's wall is
+    # max(d04, d09), not their sum. Results are bound by name.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_m = pool.submit(
+            lambda: dedup._materialize(
+                d04_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+            )
+        )
+        f_s = pool.submit(
+            lambda: dedup._materialize(
+                d09_simhash_band_pairs(spark, sf_dir).select("doc_a", "doc_b")
+            )
+        )
+        m, s = f_m.result(), f_s.result()
     ma = m.agg(F.count(F.lit(1)).alias("n_minhash"))
     sa = s.agg(F.count(F.lit(1)).alias("n_simhash"))
     ba = m.join(s, ["doc_a", "doc_b"]).agg(
