@@ -794,9 +794,16 @@ def t10_tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     declarative posexplode form is the production path; this entry keeps
     the UDTF tier exercised end-to-end against the same oracle."""
     from mbta_etl_spark.functions.texthash import position_tokenizer_udtf
+    from mbta_etl_spark.operators.core import balance_scan
 
     spark.udtf.register("tokenize_pos", position_tokenizer_udtf())
-    _docs(spark, sf_dir).createOrReplaceTempView("_docs_udtf")
+    # round-8: UDTF eval is per-row Python even with Arrow transport —
+    # on the single-split local scan the whole LATERAL expansion ran in
+    # one task (measured 1.03 -> 0.56 s balanced; conditional no-op on
+    # parallel scans, guide §2.6/§4)
+    balance_scan(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    ).createOrReplaceTempView("_docs_udtf")
     return spark.sql(
         "SELECT d.doc_id, t.pos, t.term "
         "FROM _docs_udtf d, LATERAL tokenize_pos(d.text) t"

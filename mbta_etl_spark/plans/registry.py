@@ -12185,6 +12185,7 @@ _DRIVER_HOLDOUTS: frozenset[str] = frozenset(
         "d23_shingle_df_spectrum",
         "d30_bloom_decontam",
         "d41_winnowing_pairs",
+        "t10_tokenize_udtf",
     }
 )
 
