@@ -375,8 +375,12 @@ def minhash_lsh_pairs(
         sh = _materialize(_shingle_table(df, text, id_col, k))
     # band keys straight from the wide signature: one aggregation, then a
     # stack to (doc_id, band, band_key) rows for the collision join — no
-    # per-(doc,seed) shuffle, no collect_list
-    bands = _band_table_from_shingles(sh, n_hashes, band_size)
+    # per-(doc,seed) shuffle, no collect_list. Round-8 (guide §2.4/§5):
+    # the band table feeds BOTH sides of the collision self-join and the
+    # exchange was not reused, so the min-per-seed signature aggregation
+    # ran twice — materialize it once (n_docs x n_bands rows, the §8
+    # lightweight proxy).
+    bands = _materialize(_band_table_from_shingles(sh, n_hashes, band_size))
     ba = bands.alias("ba")
     bb = bands.alias("bb")
     cand = (
@@ -549,6 +553,14 @@ def banded_hamming_pairs(
         f"{b}, shiftright({sig_col}, {b * band_bits}) & {mask}"
         for b in range(n_bands)
     )
+    # round-8 (guide §2.4/§5): the band table feeds BOTH sides of the
+    # self-join and nothing reused the exchange (plan audit: 4 scans,
+    # reused_exchanges=0 on d09) — the whole signature pipeline
+    # (explode + 64 conditional sums) executed twice. Materialize the
+    # doc-count-sized signature table once; at 100 TB that table is
+    # n_docs x 16 bytes — exactly the lightweight proxy §8 says to
+    # persist while the heavy text stays in the scan.
+    sigs = _materialize(sigs)
     bands = sigs.select(
         "doc_id",
         sig_col,

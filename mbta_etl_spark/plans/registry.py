@@ -12186,6 +12186,15 @@ _DRIVER_HOLDOUTS: frozenset[str] = frozenset(
         "d30_bloom_decontam",
         "d41_winnowing_pairs",
         "t10_tokenize_udtf",
+        # band-table materialization in the LSH/hamming substrate:
+        "c01_corpus_clean",
+        "c19_pipeline_funnel",
+        "d04_minhash_lsh_pairs",
+        "d09_simhash_band_pairs",
+        "d20_hamming_histogram",
+        "d24_transitivity_audit",
+        "d36_bbit_minhash",
+        "m05_phash_dupes",
     }
 )
 
