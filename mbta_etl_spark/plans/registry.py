@@ -12166,37 +12166,13 @@ _ORACLES["v20_freshness_lag"] = """
 # after the DST wall-time rework; CORRECTNESS_r07.json re-verified all
 # three green, so round 8 starts with the holdout set empty.)
 #
-# Round-8 optimization pass: ts06/j06 changed PHYSICAL grouping (per-
-# series -> 64-way hash-bucketed grouped-map/cogroup kernels; semantics
-# and oracles untouched, parity-green at sf0.01 AND sf0.1), so both are
-# held out for driver re-verification per the sync_green_shapes
-# discipline.
-_DRIVER_HOLDOUTS: frozenset[str] = frozenset(
-    {
-        "ts06_ewma",
-        "j06_cogroup_funnel",
-        "g07_assortativity",
-        "m10_png_decode",
-        "m15_jpeg_decode",
-        # balance_scan in the shingle/winnowing substrate (+1 id+text
-        # exchange on single-split scans):
-        "d08_decontaminate",
-        "d22_band_occupancy",
-        "d23_shingle_df_spectrum",
-        "d30_bloom_decontam",
-        "d41_winnowing_pairs",
-        "t10_tokenize_udtf",
-        # band-table materialization in the LSH/hamming substrate:
-        "c01_corpus_clean",
-        "c19_pipeline_funnel",
-        "d04_minhash_lsh_pairs",
-        "d09_simhash_band_pairs",
-        "d20_hamming_histogram",
-        "d24_transitivity_audit",
-        "d36_bbit_minhash",
-        "m05_phash_dupes",
-    }
-)
+# Round-8 optimization pass held out the 19 plan-changed entries
+# (ts06/j06 bucketed kernels, g07 subtree fold, m10/m15 id-balance,
+# balance_scan substrate users, band-table materialization users);
+# CORRECTNESS_r08.json re-verified every one green (rows + schema +
+# hash), so round 9 starts with the holdout set empty again.  Entries
+# this round's optimizations plan-change are added below as they land.
+_DRIVER_HOLDOUTS: frozenset[str] = frozenset()
 
 
 def _load_driver_verified() -> frozenset[str]:
