@@ -1733,8 +1733,24 @@ def _land_pair_streams(
         purch_src = purch_src.unionByName(
             _sentinel("b_user", "b_id", "b_ts", -3)
         )
-    land_replay_log(clicks_src, clicks_dir, n_batches, "replay_key")
-    land_replay_log(purch_src, purch_dir, n_batches, "replay_key")
+    # The two landings are independent jobs writing disjoint dirs —
+    # submit both from a small thread pool so the second job's tasks
+    # back-fill executors freed by the first's tail (guide §2.6); each
+    # thread does its own driver-side renames under its own dir.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(
+                land_replay_log, src, d, n_batches, "replay_key"
+            )
+            for src, d in (
+                (clicks_src, clicks_dir),
+                (purch_src, purch_dir),
+            )
+        ]
+        for f in futs:
+            f.result()
     clicks = (
         open_replay_stream(spark, clicks_dir, clicks_src.schema)
         .drop("replay_key")
@@ -2247,6 +2263,24 @@ def st10_transform_with_state_equiv(
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
+    # Changelog checkpointing (r9 optimization, guide §1 profile): the
+    # default RocksDB commit uploads a full SST snapshot zip per store
+    # per batch — profiled at 0.7-4.2 s/batch of the entry's addBatch
+    # (scripts/profile_st.py). With changelog checkpointing the commit
+    # appends only the batch's changed keys (snapshots move to async
+    # maintenance), profiled at ~0.35 s/batch, identical results. This
+    # is the documented production posture for RocksDB state at scale,
+    # not a local-only trick; scoped + restored like providerClass.
+    prev_clog = spark.conf.get(
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled",
+        None,
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled",
+        "true",
+    )
     stack = ExitStack()
     stack.enter_context(pinned_stream_parallelism(spark))
     try:
@@ -2270,6 +2304,17 @@ def st10_transform_with_state_equiv(
         else:
             spark.conf.unset(
                 "spark.sql.streaming.stateStore.providerClass"
+            )
+        if prev_clog is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled",
+                prev_clog,
+            )
+        else:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled"
             )
     return spark.read.parquet(table).select(
         "user_id", "n_events", "max_value"

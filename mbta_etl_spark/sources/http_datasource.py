@@ -284,7 +284,12 @@ def drain_poll_replay(query, n_polls: int, timeout_s: float = 600.0) -> None:
                     query.stop()
                     query.awaitTermination()
                     return
-        time.sleep(0.2)
+        # 50 ms granularity: the loop never gates batch N -> N+1 (the
+        # engine runs polls back-to-back under the ASAP trigger); the
+        # sleep only delays DETECTING the final offset, so a finer tick
+        # trims ~0.1 s of pure tail latency per replay at no CPU cost
+        # worth caring about (r9 profile).
+        time.sleep(0.05)
     query.stop()
     raise TimeoutError(
         f"http_json replay did not reach offset {n_polls} in {timeout_s}s"
