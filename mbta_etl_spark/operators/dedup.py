@@ -23,7 +23,7 @@ Scale design notes
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 NUM_HASHES = 16
@@ -770,24 +770,37 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    # Fixpoint detection rides the SAME job that materializes the
+    # round (guide §2.4 via observed metrics — r9 optimization): labels
+    # are monotone non-increasing under min-propagation, so the label
+    # SUM (exact decimal(38,0) — no int64 overflow, no float
+    # association) is strictly decreasing until the fixpoint and equal
+    # exactly there. Observing it on the localCheckpoint action
+    # replaces the old per-round join + limit(1).count() job — one job
+    # per round instead of two, identical final labels (one possible
+    # extra no-op round only when pairs is EMPTY, where the empty sum
+    # is None == initial None and the loop exits round 1 as before).
+    prev_sum = None
     for _ in range(max_iter):
         nbr = edges.join(
             labels, edges["a"] == labels["node"]
         ).select(F.col("b").alias("node"), F.col("label"))
+        obs = Observation()
         new_labels = (
-            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .observe(
+                obs,
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+            )
+            .localCheckpoint(eager=True)
         )
         labels = new_labels
-        if changed == 0:
+        label_sum = obs.get["s"]
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     )
@@ -1657,6 +1670,11 @@ def pointer_doubling_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    # same observed-metrics fixpoint as connected_components (labels
+    # monotone non-increasing under min-pull + path-halving): the exact
+    # decimal label sum rides the checkpoint job, replacing the old
+    # join + limit(1).count() round — one job per round instead of two
+    prev_sum = None
     for _ in range(max_iter):
         # 1) neighbor-min pull (one join + one groupBy, edge-sized)
         nbr = edges.join(labels, edges["a"] == labels["node"]).select(
@@ -1678,17 +1696,15 @@ def pointer_doubling_components(
                 ).alias("label"),
             )
         )
-        new_labels = jumped.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        obs = Observation()
+        new_labels = jumped.observe(
+            obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).localCheckpoint(eager=True)
         labels = new_labels
-        if changed == 0:
+        label_sum = obs.get["s"]
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     )

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from mbta_etl_spark.operators import core
@@ -1317,13 +1317,17 @@ def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled-floor 9dp on both sides, so ten rounds of float summation
     stay bit-identical across engines."""
     edges = _pagerank_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # the node count rides the materialization job as an observed
+    # metric instead of a second count() job over the checkpoint (r9)
+    obs = Observation("g01_nodes")
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select("dst"))
         .distinct()
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    n_nodes = nodes.count()
+    n_nodes = int(obs.get["n"])
     base = (1.0 - PAGERANK_DAMPING) / n_nodes
     r9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)  # noqa: E731
     ranks = nodes.select(
@@ -11447,7 +11451,12 @@ def g06_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     row count and n_edges is Σd/2 (handshake lemma), both collected by
     the SAME job that materializes the degree checkpoint the peel needs
     anyway. Two jobs per round become one degree job plus one
-    broadcast-join edge rebuild. The peel only ever REMOVES edges, so
+    broadcast-join edge rebuild — and since round 9, interior rounds
+    fuse those two as well: the census observation rides the degree
+    subtree INSIDE the rebuild job, so each peel round is ONE job
+    (round 0 keeps the split because k is derived from its census;
+    the final round has nothing to rebuild). The peel only ever
+    REMOVES edges, so
     m_i == m_{i-1} proves e_i == e_{i-1} exactly — from that round on
     every census row is a copy and the remaining rounds run ZERO jobs
     (the fixpoint short-circuit; an empty graph is the degenerate
@@ -11459,6 +11468,25 @@ def g06_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     census: list[tuple[int, int, int]] = []
     k = 0
+
+    def _deg(edges: DataFrame) -> DataFrame:
+        return (
+            edges.select(
+                F.explode(F.array(F.col("ua"), F.col("ub"))).alias("node")
+            )
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    def _census_fallback(edges: DataFrame) -> tuple[int, int]:
+        # AQE collapsed the plan to an empty relation and the
+        # CollectMetrics row came back size-zero (the v23 empty-input
+        # degradation) — direct tiny agg over the node-sized degrees
+        row = _deg(edges).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("d").alias("twom")
+        ).collect()[0]
+        return int(row["n"]), int(row["twom"] or 0) // 2
+
     for i in range(KCORE_ROUNDS + 1):
         converged_m = (
             len(census) >= 2 and census[-1][2] == census[-2][2]
@@ -11467,45 +11495,64 @@ def g06_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             census.append((i, census[-1][1], census[-1][2]))
             continue
         obs = Observation(f"g06_census_{i}")
-        deg = (
-            e.select(
-                F.explode(F.array(F.col("ua"), F.col("ub"))).alias("node")
-            )
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                F.sum("d").alias("twom"),
-            )
-            .localCheckpoint(eager=True)
+        deg_obs = _deg(e).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum("d").alias("twom"),
         )
-        try:
-            m = obs.get
-            n_i = int(m["n"])
-            m_i = int(m["twom"] or 0) // 2
-        except Exception:
-            # AQE collapsed the degree plan to an empty relation and the
-            # CollectMetrics row came back size-zero (the v23 empty-input
-            # degradation) — fall back to a direct tiny agg over the
-            # already-checkpointed, node-sized degree table
-            row = deg.agg(
-                F.count(F.lit(1)).alias("n"), F.sum("d").alias("twom")
-            ).collect()[0]
-            n_i = int(row["n"])
-            m_i = int(row["twom"] or 0) // 2
-        census.append((i, n_i, m_i))
-        if i == 0:
-            n0, e0 = n_i, m_i
-            k = (e0 + n0 - 1) // n0 if n0 else 0
-        if i < KCORE_ROUNDS and m_i > 0:
-            alive = deg.filter(F.col("d") >= k).select("node")
+        if i == 0 or i == KCORE_ROUNDS:
+            # round 0: k is derived FROM this census, so the degree
+            # table must land before the first rebuild can be planned;
+            # final round: census only, nothing left to rebuild
+            deg = deg_obs.localCheckpoint(eager=True)
+            try:
+                m = obs.get
+                n_i = int(m["n"])
+                m_i = int(m["twom"] or 0) // 2
+            except Exception:
+                n_i, m_i = _census_fallback(e)
+            census.append((i, n_i, m_i))
+            if i == 0:
+                n0, e0 = n_i, m_i
+                k = (e0 + n0 - 1) // n0 if n0 else 0
+            if i < KCORE_ROUNDS and m_i > 0:
+                alive = deg.filter(F.col("d") >= k).select("node")
+                e = (
+                    e.join(alive.withColumnRenamed("node", "ua"), "ua")
+                    .join(alive.withColumnRenamed("node", "ub"), "ub")
+                    .select("ua", "ub")
+                    .localCheckpoint(eager=True)
+                )
+        else:
+            # Fused round (r9, VERDICT item 3): the round-i census rides
+            # the degree subtree of the ROUND-i+1 edge rebuild as
+            # observed metrics, so one job both counts the graph and
+            # materializes the peeled edges — one job per round instead
+            # of a degree job plus a rebuild job. The ub-side filter is
+            # built WITHOUT the observation (a second CollectMetrics
+            # with the same name in one plan is illegal); its partial
+            # aggregation reuses the ua side's exchange. If this round
+            # empties the graph the rebuild joins against an empty
+            # alive set — harmless, and the converged short-circuit
+            # copies census rows from the next iteration on, exactly as
+            # before.
+            alive_a = deg_obs.filter(F.col("d") >= k).select("node")
+            alive_b = _deg(e).filter(F.col("d") >= k).select("node")
+            e_prev = e
             e = (
-                e.join(alive.withColumnRenamed("node", "ua"), "ua")
-                .join(alive.withColumnRenamed("node", "ub"), "ub")
+                e.join(alive_a.withColumnRenamed("node", "ua"), "ua")
+                .join(alive_b.withColumnRenamed("node", "ub"), "ub")
                 .select("ua", "ub")
                 .localCheckpoint(eager=True)
             )
+            try:
+                m = obs.get
+                n_i = int(m["n"])
+                m_i = int(m["twom"] or 0) // 2
+            except Exception:
+                # census is of the PRE-rebuild graph
+                n_i, m_i = _census_fallback(e_prev)
+            census.append((i, n_i, m_i))
     converged = census[-1][2] == census[-2][2]
     rows = F.array(
         *[
