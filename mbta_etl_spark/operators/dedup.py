@@ -987,10 +987,18 @@ def dup_span_extents(
     from pyspark.sql import Window
 
     toks = F.split(text_col, " ")
-    base = df.select(
-        id_col.alias("doc_id"),
-        toks.alias("_t"),
-        F.size(toks).alias("n_tokens"),
+    # the window build (O(n·w) array_join slices per doc) happens in
+    # the scan stage before any exchange — on a single-split scan it
+    # would run in ONE task; balance the slim token projection first
+    # (r9; conditional, no-op on multi-split inputs — guide §2.6)
+    from mbta_etl_spark.operators.core import balance_scan
+
+    base = balance_scan(
+        df.select(
+            id_col.alias("doc_id"),
+            toks.alias("_t"),
+            F.size(toks).alias("n_tokens"),
+        )
     )
     wins = base.select(
         "doc_id",

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mbta_etl_spark.operators.core import materialize
+from mbta_etl_spark.operators.core import balance_scan, materialize
 
 # Stopword profiles for the language-ID heuristic. Order matters for the
 # deterministic argmax tie-break (en > fr > de > es).
@@ -156,17 +156,27 @@ def fingerprint(df: DataFrame, text: Column, id_col: Column, k: int = 5) -> Data
     """Rolling-hash document fingerprint: min(md5) over token k-gram
     shingles — a 1-permutation MinHash, stable under content shifts that
     plain text-hash fingerprints break on. Short docs fall back to
-    md5(text)."""
-    toks = _tokens(text)
+    md5(text).
+
+    The md5-per-shingle kernel is the entire cost (one digest per token
+    k-gram, zero shuffles), so on a single-split scan it would run in
+    ONE task — the slim (doc_id, text) projection is balance_scan'd
+    first (r9; conditional round-robin, a structural no-op on
+    multi-split inputs — guide §2.6, project-first per §2.3)."""
+    base = balance_scan(
+        df.select(id_col.alias("doc_id"), text.alias("_fp_text"))
+    )
+    t = F.col("_fp_text")
+    toks = _tokens(t)
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
         lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
     )
-    fp = F.when(n >= k, F.array_min(grams)).otherwise(F.md5(text))
+    fp = F.when(n >= k, F.array_min(grams)).otherwise(F.md5(t))
     n_shingles = F.when(n >= k, n - (k - 1)).otherwise(F.lit(0))
-    return df.select(
-        id_col.alias("doc_id"),
+    return base.select(
+        "doc_id",
         fp.alias("fp"),
         n_shingles.cast("long").alias("n_shingles"),
     )

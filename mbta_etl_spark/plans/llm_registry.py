@@ -16,7 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mbta_etl_spark.operators import dedup, multimodal, similarity, text
+from mbta_etl_spark.operators import core, dedup, multimodal, similarity, text
 from mbta_etl_spark.operators.dedup import SIMHASH_BITS
 from mbta_etl_spark.operators.text import EN_STOPWORDS, LANG_PROFILES
 from mbta_etl_spark.sources.tables import load_table
@@ -1406,7 +1406,13 @@ def s14_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         F.col("label").alias("true_label"),
     )
-    corpus = emb.filter(F.col("vec_id") % KNN_QUERY_MOD != 0)
+    # the brute-force scorer (two HOF dot products per corpus×query
+    # pair) runs map-side against the broadcast query block — on a
+    # single-split scan that is ONE task; balance the corpus first
+    # (r9; conditional, no-op on multi-split inputs — guide §2.6)
+    corpus = core.balance_scan(
+        emb.filter(F.col("vec_id") % KNN_QUERY_MOD != 0)
+    )
     cos = F.round(
         dot(F.col("embedding"), F.col("q_emb"))
         / (
@@ -4974,8 +4980,13 @@ def r04_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays every cell bit-for-bit."""
     from mbta_etl_spark.operators.rollup import cms_rollup
 
+    # the sketch kernel computes depth md5 digests per TOKEN before the
+    # first exchange — on a single-split scan that is ONE task; balance
+    # the slim (source, text) projection before the explode so only
+    # doc-sized rows cross the balancing exchange (r9; conditional,
+    # no-op on multi-split inputs — guide §2.6, §2.3)
     toks = (
-        _docs(spark, sf_dir)
+        core.balance_scan(_docs(spark, sf_dir).select("source", "text"))
         .select(
             F.explode(F.split(F.col("text"), " ")).alias("token"),
             "source",

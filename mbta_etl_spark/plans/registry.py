@@ -12264,7 +12264,21 @@ _ORACLES["v20_freshness_lag"] = """
 # CORRECTNESS_r08.json re-verified every one green (rows + schema +
 # hash), so round 9 starts with the holdout set empty again.  Entries
 # this round's optimizations plan-change are added below as they land.
-_DRIVER_HOLDOUTS: frozenset[str] = frozenset()
+#
+# Round-9 optimization pass: balance_scan applied to four more
+# single-task kernels (t04 fingerprint md5 kernel, s14 brute-force
+# scorer, d27 window build, r04 CMS cell kernel) — +1 conditional
+# round-robin exchange each, semantics and oracles untouched,
+# parity-green at sf0.01 AND sf0.1; held out for driver
+# re-verification per the sync_green_shapes discipline.
+_DRIVER_HOLDOUTS: frozenset[str] = frozenset(
+    {
+        "t04_fingerprint",
+        "s14_knn_classify",
+        "d27_dup_span_extents",
+        "r04_cms_rollup",
+    }
+)
 
 
 def _load_driver_verified() -> frozenset[str]:
