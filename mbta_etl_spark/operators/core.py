@@ -54,6 +54,20 @@ def balance_scan(df: DataFrame, target: int | None = None) -> DataFrame:
     return df.repartition(n)
 
 
+def session_shuffle_partitions(df: DataFrame) -> int:
+    """The session's ``spark.sql.shuffle.partitions`` as an int, falling
+    back to ``defaultParallelism`` when the value is unparsable (e.g. a
+    future "auto" mode). Bucketed grouped-map kernels size their bucket
+    counts from this so hash granularity follows the deployment's own
+    shuffle sizing instead of a literal (r9, VERDICT r8 item 4)."""
+    try:
+        return int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
 # ---------------------------------------------------------------------------
 # Q1 — top-k by measure (reference pipeline/queries.go:10-18:
 #   SELECT * FROM vehicles ORDER BY speed DESC LIMIT 10)

@@ -16,6 +16,10 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mbta_etl_spark.operators.core import (
+    session_shuffle_partitions as _session_shuffle_partitions,
+)
+
 
 def locf(
     df: DataFrame,
@@ -286,7 +290,14 @@ def ewma(
             new_series[0] = True
             for k in key_cols:
                 col = pdf[k].to_numpy()
-                new_series[1:] |= col[1:] != col[:-1]
+                neq = col[1:] != col[:-1]
+                # null keys: NaN != NaN is True, which would start a
+                # new series on EVERY null-key row — the old per-group
+                # form chained all null-key rows as one series, so
+                # adjacent nulls must NOT be a boundary (ADVICE r8)
+                isna = pd.isna(pdf[k]).to_numpy()
+                neq &= ~(isna[1:] & isna[:-1])
+                new_series[1:] |= neq
             acc = 0.0
             for i in range(len(v)):
                 acc = v[i] if new_series[i] else (1.0 - a) * acc + a * v[i]
@@ -295,7 +306,12 @@ def ewma(
         pdf["ewma"] = np.floor(s * 1e6 + 0.5) / 1e6
         return pdf
 
-    n_buckets = 64
+    # bucket count: session shuffle sizing with a 64 floor (r9,
+    # VERDICT r8 item 4) — locally 64 (the measured round-8 A/B value;
+    # the session default of 32 is below the floor), on a cluster it
+    # follows the deployment's own spark.sql.shuffle.partitions so
+    # task memory |input|/n_buckets scales with the cluster
+    n_buckets = max(64, _session_shuffle_partitions(df))
     return (
         df.select(*key_cols, ts_col, order_tiebreak, value_col)
         .withColumn(

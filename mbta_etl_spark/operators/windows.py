@@ -162,7 +162,12 @@ def cogroup_funnel(
             }
         )
 
-    bkt = F.pmod(F.xxhash64(user_col), F.lit(64)).alias("_bkt")
+    # bucket count: session shuffle sizing with a 64 floor (r9; same
+    # derivation and rationale as timeseries.ewma's n_buckets)
+    from mbta_etl_spark.operators.core import session_shuffle_partitions
+
+    n_buckets = max(64, session_shuffle_partitions(clicks))
+    bkt = F.pmod(F.xxhash64(user_col), F.lit(n_buckets)).alias("_bkt")
     return (
         clicks.select(bkt, user_col, ts_col)
         .groupBy("_bkt")

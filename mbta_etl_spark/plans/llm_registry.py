@@ -5809,14 +5809,12 @@ def st01_stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mbta_etl_spark.streaming.dedup_stream import (
         stream_exact_dedup_equiv,
     )
-    from mbta_etl_spark.streaming.replay import pinned_stream_parallelism
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     tag = f"st01_{os.path.basename(sf_dir.rstrip('/'))}"
-    # state-store-bound like every stateful face: 7.7 s -> 2.7 s at
-    # sf0.1 under the pin (A/B table in the helper's docstring)
-    with pinned_stream_parallelism(spark, n=4):
-        return stream_exact_dedup_equiv(docs, scratch_dir(spark, tag))
+    # the pin lives inside the helper since r9, where the landed log's
+    # size is known to the data-adaptive derivation
+    return stream_exact_dedup_equiv(docs, scratch_dir(spark, tag))
 
 
 # st01: the streamed StateStore dedup must equal d01's one-shot batch
@@ -5872,7 +5870,7 @@ def st03_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sketch-state face, same per-partition economics: 7.1 s -> 3.8 s
     # at sf0.1 under the pin; the exact recount below runs OUTSIDE the
     # pin at full parallelism (it is a batch scan, not state machinery)
-    with pinned_stream_parallelism(spark, n=4):
+    with pinned_stream_parallelism(spark, n=4, input_dirs=[in_dir]):
         query = start_heavy_hitter_stream(
             toks_stream, tbl, ckpt, key="tok", capacity=capacity,
             available_now=True,

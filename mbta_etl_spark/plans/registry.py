@@ -1473,7 +1473,7 @@ def st02_stream_rollup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = open_replay_stream(spark, in_dir, ev.schema).drop("event_id")
     from mbta_etl_spark.streaming.replay import pinned_stream_parallelism
 
-    with pinned_stream_parallelism(spark, n=4):
+    with pinned_stream_parallelism(spark, n=4, input_dirs=[in_dir]):
         query = start_rollup_stream(stream, tbl, ckpt)
         query.awaitTermination()
     out = rollup_read(spark.read.parquet(tbl))
@@ -1563,9 +1563,9 @@ def st04_stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the shared idempotent append sink (_run_replay_sink): per-batch
     # OVERWRITE into a batch_id partition
-    return _run_replay_sink(spark, sess, out_dir, ckpt).filter(
-        F.col("user_id") != -1
-    )
+    return _run_replay_sink(
+        spark, sess, out_dir, ckpt, input_dirs=[in_dir]
+    ).filter(F.col("user_id") != -1)
 
 
 # st05/st06's interval-overlap windows: a click owns [a_ts, a_ts + A),
@@ -1808,6 +1808,7 @@ def _run_replay_sink(
     out_dir: str,
     ckpt: str,
     drain=None,
+    input_dirs=None,
 ) -> DataFrame:
     """Execute a bounded streaming replay in APPEND mode with THE
     per-batch_id OVERWRITE sink, then read back the standing result.
@@ -1841,7 +1842,7 @@ def _run_replay_sink(
             )
         )
     )
-    with pinned_stream_parallelism(spark, n=4):
+    with pinned_stream_parallelism(spark, n=4, input_dirs=input_dirs):
         if drain is None:
             query = writer.trigger(availableNow=True).start()
             query.awaitTermination()
@@ -1872,6 +1873,10 @@ def _run_join_replay(
         joined,
         os.path.join(base, "pairs"),
         os.path.join(base, "ckpt"),
+        input_dirs=[
+            os.path.join(base, "clicks"),
+            os.path.join(base, "purchases"),
+        ],
     )
 
 
@@ -2039,7 +2044,7 @@ def st07_stateful_profile_equiv(
     # streaming/replay.pinned_stream_parallelism.
     from mbta_etl_spark.streaming.replay import pinned_stream_parallelism
 
-    with pinned_stream_parallelism(spark):
+    with pinned_stream_parallelism(spark, input_dirs=[in_dir]):
         query = start_profile_stream(
             stream, table, ckpt, available_now=True
         )
@@ -2136,7 +2141,9 @@ def st08_stream_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_stream_by_key(
         stream, ["event_id"], "wm", f"{horizon_days} days"
     ).drop("wm")
-    return _run_replay_sink(spark, deduped, out_dir, ckpt)
+    return _run_replay_sink(
+        spark, deduped, out_dir, ckpt, input_dirs=[in_dir]
+    )
 
 
 def st09_stream_enrich_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2187,7 +2194,9 @@ def st09_stream_enrich_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "replay_key"
     )
     enriched = enrich_stream(stream, dim, "user_id", how="left")
-    return _run_replay_sink(spark, enriched, out_dir, ckpt)
+    return _run_replay_sink(
+        spark, enriched, out_dir, ckpt, input_dirs=[in_dir]
+    )
 
 
 def st10_transform_with_state_equiv(
@@ -2286,7 +2295,9 @@ def st10_transform_with_state_equiv(
         "true",
     )
     stack = ExitStack()
-    stack.enter_context(pinned_stream_parallelism(spark))
+    stack.enter_context(
+        pinned_stream_parallelism(spark, input_dirs=[in_dir])
+    )
     try:
         query = (
             running_extrema_stream(stream)
@@ -2501,6 +2512,7 @@ def st11_http_source_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_dir,
         ckpt,
         drain=lambda q: drain_poll_replay(q, n_polls),
+        input_dirs=[os.path.dirname(urls[0].removeprefix("file://"))],
     )
 
 

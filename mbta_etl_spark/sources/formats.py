@@ -134,7 +134,14 @@ def scratch_dir(spark: SparkSession, tag: str) -> str:
         "spark.sql.warehouse.dir", "file:" + tempfile.gettempdir()
     ).removeprefix("file:")
     fast = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
-    if fast is None and os.path.isdir("/dev/shm"):
+    # tmpfs is the DEFAULT only under a local[*] master (r9, ADVICE r8):
+    # a single-process demo/bench run loses nothing if RAM-backed
+    # scratch vanishes. On a cluster, silently putting checkpoints and
+    # state stores on volatile /dev/shm would break the durability
+    # contract the checkpoint exists for — there the env var is the
+    # explicit opt-in (pointed at executor-local NVMe or the DFS).
+    is_local = spark.conf.get("spark.master", "").startswith("local")
+    if fast is None and is_local and os.path.isdir("/dev/shm"):
         ns = hashlib.md5(wh.encode()).hexdigest()[:8]
         fast = f"/dev/shm/mbta_etl_spark_scratch/{ns}"
     if fast is not None:

@@ -159,16 +159,23 @@ def stream_exact_dedup_equiv(
     # pure DataFrame transform) — so the equivalence claim is about the
     # operator itself, not a copy that could drift from it
     agg = exact_dedup_groups(stream, F.col("text"), F.col("doc_id"))
-    query = (
-        agg.writeStream.outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch(
-            lambda snapshot, _bid: snapshot.write.mode("overwrite").parquet(
-                out_dir
+    from mbta_etl_spark.streaming.replay import pinned_stream_parallelism
+
+    # pinned HERE (not at the entry) so the data-size-adaptive pin can
+    # read the landed log's bytes — state-store-bound like every
+    # stateful face: 7.7 s -> 2.7 s at sf0.1 under the pin (A/B table
+    # in the helper's docstring)
+    with pinned_stream_parallelism(spark, n=4, input_dirs=[in_dir]):
+        query = (
+            agg.writeStream.outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda snapshot, _bid: snapshot.write.mode(
+                    "overwrite"
+                ).parquet(out_dir)
             )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+        query.awaitTermination()
     return spark.read.parquet(out_dir)

@@ -188,12 +188,45 @@ def open_replay_stream(
     )
 
 
+def _dir_bytes(*paths: str) -> int:
+    """Total file bytes under the given directories (driver-side
+    metadata walk — the landed replay logs are O(n_batches) files)."""
+    import os
+
+    total = 0
+    for p in paths:
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
+# target post-shuffle partition size for the data-derived pin term —
+# guide §2.2's 100 MB-1 GB band, low end because streaming state adds
+# per-partition overhead on top of the data
+_PIN_ADVISORY_BYTES = 64 * 1024 * 1024
+
+
 @contextmanager
-def pinned_stream_parallelism(spark, n: int = 8):
+def pinned_stream_parallelism(spark, n: int = 8, input_dirs=None):
     """Pin ``spark.sql.shuffle.partitions`` around a bounded streaming
     replay, restoring the session value after. ``SPARK_GRAFT_STREAM_PIN``
     overrides ``n`` for A/B experiments (and is the scale knob a real
     deployment would set to its executor count).
+
+    Scale adaptivity (r9, VERDICT r8 item 4): the measured tier value
+    ``n`` is a FLOOR, not the answer — when ``input_dirs`` (the landed
+    replay logs) are given, the pin becomes
+    ``max(n, min(ceil(input_bytes / 64 MB), session shuffle
+    partitions))``: at bench scale the landings are a few MB so the
+    floor wins and behavior is exactly the measured tier A/B below; at
+    production scale the data term grows past the floor and the pin
+    rises to the session's own shuffle sizing (the deployment-set
+    value), so 4-8 state-store partitions can never strangle a real
+    load. The env override still wins over everything.
 
     Why 8 at test scale — the round-8 measured A/B (sf0.1, local[32],
     32 session partitions vs 8 pinned, identical outputs):
@@ -235,6 +268,10 @@ def pinned_stream_parallelism(spark, n: int = 8):
     _run_join_replay economics note)."""
     import os
 
+    if input_dirs:
+        session_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        derived = -(-_dir_bytes(*input_dirs) // _PIN_ADVISORY_BYTES)
+        n = max(n, min(derived, session_n))
     n = int(os.environ.get("SPARK_GRAFT_STREAM_PIN", n))
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))

@@ -595,6 +595,31 @@ def test_assortativity_known_graphs(spark):
     assert r.n_endpoints > 0 and r.n_endpoints % 2 == 0
 
 
+def test_j06_cogroup_funnel_empty_side_buckets(spark):
+    """ADVICE r8: a bucket where one cogroup side is EMPTY must still
+    emit correctly-typed rows (the union Index degrades to object
+    dtype there). Two lone users land in buckets whose other side is
+    empty; a fully empty purchase stream is the degenerate case."""
+    import datetime as dt
+
+    from mbta_etl_spark.operators.windows import cogroup_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    c = spark.createDataFrame([(1, t0)], "user_id long, ts timestamp_ntz")
+    p = spark.createDataFrame([(2, t0)], "user_id long, ts timestamp_ntz")
+    out = {
+        r.user_id: (r.clicks_before_purchase, r.has_purchase)
+        for r in cogroup_funnel(c, p, "user_id", "ts").collect()
+    }
+    assert out == {1: (0, False), 2: (0, True)}
+    p0 = spark.createDataFrame([], "user_id long, ts timestamp_ntz")
+    out0 = {
+        r.user_id: (r.clicks_before_purchase, r.has_purchase)
+        for r in cogroup_funnel(c, p0, "user_id", "ts").collect()
+    }
+    assert out0 == {1: (0, False)}
+
+
 def test_j06_cogroup_funnel_bucketed_per_user_semantics(spark):
     """Round-8: the cogroup funnel's key became a 64-way hash bucket
     with the per-user logic vectorized inside the kernel. Pin the

@@ -153,6 +153,24 @@ def test_ewma_series_isolation_within_shared_buckets(spark):
         assert got[(str(k), 1)] == float(k) + 1.0  # 0.5·k + 0.5·(k+2)
 
 
+def test_ewma_null_keys_chain_as_one_series(spark):
+    """ADVICE r8: in the bucketed kernel a null key arrives as NaN and
+    NaN != NaN is True, which would have restarted the series on every
+    null-key row. Null-key rows must fold as ONE series — the original
+    per-key groupBy semantics (all nulls are one group)."""
+    rows = [
+        (None, _t(0), 0, 8.0),
+        (None, _t(1), 1, 16.0),
+        ("a", _t(0), 0, 4.0),
+    ]
+    df = _series(spark, rows)
+    out = timeseries.ewma(df, ["k"], "ts", "seq", "value", alpha=0.5)
+    got = {(r.k, r.seq): r.ewma for r in out.collect()}
+    assert got[(None, 0)] == 8.0  # s0 = v0
+    assert got[(None, 1)] == 12.0  # 0.5·8 + 0.5·16 — CHAINED, not reset
+    assert got[("a", 0)] == 4.0
+
+
 def test_salted_join_identical_to_plain_join(spark):
     from mbta_etl_spark.operators.skew import salted_join
 
