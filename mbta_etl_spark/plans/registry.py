@@ -1809,6 +1809,7 @@ def _run_replay_sink(
     ckpt: str,
     drain=None,
     input_dirs=None,
+    pin_floor: int = 4,
 ) -> DataFrame:
     """Execute a bounded streaming replay in APPEND mode with THE
     per-batch_id OVERWRITE sink, then read back the standing result.
@@ -1842,7 +1843,9 @@ def _run_replay_sink(
             )
         )
     )
-    with pinned_stream_parallelism(spark, n=4, input_dirs=input_dirs):
+    with pinned_stream_parallelism(
+        spark, n=pin_floor, input_dirs=input_dirs
+    ):
         if drain is None:
             query = writer.trigger(availableNow=True).start()
             query.awaitTermination()
@@ -1868,6 +1871,12 @@ def _run_join_replay(
     per-partition DATA, not the store count, is the knob."""
     import os
 
+    # pin floor 2, not the family's 4: a stream-stream join runs FOUR
+    # stores per partition, so the per-batch store bill is steepest
+    # here — the round-8 A/B read 4.87/4.93 s at n=2 vs 5.26/5.02 s at
+    # n=4 (sf0.1, warm; table in pinned_stream_parallelism). The
+    # data-size-adaptive term raises the pin past the floor on real
+    # loads, so the lower floor is scale-safe.
     return _run_replay_sink(
         spark,
         joined,
@@ -1877,6 +1886,7 @@ def _run_join_replay(
             os.path.join(base, "clicks"),
             os.path.join(base, "purchases"),
         ],
+        pin_floor=2,
     )
 
 
